@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query materializes through the `noop` sink — full distributed
+execution, no driver-side collect skew.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per major operator family (agg, join, window, set,
+# chunk, tfidf-search, dedup/minhash, ANN, sessionize, streaming-batch).
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "window_top3_orders_per_customer",
+    "setop_active_customers",
+    "chunk_documents",
+    "tfidf_search_topk",
+    "dedup_exact_stats",
+    "minhash_signatures",
+    "ann_cosine_topk",
+    "events_sessionize_batch",
+    "events_hourly_stats",
+]
+
+
+def main() -> None:
+    from data_engineering_rag_spark.plans import REGISTRY
+    from data_engineering_rag_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen paths once so per-query numbers measure the
+    # plan, not first-run JIT.
+    REGISTRY["q1_pricing_summary"].spark(spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        spec = REGISTRY[name]
+        t0 = time.perf_counter()
+        spec.spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,49 @@
+"""Text projections (SURVEY.md §2.2 F8 fence strip and friends).
+
+Parity target: ``zc_agent/prepare_data.py:147-160`` —
+``strip()`` the text; if it doesn't start with ``````` return it; else drop
+the first line; if the (remaining) last line strips to ``````` drop it
+too; join with newlines.
+
+Implemented as pure Column expressions over ``\\n``-separated text
+(documented narrowing: Python ``splitlines`` also splits on ``\\r`` and
+exotic separators; the engine pins ``\\n``, which is what the corpus
+contains). The identical regexes run in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_WS = r"[ \t\r\f\v]"
+# Python str.strip(): all leading/trailing whitespace.
+_STRIP_LEAD = r"^\s+"
+_STRIP_TRAIL = r"\s+$"
+# First line incl. its newline (or the whole single-line string).
+_FIRST_LINE = "^[^\\n]*(\\n|$)"
+# A trailing line consisting of ``` with optional surrounding blanks,
+# including the preceding newline (or the whole remaining string).
+_TRAIL_FENCE = f"(^|\\n){_WS}*```{_WS}*$"
+
+
+def _pystrip(col: Column) -> Column:
+    return F.regexp_replace(F.regexp_replace(col, _STRIP_LEAD, ""), _STRIP_TRAIL, "")
+
+
+def strip_code_fence_col(text: Column) -> Column:
+    stripped = _pystrip(text)
+    body = F.regexp_replace(
+        F.regexp_replace(stripped, _FIRST_LINE, ""), _TRAIL_FENCE, ""
+    )
+    return F.when(stripped.startswith("```"), body).otherwise(stripped)
+
+
+# DuckDB-dialect mirror; {t} is the text expression.
+STRIP_FENCE_SQL = (
+    "CASE WHEN starts_with(regexp_replace(regexp_replace({t}, '^\\s+', ''), '\\s+$', ''), '```') "
+    "THEN regexp_replace(regexp_replace("
+    "  regexp_replace(regexp_replace({t}, '^\\s+', ''), '\\s+$', ''), "
+    "  '^[^\\n]*(\\n|$)', ''), '(^|\\n)[ \\t\\r\\f\\v]*```[ \\t\\r\\f\\v]*$', '') "
+    "ELSE regexp_replace(regexp_replace({t}, '^\\s+', ''), '\\s+$', '') END"
+)

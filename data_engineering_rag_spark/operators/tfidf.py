@@ -1,0 +1,167 @@
+"""TF-IDF index build + top-k lexical search (SURVEY.md §2.4 X1/X2).
+
+Parity target: the reference's query engine is ``minsearch`` (call sites
+``zc_agent/load_data.py:53-57``, ``zc_agent/search_tools.py:7-17``) —
+per-text-field sklearn ``TfidfVectorizer`` + cosine similarity, summed
+over fields with optional boosts, top ``num_results``.
+
+Documented engine semantics (sklearn conventions, reproduced in exact
+SQL-expressible arithmetic so the DuckDB oracle can verify):
+
+- tokens: maximal runs matching ``\\w\\w+`` on the lowercased text
+  (sklearn token pattern ``(?u)\\b\\w\\w+\\b``; maximal-match extraction
+  makes the boundaries redundant). ASCII ``\\w`` — documented deviation
+  from sklearn's unicode ``\\w``, irrelevant for ASCII corpora.
+- tf: raw term count per (doc, term).
+- idf: ``ln((1 + N) / (1 + df)) + 1`` (smooth_idf).
+- doc vector: tf·idf, L2-normalized per doc.
+- query vector: same transform on the query text (OOV terms drop out via
+  the idf join, matching sklearn's fitted-vocabulary behavior).
+- score(q, d) = Σ_fields boost_f · cosine_f(q, d); top-k by score desc,
+  doc-key asc tie-break (deterministic; minsearch's argsort tie order is
+  unspecified).
+
+Scale design: the index IS a DataFrame — ``(field, term, <keys>, w)``
+with L2-normalized weights — partitionable by term, which is exactly the
+join key of the scoring query. Scoring broadcasts the tiny query-term
+table, so a search is: broadcast-hash-join on term (map-side, no
+shuffle of the big index) → partial aggregation per doc key →
+``TakeOrderedAndProject`` for global top-k. At 100 TB the only wide op
+in the build is the (term) and (doc) aggregations, both map-side
+combinable.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TOKEN_PATTERN = r"\w\w+"
+
+
+@dataclass
+class TfidfModel:
+    """A fitted index: one weight table + one idf table per text field."""
+
+    weights: DataFrame  # field, <key_cols...>, term, w  (L2-normalized)
+    idf: DataFrame  # field, term, idf
+    key_cols: list[str]
+    text_fields: list[str]
+
+
+def _tokens(df: DataFrame, key_cols: list[str], field: str) -> DataFrame:
+    return df.select(
+        *key_cols,
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(field)), F.lit(TOKEN_PATTERN), F.lit(0))
+        ).alias("term"),
+    )
+
+
+def build_tfidf(
+    df: DataFrame,
+    key_cols: list[str],
+    text_fields: list[str],
+) -> TfidfModel:
+    """Fit one TF-IDF model per text field over ``df``.
+
+    Everything is declarative: tokenize (narrow) → tf groupBy → df/idf
+    groupBy → window-free norm join. Catalyst plans map-side partial
+    aggregation for both groupBys.
+    """
+    n_docs = df.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
+
+    per_field = []
+    idf_tables = []
+    for field in text_fields:
+        tf = (
+            _tokens(df, key_cols, field)
+            .groupBy(*key_cols, "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+            F.lit(field).alias("field"),
+            "term",
+            (F.log((F.lit(1) + F.col("n_docs")) / (F.lit(1) + F.col("df"))) + F.lit(1)).alias(
+                "idf"
+            ),
+        )
+        w = (
+            tf.join(F.broadcast(idf.drop("field")), "term")
+            .select(*key_cols, "term", (F.col("tf") * F.col("idf")).alias("w_raw"))
+        )
+        norms = w.groupBy(*key_cols).agg(F.sqrt(F.sum(F.col("w_raw") * F.col("w_raw"))).alias("norm"))
+        weights = w.join(norms, key_cols).select(
+            F.lit(field).alias("field"),
+            *key_cols,
+            "term",
+            (F.col("w_raw") / F.col("norm")).alias("w"),
+        )
+        per_field.append(weights)
+        idf_tables.append(idf)
+
+    weights_all = per_field[0]
+    for other in per_field[1:]:
+        weights_all = weights_all.unionByName(other)
+    idf_all = idf_tables[0]
+    for other in idf_tables[1:]:
+        idf_all = idf_all.unionByName(other)
+    return TfidfModel(weights=weights_all, idf=idf_all, key_cols=key_cols, text_fields=text_fields)
+
+
+def tokenize_query(query: str) -> dict[str, int]:
+    """Driver-side tokenization of a literal query string — same regex as
+    the corpus path; a query is one tiny string, not distributed data."""
+    counts: dict[str, int] = {}
+    for tok in re.findall(TOKEN_PATTERN, query.lower()):
+        counts[tok] = counts.get(tok, 0) + 1
+    return counts
+
+
+def search_topk(
+    spark: SparkSession,
+    model: TfidfModel,
+    query: str,
+    k: int = 5,
+    boosts: dict[str, float] | None = None,
+) -> DataFrame:
+    """Top-k docs by summed per-field cosine similarity.
+
+    The query-term table is a handful of rows → broadcast; the scoring
+    join never shuffles the index side.
+    """
+    boosts = boosts or {}
+    counts = tokenize_query(query)
+    if not counts:
+        return model.weights.select(*model.key_cols).limit(0).withColumn(
+            "score", F.lit(0.0)
+        )
+
+    qt = spark.createDataFrame(
+        [(t, float(c)) for t, c in counts.items()], ["term", "qtf"]
+    )
+    # Query vector per field: tf·idf from the fitted idf, L2-normalized.
+    q = qt.join(model.idf, "term").select(
+        "field", "term", (F.col("qtf") * F.col("idf")).alias("qw_raw")
+    )
+    qnorm = q.groupBy("field").agg(F.sqrt(F.sum(F.col("qw_raw") * F.col("qw_raw"))).alias("qnorm"))
+    qvec = q.join(qnorm, "field").select(
+        "field", "term", (F.col("qw_raw") / F.col("qnorm")).alias("qw")
+    )
+
+    boost_expr = F.lit(1.0)
+    for fname, b in boosts.items():
+        boost_expr = F.when(F.col("field") == fname, F.lit(float(b))).otherwise(boost_expr)
+
+    scored = (
+        model.weights.join(F.broadcast(qvec), ["field", "term"])
+        .select(*model.key_cols, (F.col("w") * F.col("qw") * boost_expr).alias("contrib"))
+        .groupBy(*model.key_cols)
+        .agg(F.sum("contrib").alias("score"))
+    )
+    order = [F.col("score").desc()] + [F.col(c).asc() for c in model.key_cols]
+    return scored.orderBy(*order).limit(k)

@@ -1,0 +1,262 @@
+"""RAG-pipeline parity queries (SURVEY.md §2.1-2.4): chunking, TF-IDF
+index + search, and the ingest path/fence projections — each declared
+with a DuckDB oracle so the driver hash-checks exact semantics.
+
+The chunker/search correspond to the reference's signature dataflow
+(``zc_agent/load_data.py:13-39`` chunking; ``minsearch`` TF-IDF search
+via ``zc_agent/search_tools.py:7-17``). The synthetic ``documents``
+table stands in for the processed corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.paths import SKIP_SQL_SNIPPETS, extension_of, normalize_path, should_skip
+from ..functions.text import STRIP_FENCE_SQL, strip_code_fence_col
+from ..operators.chunker import chunk_documents, sliding_window_starts_sql
+from ..operators.tfidf import TOKEN_PATTERN, build_tfidf, search_topk, tokenize_query
+from . import load, query
+
+CHUNK_SIZE, CHUNK_STEP = 200, 100  # doc texts are 48-553 chars; defaults (2000/1000) stay 1-chunk
+
+
+# --------------------------------------------------------------------------
+# C1/C2 — sliding-window chunker
+# --------------------------------------------------------------------------
+
+@query(
+    "chunk_documents",
+    f"""
+    SELECT doc_id, lang, source,
+           cast(start as bigint) AS start,
+           substr(text, cast(start as int) + 1, {CHUNK_SIZE}) AS content,
+           length(substr(text, cast(start as int) + 1, {CHUNK_SIZE})) AS chunk_len
+    FROM (
+      SELECT doc_id, lang, source, text,
+             unnest({sliding_window_starts_sql('length(text)', CHUNK_SIZE, CHUNK_STEP)}) AS start
+      FROM documents WHERE length(text) > 0
+    )
+    """,
+)
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", F.col("text").alias("content")
+    )
+    chunks = chunk_documents(docs, text_col="content", size=CHUNK_SIZE, step=CHUNK_STEP)
+    return chunks.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("start").cast("long").alias("start"),
+        "content",
+        F.length("content").cast("long").alias("chunk_len"),
+    )
+
+
+@query(
+    "chunk_documents_default_params",
+    f"""
+    SELECT doc_id, cast(start as bigint) AS start,
+           substr(text, cast(start as int) + 1, 2000) AS content
+    FROM (
+      SELECT doc_id, text,
+             unnest({sliding_window_starts_sql('length(text)', 2000, 1000)}) AS start
+      FROM documents WHERE length(text) > 0
+    )
+    """,
+)
+def chunk_documents_default_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference default size=2000/step=1000 (``zc_agent/load_data.py:50``)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
+    return chunk_documents(docs, text_col="content", size=2000, step=1000).select(
+        "doc_id", F.col("start").cast("long").alias("start"), "content"
+    )
+
+
+# --------------------------------------------------------------------------
+# X1/X2 — TF-IDF weights + top-k search, with generated oracle CTEs
+# --------------------------------------------------------------------------
+
+def _tfidf_cte(source_sql: str, key_sql: str, text_sql: str) -> str:
+    """DuckDB CTE chain computing L2-normalized tf-idf weights over one
+    text field. Mirrors ``operators.tfidf.build_tfidf`` arithmetic
+    exactly: tf = raw count, idf = ln((1+N)/(1+df)) + 1, w = tf·idf / ‖doc‖."""
+    return f"""
+    tok AS (
+      SELECT {key_sql} AS k, unnest(regexp_extract_all(lower({text_sql}), '{TOKEN_PATTERN}')) AS term
+      FROM {source_sql}
+    ),
+    tf AS (SELECT k, term, count(*) AS tf FROM tok GROUP BY k, term),
+    ndocs AS (SELECT count(*) AS n_docs FROM {source_sql}),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    idf AS (SELECT term, ln((1 + n_docs) / (1 + df)) + 1 AS idf FROM dfreq, ndocs),
+    w AS (SELECT k, tf.term, tf * idf AS w_raw FROM tf JOIN idf ON tf.term = idf.term),
+    nrm AS (SELECT k, sqrt(sum(w_raw * w_raw)) AS nrm FROM w GROUP BY k)
+    """
+
+
+@query(
+    "tfidf_doc_weights",
+    f"""
+    WITH {_tfidf_cte("documents", "doc_id", "text")}
+    SELECT w.k AS doc_id, w.term, round(w_raw / nrm, 8) AS w
+    FROM w JOIN nrm ON w.k = nrm.k
+    """,
+)
+def tfidf_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    model = build_tfidf(docs, key_cols=["doc_id"], text_fields=["text"])
+    return model.weights.select("doc_id", "term", F.round("w", 8).alias("w"))
+
+
+SEARCH_QUERY = "spark hash join window"
+SEARCH_K = 5
+
+
+def _search_oracle(query_text: str, k: int) -> str:
+    toks = tokenize_query(query_text)
+    qvals = ", ".join(f"('{t}', {c}.0)" for t, c in toks.items())
+    chunk_src = f"""(
+      SELECT doc_id, cast(start as bigint) AS start,
+             substr(text, cast(start as int) + 1, {CHUNK_SIZE}) AS content
+      FROM (SELECT doc_id, text,
+                   unnest({sliding_window_starts_sql('length(text)', CHUNK_SIZE, CHUNK_STEP)}) AS start
+            FROM documents WHERE length(text) > 0))"""
+    return f"""
+    WITH chunks AS (SELECT * FROM {chunk_src}),
+    tok AS (
+      SELECT doc_id, start, unnest(regexp_extract_all(lower(content), '{TOKEN_PATTERN}')) AS term
+      FROM chunks
+    ),
+    tf AS (SELECT doc_id, start, term, count(*) AS tf FROM tok GROUP BY doc_id, start, term),
+    ndocs AS (SELECT count(*) AS n_docs FROM chunks),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    idf AS (SELECT term, ln((1 + n_docs) / (1 + df)) + 1 AS idf FROM dfreq, ndocs),
+    w AS (SELECT doc_id, start, tf.term, tf * idf AS w_raw FROM tf JOIN idf ON tf.term = idf.term),
+    nrm AS (SELECT doc_id, start, sqrt(sum(w_raw * w_raw)) AS nrm FROM w GROUP BY doc_id, start),
+    dvec AS (SELECT w.doc_id, w.start, w.term, w_raw / nrm AS w
+             FROM w JOIN nrm ON w.doc_id = nrm.doc_id AND w.start = nrm.start),
+    qtf AS (SELECT * FROM (VALUES {qvals}) AS t(term, qtf)),
+    qw AS (SELECT qtf.term, qtf * idf AS qw_raw FROM qtf JOIN idf ON qtf.term = idf.term),
+    qnrm AS (SELECT sqrt(sum(qw_raw * qw_raw)) AS qnrm FROM qw),
+    qvec AS (SELECT term, qw_raw / qnrm AS qw FROM qw, qnrm)
+    SELECT doc_id, start, round(sum(d.w * q.qw), 8) AS score
+    FROM dvec d JOIN qvec q ON d.term = q.term
+    GROUP BY doc_id, start
+    ORDER BY round(sum(d.w * q.qw), 8) DESC, doc_id, start
+    LIMIT {k}
+    """
+
+
+@query("tfidf_search_topk", _search_oracle(SEARCH_QUERY, SEARCH_K))
+def tfidf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship dataflow end-to-end: chunk → tf-idf →
+    broadcast-join scoring → global top-k (TakeOrderedAndProject).
+
+    Ordering is by the ROUNDED score (both engines) so rank flips from
+    sub-1e-8 float drift cannot change the selected row set."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
+    chunks = chunk_documents(docs, text_col="content", size=CHUNK_SIZE, step=CHUNK_STEP)
+    model = build_tfidf(chunks, key_cols=["doc_id", "start"], text_fields=["content"])
+    hits = search_topk(spark, model, SEARCH_QUERY, k=SEARCH_K)
+    return hits.select(
+        "doc_id",
+        F.col("start").cast("long").alias("start"),
+        F.round("score", 8).alias("score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# F1-F3, F8 — ingest projections, oracle-checked over literal rows
+# --------------------------------------------------------------------------
+
+_INGEST_PATHS = [
+    "repo-main/README.md",
+    "repo-main/docs/setup.MD",
+    "repo-main/docs/guide.mdx",
+    "repo-main/src/app.py",
+    "repo-main/src/Query.SQL",
+    "repo-main/src/Main.java",
+    "repo-main/notebooks/demo.ipynb",
+    "repo-main/.github/workflows/ci.yml",
+    "repo-main/src/.hidden.py",
+    "repo-main/assets/logo.png",
+    "repo-main/Makefile",
+    "repo-main/docs/",
+    "repo-main/archive.tar.gz",
+    "standalone.md",
+]
+
+
+def _ingest_values_sql() -> str:
+    return ", ".join(f"('{p}')" for p in _INGEST_PATHS)
+
+
+@query(
+    "ingest_path_rules",
+    f"""
+    SELECT path,
+           {SKIP_SQL_SNIPPETS['extension'].format(p='path')} AS ext,
+           {SKIP_SQL_SNIPPETS['normalize'].format(p='path')} AS normalized,
+           (ends_with(lower(path), '/')
+            OR starts_with({SKIP_SQL_SNIPPETS['basename_lower'].format(p='path')}, '.')
+            OR NOT ({SKIP_SQL_SNIPPETS['extension'].format(p='path')}
+                    IN ('md','mdx','py','sql','java','ipynb'))) AS skip
+    FROM (VALUES {_ingest_values_sql()}) AS t(path)
+    """,
+)
+def ingest_path_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1+F2+F3 on a literal path set covering every branch of the
+    reference's skip/extension/normalize logic (hidden, dir, no-dot,
+    multi-dot, uppercase extension, prefix-less path)."""
+    df = spark.createDataFrame([(p,) for p in _INGEST_PATHS], ["path"])
+    return df.select(
+        "path",
+        extension_of(F.col("path")).alias("ext"),
+        normalize_path(F.col("path")).alias("normalized"),
+        should_skip(F.col("path")).alias("skip"),
+    )
+
+
+_FENCE_TEXTS = [
+    "```python\nprint('hi')\n```",
+    "```\nplain\nfence\n```",
+    "no fence at all",
+    "  \n```sql\nSELECT 1\n```  \n",
+    "```python\nno closing fence",
+    "```",
+    "```\n```",
+    "text with ``` in middle\nstays",
+    "   leading and trailing   ",
+    "```js\nline1\nline2\n   ```   ",
+]
+
+
+def _fence_values_sql() -> str:
+    return ", ".join(
+        f"({i + 1}, '" + t.replace("'", "''").replace("\n", "' || chr(10) || '") + "')"
+        for i, t in enumerate(_FENCE_TEXTS)
+    )
+
+
+@query(
+    "strip_code_fence",
+    f"""
+    SELECT cast(case_id as bigint) AS case_id,
+           {STRIP_FENCE_SQL.format(t='txt')} AS stripped
+    FROM (VALUES {_fence_values_sql()}) AS t(case_id, txt)
+    """,
+)
+def strip_code_fence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 fence strip over literal edge cases (reference
+    ``prepare_data.py:147-160``): language tag, no closing fence,
+    lone fence, fence-only body, mid-text backticks, whitespace."""
+    df = spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(_FENCE_TEXTS)], ["case_id", "txt"]
+    )
+    return df.select(
+        F.col("case_id").cast("long").alias("case_id"),
+        strip_code_fence_col(F.col("txt")).alias("stripped"),
+    )

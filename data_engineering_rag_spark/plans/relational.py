@@ -1,0 +1,598 @@
+"""Relational operator coverage (SURVEY.md §2.5 J4, §2.6 A7, §2.7 O4,
+§2.8 set ops, §2.9 scalar sweep) over the synthetic star schema.
+
+The reference's only joins/aggregations are dict lookups and pandas
+means (SURVEY §2.5-2.6 REF rows); these queries are the EXT build-out
+that makes this a general engine. Plans are written so Catalyst picks
+the right physical strategy: dimension joins broadcast (nation/region/
+supplier are tiny at any scale factor — and at 100 TB, dimensions still
+fit in memory), fact-fact joins shuffle on their keys with AQE handling
+skew, aggregations are map-side combinable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import load, query
+
+
+def _dsum(col, scale: int):
+    """Order-independent double sum: exact decimal accumulate, then a
+    deterministic decimal→double conversion. Mirrors the oracle's
+    ``round(cast(sum(cast(x as decimal(18,s))) as double), s)``."""
+    return F.round(F.sum(col.cast(f"decimal(18,{scale})")).cast("double"), scale)
+
+
+# --------------------------------------------------------------------------
+# Aggregation menu
+# --------------------------------------------------------------------------
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(cast(sum(cast(l_quantity as decimal(18,2))) as double), 2) AS sum_qty,
+           round(cast(sum(cast(l_extendedprice as decimal(18,2))) as double), 2) AS sum_base_price,
+           round(cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,6))) as double), 6) AS sum_disc_price,
+           round(cast(sum(cast(l_extendedprice * (1 - l_discount) * (1 + l_tax) as decimal(18,6))) as double), 6) AS sum_charge,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style pricing summary. Map-side partial agg on 6 groups;
+    the shipdate filter pushes to the parquet scan."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            _dsum(disc_price, 6).alias("sum_disc_price"),
+            _dsum(charge, 6).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           round(cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,6))) as double), 6) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < timestamp '1998-03-15 00:00:00'
+      AND l_shipdate > timestamp '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join + top-k. customer(filtered) broadcasts; orders⋈
+    lineitem shuffles on orderkey; LIMIT plans TakeOrderedAndProject."""
+    cust = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           round(cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,6))) as double), 6) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nation ON s_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    WHERE c_nationkey = s_nationkey
+      AND o_orderdate >= timestamp '1996-01-01 00:00:00'
+      AND o_orderdate < timestamp '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-table join. nation/region/supplier broadcast (tiny at every
+    scale); only orders⋈lineitem is a shuffle join."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"))
+    )
+
+
+@query(
+    "agg_rollup_status",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           round(cast(sum(cast(l_quantity as decimal(18,2))) as double), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), _dsum(F.col("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+@query(
+    "agg_cube_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           round(cast(sum(cast(o_totalprice as decimal(18,2))) as double), 2) AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), _dsum(F.col("o_totalprice"), 2).alias("sum_price")
+    )
+
+
+@query(
+    "agg_distinct_stats",
+    """
+    SELECT count(*) AS n_rows,
+           count(DISTINCT l_orderkey) AS n_orders,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           round(cast(min(cast(l_quantity as decimal(18,2))) as double), 2) AS min_qty,
+           round(cast(max(cast(l_quantity as decimal(18,2))) as double), 2) AS max_qty
+    FROM lineitem
+    """,
+)
+def agg_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.round(F.min(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 2).alias("min_qty"),
+        F.round(F.max(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 2).alias("max_qty"),
+    )
+
+
+@query(
+    "agg_avg_acctbal_by_nation",
+    """
+    SELECT n_name,
+           count(*) AS n_cust,
+           round(cast(sum(cast(c_acctbal as decimal(18,2))) as double) / count(*), 6) AS avg_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def agg_avg_acctbal_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """avg as exact-sum/count: deterministic across engines, unlike a
+    native double avg whose accumulation order varies."""
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_bal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Join menu
+# --------------------------------------------------------------------------
+
+@query(
+    "join_semi_big_orders",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49)
+    """,
+)
+def join_semi_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 49)
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_anti_customers_no_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def join_anti_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_left_order_counts",
+    """
+    SELECT c_custkey, count(o_orderkey) AS n_orders,
+           round(cast(coalesce(sum(cast(o_totalprice as decimal(18,2))), 0) as double), 2) AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")), F.lit(0)
+                ).cast("double"),
+                2,
+            ).alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "join_full_outer_nation_presence",
+    """
+    SELECT coalesce(c.nk, s.nk) AS nationkey,
+           coalesce(c.n_cust, 0) AS n_cust,
+           coalesce(s.n_supp, 0) AS n_supp
+    FROM (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1) c
+    FULL OUTER JOIN (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1) s
+    ON c.nk = s.nk
+    """,
+)
+def join_full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return c.join(s, "nk", "full_outer").select(
+        F.col("nk").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@query(
+    "join_cross_region_status",
+    """
+    SELECT r_name, x.o_orderstatus FROM region
+    CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) x
+    """,
+)
+def join_cross_region_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region").select("r_name")
+    st = load(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(st)
+
+
+@query(
+    "join_range_nonequi",
+    """
+    SELECT p_partkey, p_retailprice, t.tier
+    FROM part
+    JOIN (VALUES ('low', 0.0, 1000.0), ('mid', 1000.0, 1500.0), ('high', 1500.0, 100000.0))
+         AS t(tier, lo, hi)
+      ON p_retailprice >= t.lo AND p_retailprice < t.hi
+    """,
+)
+def join_range_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta) join against a tiny broadcast tier table — the
+    band-join pattern; Catalyst plans BroadcastNestedLoopJoin."""
+    p = load(spark, sf_dir, "part")
+    tiers = spark.createDataFrame(
+        [("low", 0.0, 1000.0), ("mid", 1000.0, 1500.0), ("high", 1500.0, 100000.0)],
+        ["tier", "lo", "hi"],
+    )
+    return p.join(
+        F.broadcast(tiers),
+        (p.p_retailprice >= tiers.lo) & (p.p_retailprice < tiers.hi),
+    ).select("p_partkey", "p_retailprice", "tier")
+
+
+# --------------------------------------------------------------------------
+# Window functions / per-group top-k
+# --------------------------------------------------------------------------
+
+@query(
+    "window_top3_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) t
+    WHERE rn <= 3
+    """,
+)
+def window_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "window_order_date_lag",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS prev_date,
+           rank() OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey) AS rk
+    FROM orders
+    """,
+)
+def window_order_date_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.lag("o_orderdate").over(w).alias("prev_date"),
+        F.rank().over(w).alias("rk"),
+    )
+
+
+@query(
+    "window_running_revenue",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(cast(sum(cast(l_extendedprice as decimal(18,2)))
+                 OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double), 2)
+             AS running_price
+    FROM lineitem
+    """,
+)
+def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit frame spec; decimal accumulation keeps the running sum
+    bit-identical across engines. (l_orderkey, l_linenumber) is NOT
+    unique in the synthetic data, so the frame also orders by the summed
+    value itself — that pins the accumulation sequence, making the
+    output multiset deterministic even with duplicate keys."""
+    li = load(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).over(w).cast("double"), 2).alias(
+            "running_price"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations
+# --------------------------------------------------------------------------
+
+@query(
+    "setop_active_customers",
+    """
+    WITH c95 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= timestamp '1995-01-01 00:00:00'
+                   AND o_orderdate < timestamp '1996-01-01 00:00:00'),
+         c96 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= timestamp '1996-01-01 00:00:00'
+                   AND o_orderdate < timestamp '1997-01-01 00:00:00')
+    SELECT 'both' AS cohort, count(*) AS n FROM (SELECT * FROM c95 INTERSECT SELECT * FROM c96) t
+    UNION ALL
+    SELECT 'only_1995' AS cohort, count(*) AS n FROM (SELECT * FROM c95 EXCEPT SELECT * FROM c96) t
+    UNION ALL
+    SELECT 'union' AS cohort, count(*) AS n FROM (SELECT * FROM c95 UNION SELECT * FROM c96) t
+    """,
+)
+def setop_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+
+    def cohort(y0: str, y1: str) -> DataFrame:
+        return (
+            o.where(
+                (F.col("o_orderdate") >= F.lit(f"{y0}-01-01 00:00:00").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{y1}-01-01 00:00:00").cast("timestamp"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    c95, c96 = cohort("1995", "1996"), cohort("1996", "1997")
+    both = c95.intersect(c96).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("both").alias("cohort"), "n"
+    )
+    only95 = c95.exceptAll(c96).distinct().agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("only_1995").alias("cohort"), "n"
+    )
+    union = c95.union(c96).distinct().agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("union").alias("cohort"), "n"
+    )
+    return both.unionByName(only95).unionByName(union)
+
+
+# --------------------------------------------------------------------------
+# Scalar-function sweeps (§2.9)
+# --------------------------------------------------------------------------
+
+@query(
+    "scalar_string_part",
+    """
+    SELECT p_partkey,
+           lower(p_name) AS name_lower,
+           upper(p_brand) AS brand_upper,
+           length(p_name) AS name_len,
+           substr(p_name, 1, 5) AS name_prefix,
+           replace(p_type, 'STANDARD', 'STD') AS type_short,
+           concat(p_brand, ':', p_type) AS brand_type,
+           split_part(p_brand, '#', 2) AS brand_num,
+           p_name LIKE '%a%' AS has_a,
+           trim('  ' || p_brand || '  ') AS trimmed
+    FROM part
+    """,
+)
+def scalar_string_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.replace(F.col("p_type"), F.lit("STANDARD"), F.lit("STD")).alias("type_short"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.split_part(F.col("p_brand"), F.lit("#"), F.lit(2)).alias("brand_num"),
+        F.col("p_name").like("%a%").alias("has_a"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit("  "))).alias("trimmed"),
+    )
+
+
+@query(
+    "scalar_date_orders",
+    """
+    SELECT o_orderkey,
+           cast(extract(year FROM o_orderdate) as bigint) AS order_year,
+           cast(extract(month FROM o_orderdate) as bigint) AS order_month,
+           cast(extract(day FROM o_orderdate) as bigint) AS order_day,
+           cast(extract(dow FROM o_orderdate) as bigint) AS order_dow,
+           cast(date_trunc('month', o_orderdate) as timestamp) AS month_start,
+           cast(date_diff('day', timestamp '1995-01-01 00:00:00', o_orderdate) as bigint) AS days_since_epoch_start,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date_str
+    FROM orders
+    """,
+)
+def scalar_date_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time sweep. DuckDB ``dow`` is 0=Sunday; Spark ``dayofweek``
+    is 1=Sunday → subtract 1 for parity."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
+        (F.dayofweek("o_orderdate") - 1).cast("long").alias("order_dow"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).cast("long").alias("days_since_epoch_start"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date_str"),
+    )
+
+
+@query(
+    "scalar_math_lineitem",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 4) AS net_price,
+           abs(l_discount - 0.05) AS disc_dev,
+           ceil(l_quantity / 7.0) AS qty_ceil,
+           floor(l_quantity / 7.0) AS qty_floor,
+           round(ln(l_extendedprice + 1), 8) AS log_price,
+           round(sqrt(l_quantity), 8) AS sqrt_qty,
+           round(pow(l_discount, 2), 10) AS disc_sq,
+           cast(l_quantity as bigint) % 5 AS qty_mod
+    FROM lineitem
+    """,
+)
+def scalar_math_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row double math is IEEE-identical across engines when the
+    expression tree is identical; ln/sqrt/pow are correctly-rounded-ish
+    libm calls → round(…, 8) guards the last ulp."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("net_price"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil(F.col("l_quantity") / 7.0).alias("qty_ceil"),
+        F.floor(F.col("l_quantity") / 7.0).alias("qty_floor"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 8).alias("log_price"),
+        F.round(F.sqrt(F.col("l_quantity")), 8).alias("sqrt_qty"),
+        F.round(F.pow(F.col("l_discount"), 2), 10).alias("disc_sq"),
+        (F.col("l_quantity").cast("long") % 5).alias("qty_mod"),
+    )
+
+
+@query(
+    "grouping_sets_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )

@@ -1,0 +1,146 @@
+"""Event-stream analytics (SURVEY.md §2.10): batch twins with DuckDB
+oracles, plus the Structured-Streaming versions as rows-only entries.
+
+``events.ts`` is ns-precision in Parquet; Spark truncates to µs on
+read and DuckDB's TIMESTAMP is µs — both sides see identical values
+(FIXTURES.md note), so no extra casting is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..streaming.events import hourly_event_stats_stream, sessionize_stream
+from . import load, query
+
+
+@query(
+    "events_hourly_stats",
+    """
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           count(*) AS n_events,
+           round(cast(sum(cast(value as decimal(18,6))) as double), 6) AS sum_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def events_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming tumbling-window aggregation."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6).alias("sum_value"),
+    )
+
+
+@query(
+    "events_json_props",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           cast(sum(cast(json_extract(props, '$.k') as bigint)) as bigint) AS sum_k,
+           min(cast(json_extract(props, '$.k') as bigint)) AS min_k,
+           max(cast(json_extract(props, '$.k') as bigint)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON prop extraction (§2.9 JSON row): stays JVM-side via
+    get_json_object — no Python, pushes through codegen."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@query(
+    "events_user_activity",
+    """
+    SELECT user_id, count(*) AS n_events,
+           count(DISTINCT event_type) AS n_types,
+           min(ts) AS first_seen, max(ts) AS last_seen,
+           cast(date_diff('second', min(ts), max(ts)) as bigint) AS active_seconds
+    FROM events GROUP BY user_id
+    """,
+)
+def events_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+        .cast("long")
+        .alias("active_seconds"),
+    )
+
+
+@query(
+    "events_sessionize_batch",
+    """
+    WITH seq AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+             event_id
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN prev_ts IS NULL
+                       OR date_diff('second', prev_ts, ts) > 600 THEN 1 ELSE 0 END AS new_session
+      FROM seq
+    ),
+    numbered AS (
+      SELECT user_id, ts, event_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, cast(session_id as bigint) AS session_id,
+           min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (10-min gap) as windows over lag — the
+    batch twin of ``session_window``. The classic gaps-and-islands plan:
+    one shuffle on user_id, two window passes, then groupBy."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_s = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.lag("ts").over(w).isNull() | (gap_s > 600), 1).otherwise(0).alias("new_session"),
+    )
+    numbered = flagged.withColumn("session_id", F.sum("new_session").over(wsum))
+    return numbered.groupBy("user_id", F.col("session_id").cast("long").alias("session_id")).agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---- Structured Streaming versions: rows-only checks (no oracle; the
+# pytest batch-equivalence suite pins their semantics instead).
+
+@query("stream_hourly_stats", None)
+def stream_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hourly_event_stats_stream(spark, sf_dir)
+
+
+@query("stream_sessionize", None)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize_stream(spark, sf_dir)

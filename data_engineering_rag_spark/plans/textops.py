@@ -1,0 +1,291 @@
+"""Text-analysis + deduplication operators over ``documents``
+(SURVEY.md §2.4 X5 + north-star extensions: these are the LLM-training-
+data-pipeline ops the driver contract asks for beyond the reference).
+
+Scale notes: every op here is a narrow map (tokenize/hash) followed by
+a map-side-combinable aggregation — the natural shape for 100 TB text.
+MinHash keeps the candidate-pair explosion bounded: signatures are
+fixed-width per doc regardless of doc size, and LSH banding (round 2)
+turns all-pairs comparison into an equi-join on band hashes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.tfidf import TOKEN_PATTERN
+from . import load, query
+
+# English function words for the language-ID heuristic (public-knowledge
+# stopword list; the reference has no language ops — EXT per BASELINE.json).
+_EN_STOPWORDS = ("the", "and", "of", "to", "in", "is", "for", "on", "with", "at")
+
+
+@query(
+    "text_stats",
+    f"""
+    SELECT doc_id, lang,
+           length(text) AS n_chars_actual,
+           cast(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) as bigint) AS n_tokens,
+           cast(len(list_distinct(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))) as bigint) AS n_uniq_tokens,
+           round(cast(length(text) - length(replace(text, ' ', '')) as double)
+                 / length(text), 8) AS space_ratio
+    FROM documents WHERE length(text) > 0
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality/size stats — narrow map, no shuffle."""
+    d = load(spark, sf_dir, "documents").where(F.length("text") > 0)
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("long").alias("n_chars_actual"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq_tokens"),
+        F.round(
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))))
+            .cast("double")
+            / F.length("text"),
+            8,
+        ).alias("space_ratio"),
+    )
+
+
+@query(
+    "token_frequencies_top20",
+    f"""
+    SELECT term, count(*) AS freq, count(DISTINCT doc_id) AS doc_freq
+    FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+          FROM documents)
+    GROUP BY term
+    ORDER BY freq DESC, term
+    LIMIT 20
+    """,
+)
+def token_frequencies_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0))
+            ).alias("term"),
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"), F.countDistinct("doc_id").alias("doc_freq"))
+        .orderBy(F.col("freq").desc(), F.col("term"))
+        .limit(20)
+    )
+
+
+@query(
+    "lang_breakdown",
+    """
+    SELECT lang, source, count(*) AS n_docs,
+           cast(sum(n_chars) as bigint) AS total_chars,
+           round(cast(sum(n_chars) as double) / count(*), 6) AS avg_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def lang_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6).alias("avg_chars"),
+    )
+
+
+@query(
+    "language_id_heuristic",
+    f"""
+    SELECT doc_id, lang,
+           cast(len(list_filter(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'),
+                                t -> list_contains({list(_EN_STOPWORDS)!r}, t))) as bigint)
+             AS n_en_stopwords,
+           cast(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) as bigint) AS n_tokens,
+           round(cast(len(list_filter(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'),
+                                      t -> list_contains({list(_EN_STOPWORDS)!r}, t))) as double)
+                 / greatest(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')), 1), 8)
+             AS en_stopword_ratio
+    FROM documents
+    """,
+)
+def language_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/stopword language scorer (EXT): the fraction of tokens that
+    are English function words. A real pipeline thresholds this; we emit
+    the score so the oracle can check the arithmetic."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0))
+    stop_arr = F.array(*[F.lit(s) for s in _EN_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return d.select(
+        "doc_id",
+        "lang",
+        n_stop.cast("long").alias("n_en_stopwords"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(n_stop.cast("double") / F.greatest(F.size(toks), F.lit(1)), 8).alias(
+            "en_stopword_ratio"
+        ),
+    )
+
+
+@query(
+    "doc_fingerprints",
+    """
+    SELECT doc_id,
+           md5(lower(text)) AS content_md5,
+           cast(concat('0x', substr(md5(lower(text)), 1, 15)) as bigint) AS fingerprint64
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: md5 of normalized text + a 60-bit integer
+    prefix (join-friendly dedup key). Identical hex→int in both engines
+    (15 hex digits always fit in a signed 64-bit)."""
+    d = load(spark, sf_dir, "documents")
+    h = F.md5(F.lower(F.col("text")))
+    return d.select(
+        "doc_id",
+        h.alias("content_md5"),
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("fingerprint64"),
+    )
+
+
+@query(
+    "dedup_exact_stats",
+    """
+    WITH h AS (SELECT md5(text) AS content_md5 FROM documents)
+    SELECT count(*) AS n_docs,
+           count(DISTINCT content_md5) AS n_distinct,
+           count(*) - count(DISTINCT content_md5) AS n_dup_rows
+    FROM h
+    """,
+)
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (hash-groupBy). At 100 TB this is the cheapest dedup
+    pass: hash each doc (map), count per hash (combine-heavy shuffle of
+    16-byte keys only)."""
+    d = load(spark, sf_dir, "documents").select(F.md5("text").alias("content_md5"))
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("content_md5").alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct("content_md5")).alias("n_dup_rows"),
+    )
+
+
+N_MINHASH_PERMS = 8
+SHINGLE_K = 5  # character shingles
+
+
+@query(
+    "minhash_signatures",
+    f"""
+    WITH shingles AS (
+      SELECT DISTINCT doc_id,
+             substr(text, cast(i as int), {SHINGLE_K}) AS shingle
+      FROM documents, unnest(generate_series(1, length(text) - {SHINGLE_K} + 1)) AS t(i)
+      WHERE length(text) >= {SHINGLE_K}
+    ),
+    hashed AS (
+      SELECT doc_id, p.perm,
+             cast(concat('0x', substr(md5(concat(cast(p.perm as varchar), '|', shingle)), 1, 15)) as bigint) AS h
+      FROM shingles, unnest(generate_series(0, {N_MINHASH_PERMS - 1})) AS p(perm)
+    )
+    SELECT doc_id, cast(perm as bigint) AS perm, min(h) AS minhash
+    FROM hashed GROUP BY doc_id, perm
+    """,
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash over character-{SHINGLE_K}-shingles, {N_MINHASH_PERMS}
+    permutations h_i(s) = int64(md5(i ‖ s)) — deterministic and engine-
+    portable (no library RNG). Long format (doc, perm, minhash): the LSH
+    band join groups contiguous perms per doc.
+
+    Scale: shingling fans out ~len(text) rows but min() combines
+    map-side, so the shuffle is |docs|×|perms| rows only."""
+    d = load(spark, sf_dir, "documents").where(F.length("text") >= SHINGLE_K)
+    shingles = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - SHINGLE_K + 1),
+                lambda i: F.substring(F.col("text"), i, SHINGLE_K),
+            )
+        ).alias("shingle"),
+    ).distinct()
+    perms = spark.range(N_MINHASH_PERMS).select(F.col("id").alias("perm"))
+    hashed = shingles.crossJoin(F.broadcast(perms)).select(
+        "doc_id",
+        "perm",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("perm").cast("string"), F.lit("|"), F.col("shingle"))), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    return hashed.groupBy("doc_id", "perm").agg(F.min("h").alias("minhash"))
+
+
+@query(
+    "jaccard_similarity_sample",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))) AS term
+      FROM documents WHERE doc_id < 20
+    ),
+    pair_inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM toks a JOIN toks b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id)
+    SELECT doc_a, doc_b, n_inter,
+           round(cast(n_inter as double) / (sa.n + sb.n - n_inter), 8) AS jaccard
+    FROM pair_inter JOIN sizes sa ON doc_a = sa.doc_id
+                    JOIN sizes sb ON doc_b = sb.doc_id
+    """,
+)
+def jaccard_similarity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (token-set) Jaccard over a bounded sample — the
+    ground-truth pass MinHash approximates. The term-equi-join formul-
+    ation is the scalable shape (no array cross-products): |pairs| is
+    bounded by co-occurrence, not |docs|²."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0))
+            )
+        ).alias("term"),
+    )
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            F.round(
+                F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter")),
+                8,
+            ).alias("jaccard"),
+        )
+    )

@@ -1,0 +1,128 @@
+"""Embedding similarity search (SURVEY.md §2.4 X4, north-star EXT).
+
+Brute-force cosine top-k is the exact baseline; the LSH/IVF bucketed
+variant (round-2) reuses the same scoring kernel over a pruned
+candidate set. Dot products run as ``zip_with``+``aggregate`` folds —
+JVM-side higher-order functions, no Python in the loop; both engines
+fold left-to-right over the array so the doubles agree bit-for-bit.
+
+Scale: brute force is O(|Q|·|N|·d) — fine for |Q| small (broadcast the
+queries, map over the corpus, per-partition top-k then global top-k).
+For |Q|~|N| at 100 TB, the LSH path bounds candidates per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import load, query
+
+ANN_K = 10
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm_sq(a: Column) -> Column:
+    return F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+
+
+@query(
+    "vector_norms",
+    """
+    SELECT vec_id, label,
+           cast(len(embedding) as bigint) AS dim,
+           round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 8) AS l2_norm
+    FROM embeddings
+    """,
+)
+def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.sqrt(l2_norm_sq(v)), 8).alias("l2_norm"),
+    )
+
+
+@query(
+    "ann_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.q_id, e.vec_id,
+             round(list_dot_product(qv, e.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 8)
+               + 0.0 AS cosine
+      FROM q, embeddings e WHERE e.vec_id <> q.q_id
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn
+      FROM scored)
+    SELECT q_id, vec_id, cosine, cast(rn as bigint) AS rn FROM ranked WHERE rn <= {ANN_K}
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ANN baseline: broadcast the query block, one pass over the
+    corpus, per-query top-k via window on the ROUNDED cosine (so float
+    drift can't flip ranks between engines; vec_id breaks ties)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").cast("array<double>").alias("qv")
+    )
+    cand = e.select("vec_id", F.col("embedding").cast("array<double>").alias("ev"))
+    # +0.0 collapses IEEE -0.0 to 0.0 so both engines hash identically.
+    cos = F.round(
+        dot(F.col("qv"), F.col("ev"))
+        / (F.sqrt(l2_norm_sq(F.col("qv"))) * F.sqrt(l2_norm_sq(F.col("ev")))),
+        8,
+    ) + F.lit(0.0)
+    scored = (
+        cand.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= ANN_K)
+        .select("q_id", "vec_id", "cosine", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+@query(
+    "label_centroids",
+    """
+    SELECT label, cast(pos as bigint) AS pos,
+           round(cast(sum(cast(cast(embedding[cast(pos as int)] as double) as decimal(18,9))) as double)
+                 / count(*), 8) + 0.0 AS centroid
+    FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(pos)
+    GROUP BY label, pos
+    """,
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, element-wise. posexplode → groupBy(label,pos)
+    is the scalable layout (no giant array agg); decimal accumulation
+    keeps the mean engine-exact. 1-based pos matches DuckDB indexing."""
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode(F.col("embedding").cast("array<double>")))
+        .select("label", (F.col("pos") + 1).cast("long").alias("pos"), F.col("col").alias("x"))
+        .groupBy("label", "pos")
+        .agg(
+            (
+                F.round(
+                    F.sum(F.col("x").cast("decimal(18,9)")).cast("double") / F.count(F.lit(1)), 8
+                )
+                + F.lit(0.0)
+            ).alias("centroid")
+        )
+    )

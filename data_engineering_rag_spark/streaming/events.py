@@ -1,0 +1,85 @@
+"""Structured Streaming over the ``events`` table (SURVEY.md §2.10).
+
+The reference has no data streaming (its ``run_stream`` is LLM token
+streaming to a console — ``zc_agent/main.py:76-78``); this is the EXT
+surface the driver's ``events`` table exists for. Each streaming query
+has a batch twin declared in ``plans.streaming_q`` that the DuckDB
+oracle checks; the streaming path is additionally pinned to the batch
+result by the ``tests/test_streaming.py`` equivalence tests (the
+documented correctness story for non-SQL-checkable state).
+
+Watermarks bound state at scale: hourly tumbling windows with a 1-hour
+watermark hold ~2 windows of partial aggregates per key regardless of
+input volume.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # The file stream source wants a directory; point it at the scale-
+    # factor dir and glob-filter down to the events table.
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def _run_to_memory(stream: DataFrame, output_mode: str) -> DataFrame:
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark_q = q.sparkSession if hasattr(q, "sparkSession") else None
+    return (spark_q or stream.sparkSession).table(name)
+
+
+def hourly_event_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows with a 1-hour watermark: count + value
+    sum per (window, event_type). availableNow drains the table as a
+    bounded stream — same code runs unbounded on a cluster."""
+    ev = _event_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6).alias("sum_value"),
+    )
+    out = _run_to_memory(agg, "append")
+    return out.select(
+        F.col("win.start").alias("hour_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+def sessionize_stream(spark: SparkSession, sf_dir: str, gap: str = "10 minutes") -> DataFrame:
+    """Session windows per user (gap-based), streaming-native state."""
+    ev = _event_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = ev.groupBy(F.session_window("ts", gap).alias("sw"), "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    out = _run_to_memory(agg, "append")
+    return out.select(
+        "user_id",
+        F.col("sw.start").alias("session_start"),
+        F.col("sw.end").alias("session_end"),
+        "n_events",
+    )
