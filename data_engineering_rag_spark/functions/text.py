@@ -16,7 +16,10 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-_WS = r"[ \t\r\f\v]"
+# NOTE: \x0B (vertical tab), NOT \v — Java regex \v is the vertical-
+# WHITESPACE class (includes \n), which would eat blank lines before a
+# trailing fence. \x0B parses identically in Java and RE2.
+_WS = r"[ \t\r\f\x0B]"
 # Python str.strip(): all leading/trailing whitespace.
 _STRIP_LEAD = r"^\s+"
 _STRIP_TRAIL = r"\s+$"
@@ -29,6 +32,20 @@ _TRAIL_FENCE = f"(^|\\n){_WS}*```{_WS}*$"
 
 def _pystrip(col: Column) -> Column:
     return F.regexp_replace(F.regexp_replace(col, _STRIP_LEAD, ""), _STRIP_TRAIL, "")
+
+
+def strip_code_fence_py(text: str) -> str:
+    """Driver/UDF-side twin of ``strip_code_fence_col`` — same algorithm
+    as the reference (strip → drop fence head → drop fence tail)."""
+    if text is None:
+        return None
+    t = text.strip()
+    if not t.startswith("```"):
+        return t
+    lines = t.splitlines()[1:]
+    if lines and lines[-1].strip() == "```":
+        lines = lines[:-1]
+    return "\n".join(lines)
 
 
 def strip_code_fence_col(text: Column) -> Column:
@@ -44,6 +61,6 @@ STRIP_FENCE_SQL = (
     "CASE WHEN starts_with(regexp_replace(regexp_replace({t}, '^\\s+', ''), '\\s+$', ''), '```') "
     "THEN regexp_replace(regexp_replace("
     "  regexp_replace(regexp_replace({t}, '^\\s+', ''), '\\s+$', ''), "
-    "  '^[^\\n]*(\\n|$)', ''), '(^|\\n)[ \\t\\r\\f\\v]*```[ \\t\\r\\f\\v]*$', '') "
+    "  '^[^\\n]*(\\n|$)', ''), '(^|\\n)[ \\t\\r\\f\\x0B]*```[ \\t\\r\\f\\x0B]*$', '') "
     "ELSE regexp_replace(regexp_replace({t}, '^\\s+', ''), '\\s+$', '') END"
 )

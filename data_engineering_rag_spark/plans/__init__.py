@@ -56,3 +56,5 @@ from . import rag  # noqa: E402,F401
 from . import textops  # noqa: E402,F401
 from . import vectors  # noqa: E402,F401
 from . import streaming_q  # noqa: E402,F401
+from . import logsq  # noqa: E402,F401
+from . import ingestq  # noqa: E402,F401

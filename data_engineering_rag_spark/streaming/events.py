@@ -77,9 +77,11 @@ def sessionize_stream(spark: SparkSession, sf_dir: str, gap: str = "10 minutes")
         F.count(F.lit(1)).alias("n_events")
     )
     out = _run_to_memory(agg, "append")
+    # session_window.end = last event + gap; report the last-event time
+    # so the output aligns with the batch gaps-and-islands definition.
     return out.select(
         "user_id",
         F.col("sw.start").alias("session_start"),
-        F.col("sw.end").alias("session_end"),
+        (F.col("sw.end") - F.expr(f"INTERVAL {gap}")).alias("session_end"),
         "n_events",
     )

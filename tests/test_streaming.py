@@ -1,0 +1,59 @@
+"""Streaming ⇔ batch equivalence (SURVEY.md §5.2): each Structured
+Streaming query drained with availableNow must equal its batch twin on
+the same events data, for every window the watermark has FINALIZED.
+Append mode deliberately withholds still-open windows (that's the
+late-data contract) — the tail assertions pin exactly that behavior.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from data_engineering_rag_spark.plans import REGISTRY, load
+from data_engineering_rag_spark.streaming.events import (
+    hourly_event_stats_stream,
+    sessionize_stream,
+)
+
+
+def _max_ts(spark, sf_dir):
+    return load(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+
+
+def test_hourly_stats_stream_equals_batch_finalized(spark, sf_dir):
+    watermark = _max_ts(spark, sf_dir) - datetime.timedelta(hours=1)
+    cols = ["hour_start", "event_type", "n_events", "sum_value"]
+    stream = sorted(tuple(r[c] for c in cols) for r in hourly_event_stats_stream(spark, sf_dir).collect())
+    batch_rows = REGISTRY["events_hourly_stats"].spark(spark, sf_dir).collect()
+    finalized = sorted(
+        tuple(r[c] for c in cols)
+        for r in batch_rows
+        if r["hour_start"] + datetime.timedelta(hours=1) <= watermark
+    )
+    withheld = [r for r in batch_rows if r["hour_start"] + datetime.timedelta(hours=1) > watermark]
+    assert stream == finalized
+    # the only rows the stream may withhold are the still-open tail
+    assert len(withheld) + len(stream) == len(batch_rows)
+
+
+def test_sessionize_stream_equals_batch_finalized(spark, sf_dir):
+    gap = datetime.timedelta(minutes=10)
+    watermark = _max_ts(spark, sf_dir) - datetime.timedelta(hours=1)
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    stream = sorted(tuple(r[c] for c in cols) for r in sessionize_stream(spark, sf_dir, "10 minutes").collect())
+    batch_rows = REGISTRY["events_sessionize_batch"].spark(spark, sf_dir).collect()
+    batch = sorted(tuple(r[c] for c in cols) for r in batch_rows)
+
+    stream_set = set(stream)
+    batch_set = set(batch)
+    # every finalized stream session is a real batch session...
+    assert stream_set <= batch_set
+    # ...and anything batch-only is in the unfinalized tail near the
+    # final watermark (sessions can't close until watermark > end+gap).
+    for row in batch_set - stream_set:
+        assert row[2] + gap >= watermark, row
+    # batch session_end is the LAST EVENT ts; session_window's end is
+    # last-event + gap — normalize before comparing counts per user.
+    assert sum(n for *_, n in stream) <= sum(n for *_, n in batch)

@@ -1,0 +1,103 @@
+"""X1/X2: TF-IDF arithmetic vs hand-computed sklearn-convention values
+(FIXTURES.md B8) and search behavior parity with minsearch semantics."""
+
+from __future__ import annotations
+
+import math
+
+from data_engineering_rag_spark.operators.tfidf import (
+    build_tfidf,
+    search_topk,
+    tokenize_query,
+)
+
+# 3 tiny docs, ~6-term vocabulary.
+DOCS = [
+    (0, "spark join join"),
+    (1, "spark window"),
+    (2, "hash join table"),
+]
+
+
+def expected_weights():
+    # sklearn conventions: tf raw count, idf = ln((1+n)/(1+df)) + 1, L2 norm.
+    n = len(DOCS)
+    tokens = {d: t.split() for d, t in DOCS}
+    df: dict[str, int] = {}
+    for toks in tokens.values():
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    idf = {t: math.log((1 + n) / (1 + c)) + 1 for t, c in df.items()}
+    out = {}
+    for d, toks in tokens.items():
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        raw = {t: c * idf[t] for t, c in tf.items()}
+        norm = math.sqrt(sum(w * w for w in raw.values()))
+        for t, w in raw.items():
+            out[(d, t)] = w / norm
+    return out, idf
+
+
+def test_weights_match_closed_form(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    model = build_tfidf(df, key_cols=["doc_id"], text_fields=["text"])
+    got = {(r.doc_id, r.term): r.w for r in model.weights.collect()}
+    exp, idf = expected_weights()
+    assert set(got) == set(exp)
+    for k in exp:
+        assert abs(got[k] - exp[k]) < 1e-12, k
+    got_idf = {r.term: r.idf for r in model.idf.collect()}
+    for t in idf:
+        assert abs(got_idf[t] - idf[t]) < 1e-12, t
+
+
+def test_search_scores_are_cosines(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    model = build_tfidf(df, key_cols=["doc_id"], text_fields=["text"])
+    hits = {r.doc_id: r.score for r in search_topk(spark, model, "spark join", k=3).collect()}
+    exp_w, idf = expected_weights()
+    q_raw = {t: idf[t] for t in ["spark", "join"]}
+    qn = math.sqrt(sum(w * w for w in q_raw.values()))
+    qv = {t: w / qn for t, w in q_raw.items()}
+    for d in (0, 1, 2):
+        exp_score = sum(exp_w.get((d, t), 0.0) * qw for t, qw in qv.items())
+        assert abs(hits[d] - exp_score) < 1e-12, d
+
+
+def test_oov_query_terms_drop(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    model = build_tfidf(df, key_cols=["doc_id"], text_fields=["text"])
+    # 'zzz' is out-of-vocabulary: sklearn transform ignores it.
+    with_oov = {r.doc_id: r.score for r in search_topk(spark, model, "spark zzz", k=3).collect()}
+    without = {r.doc_id: r.score for r in search_topk(spark, model, "spark", k=3).collect()}
+    assert with_oov == without
+
+
+def test_empty_query_returns_empty(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    model = build_tfidf(df, key_cols=["doc_id"], text_fields=["text"])
+    assert search_topk(spark, model, "...", k=3).count() == 0
+
+
+def test_tokenizer_matches_sklearn_pattern():
+    # sklearn token_pattern (?u)\b\w\w+\b: 2+ word chars, maximal runs.
+    assert tokenize_query("Spark JOIN a b2c x") == {"spark": 1, "join": 1, "b2c": 1}
+    assert tokenize_query("a-b c_d") == {"c_d": 1}
+    assert tokenize_query("") == {}
+
+
+def test_two_field_boosted_search(spark):
+    # minsearch sums per-field cosine × boost (Index(text_fields=[...])).
+    rows = [(0, "spark join", "intro.md"), (1, "hash table", "spark.md")]
+    df = spark.createDataFrame(rows, ["doc_id", "content", "filename"])
+    model = build_tfidf(df, key_cols=["doc_id"], text_fields=["content", "filename"])
+    plain = {r.doc_id: r.score for r in search_topk(spark, model, "spark", k=2).collect()}
+    boosted = {
+        r.doc_id: r.score
+        for r in search_topk(spark, model, "spark", k=2, boosts={"filename": 3.0}).collect()
+    }
+    # doc 1 matches 'spark' only via filename → 3× the plain field score.
+    assert abs(boosted[1] - 3.0 * plain[1]) < 1e-12
+    assert abs(boosted[0] - plain[0]) < 1e-12  # content-only match unchanged
