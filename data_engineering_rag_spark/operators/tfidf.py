@@ -38,18 +38,28 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 TOKEN_PATTERN = r"\w\w+"
 
 
 @dataclass
 class TfidfModel:
-    """A fitted index: one weight table + one idf table per text field."""
+    """A fitted index: one weight table + one idf table per text field.
+
+    With ``persist=True`` the tables are cached (MEMORY_AND_DISK) for
+    the build-once/score-many lifecycle — exactly the reference's
+    ``Index.fit`` → repeated ``search`` loop. Call ``unpersist`` when
+    done."""
 
     weights: DataFrame  # field, <key_cols...>, term, w  (L2-normalized)
     idf: DataFrame  # field, term, idf
     key_cols: list[str]
     text_fields: list[str]
+
+    def unpersist(self) -> None:
+        self.weights.unpersist()
+        self.idf.unpersist()
 
 
 def _tokens(df: DataFrame, key_cols: list[str], field: str) -> DataFrame:
@@ -65,6 +75,7 @@ def build_tfidf(
     df: DataFrame,
     key_cols: list[str],
     text_fields: list[str],
+    persist: bool = False,
 ) -> TfidfModel:
     """Fit one TF-IDF model per text field over ``df``.
 
@@ -94,12 +105,17 @@ def build_tfidf(
             tf.join(F.broadcast(idf.drop("field")), "term")
             .select(*key_cols, "term", (F.col("tf") * F.col("idf")).alias("w_raw"))
         )
-        norms = w.groupBy(*key_cols).agg(F.sqrt(F.sum(F.col("w_raw") * F.col("w_raw"))).alias("norm"))
-        weights = w.join(norms, key_cols).select(
+        # L2 norm as a window over the doc key: one shuffle, no
+        # groupBy+self-join round trip (same math, half the exchanges).
+        doc_w = Window.partitionBy(*key_cols)
+        weights = w.select(
             F.lit(field).alias("field"),
             *key_cols,
             "term",
-            (F.col("w_raw") / F.col("norm")).alias("w"),
+            (
+                F.col("w_raw")
+                / F.sqrt(F.sum(F.col("w_raw") * F.col("w_raw")).over(doc_w))
+            ).alias("w"),
         )
         per_field.append(weights)
         idf_tables.append(idf)
@@ -110,7 +126,19 @@ def build_tfidf(
     idf_all = idf_tables[0]
     for other in idf_tables[1:]:
         idf_all = idf_all.unionByName(other)
-    return TfidfModel(weights=weights_all, idf=idf_all, key_cols=key_cols, text_fields=text_fields)
+    if persist:
+        # Serve-many-queries lifecycle (the reference's fit→search loop):
+        # materialize the index once, every search is then a broadcast
+        # join against cached blocks. Single-shot pipelines skip this —
+        # materialization costs more than the lazy plan.
+        weights_all = weights_all.persist()
+        idf_all = idf_all.persist()
+    return TfidfModel(
+        weights=weights_all,
+        idf=idf_all,
+        key_cols=key_cols,
+        text_fields=text_fields,
+    )
 
 
 def tokenize_query(query: str) -> dict[str, int]:

@@ -180,34 +180,54 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_MINHASH_PERMS = 8
 SHINGLE_K = 5  # character shingles
+_MH_P = 2147483647  # Mersenne prime 2^31-1; products stay well inside int64
+# Fixed universal-hash parameters (a_i odd, deterministic literals shared
+# verbatim with the oracle SQL — no library RNG anywhere).
+MINHASH_PERMS: list[tuple[int, int, int]] = [
+    (0, 1103, 12345),
+    (1, 12289, 987),
+    (2, 52561, 55331),
+    (3, 769, 222222),
+    (4, 331777, 41),
+    (5, 23251, 777777),
+    (6, 524287, 131071),
+    (7, 6151, 3571),
+]
 
 
-@query(
-    "minhash_signatures",
-    f"""
-    WITH shingles AS (
-      SELECT DISTINCT doc_id,
-             substr(text, cast(i as int), {SHINGLE_K}) AS shingle
+def _minhash_oracle() -> str:
+    mins = ", ".join(
+        f"min(({a} * bh + {b}) % {_MH_P}) AS m{i}" for i, a, b in MINHASH_PERMS
+    )
+    unpivot = " UNION ALL ".join(
+        f"SELECT doc_id, cast({i} as bigint) AS perm, m{i} AS minhash FROM mins"
+        for i, _, _ in MINHASH_PERMS
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id,
+             cast(concat('0x', substr(md5(substr(text, cast(i as int), {SHINGLE_K})), 1, 15)) as bigint)
+               % {_MH_P} AS bh
       FROM documents, unnest(generate_series(1, length(text) - {SHINGLE_K} + 1)) AS t(i)
       WHERE length(text) >= {SHINGLE_K}
     ),
-    hashed AS (
-      SELECT doc_id, p.perm,
-             cast(concat('0x', substr(md5(concat(cast(p.perm as varchar), '|', shingle)), 1, 15)) as bigint) AS h
-      FROM shingles, unnest(generate_series(0, {N_MINHASH_PERMS - 1})) AS p(perm)
-    )
-    SELECT doc_id, cast(perm as bigint) AS perm, min(h) AS minhash
-    FROM hashed GROUP BY doc_id, perm
-    """,
-)
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash over character-{SHINGLE_K}-shingles, {N_MINHASH_PERMS}
-    permutations h_i(s) = int64(md5(i ‖ s)) — deterministic and engine-
-    portable (no library RNG). Long format (doc, perm, minhash): the LSH
-    band join groups contiguous perms per doc.
+    mins AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)
+    {unpivot}
+    """
 
-    Scale: shingling fans out ~len(text) rows but min() combines
-    map-side, so the shuffle is |docs|×|perms| rows only."""
+
+@query("minhash_signatures", _minhash_oracle())
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash over character-{SHINGLE_K}-shingles with a universal-hash
+    permutation family h_i(s) = (a_i·md5_61(s) + b_i) mod 2³¹-1 —
+    deterministic, engine-portable, ONE md5 per shingle (the a/b
+    constants are shared literals, not library RNG). Long format
+    (doc, perm, minhash): the LSH band join groups contiguous perms.
+
+    Scale: shingling fans out ~len(text) narrow rows; the only shuffle
+    is the groupBy(doc) whose partial aggregation reduces every
+    partition to |docs|×|perms| values before the exchange. min() is
+    duplicate-idempotent, so no shingle-dedup pass is needed."""
     d = load(spark, sf_dir, "documents").where(F.length("text") >= SHINGLE_K)
     shingles = d.select(
         "doc_id",
@@ -217,22 +237,24 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda i: F.substring(F.col("text"), i, SHINGLE_K),
             )
         ).alias("shingle"),
-    ).distinct()
-    perms = spark.range(N_MINHASH_PERMS).select(F.col("id").alias("perm"))
-    hashed = shingles.crossJoin(F.broadcast(perms)).select(
-        "doc_id",
-        "perm",
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("perm").cast("string"), F.lit("|"), F.col("shingle"))), 1, 15
-            ),
-            16,
-            10,
-        )
-        .cast("long")
-        .alias("h"),
     )
-    return hashed.groupBy("doc_id", "perm").agg(F.min("h").alias("minhash"))
+    base = shingles.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long") % _MH_P
+        ).alias("bh"),
+    )
+    mins = base.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("bh") + F.lit(b)) % _MH_P).alias(f"m{i}")
+            for i, a, b in MINHASH_PERMS
+        ]
+    )
+    stack_args = ", ".join(f"cast({i} as bigint), m{i}" for i, _, _ in MINHASH_PERMS)
+    return mins.select(
+        "doc_id",
+        F.expr(f"stack({N_MINHASH_PERMS}, {stack_args}) AS (perm, minhash)"),
+    ).select("doc_id", "perm", "minhash")
 
 
 @query(
