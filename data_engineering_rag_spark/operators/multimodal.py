@@ -1,0 +1,128 @@
+"""Multimodal column plumbing (north-star EXT per BASELINE.json).
+
+Media are opaque ``binary`` columns plus typed metadata — the layout
+that scales: Spark shuffles/spills binary payloads fine, and all
+decode/feature work happens in Arrow-batched ``mapInPandas`` so bytes
+cross the JVM↔Python boundary once per batch, not per row.
+
+The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container,
+so the decode step is STUBBED — ``DecodeStub`` raises
+``NotImplementedError`` unless ``deterministic_fake=True``, in which
+case it derives stable pseudo-features from the payload hash. The
+Spark-side plumbing (schema, batching, UDF signatures, partition
+behavior) is real and tested; a real decoder drops into
+``MediaFeatureExtractor.decode_batch`` unchanged.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("payload", BinaryType(), True),
+        StructField("mime", StringType(), True),
+        StructField("width", LongType(), True),  # image/video
+        StructField("height", LongType(), True),
+        StructField("duration_ms", LongType(), True),  # audio/video
+    ]
+)
+
+FEATURE_DIM = 16
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("payload_sha", StringType(), True),
+        StructField("features", ArrayType(FloatType()), True),
+    ]
+)
+
+
+class DecodeStub:
+    """Stand-in for the image/audio/video decoder.
+
+    ``deterministic_fake=True`` → features = FEATURE_DIM floats derived
+    from sha256(payload) (stable, testable batch plumbing).
+    ``False`` → NotImplementedError, marking exactly where a real codec
+    plugs in."""
+
+    def __init__(self, deterministic_fake: bool = True):
+        self.deterministic_fake = deterministic_fake
+
+    def features(self, payload: bytes) -> np.ndarray:
+        if not self.deterministic_fake:
+            raise NotImplementedError(
+                "real media decoding requires PIL/ffmpeg, not present in this environment"
+            )
+        digest = hashlib.sha256(payload).digest()
+        # 16 stable floats in [0, 1): two digest bytes per feature.
+        raw = np.frombuffer(digest, dtype=np.uint16).astype(np.float32)
+        return raw / 65536.0
+
+
+def extract_media_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """mapInPandas feature extraction: one decoder per task, Arrow
+    batches in/out, output rows 1:1 with input (a frame-sampling
+    variant would fan out here instead)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        stub = DecodeStub(deterministic_fake=fake)
+        for pdf in batches:
+            feats = [
+                None if p is None else stub.features(bytes(p)).tolist()
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [None if p is None else len(p) for p in pdf["payload"]],
+                    "payload_sha": [
+                        None if p is None else hashlib.sha256(bytes(p)).hexdigest()
+                        for p in pdf["payload"]
+                    ],
+                    "features": feats,
+                }
+            )
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def synthetic_media(spark, docs: DataFrame) -> DataFrame:
+    """Deterministic fake media derived from document text (the
+    container has no real media files): payload = utf-8 bytes, kind
+    cycles by doc_id. Exercises the binary column path end-to-end."""
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(640)).cast("long").alias("width"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(480)).cast("long").alias("height"),
+        F.when(F.col("doc_id") % 3 != 0, F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+    )

@@ -193,3 +193,47 @@ def search_topk(
     )
     order = [F.col("score").desc()] + [F.col(c).asc() for c in model.key_cols]
     return scored.orderBy(*order).limit(k)
+
+
+def search_topk_batch(
+    spark: SparkSession,
+    model: TfidfModel,
+    queries: list[tuple[int, str]],
+    k: int = 5,
+) -> DataFrame:
+    """Per-group top-k for a BATCH of queries (SURVEY.md §2.7 O4 applied
+    to X2): one broadcast of all query vectors, one pass over the index,
+    ``row_number() OVER (PARTITION BY query)`` instead of a global sort.
+    This is the shape that amortizes at scale — N queries cost one scan.
+    """
+    rows = [
+        (qid, term, float(cnt))
+        for qid, q in queries
+        for term, cnt in tokenize_query(q).items()
+    ]
+    if not rows:
+        return model.weights.select(*model.key_cols).limit(0).select(
+            F.lit(0).alias("query_id"), *model.key_cols, F.lit(0.0).alias("score")
+        )
+    qt = spark.createDataFrame(rows, ["query_id", "term", "qtf"])
+    q = qt.join(model.idf, "term").select(
+        "query_id", "field", "term", (F.col("qtf") * F.col("idf")).alias("qw_raw")
+    )
+    qw_win = Window.partitionBy("query_id", "field")
+    qvec = q.select(
+        "query_id",
+        "field",
+        "term",
+        (F.col("qw_raw") / F.sqrt(F.sum(F.col("qw_raw") * F.col("qw_raw")).over(qw_win))).alias(
+            "qw"
+        ),
+    )
+    scored = (
+        model.weights.join(F.broadcast(qvec), ["field", "term"])
+        .groupBy("query_id", *model.key_cols)
+        .agg(F.sum(F.col("w") * F.col("qw")).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), *[F.col(c).asc() for c in model.key_cols]
+    )
+    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k).drop("rn")

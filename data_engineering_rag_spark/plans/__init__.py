@@ -58,3 +58,4 @@ from . import vectors  # noqa: E402,F401
 from . import streaming_q  # noqa: E402,F401
 from . import logsq  # noqa: E402,F401
 from . import ingestq  # noqa: E402,F401
+from . import mediaq  # noqa: E402,F401

@@ -16,7 +16,13 @@ from pyspark.sql import functions as F
 from ..functions.paths import SKIP_SQL_SNIPPETS, extension_of, normalize_path, should_skip
 from ..functions.text import STRIP_FENCE_SQL, strip_code_fence_col
 from ..operators.chunker import chunk_documents, sliding_window_starts_sql
-from ..operators.tfidf import TOKEN_PATTERN, build_tfidf, search_topk, tokenize_query
+from ..operators.tfidf import (
+    TOKEN_PATTERN,
+    build_tfidf,
+    search_topk,
+    search_topk_batch,
+    tokenize_query,
+)
 from . import load, query
 
 CHUNK_SIZE, CHUNK_STEP = 200, 100  # doc texts are 48-553 chars; defaults (2000/1000) stay 1-chunk
@@ -259,4 +265,58 @@ def strip_code_fence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         F.col("case_id").cast("long").alias("case_id"),
         strip_code_fence_col(F.col("txt")).alias("stripped"),
+    )
+
+
+BATCH_QUERIES: list[tuple[int, str]] = [
+    (0, "spark hash join window"),
+    (1, "stream batch order"),
+    (2, "table scan merge sort"),
+]
+
+
+def _batch_search_oracle(k: int) -> str:
+    qvals = ", ".join(
+        f"({qid}, '{t}', {c}.0)"
+        for qid, q in BATCH_QUERIES
+        for t, c in tokenize_query(q).items()
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    ndocs AS (SELECT count(*) AS n_docs FROM documents),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    idf AS (SELECT term, ln((1 + n_docs) / (1 + df)) + 1 AS idf FROM dfreq, ndocs),
+    w AS (SELECT doc_id, tf.term, tf * idf AS w_raw FROM tf JOIN idf ON tf.term = idf.term),
+    nrm AS (SELECT doc_id, sqrt(sum(w_raw * w_raw)) AS nrm FROM w GROUP BY doc_id),
+    dvec AS (SELECT w.doc_id, w.term, w_raw / nrm AS w FROM w JOIN nrm ON w.doc_id = nrm.doc_id),
+    qtf AS (SELECT * FROM (VALUES {qvals}) AS t(query_id, term, qtf)),
+    qw AS (SELECT query_id, qtf.term, qtf * idf AS qw_raw FROM qtf JOIN idf ON qtf.term = idf.term),
+    qnrm AS (SELECT query_id, sqrt(sum(qw_raw * qw_raw)) AS qnrm FROM qw GROUP BY query_id),
+    qvec AS (SELECT qw.query_id, term, qw_raw / qnrm AS qw FROM qw JOIN qnrm ON qw.query_id = qnrm.query_id),
+    scored AS (
+      SELECT q.query_id, d.doc_id, round(sum(d.w * q.qw), 8) AS score
+      FROM dvec d JOIN qvec q ON d.term = q.term
+      GROUP BY q.query_id, d.doc_id
+    )
+    SELECT cast(query_id as bigint) AS query_id, doc_id, score FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+      FROM scored) WHERE rn <= {k}
+    """
+
+
+@query("tfidf_multiquery_topk", _batch_search_oracle(SEARCH_K))
+def tfidf_multiquery_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched search over whole documents: one index scan serves all
+    queries; per-query top-k via window (no global sort)."""
+    docs = load(spark, sf_dir, "documents")
+    model = build_tfidf(docs, key_cols=["doc_id"], text_fields=["text"])
+    hits = search_topk_batch(spark, model, BATCH_QUERIES, k=SEARCH_K)
+    return hits.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "doc_id",
+        F.round("score", 8).alias("score"),
     )

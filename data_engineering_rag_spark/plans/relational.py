@@ -596,3 +596,90 @@ def grouping_sets_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+@query(
+    "scalar_array_funcs",
+    """
+    WITH t AS (SELECT doc_id,
+                      list_sort(list_distinct(regexp_extract_all(lower(text), '\\w\\w+'))) AS toks
+               FROM documents WHERE doc_id < 50)
+    SELECT doc_id,
+           cast(len(toks) as bigint) AS n_uniq,
+           array_to_string(list_slice(toks, 1, 5), ',') AS first5,
+           toks[1] AS first_tok,
+           toks[-1] AS last_tok,
+           list_contains(toks, 'spark') AS has_spark,
+           cast(list_position(toks, 'spark') as bigint) AS spark_pos,
+           array_to_string(list_slice(list_reverse(toks), 1, 3), ',') AS last3_rev,
+           cast(len(list_filter(toks, x -> length(x) >= 5)) as bigint) AS n_long,
+           array_to_string(list_transform(list_slice(toks, 1, 3), x -> upper(x)), '|') AS up3
+    FROM t
+    """,
+)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 array/higher-order sweep: sort/distinct/slice/index/
+    contains/position/reverse/filter/transform — all JVM-side array
+    functions (no UDFs), mirrored by DuckDB list functions.
+
+    Note Spark's element_at / DuckDB [] are both 1-based, and both
+    support -1 for last; list_position/array_position agree on 1-based
+    (0 when absent)."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    toks = F.array_sort(
+        F.array_distinct(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\w\w+"), F.lit(0))
+        )
+    )
+    t = d.select("doc_id", toks.alias("toks"))
+    return t.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_uniq"),
+        F.array_join(F.slice("toks", 1, 5), ",").alias("first5"),
+        F.element_at("toks", 1).alias("first_tok"),
+        F.element_at("toks", -1).alias("last_tok"),
+        F.array_contains("toks", "spark").alias("has_spark"),
+        F.array_position("toks", "spark").cast("long").alias("spark_pos"),
+        F.array_join(F.slice(F.reverse("toks"), 1, 3), ",").alias("last3_rev"),
+        F.size(F.filter("toks", lambda x: F.length(x) >= 5)).cast("long").alias("n_long"),
+        F.array_join(F.transform(F.slice("toks", 1, 3), lambda x: F.upper(x)), "|").alias("up3"),
+    )
+
+
+@query(
+    "scalar_conditional_funcs",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 1500 THEN 'high'
+                WHEN o_totalprice > 800 THEN 'mid'
+                ELSE 'low' END AS price_band,
+           coalesce(nullif(o_orderstatus, 'O'), 'open-or-other') AS status_label,
+           o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%' AS is_urgent,
+           greatest(o_totalprice, 1000.0) AS floor_1000,
+           least(o_totalprice, 1000.0) AS cap_1000,
+           CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_orderkey END AS odd_or_null
+    FROM orders
+    """,
+)
+def scalar_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 conditional sweep: CASE/coalesce/nullif/greatest/least and
+    NULL production — per-row, codegen'd, no float reductions."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 1500, "high")
+        .when(F.col("o_totalprice") > 800, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open-or-other")).alias(
+            "status_label"
+        ),
+        (F.col("o_orderpriority").like("1%") | F.col("o_orderpriority").like("2%")).alias(
+            "is_urgent"
+        ),
+        F.greatest(F.col("o_totalprice"), F.lit(1000.0)).alias("floor_1000"),
+        F.least(F.col("o_totalprice"), F.lit(1000.0)).alias("cap_1000"),
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("o_orderkey"))
+        .alias("odd_or_null"),
+    )

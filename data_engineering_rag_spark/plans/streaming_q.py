@@ -12,7 +12,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..streaming.events import hourly_event_stats_stream, sessionize_stream
+from ..streaming.events import (
+    dedup_events_stream,
+    hourly_event_stats_stream,
+    sessionize_stream,
+    sliding_counts_stream,
+)
 from . import load, query
 
 
@@ -144,3 +149,46 @@ def stream_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("stream_sessionize", None)
 def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_stream(spark, sf_dir)
+
+
+@query(
+    "events_sliding_counts",
+    """
+    WITH wins AS (
+      SELECT event_type, ts,
+             unnest([date_trunc('hour', ts),
+                     date_trunc('hour', ts - interval 30 minute) + interval 30 minute]) AS win_start
+      FROM events
+    )
+    SELECT win_start, win_start + interval 1 hour AS win_end, event_type, count(*) AS n_events
+    FROM wins
+    WHERE ts >= win_start AND ts < win_start + interval 1 hour
+    GROUP BY win_start, event_type
+    """,
+)
+def events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the sliding-window stream: every event maps to the
+    two 1-hour windows (slide 30 min) that contain it. Spark's window()
+    does exactly this expansion; the oracle enumerates the same two
+    candidate starts per event."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+@query("stream_sliding_counts", None)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_counts_stream(spark, sf_dir)
+
+
+@query("stream_dedup_first_arrivals", None)
+def stream_dedup_first_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_events_stream(spark, sf_dir)

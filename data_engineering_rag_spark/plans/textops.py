@@ -311,3 +311,170 @@ def jaccard_similarity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+N_LSH_BANDS = 4  # 8 perms / 4 bands = 2 rows per band
+
+
+def _lsh_oracle() -> str:
+    return f"""
+    WITH sh AS (
+      SELECT doc_id,
+             cast(concat('0x', substr(md5(substr(text, cast(i as int), {SHINGLE_K})), 1, 15)) as bigint)
+               % {_MH_P} AS bh
+      FROM documents, unnest(generate_series(1, length(text) - {SHINGLE_K} + 1)) AS t(i)
+      WHERE length(text) >= {SHINGLE_K}
+    ),
+    mins AS (SELECT doc_id,
+             {", ".join(f"min(({a} * bh + {b}) % {_MH_P}) AS m{i}" for i, a, b in MINHASH_PERMS)}
+             FROM sh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, band, md5(sig) AS band_hash FROM (
+        {" UNION ALL ".join(
+            f"SELECT doc_id, {band} AS band, concat(m{2*band}, '|', m{2*band+1}) AS sig FROM mins"
+            for band in range(N_LSH_BANDS)
+        )}
+      )
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(DISTINCT a.band) AS n_shared_bands
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+    """
+
+
+@query("minhash_lsh_candidate_pairs", _lsh_oracle())
+def minhash_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 scale path: LSH banding over the MinHash signature — hash each
+    band of 2 perms, equi-join on (band, band_hash) to get candidate
+    near-duplicate pairs WITHOUT the |docs|² comparison. At 100 TB this
+    is the only tractable all-pairs shape: the join key space is
+    ~|docs|×bands and collisions are the candidates.
+
+    (On this synthetic corpus all texts are distinct, so matching the
+    oracle on the usually-empty result is exactly the point: both
+    engines must agree on the full banding pipeline.)"""
+    sig = minhash_signatures(spark, sf_dir)  # doc_id, perm, minhash
+    bands = (
+        sig.withColumn("band", (F.col("perm") / 2).cast("long"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.array_sort(
+                        F.collect_list(F.struct("perm", "minhash"))
+                    ).cast("array<struct<perm:string,minhash:string>>").getField("minhash"),
+                    "|",
+                )
+            ).alias("band_hash")
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.countDistinct("a.band").alias("n_shared_bands"))
+    )
+
+
+SIMHASH_BITS = 60  # signature fits a signed int64 as sum of 2^bit
+
+
+def _simhash_oracle() -> str:
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, term, count(*) AS tf FROM (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+        FROM documents)
+      GROUP BY doc_id, term
+    ),
+    th AS (SELECT doc_id, tf,
+                  cast(concat('0x', substr(md5(term), 1, 15)) as bigint) AS h
+           FROM tok),
+    bits AS (
+      SELECT doc_id, b.bit,
+             sum(CASE WHEN (h >> cast(b.bit as int)) & 1 = 1 THEN tf ELSE -tf END) AS weight
+      FROM th, unnest(generate_series(0, {SIMHASH_BITS - 1})) AS b(bit)
+      GROUP BY doc_id, b.bit
+    )
+    SELECT doc_id,
+           cast(sum(CASE WHEN weight > 0 THEN (1::BIGINT << cast(bit as int)) ELSE 0::BIGINT END) as bigint) AS simhash
+    FROM bits GROUP BY doc_id
+    """
+
+
+@query("simhash_signatures", _simhash_oracle())
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (Charikar) document fingerprints: per token, a 60-bit
+    md5-derived hash votes ±tf on each bit; the signature's bit b is the
+    vote sign. Near-dup distance = hamming(simhash_a, simhash_b).
+
+    Shape at scale: tokens → (doc, term, tf) groupBy, then a 60-way bit
+    fan-out that partial-aggregates back to |docs| rows — no pairwise
+    work, no Python."""
+    d = load(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0))
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    th = tok.select(
+        "doc_id",
+        "tf",
+        F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    bits = (
+        th.select(
+            "doc_id",
+            "tf",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(
+            F.sum(
+                F.when(F.expr("(shiftright(h, cast(bit as int)) & 1) = 1"), F.col("tf"))
+                .otherwise(-F.col("tf"))
+            ).alias("weight")
+        )
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("weight") > 0, F.expr("shiftleft(1L, cast(bit as int))"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        .cast("long")
+        .alias("simhash")
+    )
+
+
+@query(
+    "deterministic_sample_docs",
+    """
+    SELECT doc_id, lang FROM documents
+    ORDER BY md5(concat('sample42|', cast(doc_id as varchar))), doc_id
+    LIMIT 50
+    """,
+)
+def deterministic_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: the reference samples eval docs with ``random.sample``
+    (``generate_questions.py:67``). Library RNGs can't agree across
+    engines, so the engine defines seeded sampling as hash-ordering:
+    exact-n, deterministic, distributed (TakeOrdered over a hash key) —
+    the property the eval pipeline actually needs (stable corpus)."""
+    d = load(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("sample42|"), F.col("doc_id").cast("string")))
+    return d.select("doc_id", "lang", key.alias("_k")).orderBy("_k", "doc_id").limit(50).drop("_k")

@@ -126,3 +126,126 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid")
         )
     )
+
+
+def _centroid_cte() -> str:
+    """Shared CTE: per-label centroids, rounded identically to
+    ``label_centroids`` so both engines quantize from the same values."""
+    return f"""
+    cents AS (
+      SELECT label, cast(pos as bigint) AS pos,
+             round(cast(sum(cast(cast(embedding[cast(pos as int)] as double) as decimal(18,9))) as double)
+                   / count(*), 8) + 0.0 AS c
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(pos)
+      GROUP BY label, pos
+    )"""
+
+
+@query(
+    "ivf_ann_topk",
+    f"""
+    WITH {_centroid_cte()},
+    qpos AS (
+      SELECT vec_id AS q_id, cast(pos as bigint) AS pos,
+             cast(embedding[cast(pos as int)] as double) AS x
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(pos)
+      WHERE vec_id < {N_QUERIES}
+    ),
+    qc AS (
+      SELECT q_id, label,
+             round(sum(x * c) / (sqrt(sum(x * x)) * sqrt(sum(c * c))), 8) AS ccos
+      FROM qpos JOIN cents USING (pos)
+      GROUP BY q_id, label
+    ),
+    best AS (
+      SELECT q_id, label FROM (
+        SELECT q_id, label,
+               row_number() OVER (PARTITION BY q_id ORDER BY ccos DESC, label) AS rn
+        FROM qc) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT b.q_id, b.label AS probe_label, e.vec_id,
+             round(list_dot_product(qv, e.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 8)
+               + 0.0 AS cosine
+      FROM best b JOIN q ON b.q_id = q.q_id
+      JOIN embeddings e ON e.label = b.label AND e.vec_id <> b.q_id
+    )
+    SELECT q_id, probe_label, vec_id, cosine, cast(rn as bigint) AS rn FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn
+      FROM scored) WHERE rn <= {ANN_K}
+    """,
+)
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 scale path — IVF-style coarse quantization: per-label
+    centroids are the codebook; a query probes only its nearest
+    centroid's bucket, cutting the scan from |N| to |N|/|labels| per
+    query (nprobe=1). The codebook is tiny → broadcast; the bucket scan
+    is an equi-join on label — at 100 TB the corpus would be
+    partitioned BY label so the probe prunes partitions at the source.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    ev = e.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+
+    cents = (
+        ev.select("label", F.posexplode("v"))
+        .select("label", (F.col("pos") + 1).cast("long").alias("pos"), F.col("col").alias("x"))
+        .groupBy("label", "pos")
+        .agg(
+            (
+                F.round(
+                    F.sum(F.col("x").cast("decimal(18,9)")).cast("double") / F.count(F.lit(1)), 8
+                )
+                + F.lit(0.0)
+            ).alias("c")
+        )
+    )
+    qpos = (
+        ev.where(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), F.posexplode("v"))
+        .select("q_id", (F.col("pos") + 1).cast("long").alias("pos"), F.col("col").alias("x"))
+    )
+    qc = (
+        qpos.join(cents, "pos")
+        .groupBy("q_id", "label")
+        .agg(
+            F.round(
+                F.sum(F.col("x") * F.col("c"))
+                / (
+                    F.sqrt(F.sum(F.col("x") * F.col("x")))
+                    * F.sqrt(F.sum(F.col("c") * F.col("c")))
+                ),
+                8,
+            ).alias("ccos")
+        )
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("ccos").desc(), F.col("label"))
+    best = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") == 1)
+        .select("q_id", F.col("label").alias("probe_label"))
+    )
+
+    q = ev.where(F.col("vec_id") < N_QUERIES).select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    cand = ev.select("vec_id", "label", F.col("v").alias("cv"))
+    cos = F.round(
+        dot(F.col("qv"), F.col("cv"))
+        / (F.sqrt(l2_norm_sq(F.col("qv"))) * F.sqrt(l2_norm_sq(F.col("cv")))),
+        8,
+    ) + F.lit(0.0)
+    scored = (
+        F.broadcast(best.join(q, "q_id"))
+        .join(
+            cand,
+            (cand.label == F.col("probe_label")) & (cand.vec_id != F.col("q_id")),
+        )
+        .select("q_id", "probe_label", "vec_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= ANN_K)
+        .select("q_id", "probe_label", "vec_id", "cosine", F.col("rn").cast("long").alias("rn"))
+    )

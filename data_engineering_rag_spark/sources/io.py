@@ -1,0 +1,51 @@
+"""JSON/CSV/Parquet sinks & sources (SURVEY.md §2.1 S3-S6, S8-S9).
+
+The reference persists corpora as one big JSON array
+(``prepare_data.py:228-239``) and eval tables as CSV
+(``generate_questions.py:75-76``). Spark-first equivalents write
+partitioned directories (the only layout that scales); Parquet is the
+canonical store (columnar, statistics, pushdown), JSON/CSV offered for
+interchange parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    reader = spark.read.option("header", "true")
+    reader = reader.schema(schema) if schema is not None else reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

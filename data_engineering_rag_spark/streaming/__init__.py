@@ -1,3 +1,13 @@
-from .events import hourly_event_stats_stream, sessionize_stream
+from .events import (
+    dedup_events_stream,
+    hourly_event_stats_stream,
+    sessionize_stream,
+    sliding_counts_stream,
+)
 
-__all__ = ["hourly_event_stats_stream", "sessionize_stream"]
+__all__ = [
+    "dedup_events_stream",
+    "hourly_event_stats_stream",
+    "sessionize_stream",
+    "sliding_counts_stream",
+]

@@ -85,3 +85,30 @@ def sessionize_stream(spark: SparkSession, sf_dir: str, gap: str = "10 minutes")
         (F.col("sw.end") - F.expr(f"INTERVAL {gap}")).alias("session_end"),
         "n_events",
     )
+
+
+def sliding_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 hour, slide 30 min) per event_type — each
+    event lands in 2 windows; watermark finalizes both."""
+    ev = _event_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = ev.groupBy(
+        F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    out = _run_to_memory(agg, "append")
+    return out.select(
+        F.col("win.start").alias("win_start"),
+        F.col("win.end").alias("win_end"),
+        "event_type",
+        "n_events",
+    )
+
+
+def dedup_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup on user_id+event_type within the
+    watermark (dropDuplicatesWithinWatermark): keeps the first arrival
+    per key per watermark horizon — the streaming twin of an exact-dedup
+    pass, with bounded state."""
+    ev = _event_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    deduped = ev.dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_first_arrivals"))
+    return _run_to_memory(agg, "complete")

@@ -57,3 +57,41 @@ def test_sessionize_stream_equals_batch_finalized(spark, sf_dir):
     # batch session_end is the LAST EVENT ts; session_window's end is
     # last-event + gap — normalize before comparing counts per user.
     assert sum(n for *_, n in stream) <= sum(n for *_, n in batch)
+
+
+def test_sliding_counts_stream_equals_batch_finalized(spark, sf_dir):
+    from data_engineering_rag_spark.streaming.events import sliding_counts_stream
+
+    watermark = _max_ts(spark, sf_dir) - datetime.timedelta(hours=1)
+    cols = ["win_start", "win_end", "event_type", "n_events"]
+    stream = sorted(
+        tuple(r[c] for c in cols) for r in sliding_counts_stream(spark, sf_dir).collect()
+    )
+    batch_rows = REGISTRY["events_sliding_counts"].spark(spark, sf_dir).collect()
+    finalized = sorted(
+        tuple(r[c] for c in cols) for r in batch_rows if r["win_end"] <= watermark
+    )
+    assert stream == finalized
+
+
+def test_dedup_stream_counts_bounded_by_batch(spark, sf_dir):
+    from data_engineering_rag_spark.plans import load
+    from data_engineering_rag_spark.streaming.events import dedup_events_stream
+
+    got = {r.event_type: r.n_first_arrivals for r in dedup_events_stream(spark, sf_dir).collect()}
+    ev = load(spark, sf_dir, "events")
+    import pyspark.sql.functions as F
+
+    exact = {
+        r.event_type: r.n
+        for r in ev.select("user_id", "event_type")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # within one watermark horizon the streaming dedup equals exact
+    # distinct; with horizon expiry it can only re-admit keys (>=).
+    assert set(got) == set(exact)
+    for k in got:
+        assert got[k] >= exact[k]
