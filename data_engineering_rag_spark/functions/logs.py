@@ -128,3 +128,34 @@ def with_costs(eval_rows: DataFrame) -> DataFrame:
         F.round(out_cost, 10).alias("output_cost"),
         F.round(in_cost + out_cost, 10).alias("total_cost"),
     )
+
+
+def write_conversation_logs(logs: DataFrame, out_dir: str) -> None:
+    """S8: one JSON file per conversation, named
+    ``{agent}_{yyyyMMdd_HHmmss}_{hex}.json`` (reference
+    ``logs.py:41-55``). The name is data-derived, so it's computed as a
+    column (uuid() supplies the reference's ``secrets.token_hex``) and
+    the write is partitioned by it — each conversation lands in its own
+    directory with a single JSON part, scalable to any log volume
+    (driver never materializes the data)."""
+    # The reference takes the last message's timestamp; in the nested
+    # schema timestamps live on parts (and only some kinds carry one),
+    # so use the conversation's latest part timestamp.
+    all_ts = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("messages"), lambda m: F.transform(m["parts"], lambda p: p["timestamp"])
+            )
+        ),
+        lambda x: x.isNotNull(),
+    )
+    named = logs.withColumn(
+        "log_name",
+        F.concat_ws(
+            "_",
+            F.col("agent_name"),
+            F.date_format(F.to_timestamp(F.array_max(all_ts)), "yyyyMMdd_HHmmss"),
+            F.substring(F.regexp_replace(F.uuid(), "-", ""), 1, 6),
+        ),
+    )
+    named.write.mode("overwrite").partitionBy("log_name").json(out_dir)

@@ -478,3 +478,82 @@ def deterministic_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     key = F.md5(F.concat(F.lit("sample42|"), F.col("doc_id").cast("string")))
     return d.select("doc_id", "lang", key.alias("_k")).orderBy("_k", "doc_id").limit(50).drop("_k")
+
+
+@query(
+    "quality_scores",
+    f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             cast(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) as bigint) AS n_tokens,
+             cast(len(list_distinct(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))) as bigint) AS n_uniq,
+             length(text) AS n_chars,
+             cast(len(regexp_extract_all(text, '[^\\w\\s]')) as bigint) AS n_punct
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id, lang, n_tokens, n_punct,
+           round(cast(n_uniq as double) / greatest(n_tokens, 1), 8) AS ttr,
+           round(cast(n_punct as double) / n_chars, 8) AS punct_ratio,
+           round(least(cast(n_tokens as double) / 100, 1.0)
+                 * (cast(n_uniq as double) / greatest(n_tokens, 1))
+                 * (1 - least(cast(n_punct as double) / n_chars * 10, 1.0)), 8) AS quality
+    FROM s
+    """,
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score for training-data filtering: length
+    saturation × type-token ratio × punctuation-noise penalty — the
+    standard heuristic-scoring shape (each factor in [0,1]), all
+    engine-portable arithmetic."""
+    d = load(spark, sf_dir, "documents").where(F.length("text") > 0)
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0))
+    n_tokens = F.size(toks).cast("long")
+    n_uniq = F.size(F.array_distinct(toks)).cast("long")
+    n_chars = F.length("text")
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^\w\s]"), F.lit(0))).cast("long")
+    ttr = n_uniq.cast("double") / F.greatest(n_tokens, F.lit(1))
+    punct_ratio = n_punct.cast("double") / n_chars
+    quality = (
+        F.least(n_tokens.cast("double") / 100, F.lit(1.0))
+        * ttr
+        * (1 - F.least(punct_ratio * 10, F.lit(1.0)))
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        n_punct.alias("n_punct"),
+        F.round(ttr, 8).alias("ttr"),
+        F.round(punct_ratio, 8).alias("punct_ratio"),
+        F.round(quality, 8).alias("quality"),
+    )
+
+
+@query(
+    "token_counts_bpe_ish",
+    """
+    SELECT doc_id,
+           cast(len(string_split_regex(trim(text), '\\s+')) as bigint) AS n_whitespace_tokens,
+           cast(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) as bigint) AS n_bpe_ish_tokens,
+           cast(len(regexp_extract_all(lower(text), '[a-z]{1,4}')) as bigint) AS n_subword_pieces
+    FROM documents WHERE length(text) > 0
+    """,
+)
+def token_counts_bpe_ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting for cost estimation: whitespace tokens, a BPE-ish
+    segmentation (letter runs / digit runs / single punctuation — the
+    pre-tokenizer split GPT-style BPE applies), and ≤4-char greedy
+    subword pieces as a crude piece-count proxy."""
+    d = load(spark, sf_dir, "documents").where(F.length("text") > 0)
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_whitespace_tokens"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_bpe_ish_tokens"),
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z]{1,4}"), F.lit(0)))
+        .cast("long")
+        .alias("n_subword_pieces"),
+    )

@@ -249,3 +249,42 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= ANN_K)
         .select("q_id", "probe_label", "vec_id", "cosine", F.col("rn").cast("long").alias("rn"))
     )
+
+
+NEAR_DUP_COS = 0.62  # synthetic vectors are near-orthogonal; this
+# threshold yields a small non-empty pair set so the check has teeth.
+
+
+@query(
+    "embedding_near_dup_pairs",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.ev, b.ev)
+                 / (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev))), 8)
+             + 0.0 AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.ev, b.ev)
+                / (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev))), 8)
+          > {NEAR_DUP_COS}
+    """,
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 embedding-cosine near-dup: all pairs above a cosine threshold.
+    Brute-force here (exact ground truth); at scale the identical
+    predicate runs over LSH/IVF candidate pairs instead of the cross
+    join — ``ivf_ann_topk`` is that pruning structure."""
+    e = load(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("ev"))
+    a = v.select(F.col("vec_id").alias("vec_a"), F.col("ev").alias("ea"))
+    b = v.select(F.col("vec_id").alias("vec_b"), F.col("ev").alias("eb"))
+    cos = F.round(
+        dot(F.col("ea"), F.col("eb"))
+        / (F.sqrt(l2_norm_sq(F.col("ea"))) * F.sqrt(l2_norm_sq(F.col("eb")))),
+        8,
+    ) + F.lit(0.0)
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .where(F.col("cosine") > NEAR_DUP_COS)
+    )

@@ -86,3 +86,22 @@ def test_costs_match_reference_pricing(spark):
     assert abs(r.input_cost - 1500 / 1e6 * 0.05) < 1e-12
     assert abs(r.output_cost - 2400 / 1e6 * 0.40) < 1e-12
     assert abs(r.total_cost - (r.input_cost + r.output_cost)) < 1e-12
+
+
+def test_write_conversation_logs_names(spark, tmp_path):
+    from data_engineering_rag_spark.functions.logs import write_conversation_logs
+    import glob as globmod
+
+    logs = read_logs(spark, LOGS_GLOB)
+    out = str(tmp_path / "logs_out")
+    write_conversation_logs(logs, out)
+    dirs = sorted(
+        p.split("/")[-1] for p in globmod.glob(out + "/log_name=*")
+    )
+    assert len(dirs) == logs.count()
+    # names follow {agent}_{yyyyMMdd_HHmmss}_{hex6}
+    import re
+
+    for d in dirs:
+        name = d.split("=", 1)[1]
+        assert re.fullmatch(r"(gh_agent|other_agent)_\d{8}_\d{6}_[0-9a-f]{6}", name), name
