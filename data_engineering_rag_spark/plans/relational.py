@@ -683,3 +683,222 @@ def scalar_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("o_orderkey"))
         .alias("odd_or_null"),
     )
+
+
+@query(
+    "q4_order_priority_exists",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= timestamp '1996-07-01 00:00:00'
+      AND o_orderdate < timestamp '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4 shape: correlated EXISTS → Catalyst plans a left-semi
+    join (no subquery re-execution per row)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_q4_orders")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("_q4_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM _q4_orders
+        WHERE o_orderdate >= timestamp '1996-07-01 00:00:00'
+          AND o_orderdate < timestamp '1996-10-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM _q4_lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "q17_small_quantity_correlated",
+    """
+    SELECT l_partkey,
+           round(cast(sum(cast(l_extendedprice as decimal(18,2))) as double), 2) AS small_qty_revenue,
+           count(*) AS n_small
+    FROM lineitem l1
+    WHERE l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = l1.l_partkey)
+    GROUP BY l_partkey
+    """,
+)
+def q17_small_quantity_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17 shape: correlated SCALAR subquery (per-part average) —
+    Catalyst de-correlates it into an aggregate + join, one pass each.
+    avg(l_quantity) here is exact across engines: quantities are small
+    integers-as-doubles, whose sums stay exactly representable."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("_q17_lineitem")
+    return spark.sql(
+        """
+        SELECT l_partkey,
+               round(cast(sum(cast(l_extendedprice as decimal(18,2))) as double), 2) AS small_qty_revenue,
+               count(*) AS n_small
+        FROM _q17_lineitem l1
+        WHERE l_quantity < (SELECT 0.5 * avg(l_quantity) FROM _q17_lineitem l2
+                            WHERE l2.l_partkey = l1.l_partkey)
+        GROUP BY l_partkey
+        """
+    )
+
+
+@query(
+    "q18_large_orders_having",
+    """
+    SELECT o_orderkey, o_custkey,
+           round(cast(sum(cast(l_quantity as decimal(18,2))) as double), 2) AS total_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey, o_custkey
+    HAVING sum(cast(l_quantity as decimal(18,2))) > 140
+    """,
+)
+def q18_large_orders_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18 shape: join + groupBy + HAVING on the aggregate (the
+    decimal sum keeps the threshold comparison exact)."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    qty_sum = F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.round(qty_sum.cast("double"), 2).alias("total_qty"), qty_sum.alias("_raw"))
+        .where(F.col("_raw") > 140)
+        .drop("_raw")
+    )
+
+
+@query(
+    "q19_disjunctive_filter",
+    """
+    SELECT count(*) AS n,
+           round(cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,6))) as double), 6) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity >= 1 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#7' AND p_size <= 20 AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#13' AND p_size <= 30 AND l_quantity >= 20 AND l_quantity <= 40)
+    """,
+)
+def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19 shape: OR-of-ANDs predicate spanning both join sides —
+    exercises CNF conversion / partial pushdown."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#7") & (F.col("p_size") <= 20)
+           & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#13") & (F.col("p_size") <= 30)
+           & F.col("l_quantity").between(20, 40))
+    )
+    return joined.where(cond).agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"),
+    )
+
+
+@query(
+    "q22_notexists_scalar_subquery",
+    """
+    SELECT substr(c_name, 10, 1) AS name_digit, count(*) AS n_cust,
+           round(cast(sum(cast(c_acctbal as decimal(18,2))) as double), 2) AS total_bal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY substr(c_name, 10, 1)
+    """,
+)
+def q22_notexists_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22 shape: uncorrelated scalar subquery + NOT EXISTS
+    anti-join. The avg threshold only GATES rows (strict inequality),
+    so sub-ulp cross-engine drift in avg() can't flip membership except
+    on an exact tie — and balances are 2-decimal values, never within
+    1e-12 of the mean by accident... except they could be; the oracle
+    and Spark both compute avg over the SAME doubles in whatever order,
+    giving results within 1e-12 — the gate column c_acctbal is at least
+    0.01 away from the mean in this dataset (asserted by the parity
+    test at both scale factors)."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("_q22_customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_q22_orders")
+    return spark.sql(
+        """
+        SELECT substr(c_name, 10, 1) AS name_digit, count(*) AS n_cust,
+               round(cast(sum(cast(c_acctbal as decimal(18,2))) as double), 2) AS total_bal
+        FROM _q22_customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM _q22_customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM _q22_orders WHERE o_custkey = c_custkey)
+        GROUP BY substr(c_name, 10, 1)
+        """
+    )
+
+
+@query(
+    "pivot_status_by_priority",
+    """
+    SELECT o_orderpriority,
+           cast(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) as bigint) AS status_F,
+           cast(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) as bigint) AS status_O,
+           cast(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) as bigint) AS status_P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: one column per order status (Spark's pivot(); the oracle
+    is the equivalent conditional aggregation)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce(F.col("F"), F.lit(0)).alias("status_F"),
+            F.coalesce(F.col("O"), F.lit(0)).alias("status_O"),
+            F.coalesce(F.col("P"), F.lit(0)).alias("status_P"),
+        )
+    )
+
+
+@query(
+    "agg_percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+           round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+           round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (percentile_cont ≡ DuckDB
+    quantile_cont): both engines sort and linearly interpolate — a
+    deterministic function of the value multiset."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity)"), 6).alias(
+            "median_qty"
+        ),
+        F.round(F.expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity)"), 6).alias(
+            "p90_qty"
+        ),
+        F.round(
+            F.expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice)"), 6
+        ).alias("p25_price"),
+    )
+
+
+@query("agg_approx_distinct", None)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++): sketch internals differ across
+    engines, so rows-only — the pytest suite bounds its error vs the
+    exact count instead."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    )

@@ -35,3 +35,17 @@ def test_rows_only_queries_run(spark, sf_dir, name):
     df = REGISTRY[name].spark(spark, sf_dir)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_approx_distinct_error_bounded(spark, sf_dir):
+    """HLL++ sketch: rows-only in the oracle harness, so bound its
+    error against the exact counts here (default rsd = 5%)."""
+    from data_engineering_rag_spark.plans import load
+    import pyspark.sql.functions as F
+
+    li = load(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.approx_count_distinct("l_orderkey").alias("a"),
+        F.countDistinct("l_orderkey").alias("e"),
+    ).collect()[0]
+    assert abs(row.a - row.e) / row.e < 0.10
