@@ -25,13 +25,18 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q18_large_orders_having",
     "window_top3_orders_per_customer",
     "setop_active_customers",
     "chunk_documents",
     "tfidf_search_topk",
+    "tfidf_multiquery_topk",
     "dedup_exact_stats",
     "minhash_signatures",
+    "minhash_lsh_candidate_pairs",
+    "simhash_signatures",
     "ann_cosine_topk",
+    "ivf_ann_topk",
     "events_sessionize_batch",
     "events_hourly_stats",
 ]

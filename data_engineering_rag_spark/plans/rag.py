@@ -320,3 +320,58 @@ def tfidf_multiquery_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.round("score", 8).alias("score"),
     )
+
+
+@query(
+    "tfidf_search_filtered",
+    _search_oracle(SEARCH_QUERY, SEARCH_K).replace(
+        "FROM documents WHERE length(text) > 0",
+        "FROM documents WHERE length(text) > 0 AND lang = 'en'",
+    ),
+)
+def tfidf_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: minsearch's exact-match keyword filter — a plain pre-scoring
+    predicate (here lang='en'), applied before indexing so the filtered
+    corpus defines df/idf exactly as minsearch's filter_dict does on its
+    candidate set. Pushdown-friendly: the predicate reaches the scan."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("lang") == "en")
+        .select("doc_id", F.col("text").alias("content"))
+    )
+    chunks = chunk_documents(docs, text_col="content", size=CHUNK_SIZE, step=CHUNK_STEP)
+    model = build_tfidf(chunks, key_cols=["doc_id", "start"], text_fields=["content"])
+    hits = search_topk(spark, model, SEARCH_QUERY, k=SEARCH_K)
+    return hits.select(
+        "doc_id",
+        F.col("start").cast("long").alias("start"),
+        F.round("score", 8).alias("score"),
+    )
+
+
+@query(
+    "eval_generate_questions",
+    f"""
+    WITH sampled AS (
+      SELECT doc_id, text FROM documents
+      ORDER BY md5(concat('sample42|', cast(doc_id as varchar))), doc_id
+      LIMIT 50
+    )
+    SELECT doc_id, cast(q.q_num as bigint) AS q_num,
+           concat('Q', cast(q.q_num as varchar), ': what about ',
+                  coalesce(regexp_extract(trim(text), '^\\S+'), ''), '? [',
+                  substr(sha256(concat('evalq|42|', cast(doc_id as varchar), '|', text, '|',
+                                       cast(q.q_num as varchar))), 1, 8), ']') AS question
+    FROM sampled, unnest(generate_series(1, 3)) AS q(q_num)
+    """,
+)
+def eval_generate_questions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval stage 1 (reference ``generate_questions.py``): deterministic
+    hash-order sample of 50 docs → stub-LLM 3 questions each (UDTF
+    fan-out via mapInPandas) — whole stage value-checked incl. the stub."""
+    from ..operators.evalgen import generate_questions
+
+    d = load(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("sample42|"), F.col("doc_id").cast("string")))
+    sampled = d.select("doc_id", "text", key.alias("_k")).orderBy("_k", "doc_id").limit(50).drop("_k")
+    return generate_questions(sampled, seed=42)

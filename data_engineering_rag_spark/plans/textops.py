@@ -195,6 +195,34 @@ MINHASH_PERMS: list[tuple[int, int, int]] = [
 ]
 
 
+def _minhash_wide(spark: SparkSession, sf_dir: str):
+    """Wide MinHash table (doc_id, m0..m7): one explode + one
+    map-side-combined groupBy — shared by the signature and LSH
+    queries."""
+    d = load(spark, sf_dir, "documents").where(F.length("text") >= SHINGLE_K)
+    shingles = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - SHINGLE_K + 1),
+                lambda i: F.substring(F.col("text"), i, SHINGLE_K),
+            )
+        ).alias("shingle"),
+    )
+    base = shingles.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long") % _MH_P
+        ).alias("bh"),
+    )
+    return base.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("bh") + F.lit(b)) % _MH_P).alias(f"m{i}")
+            for i, a, b in MINHASH_PERMS
+        ]
+    )
+
+
 def _minhash_oracle() -> str:
     mins = ", ".join(
         f"min(({a} * bh + {b}) % {_MH_P}) AS m{i}" for i, a, b in MINHASH_PERMS
@@ -229,27 +257,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition to |docs|×|perms| values before the exchange. min() is
     duplicate-idempotent, so no shingle-dedup pass is needed."""
     d = load(spark, sf_dir, "documents").where(F.length("text") >= SHINGLE_K)
-    shingles = d.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("text") - SHINGLE_K + 1),
-                lambda i: F.substring(F.col("text"), i, SHINGLE_K),
-            )
-        ).alias("shingle"),
-    )
-    base = shingles.select(
-        "doc_id",
-        (
-            F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long") % _MH_P
-        ).alias("bh"),
-    )
-    mins = base.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("bh") + F.lit(b)) % _MH_P).alias(f"m{i}")
-            for i, a, b in MINHASH_PERMS
-        ]
-    )
+    mins = _minhash_wide(spark, sf_dir)
     stack_args = ", ".join(f"cast({i} as bigint), m{i}" for i, _, _ in MINHASH_PERMS)
     return mins.select(
         "doc_id",
@@ -313,7 +321,10 @@ def jaccard_similarity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-N_LSH_BANDS = 4  # 8 perms / 4 bands = 2 rows per band
+N_LSH_BANDS = 2  # 8 perms / 2 bands = 4 rows per band: collision
+# threshold (1/b)^(1/r) ~= 0.84 Jaccard - the near-duplicate operating
+# point. (2-row bands collide at sim^2 and drown this high-overlap
+# synthetic corpus in candidates: 4.2M pairs at sf0.1 vs ~100k here.)
 
 
 def _lsh_oracle() -> str:
@@ -331,7 +342,7 @@ def _lsh_oracle() -> str:
     bands AS (
       SELECT doc_id, band, md5(sig) AS band_hash FROM (
         {" UNION ALL ".join(
-            f"SELECT doc_id, {band} AS band, concat(m{2*band}, '|', m{2*band+1}) AS sig FROM mins"
+            f"SELECT doc_id, {band} AS band, concat(m{4*band}, '|', m{4*band+1}, '|', m{4*band+2}, '|', m{4*band+3}) AS sig FROM mins"
             for band in range(N_LSH_BANDS)
         )}
       )
@@ -355,20 +366,20 @@ def minhash_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (On this synthetic corpus all texts are distinct, so matching the
     oracle on the usually-empty result is exactly the point: both
     engines must agree on the full banding pipeline.)"""
-    sig = minhash_signatures(spark, sf_dir)  # doc_id, perm, minhash
+    mins = _minhash_wide(spark, sf_dir)
+    band_rows = ", ".join(
+        f"cast({band} as bigint), md5(concat_ws('|', cast(m{4*band} as string), cast(m{4*band+1} as string), cast(m{4*band+2} as string), cast(m{4*band+3} as string)))"
+        for band in range(N_LSH_BANDS)
+    )
+    # Materialize the tiny (|docs| × bands) table before the self-join:
+    # otherwise BOTH join sides re-run the full shingle pipeline.
     bands = (
-        sig.withColumn("band", (F.col("perm") / 2).cast("long"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.array_sort(
-                        F.collect_list(F.struct("perm", "minhash"))
-                    ).cast("array<struct<perm:string,minhash:string>>").getField("minhash"),
-                    "|",
-                )
-            ).alias("band_hash")
+        mins.select(
+            "doc_id",
+            F.expr(f"stack({N_LSH_BANDS}, {band_rows}) AS (band, band_hash)"),
         )
+        .select("doc_id", "band", "band_hash")
+        .localCheckpoint(eager=True)
     )
     a, b = bands.alias("a"), bands.alias("b")
     return (
