@@ -17,6 +17,8 @@ from ..streaming.events import (
     hourly_event_stats_stream,
     sessionize_stream,
     sliding_counts_stream,
+    user_totals_stateful_stream,
+    view_purchase_funnel_stream,
 )
 from . import load, query
 
@@ -192,3 +194,47 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("stream_dedup_first_arrivals", None)
 def stream_dedup_first_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_events_stream(spark, sf_dir)
+
+
+@query(
+    "events_view_purchase_funnel",
+    """
+    SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+           v.ts AS view_ts, p.ts AS purchase_ts
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + interval 30 minute
+    """,
+)
+def events_view_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream funnel join: time-bounded self
+    join (view precedes purchase by ≤30 min, same user)."""
+    ev = load(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return (
+        v.join(
+            p,
+            (v.user_id == p.p_user)
+            & (p.purchase_ts >= v.view_ts)
+            & (p.purchase_ts <= v.view_ts + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
+    )
+
+
+@query("stream_view_purchase_funnel", None)
+def stream_view_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return view_purchase_funnel_stream(spark, sf_dir)
+
+
+@query("stream_user_totals_stateful", None)
+def stream_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return user_totals_stateful_stream(spark, sf_dir)

@@ -112,3 +112,72 @@ def dedup_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = ev.dropDuplicatesWithinWatermark(["user_id", "event_type"])
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_first_arrivals"))
     return _run_to_memory(agg, "complete")
+
+
+def view_purchase_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time bound: purchases
+    joined to the same user's views from the preceding 30 minutes.
+    Watermarks bound both join states; the time condition lets Spark
+    evict rows that can no longer match."""
+    ev = _event_stream(spark, sf_dir)
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    out = _run_to_memory(joined, "append")
+    return out.select(
+        F.col("v_user").alias("user_id"), "view_id", "purchase_id", "view_ts", "purchase_ts"
+    )
+
+
+def user_totals_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (count, value-sum) kept in explicit state — the escape
+    hatch for semantics window aggregations can't express. State is
+    per-key and Arrow-batched; at scale it shards across executors by
+    the groupBy key."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = _event_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+
+    def update(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        n, total = state.get() if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 6)]}
+        )
+
+    agg = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        stateStructType="n bigint, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(agg, "update")

@@ -95,3 +95,46 @@ def test_dedup_stream_counts_bounded_by_batch(spark, sf_dir):
     assert set(got) == set(exact)
     for k in got:
         assert got[k] >= exact[k]
+
+
+def test_funnel_stream_equals_batch(spark, sf_dir):
+    from data_engineering_rag_spark.streaming.events import view_purchase_funnel_stream
+
+    cols = ["user_id", "view_id", "purchase_id", "view_ts", "purchase_ts"]
+    stream = sorted(
+        tuple(r[c] for c in cols)
+        for r in view_purchase_funnel_stream(spark, sf_dir).collect()
+    )
+    batch = sorted(
+        tuple(r[c] for c in cols)
+        for r in REGISTRY["events_view_purchase_funnel"].spark(spark, sf_dir).collect()
+    )
+    # single availableNow batch → no state eviction before matching, so
+    # the stream-stream inner join finds every batch match
+    assert stream == batch
+
+
+def test_stateful_totals_equal_batch_aggregate(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from data_engineering_rag_spark.plans import load
+    from data_engineering_rag_spark.streaming.events import user_totals_stateful_stream
+
+    # update-mode memory sink may hold one row per user per batch; the
+    # LAST row per user is the final state
+    out = user_totals_stateful_stream(spark, sf_dir)
+    final = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in out.orderBy("n_events").collect()  # ascending: last wins
+    }
+    ev = load(spark, sf_dir, "events")
+    exact = {
+        r.user_id: (r.n, round(r.s, 6))
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(final) == set(exact)
+    for uid in exact:
+        assert final[uid][0] == exact[uid][0], uid
+        assert abs(final[uid][1] - exact[uid][1]) < 1e-4, uid
