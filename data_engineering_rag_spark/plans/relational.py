@@ -902,3 +902,31 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
     )
+
+
+@query(
+    "scalar_map_funcs",
+    """
+    SELECT p_partkey,
+           array_to_string(map_keys(map(['brand','type'], [p_brand, p_type])), ',') AS mkeys,
+           array_to_string(map_values(map(['brand','type'], [p_brand, p_type])), ',') AS mvals,
+           element_at(map(['brand','type'], [p_brand, p_type]), 'brand')[1] AS brand_lookup,
+           cast(cardinality(map(['brand','type'], [p_brand, p_type])) as int) AS msize
+    FROM part
+    """,
+)
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 map functions: construct/keys/values/lookup/cardinality.
+    (DuckDB's map element_at returns a list — unwrapped with [1] to
+    match Spark's scalar; key order is insertion order in both.)"""
+    p = load(spark, sf_dir, "part")
+    m = F.map_from_arrays(
+        F.array(F.lit("brand"), F.lit("type")), F.array(F.col("p_brand"), F.col("p_type"))
+    )
+    return p.select(
+        "p_partkey",
+        F.array_join(F.map_keys(m), ",").alias("mkeys"),
+        F.array_join(F.map_values(m), ",").alias("mvals"),
+        F.element_at(m, "brand").alias("brand_lookup"),
+        F.size(m).alias("msize"),
+    )
