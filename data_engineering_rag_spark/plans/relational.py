@@ -930,3 +930,87 @@ def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "brand").alias("brand_lookup"),
         F.size(m).alias("msize"),
     )
+
+
+@query(
+    "window_ranking_sweep",
+    """
+    SELECT o_orderkey, o_custkey,
+           cast(ntile(4) OVER w as int) AS quartile,
+           round(percent_rank() OVER w, 8) AS pct_rank,
+           round(cume_dist() OVER w, 8) AS cdist,
+           dense_rank() OVER w AS drank,
+           lead(o_orderkey) OVER w AS next_key,
+           first_value(o_orderkey) OVER w AS first_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_ranking_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 completion: ntile / percent_rank / cume_dist / dense_rank /
+    lead / first_value over one named window (total order via the
+    orderkey tiebreak keeps every function deterministic)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 8).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 8).alias("cdist"),
+        F.dense_rank().over(w).alias("drank"),
+        F.lead("o_orderkey").over(w).alias("next_key"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+    )
+
+
+@query(
+    "fuzzy_levenshtein_pairs",
+    """
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           cast(levenshtein(a.p_name, b.p_name) as int) AS edit_dist
+    FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+    WHERE a.p_partkey < 40 AND b.p_partkey < 40
+      AND levenshtein(a.p_name, b.p_name) <= 8
+    """,
+)
+def fuzzy_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-dup by edit distance over a bounded sample — the
+    exact-string cousin of the MinHash family (both engines implement
+    classic Wagner-Fischer; integer-exact)."""
+    p = load(spark, sf_dir, "part").where(F.col("p_partkey") < 40)
+    a = p.select(F.col("p_partkey").alias("part_a"), F.col("p_name").alias("name_a"))
+    b = p.select(F.col("p_partkey").alias("part_b"), F.col("p_name").alias("name_b"))
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        a.join(b, F.col("part_a") < F.col("part_b"))
+        .select("part_a", "part_b", dist.cast("int").alias("edit_dist"))
+        .where(F.col("edit_dist") <= 8)
+    )
+
+
+@query(
+    "unpivot_order_measures",
+    """
+    SELECT o_orderkey, measure, round(val, 4) AS val
+    FROM (
+      SELECT o_orderkey, 'total_price' AS measure, o_totalprice AS val FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'price_with_fee', round(o_totalprice * 1.05, 4) FROM orders
+    )
+    """,
+)
+def unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt via stack(): wide measures → (key, measure, value)
+    long format (the inverse of pivot_status_by_priority)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.expr(
+                "stack(2, 'total_price', o_totalprice,"
+                " 'price_with_fee', round(o_totalprice * 1.05, 4)) AS (measure, val)"
+            ),
+        )
+        .select("o_orderkey", "measure", F.round("val", 4).alias("val"))
+    )
