@@ -1,0 +1,52 @@
+"""Empty/degenerate-input behavior: operators must degrade to empty
+results, not errors (the property that matters when a 100 TB partition
+happens to be empty)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from data_engineering_rag_spark.operators.chunker import chunk_documents
+from data_engineering_rag_spark.operators.ingest import parse_repo_files
+from data_engineering_rag_spark.operators.tfidf import build_tfidf, search_topk
+from data_engineering_rag_spark.sources.repo import FILE_SCHEMA
+
+DOC_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("content", StringType())]
+)
+
+
+def test_chunk_empty_df(spark):
+    empty = spark.createDataFrame([], DOC_SCHEMA)
+    assert chunk_documents(empty).count() == 0
+
+
+def test_chunk_all_empty_texts(spark):
+    df = spark.createDataFrame([(1, ""), (2, "")], DOC_SCHEMA)
+    assert chunk_documents(df).count() == 0
+
+
+def test_tfidf_empty_corpus(spark):
+    empty = spark.createDataFrame([], DOC_SCHEMA)
+    model = build_tfidf(empty, key_cols=["doc_id"], text_fields=["content"])
+    assert model.weights.count() == 0
+    assert search_topk(spark, model, "anything", k=5).count() == 0
+
+
+def test_tfidf_null_text(spark):
+    df = spark.createDataFrame([(1, None), (2, "spark join")], DOC_SCHEMA)
+    model = build_tfidf(df, key_cols=["doc_id"], text_fields=["content"])
+    # null text tokenizes to nothing; doc 2 still indexed
+    assert {r.doc_id for r in model.weights.collect()} == {2}
+
+
+def test_parse_empty_files(spark):
+    empty = spark.createDataFrame([], FILE_SCHEMA)
+    assert parse_repo_files(empty).count() == 0
+
+
+def test_search_k_larger_than_corpus(spark):
+    df = spark.createDataFrame([(1, "spark"), (2, "join")], DOC_SCHEMA)
+    model = build_tfidf(df, key_cols=["doc_id"], text_fields=["content"])
+    assert search_topk(spark, model, "spark join", k=100).count() == 2
