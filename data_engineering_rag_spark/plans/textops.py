@@ -568,3 +568,48 @@ def token_counts_bpe_ish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_subword_pieces"),
     )
+
+
+@query(
+    "dedup_clusters_levenshtein",
+    """
+    WITH RECURSIVE base AS (
+      SELECT a.p_partkey AS src, b.p_partkey AS dst
+      FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+      WHERE a.p_partkey < 40 AND b.p_partkey < 40
+        AND levenshtein(a.p_name, b.p_name) <= 8
+    ),
+    sym AS (SELECT src AS a, dst AS b FROM base UNION SELECT dst, src FROM base),
+    reach AS (
+      SELECT a AS node, b AS r FROM sym
+      UNION
+      SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.node
+    ),
+    withself AS (
+      SELECT node, r FROM reach
+      UNION SELECT DISTINCT a, a FROM sym
+    ),
+    comp AS (SELECT node, min(r) AS component FROM withself GROUP BY node)
+    SELECT c.node, c.component, cast(s.n as bigint) AS cluster_size
+    FROM comp c JOIN (SELECT component, count(*) AS n FROM comp GROUP BY component) s
+      ON c.component = s.component
+    """,
+)
+def dedup_clusters_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering end-to-end: fuzzy candidate pairs → connected
+    components → cluster sizes. Spark runs iterative min-label
+    propagation (driver loop, checkpointed); the oracle computes the
+    same fixpoint as a DuckDB recursive CTE — two totally different
+    algorithms, one answer."""
+    from ..operators.dedup_cluster import connected_components
+
+    from . import REGISTRY as _R
+
+    edges = _R["fuzzy_levenshtein_pairs"].spark(spark, sf_dir).select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+    )
+    comp = connected_components(edges)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes, "component").select(
+        "node", "component", F.col("cluster_size").cast("long").alias("cluster_size")
+    )
