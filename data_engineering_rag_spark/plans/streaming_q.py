@@ -238,3 +238,32 @@ def stream_view_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("stream_user_totals_stateful", None)
 def stream_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_totals_stateful_stream(spark, sf_dir)
+
+
+@query(
+    "events_enriched_static",
+    """
+    WITH hist AS (
+      SELECT user_id, count(*) AS hist_events, min(ts) AS first_seen
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, e.event_type, h.hist_events, h.first_seen
+    FROM events e LEFT JOIN hist h ON e.user_id = h.user_id
+    """,
+)
+def events_enriched_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-static enrichment join."""
+    ev = load(spark, sf_dir, "events")
+    hist = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("hist_events"), F.min("ts").alias("first_seen")
+    )
+    return ev.join(F.broadcast(hist), "user_id", "left").select(
+        "event_id", "user_id", "event_type", "hist_events", "first_seen"
+    )
+
+
+@query("stream_enriched_static", None)
+def stream_enriched_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import enriched_events_stream
+
+    return enriched_events_stream(spark, sf_dir)

@@ -288,3 +288,49 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", cos.alias("cosine"))
         .where(F.col("cosine") > NEAR_DUP_COS)
     )
+
+
+KNN_K = 3
+
+
+@query(
+    "knn_graph_by_label",
+    f"""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             round(list_dot_product(a.ev, b.ev)
+                   / (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev))), 8)
+               + 0.0 AS cosine
+      FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id
+    )
+    SELECT src, dst, cosine, cast(rn as bigint) AS rn FROM (
+      SELECT *, row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rn
+      FROM scored) WHERE rn <= {KNN_K}
+    """,
+)
+def knn_graph_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph construction (every vector's top-{KNN_K} neighbors
+    within its IVF bucket) — the materialization that feeds dedup
+    clustering and semantic-neighbor features. The label equi-join keeps
+    the pair space at Σ|bucket|² instead of |N|²; at scale, bucket-
+    partitioned storage makes this a co-partitioned self-join."""
+    e = load(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("ev"))
+    a = v.select(F.col("vec_id").alias("src"), F.col("label").alias("la"), F.col("ev").alias("ea"))
+    b = v.select(F.col("vec_id").alias("dst"), F.col("label").alias("lb"), F.col("ev").alias("eb"))
+    cos = F.round(
+        dot(F.col("ea"), F.col("eb"))
+        / (F.sqrt(l2_norm_sq(F.col("ea"))) * F.sqrt(l2_norm_sq(F.col("eb")))),
+        8,
+    ) + F.lit(0.0)
+    scored = (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("src") != F.col("dst")))
+        .select("src", "dst", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= KNN_K)
+        .select("src", "dst", "cosine", F.col("rn").cast("long").alias("rn"))
+    )

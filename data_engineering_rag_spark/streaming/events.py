@@ -181,3 +181,23 @@ def user_totals_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_to_memory(agg, "update")
+
+
+def enriched_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against a static
+    per-user profile built batch-side (first_seen + historical event
+    count). The static side re-plans per micro-batch; at scale it's a
+    broadcast against each batch."""
+    # static side goes through the normalized loader (ns → µs)
+    from ..sources.catalog import read_parquet_table
+
+    hist = (
+        read_parquet_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("hist_events"), F.min("ts").alias("first_seen"))
+    )
+    ev = _event_stream(spark, sf_dir)
+    joined = ev.join(F.broadcast(hist), "user_id", "left").select(
+        "event_id", "user_id", "event_type", "hist_events", "first_seen"
+    )
+    return _run_to_memory(joined, "append")

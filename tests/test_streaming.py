@@ -138,3 +138,17 @@ def test_stateful_totals_equal_batch_aggregate(spark, sf_dir):
     for uid in exact:
         assert final[uid][0] == exact[uid][0], uid
         assert abs(final[uid][1] - exact[uid][1]) < 1e-4, uid
+
+
+def test_enriched_static_stream_equals_batch(spark, sf_dir):
+    from data_engineering_rag_spark.streaming.events import enriched_events_stream
+
+    cols = ["event_id", "user_id", "event_type", "hist_events", "first_seen"]
+    stream = sorted(
+        tuple(r[c] for c in cols) for r in enriched_events_stream(spark, sf_dir).collect()
+    )
+    batch = sorted(
+        tuple(r[c] for c in cols)
+        for r in REGISTRY["events_enriched_static"].spark(spark, sf_dir).collect()
+    )
+    assert stream == batch
