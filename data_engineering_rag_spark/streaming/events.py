@@ -201,3 +201,37 @@ def enriched_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "hist_events", "first_seen"
     )
     return _run_to_memory(joined, "append")
+
+
+def hourly_stats_to_parquet(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """Production sink pattern: stream → foreachBatch → idempotent
+    partition-overwrite parquet. Each micro-batch rewrites exactly the
+    hour partitions it touches (dynamic partition overwrite), so
+    replayed batches converge instead of duplicating — the exactly-once
+    recipe for file sinks that don't support streaming upsert."""
+    ev = _event_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    flat = agg.select(
+        F.date_format("win.start", "yyyyMMddHH").alias("hour_part"),
+        F.col("win.start").alias("hour_start"),
+        "event_type",
+        "n_events",
+    )
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("hour_part")
+            .parquet(out_dir)
+        )
+
+    q = (
+        flat.writeStream.foreachBatch(write_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
