@@ -1014,3 +1014,108 @@ def unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderkey", "measure", F.round("val", 4).alias("val"))
     )
+
+
+@query(
+    "agg_statistics",
+    """
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 6) AS qty_stddev,
+           round(var_samp(l_quantity), 6) AS qty_var,
+           round(stddev_pop(l_quantity), 6) AS qty_stddev_pop,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+           cast(bit_and(cast(l_linenumber as bigint)) as bigint) AS ln_bit_and,
+           cast(bit_or(cast(l_linenumber as bigint)) as bigint) AS ln_bit_or,
+           cast(bit_xor(cast(l_linenumber as bigint)) as bigint) AS ln_bit_xor
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical + bitwise aggregate family. Both engines use
+    numerically-stable (Welford-style) single-pass moments whose
+    partition-order drift sits far below the round(…, 6) guard (skewness
+    excluded: Spark computes the population form, DuckDB the sample-
+    corrected form — a formula difference, not drift); bit aggregates
+    are integer-exact."""
+    li = load(spark, sf_dir, "lineitem")
+    ln = F.col("l_linenumber").cast("long")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
+        F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
+        F.round(F.stddev_pop("l_quantity"), 6).alias("qty_stddev_pop"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar"),
+        F.bit_and(ln).alias("ln_bit_and"),
+        F.bit_or(ln).alias("ln_bit_or"),
+        F.bit_xor(ln).alias("ln_bit_xor"),
+    )
+
+
+@query(
+    "scalar_string_extended",
+    """
+    SELECT s_suppkey,
+           lpad(cast(s_suppkey as varchar), 8, '0') AS padded_key,
+           rpad(s_name, 24, '.') AS padded_name,
+           repeat('-', cast(s_suppkey % 5 as int) + 1) AS dashes,
+           translate(s_name, '#', '_') AS translated,
+           cast(ascii(substr(s_name, 1, 1)) as int) AS first_char_code,
+           chr(cast(65 + s_suppkey % 26 as int)) AS letter,
+           left(s_name, 6) AS name_left,
+           right(s_name, 2) AS name_right,
+           cast(instr(s_name, '#') as bigint) AS hash_pos,
+           reverse(s_name) AS name_rev
+    FROM supplier
+    """,
+)
+def scalar_string_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 string sweep #2: pad/repeat/translate/ascii/chr/left/right/
+    instr/reverse — per-row, codegen'd, engine-exact."""
+    s = load(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.lpad(F.col("s_suppkey").cast("string"), 8, "0").alias("padded_key"),
+        F.rpad("s_name", 24, ".").alias("padded_name"),
+        F.repeat(F.lit("-"), (F.col("s_suppkey") % 5).cast("int") + 1).alias("dashes"),
+        F.translate("s_name", "#", "_").alias("translated"),
+        F.ascii(F.substring("s_name", 1, 1)).cast("int").alias("first_char_code"),
+        F.chr((F.lit(65) + F.col("s_suppkey") % 26).cast("int")).alias("letter"),
+        F.substring("s_name", 1, 6).alias("name_left"),
+        F.col("s_name").substr(F.length("s_name") - 1, F.lit(2)).alias("name_right"),
+        F.instr(F.col("s_name"), "#").cast("long").alias("hash_pos"),
+        F.reverse("s_name").alias("name_rev"),
+    )
+
+
+@query(
+    "scalar_date_events",
+    """
+    SELECT event_id,
+           cast(quarter(ts) as int) AS q,
+           cast(weekofyear(ts) as int) AS iso_week,
+           cast(hour(ts) as int) AS h,
+           cast(minute(ts) as int) AS m,
+           cast(second(ts) as int) AS s,
+           cast(floor(epoch(ts)) as bigint) AS epoch_s,
+           make_date(2024, cast(month(ts) as int), 1) AS month_anchor,
+           cast(ts as date) AS event_date
+    FROM events
+    """,
+)
+def scalar_date_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 date sweep #2 on µs-precision event times: quarter/ISO week/
+    h-m-s extraction, epoch seconds (floored — DuckDB's epoch keeps the
+    fraction), make_date anchoring, date cast."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.quarter("ts").cast("int").alias("q"),
+        F.weekofyear("ts").cast("int").alias("iso_week"),
+        F.hour("ts").cast("int").alias("h"),
+        F.minute("ts").cast("int").alias("m"),
+        F.second("ts").cast("int").alias("s"),
+        F.unix_timestamp("ts").cast("long").alias("epoch_s"),
+        F.make_date(F.lit(2024), F.month("ts"), F.lit(1)).alias("month_anchor"),
+        F.col("ts").cast("date").alias("event_date"),
+    )
