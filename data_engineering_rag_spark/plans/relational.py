@@ -1119,3 +1119,97 @@ def scalar_date_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.make_date(F.lit(2024), F.month("ts"), F.lit(1)).alias("month_anchor"),
         F.col("ts").cast("date").alias("event_date"),
     )
+
+
+@query(
+    "agg_collect_strings",
+    """
+    SELECT n_name,
+           string_agg(s_name, '|' ORDER BY s_name) AS suppliers,
+           cast(count(*) as bigint) AS n_supp
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def agg_collect_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collect-to-list aggregation made deterministic: Spark's
+    collect_list has no intra-group order guarantee, so the engine's
+    canonical form is sort-then-join (≡ DuckDB's ORDER BY string_agg)."""
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("s_name")), "|").alias("suppliers"),
+            F.count(F.lit(1)).alias("n_supp"),
+        )
+    )
+
+
+@query(
+    "generated_series_source",
+    """
+    SELECT cast(i % 7 as bigint) AS bucket,
+           cast(count(*) as bigint) AS n,
+           cast(sum(i * i) as bigint) AS sum_sq
+    FROM (SELECT unnest(generate_series(1, 100000)) AS i)
+    GROUP BY i % 7
+    """,
+)
+def generated_series_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-generating source (spark.range ≡ generate_series): data
+    born distributed with no storage — the pattern for synthetic
+    benchmarks and key-space scaffolding."""
+    return (
+        spark.range(1, 100001)
+        .select(F.col("id").alias("i"))
+        .groupBy((F.col("i") % 7).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("i") * F.col("i")).alias("sum_sq"),
+        )
+    )
+
+
+@query(
+    "scalar_array_setops",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_sort(list_distinct(regexp_extract_all(lower(text), '\\w\\w+'))) AS toks
+      FROM documents WHERE doc_id < 30
+    ),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.toks AS ta, b.toks AS tb
+          FROM t a JOIN t b ON a.doc_id + 1 = b.doc_id)
+    SELECT doc_a, doc_b,
+           cast(len(list_sort(list_intersect(ta, tb))) as bigint) AS n_common,
+           cast(len(list_sort(list_distinct(list_concat(ta, tb)))) as bigint) AS n_union,
+           cast(len(list_sort(list_filter(ta, x -> NOT list_contains(tb, x)))) as bigint) AS n_only_a,
+           array_to_string(list_sort(list_intersect(ta, tb))[1:3], ',') AS common_sample
+    FROM p
+    """,
+)
+def scalar_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set operations between adjacent documents' token sets:
+    intersect / union / except / sampled join — the JVM-side primitives
+    under n-gram overlap scoring."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 30)
+    toks = F.array_sort(
+        F.array_distinct(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\w\w+"), F.lit(0))
+        )
+    )
+    t = d.select("doc_id", toks.alias("toks"))
+    a = t.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    b = t.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    p = a.join(b, F.col("doc_a") + 1 == F.col("doc_b"))
+    inter = F.array_sort(F.array_intersect(F.col("ta"), F.col("tb")))
+    return p.select(
+        "doc_a",
+        "doc_b",
+        F.size(inter).cast("long").alias("n_common"),
+        F.size(F.array_sort(F.array_union(F.col("ta"), F.col("tb")))).cast("long").alias("n_union"),
+        F.size(F.array_sort(F.array_except(F.col("ta"), F.col("tb")))).cast("long").alias("n_only_a"),
+        F.array_join(F.slice(inter, 1, 3), ",").alias("common_sample"),
+    )
