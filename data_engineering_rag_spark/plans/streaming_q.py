@@ -267,3 +267,53 @@ def stream_enriched_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import enriched_events_stream
 
     return enriched_events_stream(spark, sf_dir)
+
+
+@query(
+    "events_asof_last_view",
+    """
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           v.event_id AS last_view_id,
+           cast(CASE WHEN v.ts IS NULL THEN NULL
+                     ELSE date_diff('second', v.ts, p.ts) END as bigint) AS seconds_since_view
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def events_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN (custom operator — Spark has no native form): each
+    purchase gets the same user's most recent preceding view. Spark
+    runs the union+window sweep from ``operators.asof``; the oracle is
+    DuckDB's native ASOF LEFT JOIN — independent implementations, one
+    answer."""
+    from ..operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("last_view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        key="user_id",
+        left_time="purchase_ts",
+        right_time="view_ts",
+        right_value_cols=["last_view_id", "view_ts"],
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        "last_view_id",
+        (F.unix_timestamp("purchase_ts") - F.unix_timestamp("view_ts"))
+        .cast("long")
+        .alias("seconds_since_view"),
+    )
