@@ -550,8 +550,8 @@ def scalar_date_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber,
            round(l_extendedprice * (1 - l_discount), 4) AS net_price,
            abs(l_discount - 0.05) AS disc_dev,
-           ceil(l_quantity / 7.0) AS qty_ceil,
-           floor(l_quantity / 7.0) AS qty_floor,
+           cast(ceil(l_quantity / 7.0) as bigint) AS qty_ceil,
+           cast(floor(l_quantity / 7.0) as bigint) AS qty_floor,
            round(ln(l_extendedprice + 1), 8) AS log_price,
            round(sqrt(l_quantity), 8) AS sqrt_qty,
            round(pow(l_discount, 2), 10) AS disc_sq,

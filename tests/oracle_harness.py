@@ -36,16 +36,22 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm(v):
+    # Type classes are preserved deliberately: an int must NOT equal an
+    # equal-valued float (the driver may hash types/representations, so
+    # e.g. DuckDB ceil()→DOUBLE vs Spark ceil()→LONG has to FAIL here
+    # and be fixed with explicit casts in the oracle SQL).
     if v is None:
         return None
+    if isinstance(v, bool):
+        return ("bool", v)
     if isinstance(v, Decimal):
-        return float(v)
+        return ("decimal", str(v))
     if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
+        return ("float", "NaN" if math.isnan(v) else v)
+    if isinstance(v, int):
+        return ("int", v)
     if isinstance(v, datetime):
-        return v.replace(tzinfo=None).isoformat()
+        return ("ts", v.replace(tzinfo=None).isoformat())
     if isinstance(v, (list, tuple)):
         return tuple(_norm(x) for x in v)
     return v
