@@ -1213,3 +1213,235 @@ def scalar_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_sort(F.array_except(F.col("ta"), F.col("tb")))).cast("long").alias("n_only_a"),
         F.array_join(F.slice(inter, 1, 3), ",").alias("common_sample"),
     )
+
+
+@query(
+    "q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           round(cast(sum(cast(volume as decimal(18,6))) as double), 6) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             cast(extract(year FROM l_shipdate) as bigint) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+                    JOIN orders ON o_orderkey = l_orderkey
+                    JOIN customer ON c_custkey = o_custkey
+                    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7 shape: two roles of the same dimension (nation as both
+    supplier- and customer-side) + disjunctive cross-nation predicate +
+    derived-year grouping."""
+    s = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+        )
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"))
+    )
+
+
+@query(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name, n_name,
+           round(cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,6))) as double), 6) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= timestamp '1997-01-01 00:00:00'
+      AND o_orderdate < timestamp '1997-07-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10 shape: returned-items ranking — selective flag filter
+    + date window + 4-way join + top-20."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q14_promo_revenue_pct",
+    """
+    SELECT round(100.0 * cast(sum(cast(CASE WHEN p_type = 'PROMO'
+                       THEN l_extendedprice * (1 - l_discount) ELSE 0 END as decimal(18,6))) as double)
+                 / cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,6))) as double), 8)
+             AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= timestamp '1997-01-01 00:00:00'
+      AND l_shipdate < timestamp '1997-02-01 00:00:00'
+    """,
+)
+def q14_promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14 shape: conditional-aggregate ratio (promo revenue
+    share). Both numerator and denominator are exact decimal sums; the
+    single division + round is engine-identical."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01 00:00:00").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(promo.cast("decimal(18,6)")).cast("double")
+                / F.sum(rev.cast("decimal(18,6)")).cast("double"),
+                8,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    """
+    SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (5, 10, 15, 20)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16 shape: NOT IN subquery (anti join; NULL-safe because
+    s_suppkey is non-null) + IN-list filter + distinct count."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(5, 10, 15, 20)
+    )
+    bad_supp = load(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q21_waiting_supplier",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+                  JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l3.l_shipdate - interval 1 day AND l3.l_shipdate > o_orderdate)
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21 shape: EXISTS + NOT EXISTS against the same fact table
+    (multi-supplier orders where only this supplier shipped late)."""
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("_q21_supplier")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("_q21_lineitem")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_q21_orders")
+    return spark.sql(
+        """
+        SELECT s_name, count(*) AS numwait
+        FROM _q21_supplier JOIN _q21_lineitem l1 ON s_suppkey = l1.l_suppkey
+                           JOIN _q21_orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate
+          AND EXISTS (SELECT 1 FROM _q21_lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM _q21_lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > l3.l_shipdate - interval 1 day AND l3.l_shipdate > o_orderdate)
+        GROUP BY s_name
+        """
+    )
+
+
+@query(
+    "revenue_share_of_total",
+    """
+    WITH nat AS (
+      SELECT n_name,
+             sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,6))) AS rev
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                    JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name
+    )
+    SELECT n_name,
+           round(cast(rev as double), 6) AS revenue,
+           round(cast(rev as double) / cast(sum(rev) OVER () as double) * 100, 8) AS pct_of_total
+    FROM nat
+    """,
+)
+def revenue_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total via an unpartitioned window over the ALREADY
+    AGGREGATED rows (25 nations) — the grand total never touches the
+    fact table twice, and the tiny window is a single-partition no-op.
+    Decimal aggregation end-to-end; one division at the edge."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    nat = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")).alias(
+                "rev"
+            )
+        )
+    )
+    w = Window.partitionBy()
+    return nat.select(
+        "n_name",
+        F.round(F.col("rev").cast("double"), 6).alias("revenue"),
+        F.round(
+            F.col("rev").cast("double") / F.sum("rev").over(w).cast("double") * 100, 8
+        ).alias("pct_of_total"),
+    )

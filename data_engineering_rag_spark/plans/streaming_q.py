@@ -317,3 +317,124 @@ def events_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("seconds_since_view"),
     )
+
+
+@query(
+    "events_hourly_gapfill",
+    """
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, interval 1 hour)) AS hour_start FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    grid AS (SELECT hour_start, event_type FROM spine CROSS JOIN types),
+    actual AS (
+      SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS n
+      FROM events GROUP BY date_trunc('hour', ts), event_type
+    )
+    SELECT g.hour_start, g.event_type,
+           cast(coalesce(a.n, 0) as bigint) AS n_events,
+           round(cast(sum(coalesce(a.n, 0)) OVER (PARTITION BY g.event_type ORDER BY g.hour_start
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) as double) / 3, 6) AS moving_avg_3h
+    FROM grid g LEFT JOIN actual a
+      ON g.hour_start = a.hour_start AND g.event_type = a.event_type
+    """,
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a generated hour×type spine left-joined
+    against actual counts (missing hours become explicit zeros), then a
+    3-hour moving average over the now-dense series — the prerequisite
+    for any window math over sparse event data. The spine is generated,
+    never stored; the join is broadcast (spine ≪ facts)."""
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour_start")
+    )
+    types = ev.select("event_type").distinct()
+    grid = spine.crossJoin(types)
+    actual = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    dense = (
+        grid.join(actual, ["hour_start", "event_type"], "left")
+        .select(
+            "hour_start",
+            "event_type",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        )
+    )
+    return dense.select(
+        "hour_start",
+        "event_type",
+        "n_events",
+        F.round(F.sum("n_events").over(w).cast("double") / 3, 6).alias("moving_avg_3h"),
+    )
+
+
+@query(
+    "events_weekly_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events
+    )
+    SELECT cast(f.cohort_week as timestamp) AS cohort_week,
+           cast(date_diff('week', f.cohort_week, a.active_week) as bigint) AS weeks_since_first,
+           count(DISTINCT a.user_id) AS n_users
+    FROM firsts f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY f.cohort_week, date_diff('week', f.cohort_week, a.active_week)
+    """,
+)
+def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen week, counted in
+    each subsequent active week — the canonical product-analytics
+    rollup (two aggregations + one equi-join on user)."""
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    weeks_since = (
+        F.datediff(F.col("active_week").cast("date"), F.col("cohort_week").cast("date")) / 7
+    ).cast("long")
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy("cohort_week", weeks_since.alias("weeks_since_first"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@query(
+    "events_value_histogram",
+    """
+    SELECT event_type,
+           cast(floor(value / 10) as bigint) AS bucket,
+           count(*) AS n,
+           round(cast(sum(cast(value as decimal(18,6))) as double), 6) AS bucket_sum
+    FROM events
+    GROUP BY event_type, floor(value / 10)
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram per event type (floor-division bucketing;
+    the build side of width_bucket-style binning)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.floor(F.col("value") / 10).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6).alias("bucket_sum"),
+    )
