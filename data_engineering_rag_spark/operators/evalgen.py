@@ -15,7 +15,6 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 QUESTIONS_PER_DOC = 3  # reference: 3 per doc (eval_question_generator.md:10)

@@ -6,7 +6,7 @@ WHERE data lives so the semantic operators stop shuffling.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 

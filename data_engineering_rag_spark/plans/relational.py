@@ -1445,3 +1445,108 @@ def revenue_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rev").cast("double") / F.sum("rev").over(w).cast("double") * 100, 8
         ).alias("pct_of_total"),
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    """
+    SELECT p_partkey, p_name, s_name, s_acctbal
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+              JOIN supplier ON l_suppkey = s_suppkey
+    WHERE p_size <= 10
+      AND s_acctbal = (SELECT min(s2.s_acctbal)
+                       FROM lineitem l2 JOIN supplier s2 ON l2.l_suppkey = s2.s_suppkey
+                       WHERE l2.l_partkey = p_partkey)
+    GROUP BY p_partkey, p_name, s_name, s_acctbal
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2 shape: correlated min-subquery selecting the cheapest
+    supplier per part (Catalyst de-correlates to an aggregate+join;
+    the equality gate on s_acctbal doubles as the tie-keeper since
+    acctbal is a stored value, not a computed float)."""
+    load(spark, sf_dir, "part").createOrReplaceTempView("_q2_part")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("_q2_lineitem")
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("_q2_supplier")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name, s_name, s_acctbal
+        FROM _q2_part JOIN _q2_lineitem ON p_partkey = l_partkey
+                      JOIN _q2_supplier ON l_suppkey = s_suppkey
+        WHERE p_size <= 10
+          AND s_acctbal = (SELECT min(s2.s_acctbal)
+                           FROM _q2_lineitem l2 JOIN _q2_supplier s2 ON l2.l_suppkey = s2.s_suppkey
+                           WHERE l2.l_partkey = p_partkey)
+        GROUP BY p_partkey, p_name, s_name, s_acctbal
+        """
+    )
+
+
+@query(
+    "window_range_frames",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           cast(count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW) as bigint)
+             AS orders_trailing_90d,
+           round(cast(sum(cast(o_totalprice as decimal(18,2)))
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                       RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW) as double), 2)
+             AS spend_trailing_90d
+    FROM orders
+    """,
+)
+def window_range_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based (RANGE) window frames: trailing-90-day order count
+    and spend per customer — the time-windowed running metric that ROWS
+    frames can't express. RANGE frames are tie-safe by definition
+    (peers share a frame), so duplicate timestamps need no tiebreak.
+    Spark expresses the interval bound as epoch-seconds rangeBetween."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-90 * 86400, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.count(F.lit(1)).over(w).cast("long").alias("orders_trailing_90d"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"), 2
+        ).alias("spend_trailing_90d"),
+    )
+
+
+@query(
+    "null_semantics",
+    """
+    SELECT a, b,
+           a IS NOT DISTINCT FROM b AS null_safe_eq,
+           a = b AS plain_eq,
+           coalesce(a, -1) AS a_filled,
+           a IS NULL AS a_is_null,
+           CASE WHEN a IS NULL AND b IS NULL THEN 'both'
+                WHEN a IS NULL OR b IS NULL THEN 'one' ELSE 'none' END AS null_shape
+    FROM (VALUES (1, 1), (1, 2), (NULL, 1), (1, NULL), (NULL, NULL)) AS t(a, b)
+    """,
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic sweep: null-safe equality (<=> ≡ IS NOT
+    DISTINCT FROM), NULL-propagating =, coalesce, IS NULL shapes."""
+    df = spark.createDataFrame(
+        [(1, 1), (1, 2), (None, 1), (1, None), (None, None)], "a int, b int"
+    )
+    return df.select(
+        "a",
+        "b",
+        F.col("a").eqNullSafe(F.col("b")).alias("null_safe_eq"),
+        (F.col("a") == F.col("b")).alias("plain_eq"),
+        F.coalesce("a", F.lit(-1)).alias("a_filled"),
+        F.isnull("a").alias("a_is_null"),
+        F.when(F.isnull("a") & F.isnull("b"), "both")
+        .when(F.isnull("a") | F.isnull("b"), "one")
+        .otherwise("none")
+        .alias("null_shape"),
+    )

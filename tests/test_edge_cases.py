@@ -4,7 +4,6 @@ happens to be empty)."""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from data_engineering_rag_spark.operators.chunker import chunk_documents

@@ -3,20 +3,18 @@ semantics (``zc_agent/prepare_data.py``), zip + tree sources."""
 
 from __future__ import annotations
 
-import os
 import zipfile
 
 from pyspark.sql import functions as F
 
 from data_engineering_rag_spark.llm import DeterministicStubLLM
 from data_engineering_rag_spark.operators.ingest import (
-    convert_notebooks,
     ingest_pipeline,
     notebook_to_markdown,
     parse_frontmatter,
     parse_repo_files,
 )
-from data_engineering_rag_spark.plans.ingestq import REPO_FILES, SYSTEM_PROMPT, _files_df
+from data_engineering_rag_spark.plans.ingestq import REPO_FILES, _files_df
 from data_engineering_rag_spark.sources.repo import read_repo_tree, read_repo_zip
 
 
