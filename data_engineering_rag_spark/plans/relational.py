@@ -1550,3 +1550,84 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("none")
         .alias("null_shape"),
     )
+
+
+@query(
+    "scalar_regex_funcs",
+    """
+    SELECT p_partkey,
+           regexp_matches(p_name, '[aeiou]{2}') AS has_double_vowel,
+           cast(len(regexp_extract_all(p_name, '[aeiou]+')) as bigint) AS n_vowel_runs,
+           regexp_replace(p_name, '[aeiou]', '*', 'g') AS devoweled,
+           regexp_extract(p_name, '([a-z]+)$', 1) AS last_word_tail,
+           array_to_string(regexp_split_to_array(p_type, ' '), '|') AS type_tokens
+    FROM part
+    """,
+)
+def scalar_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 regex sweep: rlike / extract-all count / global replace /
+    anchored capture / regex split. Spark regexp_replace is global by
+    default (= DuckDB's 'g' flag); Java and RE2 agree on this ASCII
+    pattern subset."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_name").rlike("[aeiou]{2}").alias("has_double_vowel"),
+        F.size(F.regexp_extract_all(F.col("p_name"), F.lit("[aeiou]+"), F.lit(0)))
+        .cast("long")
+        .alias("n_vowel_runs"),
+        F.regexp_replace("p_name", "[aeiou]", "*").alias("devoweled"),
+        F.regexp_extract("p_name", "([a-z]+)$", 1).alias("last_word_tail"),
+        F.array_join(F.split(F.col("p_type"), " "), "|").alias("type_tokens"),
+    )
+
+
+KMV_K = 256
+
+
+@query(
+    "kmv_distinct_sketch",
+    f"""
+    WITH hashes AS (
+      SELECT DISTINCT cast(concat('0x', substr(md5(cast(l_partkey as varchar)), 1, 15)) as bigint) AS h
+      FROM lineitem
+    ),
+    kmv AS (SELECT h FROM hashes ORDER BY h LIMIT {KMV_K}),
+    kth AS (SELECT max(h) AS kth_hash, count(*) AS k_actual FROM kmv)
+    SELECT cast(k_actual as bigint) AS k_actual,
+           kth_hash,
+           cast(CASE WHEN k_actual < {KMV_K} THEN k_actual
+                ELSE cast(round(({KMV_K} - 1) / (cast(kth_hash as double) / 1152921504606846976.0)) as bigint)
+                END as bigint) AS estimated_distinct,
+           (SELECT count(DISTINCT l_partkey) FROM lineitem) AS exact_distinct
+    FROM kth
+    """,
+)
+def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch — the portable
+    alternative to HLL: hash every key to (0, 2^60), keep the k
+    smallest, estimate N ≈ (k-1)/normalized kth-minimum. Because the
+    'randomness' is md5 (no library RNG), both engines compute the
+    IDENTICAL estimate — a sketch the oracle can hash-check, unlike
+    approx_count_distinct. Mergeable at scale: per-partition bottom-k,
+    then a global bottom-k of k·P candidates (TakeOrdered shape)."""
+    li = load(spark, sf_dir, "lineitem")
+    hashes = li.select(
+        F.conv(F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h")
+    ).distinct()
+    kmv = hashes.orderBy("h").limit(KMV_K)
+    kth = kmv.agg(F.max("h").alias("kth_hash"), F.count(F.lit(1)).alias("k_actual"))
+    exact = li.agg(F.countDistinct("l_partkey").alias("exact_distinct"))
+    est = F.when(F.col("k_actual") < KMV_K, F.col("k_actual")).otherwise(
+        F.round(
+            (F.lit(KMV_K - 1)) / (F.col("kth_hash").cast("double") / F.lit(1152921504606846976.0))
+        ).cast("long")
+    )
+    return kth.crossJoin(F.broadcast(exact)).select(
+        F.col("k_actual").cast("long").alias("k_actual"),
+        "kth_hash",
+        est.cast("long").alias("estimated_distinct"),
+        "exact_distinct",
+    )
