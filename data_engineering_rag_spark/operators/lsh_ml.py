@@ -1,0 +1,51 @@
+"""Spark ML LSH fast path (SURVEY.md §2.4 X5 scale column):
+``pyspark.ml.feature.MinHashLSH`` over token-set binary vectors with
+``approxSimilarityJoin`` — the library implementation of the same
+banding idea as ``plans/textops.py``'s hand-rolled MinHash+LSH.
+
+The ML path uses library RNG for its hash coefficients (seeded, but
+not reproducible in DuckDB), so it's not oracle-checkable; its
+correctness contract is the recall test in ``tests/test_lsh_ml.py``:
+every pair above the Jaccard threshold that exact computation finds
+must appear among the approx join's candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.feature import CountVectorizer, MinHashLSH, RegexTokenizer
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .tfidf import TOKEN_PATTERN
+
+
+def ml_minhash_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hash_tables: int = 8,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """(id_a, id_b, jaccard_distance) candidate pairs with distance
+    below ``1 - jaccard_threshold`` per the ML estimator."""
+    tok = RegexTokenizer(
+        inputCol=text_col, outputCol="_tokens", pattern=TOKEN_PATTERN, gaps=False,
+        toLowercase=True, minTokenLength=2,
+    )
+    tokens = tok.transform(docs).where(F.size("_tokens") > 0)
+    cv = CountVectorizer(inputCol="_tokens", outputCol="_vec", binary=True, minDF=1.0)
+    model_cv = cv.fit(tokens)
+    vecs = model_cv.transform(tokens).select(id_col, "_vec")
+
+    lsh = MinHashLSH(inputCol="_vec", outputCol="_hashes", numHashTables=num_hash_tables, seed=seed)
+    model = lsh.fit(vecs)
+    joined = model.approxSimilarityJoin(vecs, vecs, 1.0 - jaccard_threshold, distCol="jaccard_dist")
+    return (
+        joined.where(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
+        .select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            F.round("jaccard_dist", 8).alias("jaccard_dist"),
+        )
+    )

@@ -1631,3 +1631,95 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         est.cast("long").alias("estimated_distinct"),
         "exact_distinct",
     )
+
+
+@query(
+    "data_quality_audit",
+    """
+    SELECT 'orders_custkey_fk' AS check_name,
+           (SELECT count(*) FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+            WHERE c_custkey IS NULL) AS n_violations,
+           (SELECT count(*) FROM orders) AS n_rows
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk',
+           (SELECT count(*) FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderkey IS NULL),
+           (SELECT count(*) FROM lineitem)
+    UNION ALL
+    SELECT 'orders_pk_unique',
+           (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders),
+           (SELECT count(*) FROM orders)
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           (SELECT count(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1),
+           (SELECT count(*) FROM lineitem)
+    UNION ALL
+    SELECT 'orders_date_nonnull',
+           (SELECT count(*) FROM orders WHERE o_orderdate IS NULL),
+           (SELECT count(*) FROM orders)
+    UNION ALL
+    SELECT 'events_ts_in_window',
+           (SELECT count(*) FROM events
+            WHERE ts < timestamp '2024-01-01 00:00:00' OR ts >= timestamp '2024-02-01 00:00:00'),
+           (SELECT count(*) FROM events)
+    """,
+)
+def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-gate data-quality audit: referential integrity (anti
+    joins), key uniqueness, value ranges, null checks, timestamp
+    windows — one row per check with violation counts. The shape a
+    100 TB ingest runs before promoting a partition; every check is a
+    scan+agg or broadcast anti join, no Python."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+    ev = load(spark, sf_dir, "events")
+
+    def check(name: str, violations, total) -> DataFrame:
+        return violations.crossJoin(total).select(
+            F.lit(name).alias("check_name"),
+            F.col("v").cast("long").alias("n_violations"),
+            F.col("t").cast("long").alias("n_rows"),
+        )
+
+    rows = [
+        check(
+            "orders_custkey_fk",
+            o.join(c, o.o_custkey == c.c_custkey, "left_anti").agg(F.count(F.lit(1)).alias("v")),
+            o.agg(F.count(F.lit(1)).alias("t")),
+        ),
+        check(
+            "lineitem_orderkey_fk",
+            li.join(o, li.l_orderkey == o.o_orderkey, "left_anti").agg(F.count(F.lit(1)).alias("v")),
+            li.agg(F.count(F.lit(1)).alias("t")),
+        ),
+        check(
+            "orders_pk_unique",
+            o.agg((F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("v")),
+            o.agg(F.count(F.lit(1)).alias("t")),
+        ),
+        check(
+            "lineitem_discount_range",
+            li.where((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).agg(
+                F.count(F.lit(1)).alias("v")
+            ),
+            li.agg(F.count(F.lit(1)).alias("t")),
+        ),
+        check(
+            "orders_date_nonnull",
+            o.where(F.col("o_orderdate").isNull()).agg(F.count(F.lit(1)).alias("v")),
+            o.agg(F.count(F.lit(1)).alias("t")),
+        ),
+        check(
+            "events_ts_in_window",
+            ev.where(
+                (F.col("ts") < F.lit("2024-01-01 00:00:00").cast("timestamp"))
+                | (F.col("ts") >= F.lit("2024-02-01 00:00:00").cast("timestamp"))
+            ).agg(F.count(F.lit(1)).alias("v")),
+            ev.agg(F.count(F.lit(1)).alias("t")),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
