@@ -438,3 +438,51 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6).alias("bucket_sum"),
     )
+
+
+@query(
+    "events_longest_gap_pandas",
+    """
+    WITH gaps AS (
+      SELECT user_id,
+             date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)
+               AS gap_s
+      FROM events
+    )
+    SELECT user_id,
+           cast(max(gap_s) as bigint) AS longest_gap_s,
+           cast(count(gap_s) as bigint) AS n_gaps
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def events_longest_gap_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 applyInPandas (per-group pandas UDF, the batch custom-
+    aggregation escape hatch): longest inter-event gap per user,
+    computed imperatively in pandas — and checked against the oracle's
+    declarative lag-window formulation. Arrow moves each group once;
+    groups shard by the groupBy key at scale."""
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+
+    def longest_gap(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        # second-BOUNDARY count (truncate each endpoint to the second,
+        # then diff) — matches SQL date_diff('second', …) semantics,
+        # which counts crossings, not elapsed-time truncation.
+        secs = pdf["ts"].dt.floor("s")
+        gaps = secs.diff().dropna()
+        if len(gaps) == 0:
+            return pd.DataFrame(columns=["user_id", "longest_gap_s", "n_gaps"])
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "longest_gap_s": [int(gaps.max().total_seconds())],
+                "n_gaps": [len(gaps)],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        longest_gap, "user_id bigint, longest_gap_s bigint, n_gaps bigint"
+    )
