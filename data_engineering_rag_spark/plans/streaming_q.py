@@ -486,3 +486,59 @@ def events_longest_gap_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         longest_gap, "user_id bigint, longest_gap_s bigint, n_gaps bigint"
     )
+
+
+@query(
+    "events_conversion_cogroup",
+    """
+    WITH v AS (SELECT user_id, min(ts) AS first_view, count(*) AS n_views
+               FROM events WHERE event_type = 'view' GROUP BY user_id),
+         p AS (SELECT user_id, min(ts) AS first_purchase, count(*) AS n_purchases
+               FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+    SELECT coalesce(v.user_id, p.user_id) AS user_id,
+           cast(coalesce(n_views, 0) as bigint) AS n_views,
+           cast(coalesce(n_purchases, 0) as bigint) AS n_purchases,
+           cast(CASE WHEN first_view IS NULL OR first_purchase IS NULL
+                     OR first_purchase < first_view THEN NULL
+                ELSE date_diff('second', first_view, first_purchase) END as bigint)
+             AS view_to_purchase_s
+    FROM v FULL OUTER JOIN p ON v.user_id = p.user_id
+    """,
+)
+def events_conversion_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 cogrouped applyInPandas (two keyed streams into one pandas
+    function per key): views and purchases cogrouped per user, pandas
+    computes the conversion delay — checked against the declarative
+    full-outer-join oracle. Both sides shard by the key; each group
+    pair crosses the Arrow boundary exactly once."""
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select("user_id", "ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
+
+    def conv(key, vdf: pd.DataFrame, pdf_: pd.DataFrame) -> pd.DataFrame:
+        n_v, n_p = len(vdf), len(pdf_)
+        delay = None
+        if n_v and n_p:
+            fv = vdf["ts"].min().floor("s")
+            fp = pdf_["ts"].min().floor("s")
+            if fp >= fv:
+                delay = int((fp - fv).total_seconds())
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_views": [n_v],
+                "n_purchases": [n_p],
+                "view_to_purchase_s": [delay],
+            }
+        )
+
+    return (
+        views.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            conv,
+            "user_id bigint, n_views bigint, n_purchases bigint, view_to_purchase_s bigint",
+        )
+    )
