@@ -1,3 +1,4 @@
+from .asof import asof_join
 from .chunker import chunk_documents, sliding_window_starts_sql
 from .dedup_cluster import cluster_sizes, connected_components
 from .evalgen import generate_questions
@@ -7,6 +8,7 @@ from .scale import repartition_for_join, salted_join, write_bucketed
 from .tfidf import build_tfidf, search_topk, search_topk_batch
 
 __all__ = [
+    "asof_join",
     "chunk_documents",
     "sliding_window_starts_sql",
     "cluster_sizes",
