@@ -1723,3 +1723,26 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+@query(
+    "agg_rollup_grouping_flags",
+    """
+    SELECT l_returnflag, l_linestatus,
+           cast(grouping(l_returnflag) as int) AS g_flag,
+           cast(grouping(l_linestatus) as int) AS g_status,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() markers on rollup output — the disambiguator between
+    'subtotal row' NULLs and genuine NULL group keys (essential once
+    real data has nullable dimensions)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.count(F.lit(1)).alias("n"),
+    ).select("l_returnflag", "l_linestatus", "g_flag", "g_status", "n")
