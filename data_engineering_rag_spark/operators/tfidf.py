@@ -191,7 +191,10 @@ def search_topk(
         .groupBy(*model.key_cols)
         .agg(F.sum("contrib").alias("score"))
     )
-    order = [F.col("score").desc()] + [F.col(c).asc() for c in model.key_cols]
+    # Order by the ROUNDED score (8 dp) + key tie-breaks: sub-1e-8 float
+    # drift between engines must not pick a different row set at the k
+    # boundary (the DuckDB oracles order the same way).
+    order = [F.round(F.col("score"), 8).desc()] + [F.col(c).asc() for c in model.key_cols]
     return scored.orderBy(*order).limit(k)
 
 
@@ -233,7 +236,9 @@ def search_topk_batch(
         .groupBy("query_id", *model.key_cols)
         .agg(F.sum(F.col("w") * F.col("qw")).alias("score"))
     )
+    # Same rounded-score ordering as search_topk: keeps the k-boundary
+    # row set identical across engines despite float reduction drift.
     w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), *[F.col(c).asc() for c in model.key_cols]
+        F.round(F.col("score"), 8).desc(), *[F.col(c).asc() for c in model.key_cols]
     )
     return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k).drop("rn")

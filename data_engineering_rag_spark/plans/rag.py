@@ -359,7 +359,7 @@ def tfidf_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, cast(q.q_num as bigint) AS q_num,
            concat('Q', cast(q.q_num as varchar), ': what about ',
-                  coalesce(regexp_extract(trim(text), '^\\S+'), ''), '? [',
+                  coalesce(regexp_extract(regexp_replace(text, '^\\s+', ''), '^\\S+'), ''), '? [',
                   substr(sha256(concat('evalq|42|', cast(doc_id as varchar), '|', text, '|',
                                        cast(q.q_num as varchar))), 1, 8), ']') AS question
     FROM sampled, unnest(generate_series(1, 3)) AS q(q_num)

@@ -1376,13 +1376,15 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                   WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
       AND NOT EXISTS (SELECT 1 FROM lineitem l3
                       WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
-                        AND l3.l_shipdate > l3.l_shipdate - interval 1 day AND l3.l_shipdate > o_orderdate)
+                        AND l3.l_shipdate > o_orderdate)
     GROUP BY s_name
     """,
 )
 def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q21 shape: EXISTS + NOT EXISTS against the same fact table
-    (multi-supplier orders where only this supplier shipped late)."""
+    (multi-supplier orders where only this supplier shipped late).
+    The testdata lineitem has no receipt/commit dates, so "late" is
+    l_shipdate > o_orderdate; NOT EXISTS = no OTHER supplier late."""
     load(spark, sf_dir, "supplier").createOrReplaceTempView("_q21_supplier")
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("_q21_lineitem")
     load(spark, sf_dir, "orders").createOrReplaceTempView("_q21_orders")
@@ -1397,7 +1399,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                       WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
           AND NOT EXISTS (SELECT 1 FROM _q21_lineitem l3
                           WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
-                            AND l3.l_shipdate > l3.l_shipdate - interval 1 day AND l3.l_shipdate > o_orderdate)
+                            AND l3.l_shipdate > o_orderdate)
         GROUP BY s_name
         """
     )

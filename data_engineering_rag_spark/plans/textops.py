@@ -374,13 +374,15 @@ def minhash_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Materialize the tiny (|docs| × bands) table before the self-join:
     # otherwise BOTH join sides re-run the full shingle pipeline.
-    bands = (
+    # durable_checkpoint honors SPARK_GRAFT_CHECKPOINT_DIR for reliable
+    # cluster-side checkpoints; defaults to localCheckpoint on local[32].
+    from ..operators.scale import durable_checkpoint
+
+    bands = durable_checkpoint(
         mins.select(
             "doc_id",
             F.expr(f"stack({N_LSH_BANDS}, {band_rows}) AS (band, band_hash)"),
-        )
-        .select("doc_id", "band", "band_hash")
-        .localCheckpoint(eager=True)
+        ).select("doc_id", "band", "band_hash")
     )
     a, b = bands.alias("a"), bands.alias("b")
     return (

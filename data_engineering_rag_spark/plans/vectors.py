@@ -253,12 +253,16 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NEAR_DUP_COS = 0.62  # synthetic vectors are near-orthogonal; this
 # threshold yields a small non-empty pair set so the check has teeth.
+NEAR_DUP_SAMPLE = 300  # all-pairs ground truth is bounded BY CONSTRUCTION
+# to vec_id < this (≤ 300² / 2 pairs at any SF) — the unbounded pair set
+# comes from the bucketed path below, never from a full cross join.
 
 
 @query(
     "embedding_near_dup_pairs",
     f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+               WHERE vec_id < {NEAR_DUP_SAMPLE})
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round(list_dot_product(a.ev, b.ev)
                  / (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev))), 8)
@@ -270,11 +274,13 @@ NEAR_DUP_COS = 0.62  # synthetic vectors are near-orthogonal; this
     """,
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X5 embedding-cosine near-dup: all pairs above a cosine threshold.
-    Brute-force here (exact ground truth); at scale the identical
-    predicate runs over LSH/IVF candidate pairs instead of the cross
-    join — ``ivf_ann_topk`` is that pruning structure."""
-    e = load(spark, sf_dir, "embeddings")
+    """X5 embedding-cosine near-dup GROUND TRUTH: all pairs above a
+    cosine threshold over a bounded sample (vec_id < NEAR_DUP_SAMPLE,
+    same pattern as ``jaccard_similarity_sample``). The nested-loop
+    join is O(sample²) by construction — it never touches the full
+    table. The production path over the full corpus is
+    ``embedding_near_dup_via_ivf`` (bucketed equi-join)."""
+    e = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < NEAR_DUP_SAMPLE)
     v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("ev"))
     a = v.select(F.col("vec_id").alias("vec_a"), F.col("ev").alias("ea"))
     b = v.select(F.col("vec_id").alias("vec_b"), F.col("ev").alias("eb"))
@@ -285,6 +291,45 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) + F.lit(0.0)
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .where(F.col("cosine") > NEAR_DUP_COS)
+    )
+
+
+@query(
+    "embedding_near_dup_via_ivf",
+    f"""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.ev, b.ev)
+                 / (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev))), 8)
+             + 0.0 AS cosine
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.ev, b.ev)
+                / (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev))), 8)
+          > {NEAR_DUP_COS}
+    """,
+)
+def embedding_near_dup_via_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 production path: the same cosine threshold applied over
+    IVF-bucketed candidates — an EQUI-join on the bucket (label), so
+    the pair space is Σ|bucket|², never |N|², and the plan is a
+    hash/sort-merge join, not a nested loop. At 100 TB the corpus is
+    partitioned by bucket and this becomes a co-partitioned self-join.
+    Recall semantics: only within-bucket pairs are candidates (standard
+    IVF/LSH trade); cross-bucket near-dups need multi-probe or more
+    bands, exactly as in ``minhash_lsh_candidate_pairs``."""
+    e = load(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("ev"))
+    a = v.select(F.col("vec_id").alias("vec_a"), F.col("label").alias("la"), F.col("ev").alias("ea"))
+    b = v.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"), F.col("ev").alias("eb"))
+    cos = F.round(
+        dot(F.col("ea"), F.col("eb"))
+        / (F.sqrt(l2_norm_sq(F.col("ea"))) * F.sqrt(l2_norm_sq(F.col("eb")))),
+        8,
+    ) + F.lit(0.0)
+    return (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
         .select("vec_a", "vec_b", cos.alias("cosine"))
         .where(F.col("cosine") > NEAR_DUP_COS)
     )

@@ -48,3 +48,25 @@ def test_cluster_sizes(spark):
     comp = connected_components(df)
     sizes = {r.component: r.cluster_size for r in cluster_sizes(comp).collect()}
     assert sizes == {1: 3, 10: 2}
+
+
+def test_nonconvergence_raises(spark):
+    import pytest
+
+    # path graph of diameter 15 cannot converge in 2 rounds
+    df = spark.createDataFrame([(i, i + 1) for i in range(0, 15)], ["src", "dst"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=2)
+    # explicit opt-out returns the partial refinement instead
+    partial = connected_components(df, max_iter=2, on_nonconverged="ignore")
+    assert partial.count() == 16
+
+
+def test_components_with_reliable_checkpoint(spark, tmp_path):
+    edges = [(1, 2), (2, 3), (10, 11)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r.node: r.component
+        for r in connected_components(df, checkpoint_dir=str(tmp_path / "cc")).collect()
+    }
+    assert got == union_find(edges)

@@ -70,3 +70,24 @@ def test_salted_left_join_matches(spark, sf_dir):
     assert sorted((r.k, r.n) for r in plain.collect()) == sorted(
         (r.k, r.n) for r in salted.collect()
     )
+
+
+def test_salted_join_rejects_right_preserving(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="left-preserving"):
+            salted_join(c, o, "k", how=how)
+
+
+def test_durable_checkpoint_reliable_dir(spark, sf_dir, tmp_path):
+    from data_engineering_rag_spark.operators.scale import durable_checkpoint
+
+    d = str(tmp_path / "ckpt")
+    df = load(spark, sf_dir, "nation").select("n_nationkey")
+    out = durable_checkpoint(df, checkpoint_dir=d)
+    assert out.count() == df.count()
+    # reliable checkpoint actually wrote files into the requested dir
+    import os
+
+    assert any(os.scandir(d)), "checkpoint dir is empty"
