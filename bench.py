@@ -5,13 +5,17 @@ ONE JSON line {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query materializes through the `noop` sink — full distributed
-execution, no driver-side collect skew.
+execution, no driver-side collect skew. Per-query seconds are the
+MEDIAN of $SPARK_GRAFT_BENCH_REPS runs (default 3): single-run numbers
+at sf0.1 carry ±20% scheduler noise, which would swamp round-over-round
+regressions.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -60,12 +64,16 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         spec = REGISTRY[name]
-        t0 = time.perf_counter()
-        spec.spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            spec.spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 3)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(

@@ -41,6 +41,24 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 TOKEN_PATTERN = r"\w\w+"
+# sklearn's token pattern is (?u)\b\w\w+\b — unicode \w. Java's \w is
+# ASCII-only, so the unicode mode spells the class out with \p{} escapes
+# (supported by Java regex AND RE2/DuckDB, letting oracles share it).
+# \p{M} combining marks are excluded (Python \w includes them for NFD
+# text) — documented approximation, exact for NFC-normalized corpora.
+UNICODE_TOKEN_PATTERN = r"[\p{L}\p{N}_]{2,}"
+
+_TOKEN_PATTERNS = {"ascii": TOKEN_PATTERN, "unicode": UNICODE_TOKEN_PATTERN}
+
+
+def token_pattern_for(token_mode: str) -> str:
+    """Spark/DuckDB-shared regex for a tokenizer mode ('ascii'|'unicode')."""
+    try:
+        return _TOKEN_PATTERNS[token_mode]
+    except KeyError:
+        raise ValueError(
+            f"token_mode must be one of {sorted(_TOKEN_PATTERNS)}, got {token_mode!r}"
+        ) from None
 
 
 @dataclass
@@ -56,17 +74,20 @@ class TfidfModel:
     idf: DataFrame  # field, term, idf
     key_cols: list[str]
     text_fields: list[str]
+    token_mode: str = "ascii"  # query-side tokenization must match the build
 
     def unpersist(self) -> None:
         self.weights.unpersist()
         self.idf.unpersist()
 
 
-def _tokens(df: DataFrame, key_cols: list[str], field: str) -> DataFrame:
+def _tokens(
+    df: DataFrame, key_cols: list[str], field: str, pattern: str = TOKEN_PATTERN
+) -> DataFrame:
     return df.select(
         *key_cols,
         F.explode(
-            F.regexp_extract_all(F.lower(F.col(field)), F.lit(TOKEN_PATTERN), F.lit(0))
+            F.regexp_extract_all(F.lower(F.col(field)), F.lit(pattern), F.lit(0))
         ).alias("term"),
     )
 
@@ -76,20 +97,27 @@ def build_tfidf(
     key_cols: list[str],
     text_fields: list[str],
     persist: bool = False,
+    token_mode: str = "ascii",
 ) -> TfidfModel:
     """Fit one TF-IDF model per text field over ``df``.
 
     Everything is declarative: tokenize (narrow) → tf groupBy → df/idf
     groupBy → window-free norm join. Catalyst plans map-side partial
     aggregation for both groupBys.
+
+    ``token_mode="unicode"`` switches the tokenizer to the
+    unicode-aware pattern (closes the sklearn ``(?u)\\w`` parity gap for
+    multilingual corpora); the fitted model remembers the mode so query
+    tokenization stays consistent.
     """
+    pattern = token_pattern_for(token_mode)
     n_docs = df.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
 
     per_field = []
     idf_tables = []
     for field in text_fields:
         tf = (
-            _tokens(df, key_cols, field)
+            _tokens(df, key_cols, field, pattern)
             .groupBy(*key_cols, "term")
             .agg(F.count(F.lit(1)).alias("tf"))
         )
@@ -138,14 +166,20 @@ def build_tfidf(
         idf=idf_all,
         key_cols=key_cols,
         text_fields=text_fields,
+        token_mode=token_mode,
     )
 
 
-def tokenize_query(query: str) -> dict[str, int]:
-    """Driver-side tokenization of a literal query string — same regex as
-    the corpus path; a query is one tiny string, not distributed data."""
+def tokenize_query(query: str, token_mode: str = "ascii") -> dict[str, int]:
+    """Driver-side tokenization of a literal query string — same token
+    class as the corpus path; a query is one tiny string, not
+    distributed data. Python's ``\\w`` is unicode by default, so ascii
+    mode pins ``re.ASCII`` to match Java's ASCII ``\\w``; unicode mode
+    uses the default (≈ the ``\\p{{L}}\\p{{N}}_`` corpus class)."""
+    token_pattern_for(token_mode)  # validate mode
+    flags = re.ASCII if token_mode == "ascii" else 0
     counts: dict[str, int] = {}
-    for tok in re.findall(TOKEN_PATTERN, query.lower()):
+    for tok in re.findall(r"\w\w+", query.lower(), flags):
         counts[tok] = counts.get(tok, 0) + 1
     return counts
 
@@ -163,7 +197,7 @@ def search_topk(
     join never shuffles the index side.
     """
     boosts = boosts or {}
-    counts = tokenize_query(query)
+    counts = tokenize_query(query, model.token_mode)
     if not counts:
         return model.weights.select(*model.key_cols).limit(0).withColumn(
             "score", F.lit(0.0)
@@ -212,7 +246,7 @@ def search_topk_batch(
     rows = [
         (qid, term, float(cnt))
         for qid, q in queries
-        for term, cnt in tokenize_query(q).items()
+        for term, cnt in tokenize_query(q, model.token_mode).items()
     ]
     if not rows:
         return model.weights.select(*model.key_cols).limit(0).select(

@@ -148,3 +148,65 @@ def eval_check_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("output_tokens").alias("total_output_tokens"),
         F.count(F.lit(1)).alias("n_evals"),
     )
+
+
+@query(
+    "eval_judge_prompts",
+    f"""
+    SELECT parse_filename(filename) AS file,
+           concat(
+             '<INSTRUCTIONS>', system_prompt, '</INSTRUCTIONS>', chr(10),
+             '<QUESTION>', messages[1].parts[1].content, '</QUESTION>', chr(10),
+             '<ANSWER>', messages[-1].parts[1].content, '</ANSWER>', chr(10),
+             '<LOG>',
+             array_to_string(list_transform(messages, m -> concat(
+               m.kind, '>',
+               array_to_string(list_transform(m.parts, p -> concat(
+                 p.part_kind, '[', coalesce(p.tool_name, ''), '](',
+                 coalesce(p.args, ''), '): ',
+                 CASE WHEN p.part_kind = 'tool-return'
+                      THEN 'RETURN_RESULTS_REDACTED'
+                      ELSE coalesce(p.content, '') END)), '; '))), chr(10)),
+             '</LOG>') AS judge_prompt
+    FROM read_json_auto('{LOGS_GLOB}', filename=true)
+    WHERE contains(parse_filename(filename), 'gh_agent') AND source = 'ai-generated'
+    """,
+)
+def eval_judge_prompts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judge-prompt assembly (reference ``calculate_metrics.py:112-133``,
+    ``prompts/eval_checklist.md``): per eval-set conversation, build the
+    LLM-judge user prompt — INSTRUCTIONS = system_prompt, QUESTION /
+    ANSWER = first / last message content, LOG = the simplified
+    (F11-redacted) message list. The reference serializes the log as
+    ``json.dumps(indent=2)``; JSON pretty-printing is engine-specific,
+    so both engines render the same simplified field set (kind,
+    part_kind, tool_name, args, redacted content) through the same
+    canonical line grammar instead — pure string arithmetic, fully
+    oracle-checked, and a narrow map that scales to billions of logs."""
+    logs = filter_eval_set(read_logs(spark, LOGS_GLOB))
+
+    def _part(p):
+        return F.concat(
+            p["part_kind"], F.lit("["), F.coalesce(p["tool_name"], F.lit("")),
+            F.lit("]("), F.coalesce(p["args"], F.lit("")), F.lit("): "),
+            F.when(p["part_kind"] == "tool-return", F.lit("RETURN_RESULTS_REDACTED"))
+            .otherwise(F.coalesce(p["content"], F.lit(""))),
+        )
+
+    def _msg(m):
+        return F.concat(
+            m["kind"], F.lit(">"), F.array_join(F.transform(m["parts"], _part), "; ")
+        )
+
+    log_render = F.array_join(F.transform(F.col("messages"), _msg), "\n")
+    question = F.element_at(F.element_at(F.col("messages"), 1)["parts"], 1)["content"]
+    answer = F.element_at(F.element_at(F.col("messages"), -1)["parts"], 1)["content"]
+    return logs.select(
+        "file",
+        F.concat(
+            F.lit("<INSTRUCTIONS>"), F.col("system_prompt"), F.lit("</INSTRUCTIONS>\n"),
+            F.lit("<QUESTION>"), question, F.lit("</QUESTION>\n"),
+            F.lit("<ANSWER>"), answer, F.lit("</ANSWER>\n"),
+            F.lit("<LOG>"), log_render, F.lit("</LOG>"),
+        ).alias("judge_prompt"),
+    )

@@ -35,9 +35,17 @@ _EN_STOPWORDS = ("the", "and", "of", "to", "in", "is", "for", "on", "with", "at"
     """,
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document quality/size stats — narrow map, no shuffle."""
+    """Per-document quality/size stats — narrow map, no shuffle.
+
+    The token array is projected ONCE in a prior withColumn: it is a
+    non-cheap expression referenced twice, so CollapseProject keeps the
+    two Projects separate and the regex runs once per row instead of
+    once per consumer."""
     d = load(spark, sf_dir, "documents").where(F.length("text") > 0)
-    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0))
+    d = d.withColumn(
+        "_toks", F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0))
+    )
+    toks = F.col("_toks")
     return d.select(
         "doc_id",
         "lang",
@@ -117,9 +125,13 @@ def lang_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 def language_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram/stopword language scorer (EXT): the fraction of tokens that
     are English function words. A real pipeline thresholds this; we emit
-    the score so the oracle can check the arithmetic."""
+    the score so the oracle can check the arithmetic. Token array is
+    projected once (see text_stats) — 3 consumers, 1 regex eval."""
     d = load(spark, sf_dir, "documents")
-    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0))
+    d = d.withColumn(
+        "_toks", F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0))
+    )
+    toks = F.col("_toks")
     stop_arr = F.array(*[F.lit(s) for s in _EN_STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
     return d.select(
@@ -194,10 +206,21 @@ MINHASH_PERMS: list[tuple[int, int, int]] = [
 ]
 
 
-def _minhash_wide(spark: SparkSession, sf_dir: str):
+def _minhash_wide(spark: SparkSession, sf_dir: str, hash_mode: str = "md5"):
     """Wide MinHash table (doc_id, m0..m7): one explode + one
     map-side-combined groupBy — shared by the signature and LSH
-    queries."""
+    queries.
+
+    ``hash_mode`` picks the base shingle hash:
+    - ``"md5"`` (default): hex-md5 → ``conv`` → int64 — engine-portable,
+      shared verbatim with the DuckDB oracle. Pays the documented
+      hex-string conversion tax (PERFORMANCE.md).
+    - ``"xxhash64"``: Spark's native 64-bit hash, entirely JVM-side
+      integer arithmetic — the production path (~2× on the signature
+      stage; no oracle, DuckDB lacks xxhash64). Same banding pipeline,
+      same candidate-pair semantics: any uniform base hash feeds the
+      universal-hash permutation family equally well.
+    """
     d = load(spark, sf_dir, "documents").where(F.length("text") >= SHINGLE_K)
     # Explode integer POSITIONS and substring afterwards: whole-stage
     # codegen fuses generate+project, so no per-doc array of shingle
@@ -207,15 +230,14 @@ def _minhash_wide(spark: SparkSession, sf_dir: str):
         "text",
         F.explode(F.sequence(F.lit(1), F.length("text") - SHINGLE_K + 1)).alias("i"),
     )
-    base = positions.select(
-        "doc_id",
-        (
-            F.conv(
-                F.substring(F.md5(F.expr(f"substring(text, i, {SHINGLE_K})")), 1, 15), 16, 10
-            ).cast("long")
-            % _MH_P
-        ).alias("bh"),
-    )
+    shingle = F.expr(f"substring(text, i, {SHINGLE_K})")
+    if hash_mode == "md5":
+        bh = F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("long") % _MH_P
+    elif hash_mode == "xxhash64":
+        bh = F.pmod(F.xxhash64(shingle), F.lit(_MH_P))
+    else:
+        raise ValueError(f"hash_mode must be 'md5' or 'xxhash64', got {hash_mode!r}")
+    base = positions.select("doc_id", bh.alias("bh"))
     return base.groupBy("doc_id").agg(
         *[
             F.min((F.lit(a) * F.col("bh") + F.lit(b)) % _MH_P).alias(f"m{i}")
@@ -367,7 +389,23 @@ def minhash_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (On this synthetic corpus all texts are distinct, so matching the
     oracle on the usually-empty result is exactly the point: both
     engines must agree on the full banding pipeline.)"""
-    mins = _minhash_wide(spark, sf_dir)
+    return _lsh_candidate_pairs(spark, sf_dir, hash_mode="md5")
+
+
+@query("minhash_lsh_candidate_pairs_xxh", None)
+def minhash_lsh_candidate_pairs_xxh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-hash LSH: identical banding pipeline with the base
+    shingle hash switched from portable hex-md5 to Spark-native
+    ``xxhash64`` (pure JVM integer path — no hex string materialized,
+    no base-16 conversion). Rows-only: DuckDB has no xxhash64, so the
+    md5 twin above carries the oracle; a pytest parity test pins that
+    both modes produce the SAME candidate-pair set on a corpus with
+    planted near-duplicates (tests/test_textops_modes.py)."""
+    return _lsh_candidate_pairs(spark, sf_dir, hash_mode="xxhash64")
+
+
+def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str, hash_mode: str) -> DataFrame:
+    mins = _minhash_wide(spark, sf_dir, hash_mode=hash_mode)
     band_rows = ", ".join(
         f"cast({band} as bigint), md5(concat_ws('|', cast(m{4*band} as string), cast(m{4*band+1} as string), cast(m{4*band+2} as string), cast(m{4*band+3} as string)))"
         for band in range(N_LSH_BANDS)
@@ -518,13 +556,22 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality score for training-data filtering: length
     saturation × type-token ratio × punctuation-noise penalty — the
     standard heuristic-scoring shape (each factor in [0,1]), all
-    engine-portable arithmetic."""
+    engine-portable arithmetic. Token array projected once (see
+    text_stats) so the tokenizer regex runs once per row."""
     d = load(spark, sf_dir, "documents").where(F.length("text") > 0)
-    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0))
+    d = d.withColumns(
+        {
+            "_toks": F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0)),
+            "_n_punct": F.size(
+                F.regexp_extract_all(F.col("text"), F.lit(r"[^\w\s]"), F.lit(0))
+            ).cast("long"),
+        }
+    )
+    toks = F.col("_toks")
     n_tokens = F.size(toks).cast("long")
     n_uniq = F.size(F.array_distinct(toks)).cast("long")
     n_chars = F.length("text")
-    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^\w\s]"), F.lit(0))).cast("long")
+    n_punct = F.col("_n_punct")
     ttr = n_uniq.cast("double") / F.greatest(n_tokens, F.lit(1))
     punct_ratio = n_punct.cast("double") / n_chars
     quality = (

@@ -27,6 +27,39 @@ def test_parse_frontmatter_shapes():
     assert parse_frontmatter("") == ({}, "")
 
 
+def test_parse_frontmatter_nested_yaml_golden():
+    """Pin the DOCUMENTED narrowing for nested YAML (the reference's
+    python-frontmatter, ``prepare_data.py:111-115``, would parse the
+    full structure): nested mapping keys are promoted to top level with
+    their scalar values (indentation stripped), a parent key with no
+    inline value maps to '', and list items ('- x' lines, no colon) are
+    dropped. metadata stays flat map<string,string>."""
+    text = (
+        "---\n"
+        "title: Doc\n"
+        "author:\n"
+        "  name: Alice\n"
+        "  email: a@example.com\n"
+        "tags:\n"
+        "- spark\n"
+        "- rag\n"
+        "nested: 'quoted: not a split'\n"
+        "---\n"
+        "the body"
+    )
+    meta, body = parse_frontmatter(text)
+    assert meta == {
+        "title": "Doc",
+        "author": "",
+        "name": "Alice",
+        "email": "a@example.com",
+        "tags": "",
+        # partition() splits on the FIRST colon; quotes stripped from ends
+        "nested": "quoted: not a split",
+    }
+    assert body == "the body"
+
+
 def test_notebook_to_markdown_golden():
     raw = (
         '{"cells": [{"cell_type": "markdown", "source": ["# T"]},'
