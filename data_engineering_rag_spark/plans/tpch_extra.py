@@ -1,0 +1,282 @@
+"""TPC-H shapes q6/q8/q9/q12/q13/q15/q20 adapted to the synthetic
+testdata schema (no partsupp/receiptdate/commitdate/shipmode columns —
+adaptations noted per query). Completes the q1-q22 sweep started in
+``relational.py``; EXT breadth, not reference parity (the reference has
+no relational engine — BASELINE.json).
+
+Determinism: every double aggregate goes through the exact-decimal
+accumulate → deterministic double conversion pattern (``_dsum``); every
+ratio divides two already-deterministic doubles and rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import load, query
+from .relational import _dsum
+
+
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT round(cast(sum(cast(l_extendedprice * l_discount as decimal(18,6))) as double), 6) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= timestamp '1996-01-01 00:00:00'
+      AND l_shipdate < timestamp '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6: pure filter + global agg — the canonical predicate-
+    pushdown query. All four predicates reach the parquet scan
+    (min/max row-group pruning on shipdate); no shuffle at all beyond
+    the single-row final agg."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dsum(F.col("l_extendedprice") * F.col("l_discount"), 6).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q8_market_share",
+    """
+    WITH all_nations AS (
+      SELECT year(o_orderdate) AS o_year,
+             cast(l_extendedprice * (1 - l_discount) as decimal(18,6)) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+    )
+    SELECT o_year,
+           round(cast(coalesce(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume END),
+                               cast(0 as decimal(18,6))) as double)
+                 / cast(sum(volume) as double), 8) AS mkt_share
+    FROM all_nations GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8 national market share (adapted: no ps_supplycost).
+    Star-join: every dimension (part/supplier/customer/nation/region)
+    broadcasts after its filter; the only shuffles are lineitem⋈orders
+    on orderkey and the final 7-group agg. Share = decimal-exact
+    conditional sum / decimal-exact total, divided as doubles."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    part = load(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    supp = load(spark, sf_dir, "supplier")
+    n1 = nat.alias("n1")
+    n2 = nat.select(
+        F.col("n_nationkey").alias("n2_nationkey"), F.col("n_name").alias("supp_nation")
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(reg), F.col("n1.n_regionkey") == reg.r_regionkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), supp.s_nationkey == n2.n2_nationkey)
+        .select(F.year("o_orderdate").alias("o_year"), vol.alias("volume"), "supp_nation")
+    )
+    num = F.coalesce(
+        F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume"))),
+        F.lit(0).cast("decimal(18,6)"),
+    )
+    return joined.groupBy("o_year").agg(
+        F.round(num.cast("double") / F.sum("volume").cast("double"), 8).alias("mkt_share")
+    )
+
+
+@query(
+    "q9_product_profit",
+    """
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           round(cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,6))) as double), 6) AS profit
+    FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN part     ON l_partkey = p_partkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9 product-type profit (adapted: profit term drops
+    ps_supplycost — no partsupp table). part(LIKE-filtered), supplier,
+    nation broadcast; lineitem⋈orders is the single big shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders")
+    part = load(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("profit"))
+    )
+
+
+@query(
+    "q12_late_shipment_priority",
+    """
+    SELECT l_returnflag AS ship_class,
+           cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) as bigint) AS high_line_count,
+           cast(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) as bigint) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= timestamp '1996-01-01 00:00:00'
+      AND l_shipdate < timestamp '1998-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+)
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12 shape (adapted: no l_shipmode/l_receiptdate — classes
+    come from l_returnflag, 'late' is shipped >60 days after order).
+    Join + conditional-count agg; the date filters push to the scan,
+    the lateness predicate evaluates post-join."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q13_customer_order_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+          GROUP BY c_custkey)
+    GROUP BY c_count
+    """,
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13 customer distribution: left join with an extra join
+    predicate (not a post-filter — unmatched customers must survive
+    with count 0), two-level aggregation. count(o_orderkey) counts
+    non-null keys only, so customers with no qualifying orders land in
+    the c_count=0 bucket in both engines."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "5-LOW")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@query(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,6))) as double), 6) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= timestamp '1996-01-01 00:00:00'
+        AND l_shipdate < timestamp '1996-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15 top supplier: derived revenue view + scalar-subquery
+    max. The max is a 1-row broadcast; equality compares the SAME
+    deterministically-rounded doubles on both sides, so ties (all
+    argmax rows) surface identically in both engines."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    supp = load(spark, sf_dir, "supplier")
+    return (
+        supp.join(revenue, supp.s_suppkey == revenue.supplier_no)
+        .join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q20_dominant_part_suppliers",
+    """
+    WITH part_supp_qty AS (
+      SELECT l_partkey, l_suppkey,
+             sum(cast(l_quantity as decimal(18,2))) AS supp_qty
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    part_total AS (
+      SELECT l_partkey, sum(supp_qty) AS total_qty
+      FROM part_supp_qty GROUP BY l_partkey)
+    SELECT DISTINCT s_suppkey, s_name
+    FROM supplier
+      JOIN part_supp_qty ON s_suppkey = l_suppkey
+      JOIN part_total USING (l_partkey)
+    WHERE 2 * supp_qty > total_qty
+    """,
+)
+def q20_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20 shape (adapted: no partsupp.availqty — 'dominant'
+    means the supplier shipped >50%% of a part's total quantity).
+    Two-level agg reusing the first agg's partitioning (partkey is a
+    prefix of (partkey, suppkey) — no extra shuffle for part_total),
+    then a broadcast-joined semi-ish filter. ``2*qty > total`` keeps
+    the comparison in exact decimals — no 0.5 double factor."""
+    li = load(spark, sf_dir, "lineitem")
+    psq = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("supp_qty")
+    )
+    total = psq.groupBy("l_partkey").agg(F.sum("supp_qty").alias("total_qty"))
+    supp = load(spark, sf_dir, "supplier")
+    return (
+        psq.join(total, "l_partkey")
+        .where(F.lit(2) * F.col("supp_qty") > F.col("total_qty"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
