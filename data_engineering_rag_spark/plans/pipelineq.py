@@ -1,0 +1,262 @@
+"""Training-data-pipeline operators over ``documents`` (EXT family —
+the corpus-preparation stages a 100 TB LLM data pipeline runs between
+raw ingest and tokenization): PII redaction, deterministic dataset
+splits, stratified rebalancing, collocation mining, canonical-doc
+dedup materialization.
+
+Scale notes: every op is a narrow map or a map-side-combinable agg —
+no all-pairs shapes, no driver loops. Determinism: splits/samples are
+hash-bucketed (md5 — engine-portable), never RNG; PMI arithmetic is
+exact-integer counts divided as doubles with explicit rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.tfidf import TOKEN_PATTERN
+from . import load, query
+
+# RE2- and Java-compatible redaction patterns (no lookarounds, no \b
+# dependence differences): email, URL, long digit runs (ids/phones).
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_URL_RE = r"https?://[^ \t\n]+"
+_NUM_RE = r"[0-9]{6,}"
+
+
+@query(
+    "pii_redact",
+    f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '{_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_URL_RE}', '<URL>', 'g'),
+             '{_NUM_RE}', '<NUM>', 'g') AS redacted,
+           cast(len(regexp_extract_all(text, '{_EMAIL_RE}')) as bigint) AS n_emails,
+           cast(len(regexp_extract_all(text, '{_URL_RE}')) as bigint) AS n_urls,
+           cast(len(regexp_extract_all(text, '{_NUM_RE}')) as bigint) AS n_nums
+    FROM documents
+    """,
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: emails / URLs / long digit runs replaced by
+    typed placeholder tokens, per-doc hit counts kept for audit. Order
+    of the three passes matters (emails before NUM so the local part's
+    digits don't get clipped first) and is identical in both engines.
+    Narrow map — scales linearly, no shuffle."""
+    d = load(spark, sf_dir, "documents")
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"), _URL_RE, "<URL>"
+        ),
+        _NUM_RE,
+        "<NUM>",
+    )
+    return d.select(
+        "doc_id",
+        red.alias("redacted"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_URL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_urls"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_NUM_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_nums"),
+    )
+
+
+# Split fractions: 80 / 10 / 10 over 100 hash buckets. Salted key so the
+# assignment is independent of any other hash-bucketed op in the repo.
+_SPLIT_SALT = "split42|"
+
+
+def _bucket_sql(key: str) -> str:
+    return (
+        f"cast(concat('0x', substr(md5(concat('{_SPLIT_SALT}', cast({key} as varchar))), 1, 15)) "
+        "as bigint) % 100"
+    )
+
+
+def _bucket_col(key) -> F.Column:
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(_SPLIT_SALT), key.cast("string"))), 1, 15), 16, 10
+        ).cast("long")
+        % 100
+    )
+
+
+@query(
+    "dataset_split_assign",
+    f"""
+    SELECT doc_id, lang, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, lang, {_bucket_sql("doc_id")} AS bucket FROM documents)
+    """,
+)
+def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by salted hash bucket —
+    the split survives re-runs, insertions, and repartitioning (a row's
+    split depends only on its key, never on row order or an RNG seed).
+    The 100 TB property that matters: adding documents never reshuffles
+    existing assignments, so incremental pipeline runs stay consistent."""
+    d = load(spark, sf_dir, "documents")
+    bucket = _bucket_col(F.col("doc_id"))
+    split = (
+        F.when(F.col("bucket") < 80, "train").when(F.col("bucket") < 90, "val").otherwise("test")
+    )
+    return d.select("doc_id", "lang", bucket.alias("bucket")).withColumn("split", split)
+
+
+# Per-language keep-rates for corpus rebalancing: downsample the
+# over-represented language, keep the tail languages whole.
+_LANG_KEEP_PCT = {"en": 25}  # everything else: 100
+_REBAL_SALT = "rebal7|"
+
+
+@query(
+    "stratified_rebalance",
+    f"""
+    WITH kept AS (
+      SELECT doc_id, lang,
+             cast(concat('0x', substr(md5(concat('{_REBAL_SALT}', cast(doc_id as varchar))), 1, 15))
+                  as bigint) % 100 AS b
+      FROM documents)
+    SELECT doc_id, lang FROM kept
+    WHERE b < (CASE WHEN lang = 'en' THEN {_LANG_KEEP_PCT["en"]} ELSE 100 END)
+    """,
+)
+def stratified_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling for corpus balance: per-language keep
+    fraction applied via salted hash buckets (en is ~half this corpus →
+    keep 25%; tail languages kept whole). Same determinism contract as
+    ``dataset_split_assign``; at scale this is the standard
+    over-represented-source throttle, a pushdown-friendly filter with
+    zero shuffles."""
+    d = load(spark, sf_dir, "documents")
+    b = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(_REBAL_SALT), F.col("doc_id").cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    keep = F.when(F.col("lang") == "en", F.lit(_LANG_KEEP_PCT["en"])).otherwise(F.lit(100))
+    return d.select("doc_id", "lang", b.alias("_b")).where(F.col("_b") < keep).drop("_b")
+
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 20
+
+
+@query(
+    "bigram_pmi_top20",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS a
+      FROM documents),
+    bigrams AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(a) - 1),
+                                           i -> concat(a[i], ' ', a[i + 1]))) AS bg
+      FROM toks WHERE len(a) >= 2),
+    unigrams AS (
+      SELECT unnest(a) AS term FROM toks),
+    uc AS (SELECT term, count(*) AS c FROM unigrams GROUP BY term),
+    n_uni AS (SELECT count(*) AS n FROM unigrams),
+    bc AS (SELECT bg, count(*) AS c_ab FROM bigrams GROUP BY bg),
+    scored AS (
+      SELECT bg AS bigram, c_ab,
+             round(ln(cast(c_ab as double) * n
+                      / (cast(ca.c as double) * cast(cb.c as double))), 8) AS pmi
+      FROM bc
+        JOIN uc ca ON split_part(bg, ' ', 1) = ca.term
+        JOIN uc cb ON split_part(bg, ' ', 2) = cb.term
+        CROSS JOIN n_uni
+      WHERE c_ab >= {PMI_MIN_COUNT})
+    SELECT bigram, c_ab, pmi FROM scored
+    ORDER BY pmi DESC, bigram LIMIT {PMI_TOP_K}
+    """,
+)
+def bigram_pmi_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-{PMI_TOP_K} bigrams by pointwise mutual
+    information, min count {PMI_MIN_COUNT} — the classic phrase-
+    detection pass (word2vec-style phrase merging). PMI uses unigram
+    occurrence counts over ALL tokens as the denominator distribution.
+    Shapes: bigram fan-out is a narrow map (transform over the token
+    array, no self-join); unigram/bigram counts are map-side-combined
+    groupBys; the count tables join on term (bigram side is the big
+    one, unigram side stays broadcastable per-term)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0)).alias("a")
+    )
+    bigrams = (
+        toks.where(F.size("a") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("a") - 2),
+                    lambda i: F.concat(
+                        F.element_at(F.col("a"), i + 1),
+                        F.lit(" "),
+                        F.element_at(F.col("a"), i + 2),
+                    ),
+                )
+            ).alias("bg")
+        )
+    )
+    unigrams = toks.select(F.explode("a").alias("term"))
+    uc = unigrams.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    n_uni = unigrams.agg(F.count(F.lit(1)).alias("n"))
+    bc = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("c_ab"))
+    ca = uc.select(F.col("term").alias("t1"), F.col("c").alias("c1"))
+    cb = uc.select(F.col("term").alias("t2"), F.col("c").alias("c2"))
+    scored = (
+        bc.where(F.col("c_ab") >= PMI_MIN_COUNT)
+        .join(F.broadcast(ca), F.split_part(F.col("bg"), F.lit(" "), F.lit(1)) == F.col("t1"))
+        .join(F.broadcast(cb), F.split_part(F.col("bg"), F.lit(" "), F.lit(2)) == F.col("t2"))
+        .crossJoin(F.broadcast(n_uni))
+        .select(
+            F.col("bg").alias("bigram"),
+            "c_ab",
+            F.round(
+                F.log(
+                    F.col("c_ab").cast("double")
+                    * F.col("n")
+                    / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+                ),
+                8,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "bigram").limit(PMI_TOP_K)
+
+
+@query(
+    "dedup_canonical_docs",
+    """
+    SELECT md5(text) AS content_md5,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup materialization: one canonical survivor (min doc_id)
+    per content hash, with the copy count for provenance. The follow-on
+    corpus write is ``documents ⋈ keep_doc_id`` (a semi join on the
+    surviving ids). Shuffles 16-byte hashes + one id — the cheapest
+    possible dedup-apply at 100 TB."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5("text").alias("content_md5"), "doc_id")
+        .groupBy("content_md5")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
