@@ -379,3 +379,135 @@ def knn_graph_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= KNN_K)
         .select("src", "dst", "cosine", F.col("rn").cast("long").alias("rn"))
     )
+
+
+# --------------------------------------------------------------------------
+# K-means (Lloyd) — iterative algorithm demo with a fully-unrolled oracle
+# --------------------------------------------------------------------------
+
+KMEANS_ITERS = 2
+
+
+def _km_comp_sql() -> str:
+    """(vec_id, label, pos, val) component table, 1-based positions."""
+    return """
+    SELECT vec_id, label, u.pos AS pos, u.val AS val
+    FROM (SELECT vec_id, label,
+                 unnest(list_transform(range(1, len(embedding) + 1),
+                                       i -> {'pos': i, 'val': embedding[i]::DOUBLE})) AS u
+          FROM embeddings)
+    """
+
+
+def _km_centroid_sql(src: str, key: str) -> str:
+    """Per-dimension decimal-exact mean over ``src`` grouped by ``key``,
+    rebuilt into an ordered array: the 8-dp round makes the centroid
+    doubles bit-identical across engines before the next fold."""
+    return f"""
+    SELECT {key} AS cid, list(cval ORDER BY pos) AS cv
+    FROM (SELECT {key}, pos,
+                 round(cast(sum(cast(val as decimal(28,12))) as double) / count(*), 8) AS cval
+          FROM {src} GROUP BY {key}, pos)
+    GROUP BY {key}
+    """
+
+
+def _km_assign_sql(centroids: str) -> str:
+    """argmin_c d²(v, c) with rounded distances + cid tie-break."""
+    return f"""
+    SELECT vec_id, cid, d2 FROM (
+      SELECT v.vec_id, c.cid,
+             round(list_dot_product(v.ev, v.ev) - 2 * list_dot_product(v.ev, c.cv)
+                   + list_dot_product(c.cv, c.cv), 8) AS d2,
+             row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY round(list_dot_product(v.ev, v.ev) - 2 * list_dot_product(v.ev, c.cv)
+                              + list_dot_product(c.cv, c.cv), 8), c.cid) AS rn
+      FROM vecs v CROSS JOIN {centroids} c)
+    WHERE rn = 1
+    """
+
+
+@query(
+    "kmeans_lloyd_2iter",
+    f"""
+    WITH comp AS ({_km_comp_sql()}),
+    vecs AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+    c0 AS ({_km_centroid_sql("comp", "label")}),
+    a1 AS ({_km_assign_sql("c0")}),
+    comp1 AS (SELECT c.vec_id, a1.cid AS label, c.pos, c.val
+              FROM comp c JOIN a1 ON c.vec_id = a1.vec_id),
+    c1 AS ({_km_centroid_sql("comp1", "label")}),
+    a2 AS ({_km_assign_sql("c1")})
+    SELECT cid AS cluster_id, count(*) AS n_members,
+           round(cast(sum(cast(d2 as decimal(28,8))) as double), 8) AS wcss,
+           round(cast(sum(cast(d2 as decimal(28,8))) as double) / count(*), 8) AS avg_d2
+    FROM a2 GROUP BY cid
+    """,
+)
+def kmeans_lloyd_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means, {KMEANS_ITERS} Lloyd iterations, k = |labels|,
+    deterministic init from the per-label centroids (no RNG — the
+    engine-portable seeding rule, same spirit as hash-bucket sampling).
+
+    The distributed shape each iteration: centroids are k×d ≈ tiny →
+    BROADCAST to the assignment map (a cross join + per-row argmin
+    fold, no shuffle of the vector table); the recompute is a
+    (cid, pos)-keyed groupBy whose partial aggregation reduces every
+    partition to k×d cells before the exchange — the canonical
+    scalable k-means|| inner loop. Cross-engine float discipline:
+    per-dimension means are exact-decimal sums rounded to 8 dp (both
+    engines iterate on IDENTICAL centroid doubles), distances use the
+    dot-product-identity folds proven bit-stable by ``ann_cosine_topk``,
+    and argmin breaks ties on rounded distance then cid.
+
+    Emits per-cluster membership + WCSS after iteration {KMEANS_ITERS}
+    (returning the full assignment would also oracle-match; the summary
+    keeps the driver-side compare small)."""
+    e = load(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("ev"))
+    comp = e.select(
+        "vec_id",
+        F.col("label").cast("long").alias("cid"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "val"),
+    ).select("vec_id", "cid", (F.col("pos0") + 1).alias("pos"), "val")
+
+    def centroids(comp_df: DataFrame) -> DataFrame:
+        means = comp_df.groupBy("cid", "pos").agg(
+            F.round(
+                F.sum(F.col("val").cast("decimal(28,12)")).cast("double") / F.count(F.lit(1)), 8
+            ).alias("cval")
+        )
+        return means.groupBy("cid").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "cval"))), lambda s: s["cval"]
+            ).alias("cv")
+        )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        d2 = F.round(
+            l2_norm_sq(F.col("ev"))
+            - 2 * dot(F.col("ev"), F.col("cv"))
+            + l2_norm_sq(F.col("cv")),
+            8,
+        )
+        w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+        return (
+            vecs.crossJoin(F.broadcast(cent))
+            .select("vec_id", "cid", d2.alias("d2"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    a = assign(centroids(comp))
+    for _ in range(KMEANS_ITERS - 1):
+        comp_i = comp.drop("cid").join(a.select("vec_id", "cid"), "vec_id")
+        a = assign(centroids(comp_i))
+    return a.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.sum(F.col("d2").cast("decimal(28,8)")).cast("double"), 8).alias("wcss"),
+        F.round(
+            F.sum(F.col("d2").cast("decimal(28,8)")).cast("double") / F.count(F.lit(1)), 8
+        ).alias("avg_d2"),
+    )

@@ -1,0 +1,58 @@
+"""Source/sink format contracts beyond the round-trips covered in
+test_edge_cases: ORC round-trip (values AND pushdown), hive-partitioned
+parquet layout with partition pruning visible in the plan — the layout
+properties the 100 TB story depends on."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineering_rag_spark.plans import load
+from data_engineering_rag_spark.sources.io import (
+    read_orc,
+    read_parquet,
+    write_orc,
+    write_parquet,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
+    src = load(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_orc")
+    write_orc(src, path)
+    back = read_orc(spark, path)
+    assert sorted(map(tuple, src.collect())) == sorted(map(tuple, back.collect()))
+    filtered = back.where(F.col("n_nationkey") < 5).select("n_name")
+    plan = _plan(filtered)
+    assert "PushedFilters" in plan and "n_nationkey" in plan.split("PushedFilters")[1][:200]
+
+
+def test_partitioned_parquet_prunes_partitions(spark, sf_dir, tmp_path):
+    docs = load(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_by_lang")
+    write_parquet(docs, path, partition_by=["lang"])
+    back = read_parquet(spark, path)
+    # same rows (lang becomes a partition column, order of cols may differ)
+    assert back.count() == docs.count()
+    one_lang = back.where(F.col("lang") == "en")
+    plan = _plan(one_lang)
+    # partition pruning: the lang predicate must be a PartitionFilter on
+    # the scan, not a post-scan Filter over all partitions
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "lang" in pf
+    assert one_lang.count() == docs.where(F.col("lang") == "en").count()
+
+
+def test_partitioned_orc_roundtrip(spark, sf_dir, tmp_path):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = str(tmp_path / "docs_orc_by_lang")
+    write_orc(docs, path, partition_by=["lang"])
+    back = read_orc(spark, path)
+    got = {(r.doc_id, r.lang, r.n_chars) for r in back.collect()}
+    want = {(r.doc_id, r.lang, r.n_chars) for r in docs.collect()}
+    assert got == want
