@@ -260,3 +260,79 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("content_md5")
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
     )
+
+
+STRAT_N = 20
+_STRAT_SALT = "strat9|"
+
+
+@query(
+    "sample_n_per_lang",
+    f"""
+    SELECT doc_id, lang, cast(rn as bigint) AS rn FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(concat('{_STRAT_SALT}', cast(doc_id as varchar))), doc_id) AS rn
+      FROM documents) WHERE rn <= {STRAT_N}
+    """,
+)
+def sample_n_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-n stratified sample: {STRAT_N} docs per language by salted
+    hash order — the per-group companion to ``deterministic_sample_docs``
+    (reservoir sampling without the RNG: hash order is the shuffle).
+    Distributed shape: one window per group, rank cutoff — partial
+    top-n per partition would kick in via TakeOrdered if expressed as
+    global sort; per-group the window shuffles only (lang) keys."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit(_STRAT_SALT), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(key, "doc_id")
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= STRAT_N)
+        .select("doc_id", "lang", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+PACK_BUDGET_CHARS = 4096
+
+
+@query(
+    "sequence_pack_greedy",
+    f"""
+    SELECT doc_id, lang, n_chars,
+           cast(floor(cast(cb as double) / {PACK_BUDGET_CHARS}) as bigint) AS pack_id
+    FROM (SELECT doc_id, lang, n_chars,
+                 coalesce(sum(n_chars) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+          FROM documents)
+    """,
+)
+def sequence_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: contiguous greedy packing
+    by cumulative size — doc d joins pack floor(chars_before_d/budget),
+    so packs fill to ~budget with at most one overflowing tail doc (the
+    standard streaming-pack approximation; exact bin packing is not
+    order-stable, hence not distributable). Integer running sums are
+    exact in both engines; the /budget floor is a <2^53 double divide.
+    Shape: one window per language partition — no shuffle beyond the
+    (lang) keys, and at 100 TB the pack assignment stays a narrow
+    window over the natural ingest order."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cb = F.coalesce(F.sum("n_chars").over(w), F.lit(0))
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.floor(cb.cast("double") / PACK_BUDGET_CHARS).cast("long").alias("pack_id"),
+    )

@@ -511,3 +511,112 @@ def kmeans_lloyd_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("d2").cast("decimal(28,8)")).cast("double") / F.count(F.lit(1)), 8
         ).alias("avg_d2"),
     )
+
+
+N_PROBES = 2
+
+
+@query(
+    "ivf_ann_multiprobe",
+    f"""
+    WITH {_centroid_cte()},
+    qpos AS (
+      SELECT vec_id AS q_id, cast(pos as bigint) AS pos,
+             cast(embedding[cast(pos as int)] as double) AS x
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(pos)
+      WHERE vec_id < {N_QUERIES}
+    ),
+    qc AS (
+      SELECT q_id, label,
+             round(sum(x * c) / (sqrt(sum(x * x)) * sqrt(sum(c * c))), 8) AS ccos
+      FROM qpos JOIN cents USING (pos)
+      GROUP BY q_id, label
+    ),
+    probes AS (
+      SELECT q_id, label FROM (
+        SELECT q_id, label,
+               row_number() OVER (PARTITION BY q_id ORDER BY ccos DESC, label) AS rn
+        FROM qc) WHERE rn <= {N_PROBES}
+    ),
+    q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT p.q_id, p.label AS probe_label, e.vec_id,
+             round(list_dot_product(qv, e.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 8)
+               + 0.0 AS cosine
+      FROM probes p JOIN q ON p.q_id = q.q_id
+      JOIN embeddings e ON e.label = p.label AND e.vec_id <> p.q_id
+    )
+    SELECT q_id, probe_label, vec_id, cosine, cast(rn as bigint) AS rn FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn
+      FROM scored) WHERE rn <= {ANN_K}
+    """,
+)
+def ivf_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 recall lever: multi-probe IVF — each query scans its
+    ``N_PROBES`` nearest centroid buckets instead of 1, trading
+    ``nprobe/|labels|`` of the corpus per query for recall (the
+    standard IVF knob; buckets are disjoint so the candidate union
+    needs no dedup). Identical distributed shape to ``ivf_ann_topk``:
+    broadcast codebook, equi-join probe, per-query top-k."""
+    e = load(spark, sf_dir, "embeddings")
+    ev = e.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+    cents = (
+        ev.select("label", F.posexplode("v"))
+        .select("label", (F.col("pos") + 1).cast("long").alias("pos"), F.col("col").alias("x"))
+        .groupBy("label", "pos")
+        .agg(
+            (
+                F.round(
+                    F.sum(F.col("x").cast("decimal(18,9)")).cast("double") / F.count(F.lit(1)), 8
+                )
+                + F.lit(0.0)
+            ).alias("c")
+        )
+    )
+    qpos = (
+        ev.where(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), F.posexplode("v"))
+        .select("q_id", (F.col("pos") + 1).cast("long").alias("pos"), F.col("col").alias("x"))
+    )
+    qc = (
+        qpos.join(cents, "pos")
+        .groupBy("q_id", "label")
+        .agg(
+            F.round(
+                F.sum(F.col("x") * F.col("c"))
+                / (
+                    F.sqrt(F.sum(F.col("x") * F.col("x")))
+                    * F.sqrt(F.sum(F.col("c") * F.col("c")))
+                ),
+                8,
+            ).alias("ccos")
+        )
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("ccos").desc(), F.col("label"))
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= N_PROBES)
+        .select("q_id", F.col("label").alias("probe_label"))
+    )
+    q = ev.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    cand = ev.select("vec_id", "label", F.col("v").alias("cv"))
+    cos = F.round(
+        dot(F.col("qv"), F.col("cv"))
+        / (F.sqrt(l2_norm_sq(F.col("qv"))) * F.sqrt(l2_norm_sq(F.col("cv")))),
+        8,
+    ) + F.lit(0.0)
+    scored = (
+        F.broadcast(probes.join(q, "q_id"))
+        .join(cand, (cand.label == F.col("probe_label")) & (cand.vec_id != F.col("q_id")))
+        .select("q_id", "probe_label", "vec_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= ANN_K)
+        .select("q_id", "probe_label", "vec_id", "cosine", F.col("rn").cast("long").alias("rn"))
+    )
