@@ -904,6 +904,21 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("agg_approx_percentile", None)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (Greenwald-Khanna sketch): mergeable fixed-size
+    per-partition summaries — the distributed-percentile shape at 100 TB
+    (exact percentiles need a full sort; the sketch needs one combine).
+    Sketch internals differ across engines, so rows-only; the pytest
+    suite bounds its rank error against the exact percentiles."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p50_price"),
+        F.percentile_approx("l_extendedprice", 0.95, 1000).alias("p95_price"),
+        F.percentile_approx("l_quantity", 0.5, 1000).alias("p50_qty"),
+    )
+
+
 @query(
     "scalar_map_funcs",
     """

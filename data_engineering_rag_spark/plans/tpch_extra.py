@@ -250,33 +250,39 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_partkey, l_suppkey,
              sum(cast(l_quantity as decimal(18,2))) AS supp_qty
       FROM lineitem GROUP BY l_partkey, l_suppkey),
-    part_total AS (
-      SELECT l_partkey, sum(supp_qty) AS total_qty
-      FROM part_supp_qty GROUP BY l_partkey)
-    SELECT DISTINCT s_suppkey, s_name
-    FROM supplier
-      JOIN part_supp_qty ON s_suppkey = l_suppkey
-      JOIN part_total USING (l_partkey)
-    WHERE 2 * supp_qty > total_qty
+    with_totals AS (
+      SELECT l_partkey, l_suppkey, supp_qty,
+             sum(supp_qty) OVER (PARTITION BY l_partkey) AS total_qty,
+             count(*) OVER (PARTITION BY l_partkey) AS n_supp
+      FROM part_supp_qty)
+    SELECT s_suppkey, s_name, count(*) AS n_dominant_parts
+    FROM supplier JOIN with_totals ON s_suppkey = l_suppkey
+    WHERE n_supp * supp_qty > 2 * total_qty
+    GROUP BY s_suppkey, s_name
     """,
 )
 def q20_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H-Q20 shape (adapted: no partsupp.availqty — 'dominant'
-    means the supplier shipped >50%% of a part's total quantity).
-    Two-level agg reusing the first agg's partitioning (partkey is a
-    prefix of (partkey, suppkey) — no extra shuffle for part_total),
-    then a broadcast-joined semi-ish filter. ``2*qty > total`` keeps
-    the comparison in exact decimals — no 0.5 double factor."""
+    """TPC-H-Q20 shape (adapted: no partsupp.availqty — 'dominant' on a
+    part means shipping more than 2× the part's mean per-supplier
+    quantity; an absolute >50%%-share gate is structurally empty on this
+    synthetic data where every part has ~40 suppliers). Emits how many
+    parts each supplier dominates. Part totals come from a WINDOW over
+    the per-(part,supplier) agg — not a second groupBy + self-join —
+    saving one exchange and the join. ``n·qty > 2·total`` keeps the
+    comparison in exact decimal×integer arithmetic — no double factor."""
+    from pyspark.sql.window import Window
+
     li = load(spark, sf_dir, "lineitem")
     psq = li.groupBy("l_partkey", "l_suppkey").agg(
         F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("supp_qty")
     )
-    total = psq.groupBy("l_partkey").agg(F.sum("supp_qty").alias("total_qty"))
+    w = Window.partitionBy("l_partkey")
     supp = load(spark, sf_dir, "supplier")
     return (
-        psq.join(total, "l_partkey")
-        .where(F.lit(2) * F.col("supp_qty") > F.col("total_qty"))
+        psq.withColumn("total_qty", F.sum("supp_qty").over(w))
+        .withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .where(F.col("n_supp") * F.col("supp_qty") > F.lit(2) * F.col("total_qty"))
         .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
-        .select("s_suppkey", "s_name")
-        .distinct()
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_dominant_parts"))
     )

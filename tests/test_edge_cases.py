@@ -49,3 +49,22 @@ def test_search_k_larger_than_corpus(spark):
     df = spark.createDataFrame([(1, "spark"), (2, "join")], DOC_SCHEMA)
     model = build_tfidf(df, key_cols=["doc_id"], text_fields=["content"])
     assert search_topk(spark, model, "spark join", k=100).count() == 2
+
+
+def test_approx_percentile_error_bound(spark, sf_dir):
+    """GK-sketch rank error at accuracy=1000 is <= 1/1000; assert the
+    approximate percentiles land within a loose 1% rank band of exact."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_rag_spark.plans import REGISTRY, load
+
+    row = REGISTRY["agg_approx_percentile"].spark(spark, sf_dir).collect()[0]
+    li = load(spark, sf_dir, "lineitem")
+    n = li.count()
+    for col, approx, q in (
+        ("l_extendedprice", row.p50_price, 0.5),
+        ("l_extendedprice", row.p95_price, 0.95),
+        ("l_quantity", row.p50_qty, 0.5),
+    ):
+        rank = li.where(F.col(col) <= approx).count() / n
+        assert abs(rank - q) <= 0.01, (col, q, rank)
