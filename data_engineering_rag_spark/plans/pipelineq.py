@@ -336,3 +336,174 @@ def sequence_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.floor(cb.cast("double") / PACK_BUDGET_CHARS).cast("long").alias("pack_id"),
     )
+
+
+SHINGLE_REP_K = 5  # char-shingle width for repetition detection
+
+
+@query(
+    "repetition_stats",
+    f"""
+    SELECT doc_id,
+           cast(len(sh) as bigint) AS n_shingles,
+           cast(len(list_distinct(sh)) as bigint) AS n_uniq_shingles,
+           round(1.0 - cast(len(list_distinct(sh)) as double) / len(sh), 8) AS dup_shingle_frac
+    FROM (SELECT doc_id,
+                 list_transform(generate_series(1, length(text) - {SHINGLE_REP_K} + 1),
+                                i -> substr(text, cast(i as int), {SHINGLE_REP_K})) AS sh
+          FROM documents WHERE length(text) >= {SHINGLE_REP_K})
+    """,
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition detection (the Gopher/MassiveText
+    repetition filter family): fraction of duplicate char-{SHINGLE_REP_K}-grams
+    inside each doc — high values flag boilerplate/looped generations.
+    Narrow map (per-row array build + distinct), no shuffle; the row-
+    local array is O(len) and never crosses a stage boundary."""
+    d = load(spark, sf_dir, "documents").where(F.length("text") >= SHINGLE_REP_K)
+    d = d.withColumn(
+        "_sh",
+        F.transform(
+            F.sequence(F.lit(1), F.length("text") - SHINGLE_REP_K + 1),
+            lambda i: F.col("text").substr(i, F.lit(SHINGLE_REP_K)),
+        ),
+    )
+    return d.select(
+        "doc_id",
+        F.size("_sh").cast("long").alias("n_shingles"),
+        F.size(F.array_distinct("_sh")).cast("long").alias("n_uniq_shingles"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct("_sh")).cast("double") / F.size("_sh"), 8
+        ).alias("dup_shingle_frac"),
+    )
+
+
+DECON_EVAL_DOCS = 10  # doc_id < this plays the held-out eval set
+DECON_NGRAM = 3  # word n-grams
+DECON_MIN_SHARED = 3  # flag docs sharing >= this many distinct n-grams
+
+
+def _wordgram_sql(src_filter: str) -> str:
+    return f"""
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(generate_series(1, len(a) - {DECON_NGRAM} + 1),
+                              i -> concat(a[i], ' ', a[i + 1], ' ', a[i + 2])))) AS gram
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS a
+            FROM documents WHERE {src_filter})
+      WHERE len(a) >= {DECON_NGRAM}
+    """
+
+
+@query(
+    "decontaminate_overlap",
+    f"""
+    WITH eval_grams AS ({_wordgram_sql(f"doc_id < {DECON_EVAL_DOCS}")}),
+    train_grams AS ({_wordgram_sql(f"doc_id >= {DECON_EVAL_DOCS}")})
+    SELECT t.doc_id AS train_doc_id, e.doc_id AS eval_doc_id,
+           count(*) AS n_shared_grams
+    FROM train_grams t JOIN eval_grams e ON t.gram = e.gram
+    GROUP BY t.doc_id, e.doc_id
+    HAVING count(*) >= {DECON_MIN_SHARED}
+    """,
+)
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing ≥{DECON_MIN_SHARED}
+    distinct word-{DECON_NGRAM}-grams with any held-out eval doc
+    (doc_id < {DECON_EVAL_DOCS} plays the eval set). The gram equi-join
+    is the scalable shape (same as ``jaccard_similarity_sample``):
+    |pairs| is bounded by actual overlap, never |train|×|eval|; the
+    eval side is tiny → broadcasts. At 100 TB you additionally drop
+    stop-grams (df above a cap) before the join — the same df-filter
+    used in TF-IDF — to bound the hottest keys."""
+    d = load(spark, sf_dir, "documents")
+
+    def grams(df: DataFrame) -> DataFrame:
+        toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0))
+        df = df.withColumn("_a", toks).where(F.size("_a") >= DECON_NGRAM)
+        g = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_a") - DECON_NGRAM),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("_a"), i + 1),
+                    F.element_at(F.col("_a"), i + 2),
+                    F.element_at(F.col("_a"), i + 3),
+                ),
+            )
+        )
+        return df.select("doc_id", F.explode(g).alias("gram"))
+
+    ev = grams(d.where(F.col("doc_id") < DECON_EVAL_DOCS)).select(
+        F.col("doc_id").alias("eval_doc_id"), "gram"
+    )
+    tr = grams(d.where(F.col("doc_id") >= DECON_EVAL_DOCS)).select(
+        F.col("doc_id").alias("train_doc_id"), "gram"
+    )
+    return (
+        tr.join(F.broadcast(ev), "gram")
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .where(F.col("n_shared_grams") >= DECON_MIN_SHARED)
+    )
+
+
+@query(
+    "gopher_quality_rules",
+    f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS n_words,
+             CASE WHEN len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) = 0 THEN 0.0
+                  ELSE cast(len(array_to_string(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), '')) as double)
+                       / len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) END AS mean_word_len,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE cast(len(regexp_extract_all(text, '[#@*]|\\.\\.\\.')) as double) / length(text) END
+                 AS symbol_ratio
+      FROM documents)
+    SELECT doc_id, lang,
+           cast(n_words as bigint) AS n_words,
+           round(mean_word_len, 8) AS mean_word_len,
+           round(symbol_ratio, 8) AS symbol_ratio,
+           (n_words >= 10 AND n_words <= 100000) AS rule_word_count,
+           (mean_word_len >= 2.0 AND mean_word_len <= 12.0) AS rule_word_len,
+           (symbol_ratio < 0.05) AS rule_symbols,
+           ((n_words >= 10 AND n_words <= 100000)
+            AND (mean_word_len >= 2.0 AND mean_word_len <= 12.0)
+            AND (symbol_ratio < 0.05)) AS passes_all
+    FROM s
+    """,
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality gate (public MassiveText filter
+    family): word-count bounds, mean-word-length bounds, symbol-to-char
+    ratio — emitted as per-rule booleans + the conjunction, so the
+    filter is auditable (which rule killed a doc) rather than a silent
+    WHERE. Token array projected once; narrow map, no shuffle."""
+    d = load(spark, sf_dir, "documents")
+    d = d.withColumn(
+        "_a", F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0))
+    )
+    n_words = F.size("_a")
+    mean_wl = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        F.length(F.concat_ws("", F.col("_a"))).cast("double") / n_words
+    )
+    sym = F.when(F.length("text") == 0, F.lit(0.0)).otherwise(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[#@*]|\.\.\."), F.lit(0))).cast(
+            "double"
+        )
+        / F.length("text")
+    )
+    r1 = (n_words >= 10) & (n_words <= 100000)
+    r2 = (mean_wl >= 2.0) & (mean_wl <= 12.0)
+    r3 = sym < 0.05
+    return d.select(
+        "doc_id",
+        "lang",
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 8).alias("mean_word_len"),
+        F.round(sym, 8).alias("symbol_ratio"),
+        r1.alias("rule_word_count"),
+        r2.alias("rule_word_len"),
+        r3.alias("rule_symbols"),
+        (r1 & r2 & r3).alias("passes_all"),
+    )
