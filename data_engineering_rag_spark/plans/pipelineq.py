@@ -507,3 +507,31 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         r3.alias("rule_symbols"),
         (r1 & r2 & r3).alias("passes_all"),
     )
+
+
+@query(
+    "dedup_incremental_batch",
+    """
+    WITH inc AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 5 = 4),
+    ex AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 5 <> 4)
+    SELECT doc_id, lang FROM (
+      SELECT i.doc_id, d.lang,
+             row_number() OVER (PARTITION BY i.h ORDER BY i.doc_id) AS rn
+      FROM inc i JOIN documents d ON i.doc_id = d.doc_id
+      WHERE i.h NOT IN (SELECT h FROM ex))
+    WHERE rn = 1
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: docs with doc_id%5=4 play the incoming
+    daily batch, the rest the already-deduped corpus. Survivors = batch
+    minus corpus-hash matches minus within-batch copies (min-id wins).
+    The anti join ships 16-byte hashes only — the corpus text is never
+    rescanned per batch (`operators/incremental.py`). Planted-duplicate
+    semantics pinned in tests/test_incremental.py."""
+    from ..operators.incremental import dedup_incoming_exact
+
+    d = load(spark, sf_dir, "documents")
+    existing = d.where(F.col("doc_id") % 5 != 4)
+    incoming = d.where(F.col("doc_id") % 5 == 4)
+    return dedup_incoming_exact(existing, incoming).select("doc_id", "lang")
