@@ -542,3 +542,27 @@ def events_conversion_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id bigint, n_views bigint, n_purchases bigint, view_to_purchase_s bigint",
         )
     )
+
+
+@query(
+    "events_replay_filtered",
+    """
+    SELECT event_id, user_id, event_type
+    FROM events WHERE event_id % 2 <> 0
+    """,
+)
+def events_replay_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-static replay filter (even event_ids
+    play the already-processed set; the anti join keeps the rest)."""
+    ev = load(spark, sf_dir, "events")
+    seen = ev.where(F.col("event_id") % 2 == 0).select("event_id")
+    return ev.join(F.broadcast(seen), "event_id", "left_anti").select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+@query("stream_replay_filtered", None)
+def stream_replay_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import replay_filtered_stream
+
+    return replay_filtered_stream(spark, sf_dir)

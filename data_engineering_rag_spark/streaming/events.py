@@ -235,3 +235,22 @@ def hourly_stats_to_parquet(spark: SparkSession, sf_dir: str, out_dir: str) -> N
         .start()
     )
     q.awaitTermination()
+
+
+def replay_filtered_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static LEFT ANTI join: drop incoming events whose
+    event_id is already in a static processed-ids table — the streaming
+    twin of incremental dedup (``operators/incremental.py``) and the
+    standard replay/contamination gate in front of a training-data
+    ingest. The static side is ids only (8 bytes/row) → broadcast
+    against every micro-batch."""
+    from ..sources.catalog import read_parquet_table
+
+    seen = (
+        read_parquet_table(spark, sf_dir, "events")
+        .where(F.col("event_id") % 2 == 0)
+        .select("event_id")
+    )
+    ev = _event_stream(spark, sf_dir)
+    kept = ev.join(F.broadcast(seen), "event_id", "left_anti")
+    return _run_to_memory(kept.select("event_id", "user_id", "event_type"), "append")

@@ -183,3 +183,17 @@ def test_foreachbatch_parquet_sink_idempotent(spark, sf_dir, tmp_path):
         (r["hour_start"], r["event_type"], r["n_events"]) for r in second.collect()
     )
     assert sink_rows == finalized_batch
+
+
+def test_replay_filter_stream_equals_batch(spark, sf_dir):
+    from data_engineering_rag_spark.streaming.events import replay_filtered_stream
+
+    cols = ["event_id", "user_id", "event_type"]
+    stream = sorted(
+        tuple(r[c] for c in cols) for r in replay_filtered_stream(spark, sf_dir).collect()
+    )
+    batch = sorted(
+        tuple(r[c] for c in cols)
+        for r in REGISTRY["events_replay_filtered"].spark(spark, sf_dir).collect()
+    )
+    assert stream == batch and len(stream) > 0
