@@ -535,3 +535,72 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     existing = d.where(F.col("doc_id") % 5 != 4)
     incoming = d.where(F.col("doc_id") % 5 == 4)
     return dedup_incoming_exact(existing, incoming).select("doc_id", "lang")
+
+
+# --- Vocabulary construction + out-of-vocabulary coverage audit: the
+# tokenizer-prep stage between corpus cleaning and training.
+
+VOCAB_SIZE = 1000
+
+
+@query(
+    "vocab_oov_stats",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+      FROM documents
+    ),
+    counts AS (SELECT term, count(*) AS n FROM tok GROUP BY term),
+    vocab AS (
+      SELECT term FROM (
+        SELECT term, row_number() OVER (ORDER BY n DESC, term ASC) AS rk
+        FROM counts)
+      WHERE rk <= {VOCAB_SIZE}
+    ),
+    marked AS (
+      SELECT t.doc_id, t.lang,
+             CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+      FROM tok t LEFT JOIN vocab v ON t.term = v.term
+    )
+    SELECT lang,
+           cast(count(DISTINCT doc_id) as bigint) AS n_docs,
+           cast(count(*) as bigint) AS n_tokens,
+           cast(sum(oov) as bigint) AS n_oov,
+           round(cast(sum(oov) as double) / count(*), 8) AS oov_rate
+    FROM marked GROUP BY lang
+    """,
+)
+def vocab_oov_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{VOCAB_SIZE} frequency vocabulary (ties broken by term — the
+    deterministic tokenizer-training selection) and per-language OOV
+    coverage: what fraction of token occurrences a fixed vocab misses.
+
+    Scale: term counts map-side combine to |terms| rows; the top-V rank
+    sorts only the DISTINCT term table (not the token stream — |terms|
+    ≪ |tokens|); the vocab itself (V rows) broadcasts back onto the
+    token stream, so the only full-stream shuffle is the final per-lang
+    agg, which partial-aggregates to |langs| rows per partition."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0))
+        ).alias("term"),
+    )
+    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    rk = F.row_number().over(Window.orderBy(F.col("n").desc(), F.col("term").asc()))
+    vocab = counts.select("term", rk.alias("rk")).where(F.col("rk") <= VOCAB_SIZE)
+    marked = tok.join(
+        F.broadcast(vocab.select("term", F.lit(1).alias("_in_vocab"))), "term", "left"
+    )
+    oov = F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+    return marked.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(oov).cast("long").alias("n_oov"),
+        F.round(F.sum(oov).cast("double") / F.count(F.lit(1)), 8).alias("oov_rate"),
+    )

@@ -663,3 +663,172 @@ def dedup_clusters_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.join(sizes, "component").select(
         "node", "component", F.col("cluster_size").cast("long").alias("cluster_size")
     )
+
+
+# --- SimHash near-dup candidate pairs (band bucketing over the 64-bit
+# signature: pairs sharing any 15-bit band are candidates; hamming
+# distance over the full signature verifies). Completes the SimHash
+# story: signatures alone don't dedup — the banded pair join does.
+
+SIMHASH_BAND_BITS = 15
+N_SIMHASH_BANDS = 4  # 4 × 15 bits cover the 60-bit signature exactly
+SIMHASH_HAM_MAX = 8  # keep pairs within 8 differing bits of 60
+
+
+def _simhash_pairs_oracle() -> str:
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, cast({b} as bigint) AS band,"
+        f" (simhash >> {b * SIMHASH_BAND_BITS}) & {mask} AS bv FROM sig"
+        for b in range(N_SIMHASH_BANDS)
+    )
+    return f"""
+    WITH sig AS ({_simhash_oracle()}),
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           cast(bit_count(xor(sa.simhash, sb.simhash)) as bigint) AS hamming
+    FROM cand JOIN sig sa ON doc_a = sa.doc_id
+              JOIN sig sb ON doc_b = sb.doc_id
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {SIMHASH_HAM_MAX}
+    """
+
+
+@query("simhash_near_dup_pairs", _simhash_pairs_oracle())
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs via band bucketing: the 60-bit
+    signature splits into four 15-bit bands; docs sharing ANY band value
+    become candidates (equi-join on (band, band_value) — never
+    |docs|²), then full-signature hamming distance ≤ {SIMHASH_HAM_MAX}
+    verifies. By pigeonhole, any pair within 3 differing bits shares a
+    band, so recall is exact below that radius and probabilistic above.
+
+    Scale: signature table is |docs| rows materialized once (durable
+    checkpoint); the band join's key space is |docs|×4 and collisions
+    are the candidates — same 100 TB shape as MinHash-LSH banding."""
+    from ..operators.scale import durable_checkpoint
+
+    from . import REGISTRY as _R
+
+    sig = durable_checkpoint(_R["simhash_signatures"].spark(spark, sf_dir))
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    band_rows = ", ".join(
+        f"cast({b} as bigint), shiftright(simhash, {b * SIMHASH_BAND_BITS}) & {mask}L"
+        for b in range(N_SIMHASH_BANDS)
+    )
+    bands = sig.select(
+        "doc_id", F.expr(f"stack({N_SIMHASH_BANDS}, {band_rows}) AS (band, bv)")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    ham = F.expr("bit_count(sh_a ^ sh_b)").cast("long")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(ham <= SIMHASH_HAM_MAX)
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+    )
+
+
+# --- End-to-end MinHash dedup: LSH candidates → exact-Jaccard verify →
+# connected components → canonical doc per cluster. The complete
+# near-dup dedup pipeline a 100 TB corpus prep actually runs.
+
+DEDUP_JACCARD_T = 0.5  # token-set Jaccard threshold for a verified dup edge
+
+
+def _minhash_dedup_oracle() -> str:
+    return f"""
+    WITH RECURSIVE cand AS (
+      SELECT doc_a, doc_b FROM ({_lsh_oracle()})
+    ),
+    toks AS (
+      SELECT doc_id,
+             list_distinct(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS ts
+      FROM documents
+    ),
+    verified AS (
+      SELECT doc_a, doc_b
+      FROM cand JOIN toks ta ON doc_a = ta.doc_id
+                JOIN toks tb ON doc_b = tb.doc_id
+      WHERE (len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts))) > 0
+        AND round(cast(len(list_intersect(ta.ts, tb.ts)) as double)
+                  / (len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts))), 8)
+            >= {DEDUP_JACCARD_T}
+    ),
+    sym AS (SELECT doc_a AS a, doc_b AS b FROM verified
+            UNION SELECT doc_b, doc_a FROM verified),
+    reach AS (
+      SELECT a AS node, b AS r FROM sym
+      UNION
+      SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.node
+    ),
+    withself AS (
+      SELECT node, r FROM reach
+      UNION SELECT DISTINCT a, a FROM sym
+    ),
+    comp AS (SELECT node, min(r) AS canonical_id FROM withself GROUP BY node)
+    SELECT c.node AS doc_id, c.canonical_id, cast(s.n as bigint) AS cluster_size
+    FROM comp c
+    JOIN (SELECT canonical_id, count(*) AS n FROM comp GROUP BY canonical_id) s
+      ON c.canonical_id = s.canonical_id
+    """
+
+
+@query("minhash_dedup_canonical", _minhash_dedup_oracle())
+def minhash_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup dedup pipeline, end to end: MinHash-LSH banding
+    proposes candidate pairs (equi-join, never all-pairs), exact
+    token-set Jaccard ≥ {DEDUP_JACCARD_T} verifies each candidate
+    (row-local array intersect — bounded by |candidates|, not |docs|²),
+    verified edges cluster via iterative connected components, and each
+    cluster's min doc_id becomes the canonical survivor.
+
+    The oracle replays the identical pipeline in DuckDB with the CC
+    fixpoint as a recursive CTE — two different algorithms (driver-loop
+    min-label propagation vs recursive reachability), one answer.
+
+    Scale: every stage is a bounded join or map-side-combinable agg;
+    CC iterations checkpoint per round (durable under
+    SPARK_GRAFT_CHECKPOINT_DIR) so lineage stays flat."""
+    from ..operators.dedup_cluster import connected_components
+
+    cand = _lsh_candidate_pairs(spark, sf_dir, hash_mode="md5").select("doc_a", "doc_b")
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0))
+        ).alias("ts"),
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"))
+    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"))
+    inter = F.size(F.array_intersect("ts_a", "ts_b"))
+    union = F.size("ts_a") + F.size("ts_b") - inter
+    verified = (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .where((union > 0) & (F.round(inter.cast("double") / union, 8) >= DEDUP_JACCARD_T))
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    comp = connected_components(verified)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("n"))
+    return comp.join(sizes, "component").select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("canonical_id"),
+        F.col("n").cast("long").alias("cluster_size"),
+    )
