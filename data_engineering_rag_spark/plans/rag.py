@@ -375,3 +375,191 @@ def eval_generate_questions(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = F.md5(F.concat(F.lit("sample42|"), F.col("doc_id").cast("string")))
     sampled = d.select("doc_id", "text", key.alias("_k")).orderBy("_k", "doc_id").limit(50).drop("_k")
     return generate_questions(sampled, seed=42)
+
+
+# --------------------------------------------------------------------------
+# BM25 search + hybrid lexical/vector fusion (EXT: the two standard
+# retrieval upgrades a production RAG engine layers over plain TF-IDF)
+# --------------------------------------------------------------------------
+
+def _bm25_search_oracle(query_text: str, k: int) -> str:
+    """BM25 over the chunked corpus — mirrors ``operators/bm25.py``
+    arithmetic term for term. Float literals are cast to double
+    explicitly: bare ``1.2`` is DECIMAL in DuckDB and decimal arithmetic
+    would diverge from Spark's doubles."""
+    terms = sorted(tokenize_query(query_text))
+    qvals = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+    WITH chunks AS (
+      SELECT doc_id, cast(start as bigint) AS start,
+             substr(text, cast(start as int) + 1, {CHUNK_SIZE}) AS content
+      FROM (SELECT doc_id, text,
+                   unnest({sliding_window_starts_sql('length(text)', CHUNK_SIZE, CHUNK_STEP)}) AS start
+            FROM documents WHERE length(text) > 0)),
+    tok AS (
+      SELECT doc_id, start, unnest(regexp_extract_all(lower(content), '{TOKEN_PATTERN}')) AS term
+      FROM chunks),
+    tf AS (SELECT doc_id, start, term, count(*) AS tf FROM tok GROUP BY doc_id, start, term),
+    dl AS (SELECT doc_id, start, cast(sum(tf) as bigint) AS dl FROM tf GROUP BY doc_id, start),
+    stats AS (SELECT (SELECT count(*) FROM chunks) AS n_docs,
+                     (SELECT cast(sum(tf) as double) FROM tf) / (SELECT count(*) FROM chunks) AS avgdl),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    idf AS (SELECT term,
+                   ln((n_docs - df + cast(0.5 as double)) / (df + cast(0.5 as double)) + 1) AS idf
+            FROM dfreq, stats),
+    w AS (SELECT tf.doc_id, tf.start, tf.term,
+                 idf * (tf * cast(2.2 as double))
+                 / (tf + cast(1.2 as double)
+                    * (cast(0.25 as double) + cast(0.75 as double) * (dl / avgdl))) AS w
+          FROM tf JOIN dl ON tf.doc_id = dl.doc_id AND tf.start = dl.start
+                  JOIN idf ON tf.term = idf.term, stats),
+    qt AS (SELECT * FROM (VALUES {qvals}) AS t(term))
+    SELECT doc_id, start, round(sum(w), 8) AS score
+    FROM w JOIN qt ON w.term = qt.term
+    GROUP BY doc_id, start
+    ORDER BY round(sum(w), 8) DESC, doc_id, start
+    LIMIT {k}
+    """
+
+
+@query("bm25_search_topk", _bm25_search_oracle(SEARCH_QUERY, SEARCH_K))
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k over the chunked corpus — same fit→search
+    lifecycle and the same physical shape as the TF-IDF flagship
+    (broadcast query terms → hash join on term → partial agg →
+    TakeOrderedAndProject), with BM25's tf saturation and length
+    normalization folded into the precomputed index weights
+    (``operators/bm25.py``)."""
+    from ..operators.bm25 import build_bm25, search_bm25
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    chunks = chunk_documents(docs, text_col="content", size=CHUNK_SIZE, step=CHUNK_STEP)
+    model = build_bm25(chunks, key_cols=["doc_id", "start"], text_field="content")
+    out = search_bm25(spark, model, SEARCH_QUERY, k=SEARCH_K)
+    return out.select(
+        "doc_id", F.col("start").cast("long").alias("start"), "score"
+    )
+
+
+HYBRID_POOL_K = 20  # per-signal candidate pool
+HYBRID_K = 10  # fused output size
+RRF_C = 60  # the standard reciprocal-rank-fusion damping constant
+
+
+def _hybrid_rrf_oracle() -> str:
+    return f"""
+    WITH {_tfidf_cte("documents", "doc_id", "text")},
+    dvec AS (SELECT w.k, w.term, w_raw / nrm AS w FROM w JOIN nrm ON w.k = nrm.k),
+    lexq AS (SELECT term, w FROM dvec WHERE k = 0),
+    lexscore AS (
+      SELECT d.k AS id, round(sum(d.w * q.w), 8) AS lex_cos
+      FROM dvec d JOIN lexq q ON d.term = q.term
+      WHERE d.k <> 0 GROUP BY d.k),
+    lexrank AS (
+      SELECT id, row_number() OVER (ORDER BY lex_cos DESC, id) AS lex_rn
+      FROM lexscore),
+    vq AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    vecscore AS (
+      SELECT e.vec_id AS id,
+             round(list_dot_product(qv, e.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 8)
+               + 0.0 AS vec_cos
+      FROM embeddings e, vq WHERE e.vec_id <> 0),
+    vecrank AS (
+      SELECT id, row_number() OVER (ORDER BY vec_cos DESC, id) AS vec_rn
+      FROM vecscore),
+    fused AS (
+      SELECT coalesce(l.id, v.id) AS id,
+             cast(l.lex_rn as bigint) AS lex_rn,
+             cast(v.vec_rn as bigint) AS vec_rn,
+             round(coalesce(cast(1 as double) / ({RRF_C} + l.lex_rn), 0)
+                   + coalesce(cast(1 as double) / ({RRF_C} + v.vec_rn), 0), 8) AS rrf
+      FROM (SELECT * FROM lexrank WHERE lex_rn <= {HYBRID_POOL_K}) l
+      FULL JOIN (SELECT * FROM vecrank WHERE vec_rn <= {HYBRID_POOL_K}) v
+        ON l.id = v.id)
+    SELECT id, lex_rn, vec_rn, rrf
+    FROM fused ORDER BY rrf DESC, id LIMIT {HYBRID_K}
+    """
+
+
+@query("hybrid_rrf_related_docs", _hybrid_rrf_oracle())
+def hybrid_rrf_related_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval, more-like-this form: find documents related to
+    doc 0 by BOTH signals — lexical (TF-IDF cosine against doc 0's
+    fitted weight vector; no literal query string, the query IS corpus
+    data) and dense (embedding cosine against vec 0) — then fuse the two
+    rankings with reciprocal rank fusion:
+    ``rrf(d) = Σ_signals 1/({RRF_C} + rank_signal(d))``, absent ranks
+    contributing 0. RRF is the standard score-scale-free fusion for
+    heterogeneous retrievers (lexical scores and cosines aren't
+    comparable; ranks are).
+
+    Scale: each signal is the already-audited retrieval shape (broadcast
+    1-doc query → hash join → partial agg); per-signal pools truncate to
+    {HYBRID_POOL_K} via the deterministic rounded-score order BEFORE
+    ranking, so the rank windows see {HYBRID_POOL_K} rows, not |docs|;
+    the fusion join is {HYBRID_POOL_K}×2 rows."""
+    from pyspark.sql.window import Window
+
+    from ..operators.tfidf import build_tfidf
+    from .vectors import dot, l2_norm_sq
+
+    docs = load(spark, sf_dir, "documents")
+    model = build_tfidf(docs, key_cols=["doc_id"], text_fields=["text"])
+    dvec = model.weights
+    lexq = dvec.where(F.col("doc_id") == 0).select("term", F.col("w").alias("qw"))
+    lexscore = (
+        dvec.where(F.col("doc_id") != 0)
+        .join(F.broadcast(lexq), "term")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("w") * F.col("qw")), 8).alias("lex_cos"))
+    )
+    lex_top = lexscore.orderBy(F.col("lex_cos").desc(), F.col("doc_id")).limit(
+        HYBRID_POOL_K
+    )
+    lexrank = lex_top.select(
+        F.col("doc_id").alias("id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("lex_cos").desc(), F.col("doc_id")))
+        .cast("long")
+        .alias("lex_rn"),
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    vq = e.where(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    cos = F.round(
+        dot(F.col("qv"), F.col("ev"))
+        / (F.sqrt(l2_norm_sq(F.col("qv"))) * F.sqrt(l2_norm_sq(F.col("ev")))),
+        8,
+    ) + F.lit(0.0)
+    vecscore = (
+        e.where(F.col("vec_id") != 0)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("ev"))
+        .crossJoin(F.broadcast(vq))
+        .select(F.col("vec_id").alias("id"), cos.alias("vec_cos"))
+    )
+    vec_top = vecscore.orderBy(F.col("vec_cos").desc(), F.col("id")).limit(HYBRID_POOL_K)
+    vecrank = vec_top.select(
+        "id",
+        F.row_number()
+        .over(Window.orderBy(F.col("vec_cos").desc(), F.col("id")))
+        .cast("long")
+        .alias("vec_rn"),
+    )
+
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(RRF_C) + F.col("lex_rn")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(RRF_C) + F.col("vec_rn")), F.lit(0.0)),
+        8,
+    )
+    return (
+        lexrank.join(vecrank, "id", "full")
+        .select("id", "lex_rn", "vec_rn", rrf.alias("rrf"))
+        .orderBy(F.col("rrf").desc(), F.col("id"))
+        .limit(HYBRID_K)
+    )

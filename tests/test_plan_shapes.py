@@ -35,3 +35,24 @@ def test_knn_graph_is_equi_join(spark, sf_dir):
     plan = _physical_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_simhash_near_dup_pairs_is_equi_join(spark, sf_dir):
+    """SimHash banding: candidate generation and the signature re-join
+    for hamming verification are all equi-joins on (band, band_value) /
+    doc_id — no all-pairs shape anywhere in the plan."""
+    df = REGISTRY["simhash_near_dup_pairs"].spark(spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_minhash_dedup_verify_stage_is_equi_join(spark, sf_dir):
+    """The end-to-end dedup pipeline's pre-CC stages (LSH banding +
+    Jaccard verification joins on doc_id) must stay equi-joins; the CC
+    driver loop executes eagerly inside the query function, so the
+    returned plan covers the final component/size join."""
+    df = REGISTRY["minhash_dedup_canonical"].spark(spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
