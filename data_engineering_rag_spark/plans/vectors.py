@@ -620,3 +620,114 @@ def ivf_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= ANN_K)
         .select("q_id", "probe_label", "vec_id", "cosine", F.col("rn").cast("long").alias("rn"))
     )
+
+
+# --- Sign-LSH (random hyperplane) bucketed ANN: the LSH counterpart to
+# the IVF path. Hyperplane components are md5-derived pseudo-random
+# doubles generated ONCE in Python and embedded as identical literal
+# arrays in both engines, so the sign bits (and therefore the buckets)
+# agree bit-for-bit: each projection is a left-to-right fold over the
+# embedding array against a literal plane — no groupBy-sum whose
+# accumulation order could differ.
+
+N_HYPERPLANES = 6  # 2^6 = 64 buckets: at the test corpus sizes this
+# keeps probes non-trivial (~8 vectors/bucket at sf0.01, a 1.6% scan)
+# while still returning candidates; at production |N| raise it so the
+# expected bucket size |N|/2^planes stays in the hundreds.
+PLANE_DIM = 64  # embeddings.parquet is fixed 64-dim
+
+
+def _hyperplanes() -> list[list[float]]:
+    """Deterministic pseudo-random unit-cube components in [-1, 1):
+    c[p][i] = md5("rhp|p|i")[:8] / 2^32 * 2 - 1. Exact double arithmetic
+    (h < 2^32 so h/2^32, *2, -1 are all exact), so repr() round-trips
+    the identical value into both engines' literals."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"rhp|{p}|{i}".encode()).hexdigest()[:8], 16)
+            / 4294967296.0
+            * 2
+            - 1
+            for i in range(PLANE_DIM)
+        ]
+        for p in range(N_HYPERPLANES)
+    ]
+
+
+def _lsh_ann_oracle() -> str:
+    planes = _hyperplanes()
+    # bare decimals are DECIMAL in DuckDB; ::DOUBLE[] casts each exactly
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(c) for c in pl)}]::DOUBLE[]) > 0"
+        f" THEN {1 << p} ELSE 0 END)"
+        for p, pl in enumerate(planes)
+    )
+    return f"""
+    WITH vecs AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    bucketed AS (SELECT vec_id, v, cast({bucket_terms} as bigint) AS bucket FROM vecs),
+    q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM bucketed WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.q_id, q.bucket, c.vec_id,
+             round(list_dot_product(qv, c.v)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v))), 8)
+               + 0.0 AS cosine
+      FROM q JOIN bucketed c ON q.bucket = c.bucket AND c.vec_id <> q.q_id
+    )
+    SELECT q_id, bucket, vec_id, cosine, cast(rn as bigint) AS rn FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn
+      FROM scored) WHERE rn <= {ANN_K}
+    """
+
+
+def signlsh_bucket(v: Column, planes: list[list[float]] | None = None) -> Column:
+    """Sign-LSH bucket id for a ``array<double>`` column: bit p =
+    sign(v · plane_p). Reusable by any pipeline that wants to co-locate
+    similar vectors (partitionBy(bucket) at write time)."""
+    planes = planes if planes is not None else _hyperplanes()
+    bucket = F.lit(0)
+    for p, pl in enumerate(planes):
+        proj = dot(v, F.array(*[F.lit(c) for c in pl]))
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket.cast("long")
+
+
+@query("lsh_ann_topk", _lsh_ann_oracle())
+def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 LSH scale path — random-hyperplane bucketing for cosine ANN:
+    each vector's sign bits form its bucket; a query scans ONLY its
+    own bucket (expected |N|/2^planes of the corpus for centered data; the
+    synthetic embeddings cluster by label, so buckets stay meaningful),
+    then the exact rounded-cosine kernel verifies and ranks. The
+    candidate step is a hash equi-join on bucket — never |Q|×|N|.
+
+    At 100 TB: write the corpus partitioned by bucket (see
+    ``signlsh_bucket``) and the probe prunes partitions at the source;
+    multi-probe = also scan buckets at hamming distance 1 from the
+    query's (the ``ivf_ann_multiprobe`` pattern applied to LSH)."""
+    e = load(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    bucketed = vecs.select("vec_id", "v", signlsh_bucket(F.col("v")).alias("bucket"))
+    q = bucketed.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "bucket"
+    )
+    cand = bucketed.select("vec_id", F.col("v").alias("cv"), "bucket")
+    cos = F.round(
+        dot(F.col("qv"), F.col("cv"))
+        / (F.sqrt(l2_norm_sq(F.col("qv"))) * F.sqrt(l2_norm_sq(F.col("cv")))),
+        8,
+    ) + F.lit(0.0)
+    scored = (
+        cand.join(F.broadcast(q), "bucket")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "bucket", "vec_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= ANN_K)
+        .select("q_id", "bucket", "vec_id", "cosine", F.col("rn").cast("long").alias("rn"))
+    )
