@@ -604,3 +604,55 @@ def vocab_oov_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(oov).cast("long").alias("n_oov"),
         F.round(F.sum(oov).cast("double") / F.count(F.lit(1)), 8).alias("oov_rate"),
     )
+
+
+@query(
+    "unigram_logprob_quality",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+      FROM documents
+    ),
+    counts AS (SELECT term, count(*) AS tf FROM tok GROUP BY term),
+    total AS (SELECT cast(count(*) as bigint) AS t FROM tok)
+    SELECT doc_id, cast(count(*) as bigint) AS n_tokens,
+           round(cast(sum(cast(ln(tf / cast(t as double)) as decimal(18,9))) as double)
+                 / count(*), 8) AS avg_logprob
+    FROM tok JOIN counts USING (term), total
+    GROUP BY doc_id
+    """,
+)
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: train a unigram LM on the corpus
+    itself (p(t) = tf(t)/T), score each doc by its mean token
+    log-probability. Low scores flag gibberish / rare-token junk; high
+    scores flag boilerplate — the cheap LM filter a corpus pipeline
+    runs before an expensive model-based one.
+
+    Determinism: per-token ln() is IEEE-identical in both engines; the
+    per-doc SUM of doubles is order-dependent, so each term is cast to
+    decimal(18,9) first and summed exactly, then divided and rounded —
+    the same trick `label_centroids` uses.
+
+    Scale: counts table is |terms| rows (map-side combined); the join
+    back onto the token stream is the only wide op and partial-aggs
+    to |docs| rows per partition."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0))
+        ).alias("term"),
+    )
+    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    total = tok.groupBy().agg(F.count(F.lit(1)).alias("t"))
+    lp = F.log(F.col("tf") / F.col("t").cast("double")).cast("decimal(18,9)")
+    return (
+        tok.join(counts, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum(lp).cast("double") / F.count(F.lit(1)), 8).alias("avg_logprob"),
+        )
+    )
