@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.logs import filter_eval_set, read_logs, simplify_messages, with_costs
+from .operators.bm25 import Bm25Model, build_bm25, search_bm25
 from .operators.chunker import chunk_documents
 from .operators.evalgen import generate_questions
 from .operators.ingest import ingest_pipeline
@@ -49,6 +50,23 @@ class RagIndex:
 
     def search_batch(self, queries: list[tuple[int, str]], k: int = DEFAULT_TOP_K) -> DataFrame:
         return search_topk_batch(self.spark, self.model, queries, k=k)
+
+    def unpersist(self) -> None:
+        self.model.unpersist()
+
+
+@dataclass
+class Bm25Index:
+    """Fitted BM25 index — the drop-in probabilistic-ranking alternative
+    to :class:`RagIndex` (same fit→search lifecycle; no per-field
+    boosts — BM25's field weighting would be BM25F, out of scope)."""
+
+    spark: SparkSession
+    model: Bm25Model
+    docs: DataFrame
+
+    def search(self, query: str, k: int = DEFAULT_TOP_K) -> DataFrame:
+        return search_bm25(self.spark, self.model, query, k=k)
 
     def unpersist(self) -> None:
         self.model.unpersist()
@@ -83,11 +101,14 @@ class RagEngine:
         chunk: bool = False,
         chunking_params: dict | None = None,
         persist: bool = True,
-    ) -> RagIndex:
+        engine: str = "tfidf",
+    ) -> RagIndex | Bm25Index:
         """The reference's ``index_data``: optionally chunk, then fit.
 
         ``persist=True`` (default) materializes the index for the
-        fit-once/search-many serving loop."""
+        fit-once/search-many serving loop. ``engine`` picks the ranking
+        model: ``"tfidf"`` (reference parity — minsearch semantics) or
+        ``"bm25"`` (Okapi; single text field)."""
         docs = corpus
         keys = list(key_cols) if key_cols else ["filename"]
         if chunk:
@@ -95,8 +116,13 @@ class RagEngine:
             if "start" not in keys:
                 keys = keys + ["start"]
         fields = text_fields or [f for f in DEFAULT_TEXT_FIELDS if f in docs.columns]
-        model = build_tfidf(docs, key_cols=keys, text_fields=fields, persist=persist)
-        return RagIndex(spark=self.spark, model=model, docs=docs)
+        if engine == "bm25":
+            model = build_bm25(docs, key_cols=keys, text_field=fields[0], persist=persist)
+            return Bm25Index(spark=self.spark, model=model, docs=docs)
+        if engine != "tfidf":
+            raise ValueError(f"engine must be 'tfidf' or 'bm25', got {engine!r}")
+        tmodel = build_tfidf(docs, key_cols=keys, text_fields=fields, persist=persist)
+        return RagIndex(spark=self.spark, model=tmodel, docs=docs)
 
     # -- eval (generate_questions / calculate_metrics) ------------------------
     def generate_eval_questions(

@@ -50,3 +50,26 @@ def test_eval_question_api(spark, sf_dir):
     qs = eng.generate_eval_questions(docs, sample_size=10)
     assert qs.count() == 30  # 3 per doc, reference convention
     assert qs.select("doc_id").distinct().count() == 10
+
+
+def test_bm25_engine_option(spark):
+    from data_engineering_rag_spark.api import Bm25Index
+
+    eng = RagEngine(spark)
+    corpus = spark.createDataFrame(
+        [
+            ("a.md", "spark joins shuffle data across executors"),
+            ("b.md", "pandas runs on a single machine"),
+            ("c.md", "broadcast joins avoid the shuffle for small tables"),
+        ],
+        ["filename", "content"],
+    )
+    idx = eng.index(corpus, engine="bm25", persist=False)
+    assert isinstance(idx, Bm25Index)
+    out = idx.search("shuffle joins", k=2).collect()
+    assert [r.filename for r in out] == ["a.md", "c.md"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="engine"):
+        eng.index(corpus, engine="lucene")
