@@ -13,6 +13,7 @@ contains). The identical regexes run in the DuckDB oracle.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -64,3 +65,18 @@ STRIP_FENCE_SQL = (
     "  '^[^\\n]*(\\n|$)', ''), '(^|\\n)[ \\t\\r\\f\\x0B]*```[ \\t\\r\\f\\x0B]*$', '') "
     "ELSE regexp_replace(regexp_replace({t}, '^\\s+', ''), '\\s+$', '') END"
 )
+
+
+def nfc_normalize_col(text: Column) -> Column:
+    """Unicode NFC normalization as an Arrow-batched pandas UDF (Spark
+    has no built-in normalizer; per-batch ``unicodedata.normalize`` is
+    the vectorized path). The DuckDB oracle's ``nfc_normalize`` and
+    Python's ``unicodedata`` both implement the Unicode standard's NFC,
+    so outputs agree byte-for-byte."""
+    @F.pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(lambda t: None if t is None else unicodedata.normalize("NFC", t))
+
+    return _nfc(text)

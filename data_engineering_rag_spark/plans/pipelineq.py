@@ -656,3 +656,35 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(lp).cast("double") / F.count(F.lit(1)), 8).alias("avg_logprob"),
         )
     )
+
+
+@query(
+    "normalize_nfc_stats",
+    """
+    SELECT doc_id,
+           nfc_normalize(text) = text AS is_nfc,
+           cast(length(text) as bigint) AS n_chars,
+           cast(length(nfc_normalize(text)) as bigint) AS n_chars_nfc
+    FROM documents
+    """,
+)
+def normalize_nfc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization audit — the multilingual-cleaning pass
+    that canonicalizes decomposed accents/compatibility forms before
+    dedup (a decomposed 'é' and a composed one hash differently but ARE
+    the same text). Spark side runs an Arrow-batched pandas UDF
+    (``functions/text.py::nfc_normalize_col``), the oracle DuckDB's
+    native ``nfc_normalize`` — both implement the Unicode standard, so
+    the equality flags and lengths match exactly. Narrow map, one
+    JVM↔Arrow round-trip per batch; planted-decomposed-text semantics
+    pinned in tests/test_nfc.py."""
+    from ..functions.text import nfc_normalize_col
+
+    d = load(spark, sf_dir, "documents")
+    nfc = nfc_normalize_col(F.col("text"))
+    return d.select(
+        "doc_id",
+        (nfc == F.col("text")).alias("is_nfc"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.length(nfc).cast("long").alias("n_chars_nfc"),
+    )

@@ -832,3 +832,51 @@ def minhash_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("canonical_id"),
         F.col("n").cast("long").alias("cluster_size"),
     )
+
+
+# --- Count-min sketch heavy hitters: completes the sketch family
+# (KMV → distinct count, GK → percentiles, CMS → frequencies). The
+# shape that matters at 100 TB: the full term-frequency table may not
+# fit anywhere, but the sketch is depth×width counters no matter how
+# many distinct terms exist.
+
+CMS_DEPTH = 4
+CMS_WIDTH = 8192
+
+
+@query("approx_top_terms_cms", None)
+def approx_top_terms_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-20 terms via a count-min sketch: one pass fans
+    each token into {CMS_DEPTH} (depth, xxhash64(depth, term) % width)
+    cells (map-side combined groupBy → the sketch is ≤ depth·width rows
+    per partition BEFORE the shuffle); a term's estimate is the MIN of
+    its cells — always ≥ the true count (cells only over-count via
+    collisions), within ε·total with high probability for width 2/ε.
+
+    The sketch table (≤ {CMS_DEPTH}×{CMS_WIDTH} rows) broadcasts back
+    onto the candidate terms, so estimation is shuffle-free. Rows-only:
+    xxhash64 has no DuckDB twin; the deterministic overestimate bound
+    and top-k recall vs exact counts are pinned in tests/test_cms.py."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0))
+        ).alias("term")
+    )
+    depths = F.array(*[F.lit(i) for i in range(CMS_DEPTH)])
+    cell = lambda: F.pmod(F.xxhash64(F.col("depth"), F.col("term")), F.lit(CMS_WIDTH))  # noqa: E731
+    cms = (
+        tok.select(F.explode(depths).alias("depth"), "term")
+        .select("depth", cell().alias("bucket"))
+        .groupBy("depth", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    candidates = tok.groupBy("term").agg(F.count(F.lit(1)).alias("_true")).select("term")
+    est = (
+        candidates.select(F.explode(depths).alias("depth"), "term")
+        .select("term", "depth", cell().alias("bucket"))
+        .join(F.broadcast(cms), ["depth", "bucket"])
+        .groupBy("term")
+        .agg(F.min("cnt").alias("est"))
+    )
+    return est.orderBy(F.col("est").desc(), F.col("term")).limit(20)
