@@ -68,3 +68,56 @@ def test_approx_percentile_error_bound(spark, sf_dir):
     ):
         rank = li.where(F.col(col) <= approx).count() / n
         assert abs(rank - q) <= 0.01, (col, q, rank)
+
+
+def test_bm25_empty_corpus(spark):
+    from data_engineering_rag_spark.operators.bm25 import build_bm25, search_bm25
+
+    df = spark.createDataFrame([], "doc_id: long, text: string")
+    model = build_bm25(df, key_cols=["doc_id"], text_field="text")
+    assert model.weights.count() == 0
+    assert search_bm25(spark, model, "anything", k=5).count() == 0
+
+
+def test_dedup_pipeline_no_duplicates(spark, tmp_path):
+    """A corpus with fully disjoint shingle sets produces zero candidate
+    pairs → zero clusters (not an error)."""
+    import pandas as pd
+
+    from data_engineering_rag_spark.plans import REGISTRY
+
+    rows = [(i, " ".join(f"w{i}x{j}q{(i * 37 + j) * 7919}" for j in range(30))) for i in range(8)]
+    pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": "en",
+            "source": "f",
+            "n_chars": [len(r[1]) for r in rows],
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+    assert REGISTRY["minhash_dedup_canonical"].spark(spark, str(tmp_path)).count() == 0
+    assert REGISTRY["simhash_near_dup_pairs"].spark(spark, str(tmp_path)).count() == 0
+
+
+def test_vocab_and_cms_tiny_corpus(spark, tmp_path):
+    """Corpora smaller than the vocab/top-k sizes: every term is
+    in-vocab (OOV rate 0), CMS returns all terms exactly (no
+    collisions possible at this size)."""
+    import pandas as pd
+
+    from data_engineering_rag_spark.plans import REGISTRY
+
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["alpha beta beta", "gamma alpha"],
+            "lang": "en",
+            "source": "f",
+            "n_chars": [15, 11],
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+    vocab = REGISTRY["vocab_oov_stats"].spark(spark, str(tmp_path)).collect()
+    assert len(vocab) == 1 and vocab[0].n_oov == 0 and vocab[0].oov_rate == 0.0
+    cms = {r.term: r.est for r in REGISTRY["approx_top_terms_cms"].spark(spark, str(tmp_path)).collect()}
+    assert cms == {"alpha": 2, "beta": 2, "gamma": 1}
