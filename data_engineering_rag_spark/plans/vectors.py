@@ -731,3 +731,121 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= ANN_K)
         .select("q_id", "bucket", "vec_id", "cosine", F.col("rn").cast("long").alias("rn"))
     )
+
+
+# --- Scalar-quantized (int8) ANN with exact re-rank: the memory/
+# bandwidth scale path — a 100 TB float corpus becomes ~25 TB of uint8
+# codes scanned for candidate generation, and only the top-R candidates
+# touch the original floats. Quantized dot products are INTEGER sums,
+# so the candidate ranking is engine-exact by construction (no float
+# drift anywhere until the final rounded-cosine re-rank).
+
+QUANT_LEVELS = 255
+QUANT_RERANK = 30  # candidates per query kept for exact re-rank
+
+
+def _quant_ann_oracle() -> str:
+    return f"""
+    WITH pos AS (
+      SELECT vec_id, cast(p as bigint) AS pos,
+             cast(embedding[cast(p as int)] as double) AS x
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(p)
+    ),
+    dims AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM pos GROUP BY pos),
+    quant AS (
+      SELECT vec_id, pos.pos,
+             CASE WHEN mx = mn THEN 0
+                  ELSE cast(round((x - mn) / (mx - mn) * {QUANT_LEVELS}, 0) as bigint)
+             END AS q
+      FROM pos JOIN dims ON pos.pos = dims.pos
+    ),
+    qq AS (SELECT vec_id AS q_id, pos, q AS qv FROM quant WHERE vec_id < {N_QUERIES}),
+    approx AS (
+      SELECT q_id, c.vec_id, cast(sum(qv * c.q) as bigint) AS adot
+      FROM qq JOIN quant c ON qq.pos = c.pos AND c.vec_id <> qq.q_id
+      GROUP BY q_id, c.vec_id
+    ),
+    cand AS (
+      SELECT q_id, vec_id, adot FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adot DESC, vec_id) AS arn
+        FROM approx) WHERE arn <= {QUANT_RERANK}
+    ),
+    vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    rerank AS (
+      SELECT c.q_id, c.vec_id, c.adot,
+             round(list_dot_product(qv.v, cv.v)
+                   / (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))), 8)
+               + 0.0 AS cosine
+      FROM cand c JOIN vecs qv ON c.q_id = qv.vec_id
+                  JOIN vecs cv ON c.vec_id = cv.vec_id
+    )
+    SELECT q_id, vec_id, adot, cosine, cast(rn as bigint) AS rn FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn
+      FROM rerank) WHERE rn <= {ANN_K}
+    """
+
+
+@query("quantized_ann_topk", _quant_ann_oracle())
+def quantized_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 quantized scale path: per-dimension min/max scalar
+    quantization to 0..{QUANT_LEVELS} integer codes; candidate
+    generation ranks by the INTEGER quantized dot product (exact in any
+    engine — no float-order hazards), then only the top-{QUANT_RERANK}
+    per query are re-ranked by exact rounded cosine over the original
+    floats.
+
+    Scale: the dims table is |dim| rows (broadcast); quantized codes are
+    ~4× smaller than floats — the full-corpus candidate scan reads a
+    quarter of the bytes, and the exact-float path touches
+    {QUANT_RERANK}·|Q| rows only. Integer partial sums are
+    order-independent, so the groupBy dot product needs no fold
+    discipline."""
+    e = load(spark, sf_dir, "embeddings")
+    pos = e.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).select("vec_id", (F.col("pos") + 1).cast("long").alias("pos"), F.col("col").alias("x"))
+    dims = pos.groupBy("pos").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    quant = pos.join(F.broadcast(dims), "pos").select(
+        "vec_id",
+        "pos",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.round((F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn")) * QUANT_LEVELS, 0)
+        )
+        .cast("long")
+        .alias("q"),
+    )
+    qq = quant.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "pos", F.col("q").alias("qv")
+    )
+    approx = (
+        quant.join(F.broadcast(qq), "pos")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum(F.col("qv") * F.col("q")).cast("long").alias("adot"))
+    )
+    wa = Window.partitionBy("q_id").orderBy(F.col("adot").desc(), F.col("vec_id"))
+    cand = (
+        approx.withColumn("arn", F.row_number().over(wa))
+        .where(F.col("arn") <= QUANT_RERANK)
+        .select("q_id", "vec_id", "adot")
+    )
+    vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    qv = vecs.select(F.col("vec_id").alias("q_id"), F.col("v").alias("fq"))
+    cv = vecs.select(F.col("vec_id").alias("vec_id"), F.col("v").alias("fc"))
+    cos = F.round(
+        dot(F.col("fq"), F.col("fc"))
+        / (F.sqrt(l2_norm_sq(F.col("fq"))) * F.sqrt(l2_norm_sq(F.col("fc")))),
+        8,
+    ) + F.lit(0.0)
+    rerank = (
+        cand.join(F.broadcast(qv), "q_id")
+        .join(cv, "vec_id")
+        .select("q_id", "vec_id", "adot", cos.alias("cosine"))
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        rerank.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= ANN_K)
+        .select("q_id", "vec_id", "adot", "cosine", F.col("rn").cast("long").alias("rn"))
+    )
