@@ -126,3 +126,97 @@ def synthetic_media(spark, docs: DataFrame) -> DataFrame:
         F.when(F.col("doc_id") % 3 == 0, F.lit(480)).cast("long").alias("height"),
         F.when(F.col("doc_id") % 3 != 0, F.col("n_chars") * 10).cast("long").alias("duration_ms"),
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("resized_sha", StringType(), True),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("t_ms", LongType(), False),
+        StructField("frame_payload", BinaryType(), True),
+        StructField("frame_sha", StringType(), True),
+    ]
+)
+
+
+def _fake_derivative(payload: bytes, tag: str) -> bytes:
+    """Deterministic stand-in for a decoded derivative (resized image /
+    extracted frame): sha256(payload | tag). A real codec replaces this
+    one call; everything around it — schema, Arrow batching, fan-out —
+    is the production plumbing."""
+    return hashlib.sha256(payload + b"|" + tag.encode()).digest()
+
+
+def resize_images(
+    media: DataFrame, width: int = 224, height: int = 224, fake: bool = True
+) -> DataFrame:
+    """Image resize pass: filters kind='image', emits 1:1 rows with the
+    target dims and the (stubbed) resized payload. mapInPandas — one
+    decoder per task, bytes cross the boundary once per Arrow batch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        stub = DecodeStub(deterministic_fake=fake)
+        tag = f"resize{width}x{height}"
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "kind", "width", "height", "payload", "resized_sha")}
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                if kind != "image" or payload is None:
+                    continue
+                if not stub.deterministic_fake:
+                    raise NotImplementedError(
+                        "real image resize requires PIL, not present in this environment"
+                    )
+                resized = _fake_derivative(bytes(payload), tag)
+                rows["media_id"].append(mid)
+                rows["kind"].append(kind)
+                rows["width"].append(width)
+                rows["height"].append(height)
+                rows["payload"].append(resized)
+                rows["resized_sha"].append(hashlib.sha256(bytes(payload) + b"|" + tag.encode()).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = True) -> DataFrame:
+    """Video frame sampling: each video row FANS OUT to one row per
+    sampled timestamp (0, every_ms, 2·every_ms, … ≤ duration_ms) — the
+    mapInPandas shape where output rows ≠ input rows. Frame payloads
+    are stubbed derivatives (`_fake_derivative(payload, idx)`); a real
+    ffmpeg seek-and-decode drops into the same loop."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        stub = DecodeStub(deterministic_fake=fake)
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "frame_idx", "t_ms", "frame_payload", "frame_sha")}
+            for mid, kind, payload, dur in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["duration_ms"]
+            ):
+                if kind != "video" or payload is None or dur is None or pd.isna(dur):
+                    continue
+                if not stub.deterministic_fake:
+                    raise NotImplementedError(
+                        "real frame extraction requires ffmpeg, not present in this environment"
+                    )
+                for i in range(int(dur) // every_ms + 1):
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(i)
+                    rows["t_ms"].append(i * every_ms)
+                    rows["frame_payload"].append(_fake_derivative(bytes(payload), str(i)))
+                    rows["frame_sha"].append(
+                        hashlib.sha256(bytes(payload) + b"|" + str(i).encode()).hexdigest()
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, FRAME_SCHEMA)

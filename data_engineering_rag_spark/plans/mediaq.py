@@ -45,3 +45,49 @@ def media_features_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (array<float> shape check; exact values pinned in pytest)."""
     media = synthetic_media(spark, load(spark, sf_dir, "documents"))
     return extract_media_features(media, fake=True).where(F.col("media_id") < 20)
+
+
+@query(
+    "media_resize_audit",
+    """
+    SELECT doc_id AS media_id,
+           cast(224 as bigint) AS width, cast(224 as bigint) AS height,
+           sha256(concat(text, '|resize224x224')) AS resized_sha
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def media_resize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize pass value check: the stubbed resize derives the output
+    payload as sha256(payload | tag), which DuckDB reproduces over the
+    UTF-8 source bytes — so the whole mapInPandas resize path (filter,
+    Arrow round-trip, tagging) is hash-verified, not just row-counted."""
+    from ..operators.multimodal import resize_images
+
+    media = synthetic_media(spark, load(spark, sf_dir, "documents"))
+    return resize_images(media, width=224, height=224, fake=True).select(
+        "media_id", "width", "height", "resized_sha"
+    )
+
+
+@query(
+    "media_frame_index",
+    """
+    SELECT doc_id AS media_id,
+           cast(f.i as bigint) AS frame_idx,
+           cast(f.i * 1000 as bigint) AS t_ms,
+           sha256(concat(text, '|', cast(f.i as varchar))) AS frame_sha
+    FROM documents, unnest(generate_series(0, (n_chars * 10) // 1000)) AS f(i)
+    WHERE doc_id % 3 = 2
+    """,
+)
+def media_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out value check: every video (doc_id%3=2,
+    duration = n_chars·10 ms) emits one row per sampled second; the
+    oracle recomputes the fan-out arithmetic AND the stub frame hashes,
+    pinning the one-input-row→many-output-rows mapInPandas shape."""
+    from ..operators.multimodal import sample_frames
+
+    media = synthetic_media(spark, load(spark, sf_dir, "documents"))
+    return sample_frames(media, every_ms=1000, fake=True).select(
+        "media_id", "frame_idx", "t_ms", "frame_sha"
+    )

@@ -75,3 +75,52 @@ def test_json_csv_parquet_roundtrip(spark, tmp_path):
     assert back.count() == 3
     # partition pruning works on the partition column
     assert back.where(F.col("name") == "a").count() == 1
+
+
+def test_resize_and_frame_sample_plumbing(spark):
+    import pandas as pd
+
+    from data_engineering_rag_spark.operators.multimodal import (
+        resize_images,
+        sample_frames,
+        synthetic_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "an image doc", 12), (2, "a video doc!", 12), (5, "video two xy", 12)],
+        ["doc_id", "text", "n_chars"],
+    )
+    media = synthetic_media(spark, docs)
+    resized = resize_images(media, width=64, height=32).collect()
+    assert [(r.media_id, r.width, r.height) for r in resized] == [(0, 64, 32)]
+    assert len(resized[0].payload) == 32  # sha256 digest stands in for pixels
+
+    frames = sample_frames(media, every_ms=40).collect()
+    # videos: doc_id 2 and 5, duration 120ms -> frames at 0,40,80,120
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r.media_id, []).append(r)
+    assert set(by_media) == {2, 5}
+    for mid, rows in by_media.items():
+        assert [r.frame_idx for r in sorted(rows, key=lambda x: x.frame_idx)] == [0, 1, 2, 3]
+        assert {r.t_ms for r in rows} == {0, 40, 80, 120}
+        assert len({r.frame_sha for r in rows}) == 4  # distinct per frame
+
+
+def test_real_codec_path_raises(spark):
+    import pytest as _pytest
+
+    from data_engineering_rag_spark.operators.multimodal import (
+        resize_images,
+        sample_frames,
+        synthetic_media,
+    )
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    docs = spark.createDataFrame([(0, "img", 3), (2, "vid", 3)], ["doc_id", "text", "n_chars"])
+    media = synthetic_media(spark, docs)
+    with _pytest.raises((PythonException, Py4JJavaError), match="NotImplementedError"):
+        resize_images(media, fake=False).collect()
+    with _pytest.raises((PythonException, Py4JJavaError), match="NotImplementedError"):
+        sample_frames(media, fake=False).collect()
