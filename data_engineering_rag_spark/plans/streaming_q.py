@@ -566,3 +566,13 @@ def stream_replay_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import replay_filtered_stream
 
     return replay_filtered_stream(spark, sf_dir)
+
+
+@query("stream_doc_dedup_gate", None)
+def stream_doc_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``dedup_incremental_batch`` (rows-only; the
+    batch twin carries the oracle): micro-batch text dedup against a
+    static corpus-hash table + within-stream first-arrival dedup."""
+    from ..streaming.events import doc_dedup_gate_stream
+
+    return doc_dedup_gate_stream(spark, sf_dir)

@@ -11,7 +11,7 @@ interchange parity.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
@@ -68,3 +68,35 @@ def write_orc(
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+def read_json_audited(
+    spark: SparkSession, path: str, schema: StructType
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE JSON read with a corrupt-record audit — the
+    production ingest contract for landing-zone JSONL: malformed lines
+    must neither kill the job (FAILFAST) nor vanish silently
+    (DROPMALFORMED). Returns ``(good, bad)`` DataFrames; ``bad``
+    carries the raw offending line for quarantine.
+
+    The caller's schema is extended with the ``_corrupt_record`` column
+    (Spark requires it declared AND the audited frame cached before the
+    corrupt column is referenced — undocumented sharp edge: filtering
+    on ``_corrupt_record`` without a cache raises AnalysisException on
+    Spark 3+)."""
+    from pyspark.sql import functions as F
+
+    audit_schema = StructType(
+        schema.fields + [StructField("_corrupt_record", StringType(), True)]
+    )
+    raw = (
+        spark.read.schema(audit_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    ).cache()
+    good = raw.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = raw.where(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    return good, bad

@@ -254,3 +254,51 @@ def replay_filtered_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _event_stream(spark, sf_dir)
     kept = ev.join(F.broadcast(seen), "event_id", "left_anti")
     return _run_to_memory(kept.select("event_id", "user_id", "event_type"), "append")
+
+
+def _document_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream over the documents table (same glob pattern as
+    ``_event_stream``): the shape of a landing-zone text ingest."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+
+
+def doc_dedup_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest dedup gate — the streaming twin of
+    ``plans/pipelineq.py::dedup_incremental_batch``: documents with
+    doc_id%5=4 arrive as the stream, the rest are the already-deduped
+    corpus. Each micro-batch drops (a) rows whose md5(text) exists in
+    the static corpus-hash table (stream-static LEFT ANTI join — the
+    static side ships 16-byte hashes only, broadcast per batch) and
+    (b) within-stream repeats via streaming dropDuplicates on the hash
+    (first arrival wins; state holds one 16-byte hash per distinct
+    incoming text — at production scale, bound it with an ingest-time
+    watermark + dropDuplicatesWithinWatermark as in
+    ``dedup_events_stream``).
+
+    Equivalence with the batch twin is pinned in tests/test_streaming.py."""
+    from ..sources.catalog import read_parquet_table
+
+    corpus_hashes = (
+        read_parquet_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 5 != 4)
+        .select(F.md5(F.col("text")).alias("_h"))
+        .distinct()
+    )
+    inc = (
+        _document_stream(spark, sf_dir)
+        .where(F.col("doc_id") % 5 == 4)
+        .withColumn("_h", F.md5(F.col("text")))
+    )
+    kept = (
+        inc.join(F.broadcast(corpus_hashes), "_h", "left_anti")
+        .dropDuplicates(["_h"])
+        .select("doc_id", "lang")
+    )
+    return _run_to_memory(kept, "append")

@@ -56,3 +56,27 @@ def test_partitioned_orc_roundtrip(spark, sf_dir, tmp_path):
     got = {(r.doc_id, r.lang, r.n_chars) for r in back.collect()}
     want = {(r.doc_id, r.lang, r.n_chars) for r in docs.collect()}
     assert got == want
+
+
+def test_read_json_audited_quarantines_corrupt_lines(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from data_engineering_rag_spark.sources.io import read_json_audited
+
+    p = tmp_path / "landing"
+    p.mkdir()
+    (p / "part-0.jsonl").write_text(
+        '{"id": 1, "text": "ok"}\n'
+        "{broken json!!\n"
+        '{"id": 2, "text": "also ok"}\n'
+        '{"id": "not-a-number", "text": "type clash"}\n'
+    )
+    schema = StructType(
+        [StructField("id", LongType(), True), StructField("text", StringType(), True)]
+    )
+    good, bad = read_json_audited(spark, str(p), schema)
+    assert {(r.id, r.text) for r in good.collect()} == {(1, "ok"), (2, "also ok")}
+    bad_lines = [r.raw_line for r in bad.collect()]
+    assert len(bad_lines) == 2
+    assert any("broken json" in line for line in bad_lines)
+    assert any("not-a-number" in line for line in bad_lines)

@@ -197,3 +197,20 @@ def test_replay_filter_stream_equals_batch(spark, sf_dir):
         for r in REGISTRY["events_replay_filtered"].spark(spark, sf_dir).collect()
     )
     assert stream == batch and len(stream) > 0
+
+
+def test_doc_dedup_gate_stream_equals_batch(spark, sf_dir):
+    """The streaming dedup gate must keep exactly the rows the batch
+    incremental dedup keeps (single-file stream → arrival order is
+    doc_id order, so first-arrival == min-id survivor)."""
+    from data_engineering_rag_spark.plans import REGISTRY
+
+    got = {
+        (r.doc_id, r.lang)
+        for r in REGISTRY["stream_doc_dedup_gate"].spark(spark, sf_dir).collect()
+    }
+    want = {
+        (r.doc_id, r.lang)
+        for r in REGISTRY["dedup_incremental_batch"].spark(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
