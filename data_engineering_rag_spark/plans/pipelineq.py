@@ -688,3 +688,79 @@ def normalize_nfc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("long").alias("n_chars"),
         F.length(nfc).cast("long").alias("n_chars_nfc"),
     )
+
+
+@query(
+    "corpus_materialize_clean",
+    f"""
+    WITH canon AS (
+      SELECT md5(text) AS h, min(doc_id) AS keep FROM documents GROUP BY md5(text)
+    ),
+    gq AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS n_words,
+             CASE WHEN len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) = 0 THEN 0.0
+                  ELSE cast(len(array_to_string(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), '')) as double)
+                       / len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) END AS mwl,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE cast(len(regexp_extract_all(text, '[#@*]|\\.\\.\\.')) as double) / length(text) END AS sym
+      FROM documents
+    ),
+    passing AS (
+      SELECT doc_id FROM gq
+      WHERE n_words >= 10 AND n_words <= 100000
+        AND mwl >= 2.0 AND mwl <= 12.0 AND sym < 0.05
+    ),
+    eval_grams AS ({_wordgram_sql(f"doc_id < {DECON_EVAL_DOCS}")}),
+    train_grams AS ({_wordgram_sql(f"doc_id >= {DECON_EVAL_DOCS}")}),
+    flagged AS (
+      SELECT t.doc_id FROM train_grams t JOIN eval_grams e ON t.gram = e.gram
+      GROUP BY t.doc_id, e.doc_id HAVING count(*) >= {DECON_MIN_SHARED}
+    )
+    SELECT d.doc_id, d.lang, md5(d.text) AS content_md5
+    FROM documents d
+    JOIN canon ON md5(d.text) = canon.h AND d.doc_id = canon.keep
+    JOIN passing p ON d.doc_id = p.doc_id
+    WHERE d.doc_id >= {DECON_EVAL_DOCS}
+      AND d.doc_id NOT IN (SELECT doc_id FROM flagged)
+    """,
+)
+def corpus_materialize_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-prep ENDGAME in one query — materialize the training
+    set that survives every gate: exact-dedup canonical survivors
+    (min-id per content hash) ∧ Gopher quality rules ∧ benchmark
+    decontamination (no flagged eval overlap), restricted to the train
+    split. This is the query a 100 TB pipeline writes as its output
+    table; each stage is individually oracle-checked
+    (``dedup_canonical_docs``, ``gopher_quality_rules``,
+    ``decontaminate_overlap``) and the composition re-verifies them
+    end-to-end.
+
+    Shapes: dedup joins ship (hash, id) pairs; the quality gate is a
+    narrow map; decontamination's gram join broadcasts the tiny eval
+    side; the final assembly is two equi-joins + one broadcast anti
+    join on ids."""
+    from . import REGISTRY as _R
+
+    d = load(spark, sf_dir, "documents")
+    canon = _R["dedup_canonical_docs"].spark(spark, sf_dir).select(
+        F.col("content_md5"), F.col("keep_doc_id").alias("doc_id")
+    )
+    passing = (
+        _R["gopher_quality_rules"].spark(spark, sf_dir)
+        .where(F.col("passes_all"))
+        .select("doc_id")
+    )
+    flagged = (
+        _R["decontaminate_overlap"].spark(spark, sf_dir)
+        .select(F.col("train_doc_id").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        d.where(F.col("doc_id") >= DECON_EVAL_DOCS)
+        .withColumn("content_md5", F.md5("text"))
+        .join(canon, ["doc_id", "content_md5"])  # survivor ⇔ min-id for its hash
+        .join(passing, "doc_id", "left_semi")
+        .join(F.broadcast(flagged), "doc_id", "left_anti")
+        .select("doc_id", "lang", "content_md5")
+    )
