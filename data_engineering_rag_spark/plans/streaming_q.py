@@ -576,3 +576,79 @@ def stream_doc_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import doc_dedup_gate_stream
 
     return doc_dedup_gate_stream(spark, sf_dir)
+
+
+@query(
+    "events_rolling_zscore",
+    """
+    WITH hourly AS (
+      SELECT event_type,
+             cast(epoch(date_trunc('hour', ts)) // 3600 as bigint) AS hour_idx,
+             cast(count(*) as bigint) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    win AS (
+      SELECT event_type, hour_idx, cnt,
+             cast(count(*) OVER w as bigint) AS n,
+             cast(sum(cnt) OVER w as bigint) AS s1,
+             cast(sum(cnt * cnt) OVER w as bigint) AS s2
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_idx
+                   RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, hour_idx, cnt, n,
+           round(cast(s1 as double) / n, 8) AS roll_mean,
+           CASE WHEN n > 1
+                  AND (cast(s2 as double) - (cast(s1 as double) * cast(s1 as double)) / n) / (n - 1) > 0
+                THEN round((cnt - cast(s1 as double) / n)
+                           / sqrt((cast(s2 as double) - (cast(s1 as double) * cast(s1 as double)) / n) / (n - 1)), 8)
+                ELSE NULL END AS zscore
+    FROM win
+    """,
+)
+def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling anomaly score: per event type, each hour's count against
+    the trailing-24h mean/std. The moment sums (Σx, Σx²) are INTEGER
+    window aggregates — exact in any engine and any accumulation order —
+    and mean/variance derive from them in identical per-row double
+    arithmetic, dodging the cross-engine hazard of native windowed
+    ``stddev`` (incremental float accumulation differs engine to
+    engine; catastrophic cancellation amplifies the drift).
+
+    Scale: one shuffle to hourly buckets (map-side combined from the
+    raw stream), one window shuffle on event_type; state per row is two
+    longs regardless of window width."""
+    from pyspark.sql.window import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
+            .cast("long")
+            .alias("hour_idx"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = W.partitionBy("event_type").orderBy("hour_idx").rangeBetween(-23, 0)
+    win = hourly.select(
+        "event_type",
+        "hour_idx",
+        "cnt",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("cnt").over(w).alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).alias("s2"),
+    )
+    s1d = F.col("s1").cast("double")
+    var = (F.col("s2").cast("double") - (s1d * s1d) / F.col("n")) / (F.col("n") - 1)
+    return win.select(
+        "event_type",
+        "hour_idx",
+        "cnt",
+        "n",
+        F.round(s1d / F.col("n"), 8).alias("roll_mean"),
+        F.when(
+            (F.col("n") > 1) & (var > 0),
+            F.round((F.col("cnt") - s1d / F.col("n")) / F.sqrt(var), 8),
+        ).alias("zscore"),
+    )
