@@ -652,3 +652,50 @@ def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("cnt") - s1d / F.col("n")) / F.sqrt(var), 8),
         ).alias("zscore"),
     )
+
+
+@query(
+    "events_asof_next_purchase",
+    """
+    SELECT v.event_id AS view_id, v.user_id, v.ts AS view_ts,
+           p.event_id AS next_purchase_id,
+           cast(CASE WHEN p.ts IS NULL THEN NULL
+                     ELSE date_diff('second', v.ts, p.ts) END as bigint) AS seconds_to_purchase
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id AND v.ts <= p.ts
+    """,
+)
+def events_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (``direction="forward"``): each view gets the
+    same user's earliest following purchase — the time-to-conversion
+    attribution shape. Oracle is DuckDB's native ASOF with the
+    inequality flipped; the Spark side is the same union+window sweep
+    run with a ``first_value`` forward window."""
+    from ..operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("view_ts")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("next_purchase_id"), F.col("ts").alias("p_ts")
+    )
+    joined = asof_join(
+        views,
+        purchases,
+        key="user_id",
+        left_time="view_ts",
+        right_time="p_ts",
+        right_value_cols=["next_purchase_id", "p_ts"],
+        direction="forward",
+    )
+    return joined.select(
+        "view_id",
+        "user_id",
+        "view_ts",
+        "next_purchase_id",
+        (F.col("p_ts").cast("long") - F.col("view_ts").cast("long")).alias(
+            "seconds_to_purchase"
+        ),
+    )

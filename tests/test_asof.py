@@ -34,3 +34,52 @@ def test_asof_join_semantics(spark):
     assert out["p2"] == ("v3", ts(120))  # exact tie is INCLUSIVE (<=)
     assert out["p3"] == (None, None)  # right row is after the left row
     assert out["p4"] == (None, None)  # key has no right rows at all
+
+
+def test_asof_directions_tiny(spark):
+    """Hand-checkable fixture for all three directions, including
+    equal-timestamp inclusivity and the nearest tie → backward rule."""
+    from data_engineering_rag_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 10, "l0"), ("a", 20, "l1"), ("b", 5, "l2")], ["k", "lt", "lbl"]
+    )
+    right = spark.createDataFrame(
+        [("a", 8, "r8"), ("a", 10, "r10"), ("a", 26, "r26"), ("b", 99, "r99")],
+        ["k", "rt", "rv"],
+    )
+
+    def run(direction):
+        out = asof_join(
+            left, right, key="k", left_time="lt", right_time="rt",
+            right_value_cols=["rv"], direction=direction,
+        )
+        return {r.lbl: r.rv for r in out.collect()}
+
+    # backward: latest rt <= lt (equal time inclusive)
+    assert run("backward") == {"l0": "r10", "l1": "r10", "l2": None}
+    # forward: earliest rt >= lt
+    assert run("forward") == {"l0": "r10", "l1": "r26", "l2": "r99"}
+    # nearest: l1 at 20 — back r10 (d=10) vs fwd r26 (d=6) → forward;
+    # l0 at 10 — exact match; l2 only has a forward candidate
+    assert run("nearest") == {"l0": "r10", "l1": "r26", "l2": "r99"}
+
+    # tie: back at d=2 and fwd at d=2 → backward wins
+    tie_left = spark.createDataFrame([("a", 10, "t")], ["k", "lt", "lbl"])
+    tie_right = spark.createDataFrame([("a", 8, "back"), ("a", 12, "fwd")], ["k", "rt", "rv"])
+    out = asof_join(
+        tie_left, tie_right, key="k", left_time="lt", right_time="rt",
+        right_value_cols=["rv"], direction="nearest",
+    )
+    assert out.collect()[0].rv == "back"
+
+
+def test_asof_bad_direction(spark):
+    import pytest as _pytest
+
+    from data_engineering_rag_spark.operators.asof import asof_join
+
+    df = spark.createDataFrame([("a", 1)], ["k", "t"])
+    with _pytest.raises(ValueError, match="direction"):
+        asof_join(df, df.withColumnRenamed("t", "rt"), key="k", left_time="t",
+                  right_time="rt", right_value_cols=[], direction="sideways")
