@@ -276,3 +276,51 @@ def search_topk_batch(
         F.round(F.col("score"), 8).desc(), *[F.col(c).asc() for c in model.key_cols]
     )
     return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k).drop("rn")
+
+
+def add_documents(model: TfidfModel, new_docs: DataFrame) -> TfidfModel:
+    """Frozen-vocabulary incremental index update — the serve-path
+    maintenance pattern (index a day's new docs without refitting):
+    new documents are weighted with the FITTED idf table, exactly
+    sklearn's ``transform()`` on unseen docs. OOV terms drop out via
+    the idf join; corpus statistics (df, N) are intentionally frozen —
+    an exact refresh is a rebuild, and serving systems batch those.
+
+    Scale: the delta build touches ONLY the new docs (tf groupBy +
+    broadcast idf join + per-doc norm window); the existing weight
+    table is reused as-is via union — nothing about the old corpus is
+    recomputed or reshuffled."""
+    pattern = token_pattern_for(model.token_mode)
+    per_field = []
+    for field in model.text_fields:
+        idf_f = model.idf.where(F.col("field") == field).drop("field")
+        tf = (
+            _tokens(new_docs, model.key_cols, field, pattern)
+            .groupBy(*model.key_cols, "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        w = tf.join(F.broadcast(idf_f), "term").select(
+            *model.key_cols, "term", (F.col("tf") * F.col("idf")).alias("w_raw")
+        )
+        doc_w = Window.partitionBy(*model.key_cols)
+        per_field.append(
+            w.select(
+                F.lit(field).alias("field"),
+                *model.key_cols,
+                "term",
+                (
+                    F.col("w_raw")
+                    / F.sqrt(F.sum(F.col("w_raw") * F.col("w_raw")).over(doc_w))
+                ).alias("w"),
+            )
+        )
+    delta = per_field[0]
+    for other in per_field[1:]:
+        delta = delta.unionByName(other)
+    return TfidfModel(
+        weights=model.weights.unionByName(delta),
+        idf=model.idf,
+        key_cols=model.key_cols,
+        text_fields=model.text_fields,
+        token_mode=model.token_mode,
+    )

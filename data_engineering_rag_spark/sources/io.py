@@ -100,3 +100,40 @@ def read_json_audited(
         F.col("_corrupt_record").alias("raw_line")
     )
     return good, bad
+
+
+def write_parquet_with_manifest(
+    df: DataFrame, path: str, mode: str = "overwrite"
+) -> dict:
+    """Snapshot write with a reproducibility manifest: parquet data plus
+    ``_MANIFEST.json`` recording row count, schema, and an
+    ORDER-INSENSITIVE content fingerprint (bit_xor of per-row
+    xxhash64 over all columns — commutative, so partitioning/shuffle
+    order can't change it). Two writes of the same logical table
+    produce the same fingerprint; any changed/added/dropped row flips
+    it. This is the cheap data-versioning contract a corpus snapshot
+    needs: downstream consumers pin the fingerprint, re-runs verify it.
+
+    Returns the manifest dict (also written next to the data)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    df.write.mode(mode).parquet(path)
+    spark = df.sparkSession
+    written = spark.read.parquet(path)
+    agg = written.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64(*[F.col(c) for c in written.columns])).alias("fp"),
+    ).collect()[0]
+    manifest = {
+        "row_count": agg.n,
+        "fingerprint_xxh64_xor": agg.fp,
+        "columns": [{"name": f.name, "type": f.dataType.simpleString()} for f in written.schema.fields],
+    }
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path + "/_MANIFEST.json")
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jvm_path, True)
+    out.write(bytearray(json.dumps(manifest, indent=2).encode()))
+    out.close()
+    return manifest

@@ -80,3 +80,25 @@ def test_read_json_audited_quarantines_corrupt_lines(spark, tmp_path):
     assert len(bad_lines) == 2
     assert any("broken json" in line for line in bad_lines)
     assert any("not-a-number" in line for line in bad_lines)
+
+
+def test_manifest_fingerprint_is_order_insensitive_and_sensitive_to_content(spark, tmp_path):
+    import json
+
+    from data_engineering_rag_spark.sources.io import write_parquet_with_manifest
+
+    df = spark.createDataFrame([(i, f"t{i}") for i in range(100)], ["id", "t"])
+    m1 = write_parquet_with_manifest(df, str(tmp_path / "a"))
+    # same rows, different physical order/partitioning -> same fingerprint
+    m2 = write_parquet_with_manifest(
+        df.orderBy(df.id.desc()).repartition(7), str(tmp_path / "b")
+    )
+    assert m1["row_count"] == m2["row_count"] == 100
+    assert m1["fingerprint_xxh64_xor"] == m2["fingerprint_xxh64_xor"]
+    # one changed row -> different fingerprint
+    changed = df.withColumn("t", __import__("pyspark").sql.functions.when(df.id == 50, "X").otherwise(df.t))
+    m3 = write_parquet_with_manifest(changed, str(tmp_path / "c"))
+    assert m3["fingerprint_xxh64_xor"] != m1["fingerprint_xxh64_xor"]
+    # manifest file is readable next to the data
+    on_disk = json.loads((tmp_path / "a" / "_MANIFEST.json").read_text())
+    assert on_disk == m1

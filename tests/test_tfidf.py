@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from data_engineering_rag_spark.operators.tfidf import (
     build_tfidf,
     search_topk,
@@ -101,3 +103,55 @@ def test_two_field_boosted_search(spark):
     # doc 1 matches 'spark' only via filename → 3× the plain field score.
     assert abs(boosted[1] - 3.0 * plain[1]) < 1e-12
     assert abs(boosted[0] - plain[0]) < 1e-12  # content-only match unchanged
+
+
+def test_add_documents_frozen_idf(spark):
+    """Incremental add: new docs are scored with the fitted idf (sklearn
+    transform semantics) — searchable immediately, OOV terms dropped,
+    old weights untouched."""
+    import math
+
+    from data_engineering_rag_spark.operators.tfidf import (
+        add_documents,
+        build_tfidf,
+        search_topk,
+    )
+
+    base = spark.createDataFrame(
+        [(0, "spark shuffle join"), (1, "pandas arrow batches")], ["doc_id", "text"]
+    )
+    model = build_tfidf(base, key_cols=["doc_id"], text_fields=["text"])
+    before = {(r.doc_id, r.term): r.w for r in model.weights.collect()}
+
+    new = spark.createDataFrame([(7, "spark window unseenterm")], ["doc_id", "text"])
+    model2 = add_documents(model, new)
+    after = {(r.doc_id, r.term): r.w for r in model2.weights.collect()}
+
+    # old weights byte-identical, new doc present, OOV term absent
+    assert {k: v for k, v in after.items() if k[0] != 7} == before
+    new_terms = {t for (d, t) in after if d == 7}
+    assert new_terms == {"spark"}  # 'window'/'unseenterm' are OOV vs the fitted vocab
+    # frozen-idf arithmetic: w = tf*idf / ||vec||; single surviving term -> w = 1.0
+    assert after[(7, "spark")] == pytest.approx(1.0, abs=1e-12)
+
+    # and the new doc is immediately searchable
+    got = search_topk(spark, model2, "spark", k=3).collect()
+    assert 7 in {r.doc_id for r in got}
+
+
+def test_add_documents_multi_term_norm(spark):
+    import math
+
+    from data_engineering_rag_spark.operators.tfidf import add_documents, build_tfidf
+
+    base = spark.createDataFrame(
+        [(0, "alpha beta beta"), (1, "alpha gamma")], ["doc_id", "text"]
+    )
+    model = build_tfidf(base, key_cols=["doc_id"], text_fields=["text"])
+    idf = {r.term: r.idf for r in model.idf.collect()}
+    new = spark.createDataFrame([(9, "alpha beta")], ["doc_id", "text"])
+    after = {(r.doc_id, r.term): r.w for r in add_documents(model, new).weights.collect()}
+    wa, wb = idf["alpha"], idf["beta"]
+    nrm = math.sqrt(wa * wa + wb * wb)
+    assert after[(9, "alpha")] == pytest.approx(wa / nrm, abs=1e-12)
+    assert after[(9, "beta")] == pytest.approx(wb / nrm, abs=1e-12)
