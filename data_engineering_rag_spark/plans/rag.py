@@ -563,3 +563,107 @@ def hybrid_rrf_related_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf").desc(), F.col("id"))
         .limit(HYBRID_K)
     )
+
+
+ROCCHIO_ALPHA = 1.0
+ROCCHIO_BETA = 0.75
+ROCCHIO_FEEDBACK_K = 5  # pseudo-relevant pool size
+
+
+def _rocchio_oracle() -> str:
+    toks = tokenize_query(SEARCH_QUERY)
+    qvals = ", ".join(f"('{t}', {c}.0)" for t, c in toks.items())
+    return f"""
+    WITH {_tfidf_cte("documents", "doc_id", "text")},
+    dvec AS (SELECT w.k AS doc_id, w.term, w_raw / nrm AS w FROM w JOIN nrm ON w.k = nrm.k),
+    qtf AS (SELECT * FROM (VALUES {qvals}) AS t(term, qtf)),
+    qw AS (SELECT qtf.term, qtf * idf AS qw_raw FROM qtf JOIN idf ON qtf.term = idf.term),
+    qnrm AS (SELECT sqrt(sum(qw_raw * qw_raw)) AS qn FROM qw),
+    qvec AS (SELECT term, qw_raw / qn AS qw FROM qw, qnrm),
+    pool AS (
+      SELECT doc_id FROM (
+        SELECT d.doc_id, round(sum(d.w * q.qw), 8) AS s0,
+               row_number() OVER (ORDER BY round(sum(d.w * q.qw), 8) DESC, d.doc_id) AS rn
+        FROM dvec d JOIN qvec q ON d.term = q.term GROUP BY d.doc_id)
+      WHERE rn <= {ROCCHIO_FEEDBACK_K}
+    ),
+    cent AS (
+      SELECT term,
+             cast(sum(cast(w as decimal(18,12))) as double) / {ROCCHIO_FEEDBACK_K} AS cw
+      FROM dvec WHERE doc_id IN (SELECT doc_id FROM pool)
+      GROUP BY term
+    ),
+    qexp AS (
+      SELECT coalesce(q.term, c.term) AS term,
+             coalesce(cast({ROCCHIO_ALPHA} as double) * q.qw, 0)
+             + coalesce(cast({ROCCHIO_BETA} as double) * c.cw, 0) AS ew
+      FROM qvec q FULL JOIN cent c ON q.term = c.term
+    )
+    SELECT d.doc_id, round(sum(d.w * e.ew), 8) AS score
+    FROM dvec d JOIN qexp e ON d.term = e.term
+    GROUP BY d.doc_id
+    ORDER BY round(sum(d.w * e.ew), 8) DESC, d.doc_id
+    LIMIT {SEARCH_K}
+    """
+
+
+@query("tfidf_search_rocchio", _rocchio_oracle())
+def tfidf_search_rocchio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance feedback (Rocchio): run the query, take the
+    top-{ROCCHIO_FEEDBACK_K} docs as pseudo-relevant, expand the query
+    vector toward their centroid (q' = α·q + β·centroid, α=1, β=0.75 —
+    the classic SMART weights), rescore. Recovers vocabulary the user
+    didn't type (synonyms that co-occur with the query terms in the
+    feedback pool).
+
+    Scale: both scoring passes are the audited broadcast-term-join
+    shape; the feedback pool is {ROCCHIO_FEEDBACK_K} rows (semi join),
+    the centroid is a decimal-exact sum over it, and the expanded query
+    vector (|pool vocab| rows) broadcasts like the original."""
+    docs = load(spark, sf_dir, "documents")
+    model = build_tfidf(docs, key_cols=["doc_id"], text_fields=["text"])
+    dvec = model.weights.select("doc_id", "term", "w")
+
+    counts = tokenize_query(SEARCH_QUERY)
+    qt = spark.createDataFrame([(t, float(c)) for t, c in counts.items()], ["term", "qtf"])
+    q = qt.join(model.idf.drop("field"), "term").select(
+        "term", (F.col("qtf") * F.col("idf")).alias("qw_raw")
+    )
+    qn = q.groupBy().agg(F.sqrt(F.sum(F.col("qw_raw") * F.col("qw_raw"))).alias("qn"))
+    qvec = q.crossJoin(F.broadcast(qn)).select(
+        "term", (F.col("qw_raw") / F.col("qn")).alias("qw")
+    )
+
+    scored0 = (
+        dvec.join(F.broadcast(qvec), "term")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("w") * F.col("qw")), 8).alias("s0"))
+    )
+    pool = scored0.orderBy(F.col("s0").desc(), F.col("doc_id")).limit(ROCCHIO_FEEDBACK_K)
+
+    cent = (
+        dvec.join(F.broadcast(pool.select("doc_id")), "doc_id", "left_semi")
+        .groupBy("term")
+        .agg(
+            (
+                F.sum(F.col("w").cast("decimal(18,12)")).cast("double")
+                / ROCCHIO_FEEDBACK_K
+            ).alias("cw")
+        )
+    )
+    qexp = (
+        qvec.join(cent, "term", "full")
+        .select(
+            "term",
+            (
+                F.coalesce(F.lit(ROCCHIO_ALPHA) * F.col("qw"), F.lit(0.0))
+                + F.coalesce(F.lit(ROCCHIO_BETA) * F.col("cw"), F.lit(0.0))
+            ).alias("ew"),
+        )
+    )
+    final = (
+        dvec.join(F.broadcast(qexp), "term")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("w") * F.col("ew")), 8).alias("score"))
+    )
+    return final.orderBy(F.col("score").desc(), F.col("doc_id")).limit(SEARCH_K)
