@@ -1763,3 +1763,70 @@ def agg_rollup_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("l_linestatus").cast("int").alias("g_status"),
         F.count(F.lit(1)).alias("n"),
     ).select("l_returnflag", "l_linestatus", "g_flag", "g_status", "n")
+
+
+@query(
+    "join_key_skew_audit",
+    """
+    WITH per_key AS (
+      SELECT 'lineitem.l_orderkey' AS table_key, l_orderkey AS k, count(*) AS c
+      FROM lineitem GROUP BY l_orderkey
+      UNION ALL
+      SELECT 'orders.o_custkey', o_custkey, count(*) FROM orders GROUP BY o_custkey
+      UNION ALL
+      SELECT 'events.user_id', user_id, count(*) FROM events GROUP BY user_id
+    )
+    SELECT table_key,
+           cast(count(*) as bigint) AS n_keys,
+           cast(sum(c) as bigint) AS n_rows,
+           cast(max(c) as bigint) AS max_rows_per_key,
+           round(cast(sum(c) as double) / count(*), 8) AS avg_rows_per_key,
+           round(max(c) / (cast(sum(c) as double) / count(*)), 8) AS skew_ratio,
+           round(max(c) / cast(sum(c) as double), 8) AS top1_share
+    FROM per_key GROUP BY table_key
+    """,
+)
+def join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew diagnostics — the audit that decides between a
+    plain shuffle join, AQE skew handling, and explicit salting
+    (``operators/scale.py::salted_join``): per join key, how many rows
+    the hottest key owns vs the average. skew_ratio ≫ 1 means one
+    reducer partition drowns while the rest idle; at 100 TB this query
+    runs on a sample or on partition-level stats, but the shape is the
+    same map-side-combined count.
+
+    All-integer aggregates + identically-written double divisions, so
+    the audit itself is engine-exact."""
+    li = load(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("k"))
+    od = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    ev = load(spark, sf_dir, "events").select(F.col("user_id").alias("k"))
+    per_key = None
+    for name, src in (
+        ("lineitem.l_orderkey", li),
+        ("orders.o_custkey", od),
+        ("events.user_id", ev),
+    ):
+        t = src.groupBy("k").agg(F.count(F.lit(1)).alias("c")).select(
+            F.lit(name).alias("table_key"), "k", "c"
+        )
+        per_key = t if per_key is None else per_key.unionByName(t)
+    avg = F.col("n_rows").cast("double") / F.col("n_keys")
+    return (
+        per_key.groupBy("table_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("c").alias("n_rows"),
+            F.max("c").alias("max_rows_per_key"),
+        )
+        .select(
+            "table_key",
+            "n_keys",
+            "n_rows",
+            F.col("max_rows_per_key").cast("long").alias("max_rows_per_key"),
+            F.round(avg, 8).alias("avg_rows_per_key"),
+            F.round(F.col("max_rows_per_key") / avg, 8).alias("skew_ratio"),
+            F.round(
+                F.col("max_rows_per_key") / F.col("n_rows").cast("double"), 8
+            ).alias("top1_share"),
+        )
+    )
