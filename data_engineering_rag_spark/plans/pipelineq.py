@@ -764,3 +764,74 @@ def corpus_materialize_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(flagged), "doc_id", "left_anti")
         .select("doc_id", "lang", "content_md5")
     )
+
+
+TEMPORAL_TRAIN_FRAC = 0.8
+
+
+@query(
+    "temporal_split_audit",
+    f"""
+    WITH tot AS (SELECT count(*) AS n FROM events),
+    ranked AS (
+      SELECT event_id, user_id, ts,
+             row_number() OVER (ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    lab AS (
+      SELECT *, rn <= cast(floor({TEMPORAL_TRAIN_FRAC} * n) as bigint) AS is_train
+      FROM ranked, tot
+    )
+    SELECT cast(sum(CASE WHEN is_train THEN 1 ELSE 0 END) as bigint) AS n_train,
+           cast(sum(CASE WHEN is_train THEN 0 ELSE 1 END) as bigint) AS n_test,
+           max(CASE WHEN is_train THEN ts END)
+             <= min(CASE WHEN NOT is_train THEN ts END) AS boundary_ok,
+           cast((SELECT count(*) FROM (
+              SELECT user_id FROM lab WHERE is_train
+              INTERSECT
+              SELECT user_id FROM lab WHERE NOT is_train)) as bigint) AS n_overlap_users
+    FROM lab
+    """,
+)
+def temporal_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based train/test split + leakage audit — the split an
+    event-derived training set must use (hash splits leak the future
+    into training): first {TEMPORAL_TRAIN_FRAC:.0%} of events by
+    (ts, event_id) order are train, the rest test. Emits the boundary
+    sanity check (no train timestamp past the first test timestamp) and
+    the user-overlap count — users appearing on both sides are the
+    entity-level leakage a stricter split would group by.
+
+    The global rank is an audit-time device (one sort); a production
+    split materializes the cutoff TIMESTAMP (e.g. from a percentile
+    sketch) and labels with a narrow comparison instead."""
+    ev = load(spark, sf_dir, "events")
+    from pyspark.sql.window import Window as W
+
+    tot = ev.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    ranked = (
+        ev.select("event_id", "user_id", "ts")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("rn", F.row_number().over(W.orderBy("ts", "event_id")))
+    )
+    lab = ranked.withColumn(
+        "is_train", F.col("rn") <= F.floor(TEMPORAL_TRAIN_FRAC * F.col("n")).cast("long")
+    )
+    tr_users = lab.where("is_train").select("user_id")
+    te_users = lab.where(~F.col("is_train")).select("user_id")
+    overlap = tr_users.intersect(te_users).groupBy().agg(
+        F.count(F.lit(1)).alias("n_overlap_users")
+    )
+    return (
+        lab.groupBy()
+        .agg(
+            F.sum(F.when(F.col("is_train"), 1).otherwise(0)).cast("long").alias("n_train"),
+            F.sum(F.when(F.col("is_train"), 0).otherwise(1)).cast("long").alias("n_test"),
+            (
+                F.max(F.when(F.col("is_train"), F.col("ts")))
+                <= F.min(F.when(~F.col("is_train"), F.col("ts")))
+            ).alias("boundary_ok"),
+        )
+        .crossJoin(F.broadcast(overlap))
+        .select("n_train", "n_test", "boundary_ok", F.col("n_overlap_users").cast("long").alias("n_overlap_users"))
+    )
