@@ -278,6 +278,66 @@ def search_topk_batch(
     return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k).drop("rn")
 
 
+def search_topk_df(
+    model: TfidfModel,
+    queries: DataFrame,
+    query_key_cols: list[str],
+    text_col: str,
+    k: int = 5,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Top-k per query where the query workload is itself a DataFrame —
+    the distributed-evaluation shape (``search_topk_batch`` takes a
+    driver-side list; at scale the queries are a table of millions of
+    rows, e.g. every generated eval question).
+
+    Query texts are tokenized with the SAME engine-side regex as the
+    corpus build (not driver-side ``re``), so the whole flow stays in
+    the JVM. Output: ``(*query_key_cols, *model.key_cols, score, rank)``
+    with ``rank`` 1..k per query by rounded-score desc, key asc.
+
+    ``broadcast_queries=True`` fits workloads that fit in a broadcast
+    (eval sets, interactive batches) — the index side then never
+    shuffles. For huge query tables set it False: the scoring join
+    becomes a shuffled hash join on ``term``, still one pass over the
+    index.
+    """
+    pattern = token_pattern_for(model.token_mode)
+    qk = list(query_key_cols)
+    qtf = (
+        queries.select(
+            *qk,
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(pattern), F.lit(0))
+            ).alias("term"),
+        )
+        .groupBy(*qk, "term")
+        .agg(F.count(F.lit(1)).alias("qtf"))
+    )
+    q = qtf.join(model.idf, "term").select(
+        *qk, "field", "term", (F.col("qtf") * F.col("idf")).alias("qw_raw")
+    )
+    qw_win = Window.partitionBy(*qk, "field")
+    qvec = q.select(
+        *qk,
+        "field",
+        "term",
+        (F.col("qw_raw") / F.sqrt(F.sum(F.col("qw_raw") * F.col("qw_raw")).over(qw_win))).alias(
+            "qw"
+        ),
+    )
+    side = F.broadcast(qvec) if broadcast_queries else qvec
+    scored = (
+        model.weights.join(side, ["field", "term"])
+        .groupBy(*qk, *model.key_cols)
+        .agg(F.sum(F.col("w") * F.col("qw")).alias("score"))
+    )
+    w = Window.partitionBy(*qk).orderBy(
+        F.round(F.col("score"), 8).desc(), *[F.col(c).asc() for c in model.key_cols]
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def add_documents(model: TfidfModel, new_docs: DataFrame) -> TfidfModel:
     """Frozen-vocabulary incremental index update — the serve-path
     maintenance pattern (index a day's new docs without refitting):

@@ -667,3 +667,146 @@ def tfidf_search_rocchio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(F.col("w") * F.col("ew")), 8).alias("score"))
     )
     return final.orderBy(F.col("score").desc(), F.col("doc_id")).limit(SEARCH_K)
+
+
+# --------------------------------------------------------------------------
+# Retrieval evaluation: hit-rate / MRR over the generated eval set
+# (EXT — the retrieval-quality metrics a RAG pipeline tracks; the
+# reference's eval harness judges ANSWERS with an LLM
+# (calculate_metrics.py), the retrieval layer itself is judged with
+# exactly these rank metrics)
+# --------------------------------------------------------------------------
+
+EVAL_TOPK = 5
+
+
+def _retrieval_eval_oracle() -> str:
+    """End-to-end in one SQL: sample docs → stub questions → tf-idf
+    search of every question against the FULL corpus → hit@1/@5 and
+    MRR@5 with truth = the doc the question was generated from.
+
+    Float discipline: ranks come from round(score, 8) ordering (the
+    repo-wide guard), reciprocal ranks are carried as the exact integer
+    60/rank (rank ∈ 1..5 all divide 60), and the only double divisions
+    are the two final metric ratios — engine-identical.
+    """
+    return f"""
+    WITH sampled AS (
+      SELECT doc_id, text FROM documents
+      ORDER BY md5(concat('sample42|', cast(doc_id as varchar))), doc_id
+      LIMIT 50
+    ),
+    questions AS (
+      SELECT doc_id AS truth_id, cast(q.q_num as bigint) AS q_num,
+             concat('Q', cast(q.q_num as varchar), ': what about ',
+                    coalesce(regexp_extract(regexp_replace(text, '^\\s+', ''), '^\\S+'), ''), '? [',
+                    substr(sha256(concat('evalq|42|', cast(doc_id as varchar), '|', text, '|',
+                                         cast(q.q_num as varchar))), 1, 8), ']') AS question
+      FROM sampled, unnest(generate_series(1, 3)) AS q(q_num)
+    ),
+    {_tfidf_cte("documents", "doc_id", "text")},
+    qtok AS (
+      SELECT truth_id, q_num,
+             unnest(regexp_extract_all(lower(question), '{TOKEN_PATTERN}')) AS term
+      FROM questions
+    ),
+    qtf AS (SELECT truth_id, q_num, term, count(*) AS qtf FROM qtok GROUP BY truth_id, q_num, term),
+    qw AS (
+      SELECT truth_id, q_num, qtf.term, qtf * idf AS qw_raw
+      FROM qtf JOIN idf ON qtf.term = idf.term
+    ),
+    qnrm AS (
+      SELECT truth_id, q_num, sqrt(sum(qw_raw * qw_raw)) AS qnrm
+      FROM qw GROUP BY truth_id, q_num
+    ),
+    scored AS (
+      SELECT qw.truth_id, qw.q_num, w.k AS doc_id,
+             sum((w.w_raw / nrm.nrm) * (qw.qw_raw / qnrm.qnrm)) AS score
+      FROM qw
+      JOIN w ON qw.term = w.term
+      JOIN nrm ON w.k = nrm.k
+      JOIN qnrm ON qw.truth_id = qnrm.truth_id AND qw.q_num = qnrm.q_num
+      GROUP BY qw.truth_id, qw.q_num, w.k
+    ),
+    ranked AS (
+      SELECT truth_id, q_num, doc_id,
+             row_number() OVER (
+               PARTITION BY truth_id, q_num
+               ORDER BY round(score, 8) DESC, doc_id ASC
+             ) AS rank
+      FROM scored
+    ),
+    per_q AS (
+      SELECT truth_id, q_num,
+             max(CASE WHEN doc_id = truth_id AND rank <= {EVAL_TOPK} THEN 1 ELSE 0 END) AS hit5,
+             max(CASE WHEN doc_id = truth_id AND rank = 1 THEN 1 ELSE 0 END) AS hit1,
+             max(CASE WHEN doc_id = truth_id AND rank <= {EVAL_TOPK}
+                      THEN cast(60 / rank as bigint) ELSE 0 END) AS rr60
+      FROM ranked
+      WHERE rank <= {EVAL_TOPK}
+      GROUP BY truth_id, q_num
+    ),
+    joined AS (
+      SELECT q.truth_id, q.q_num,
+             coalesce(hit5, 0) AS hit5, coalesce(hit1, 0) AS hit1,
+             coalesce(rr60, 0) AS rr60
+      FROM questions q
+      LEFT JOIN per_q ON q.truth_id = per_q.truth_id AND q.q_num = per_q.q_num
+    )
+    SELECT cast(count(*) as bigint) AS n_questions,
+           cast(sum(hit1) as bigint) AS n_hits_at1,
+           cast(sum(hit5) as bigint) AS n_hits_at5,
+           round(sum(hit5) / cast(count(*) as double), 8) AS hit_rate_at5,
+           round(sum(rr60) / (60.0 * count(*)), 8) AS mrr_at5
+    FROM joined
+    """
+
+
+@query("retrieval_eval_metrics", _retrieval_eval_oracle())
+def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation end-to-end: generate the eval
+    question set (stub LLM over the deterministic 50-doc sample), run
+    every question through the TF-IDF index of the FULL corpus via
+    ``search_topk_df`` (the query workload is a DataFrame — no
+    driver-side loop), and score hit@1, hit@5, MRR@5 against the
+    question's source document.
+
+    Scale: questions are a table (millions at production scale) — the
+    search is ONE pass over the index joined with all query vectors at
+    once; metrics are a map-side-combinable agg. Reciprocal ranks are
+    carried as exact integers (60/rank) so MRR is engine-portable."""
+    from ..operators.evalgen import generate_questions
+    from ..operators.tfidf import search_topk_df
+
+    d = load(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("sample42|"), F.col("doc_id").cast("string")))
+    sampled = (
+        d.select("doc_id", "text", key.alias("_k")).orderBy("_k", "doc_id").limit(50).drop("_k")
+    )
+    questions = generate_questions(sampled, seed=42).select(
+        F.col("doc_id").alias("truth_id"), "q_num", "question"
+    )
+
+    model = build_tfidf(d, key_cols=["doc_id"], text_fields=["text"])
+    hits = search_topk_df(model, questions, ["truth_id", "q_num"], "question", k=EVAL_TOPK)
+
+    is_truth = F.col("doc_id") == F.col("truth_id")
+    per_q = hits.groupBy("truth_id", "q_num").agg(
+        F.max(F.when(is_truth, 1).otherwise(0)).alias("hit5"),
+        F.max(F.when(is_truth & (F.col("rank") == 1), 1).otherwise(0)).alias("hit1"),
+        F.max(
+            F.when(is_truth, (F.lit(60) / F.col("rank")).cast("long")).otherwise(0)
+        ).alias("rr60"),
+    )
+    joined = questions.join(per_q, ["truth_id", "q_num"], "left").select(
+        F.coalesce("hit5", F.lit(0)).alias("hit5"),
+        F.coalesce("hit1", F.lit(0)).alias("hit1"),
+        F.coalesce("rr60", F.lit(0)).alias("rr60"),
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_questions"),
+        F.sum("hit1").cast("long").alias("n_hits_at1"),
+        F.sum("hit5").cast("long").alias("n_hits_at5"),
+        F.round(F.sum("hit5") / F.count(F.lit(1)).cast("double"), 8).alias("hit_rate_at5"),
+        F.round(F.sum("rr60") / (F.lit(60.0) * F.count(F.lit(1))), 8).alias("mrr_at5"),
+    )

@@ -155,3 +155,32 @@ def test_add_documents_multi_term_norm(spark):
     nrm = math.sqrt(wa * wa + wb * wb)
     assert after[(9, "alpha")] == pytest.approx(wa / nrm, abs=1e-12)
     assert after[(9, "beta")] == pytest.approx(wb / nrm, abs=1e-12)
+
+
+def test_search_topk_df_self_retrieval(spark):
+    """A query that IS a doc's text must retrieve that doc at rank 1
+    (cosine(v, v) = 1 beats every other doc); rank column is 1..k
+    per query; batch path agrees with the single-query path."""
+    from data_engineering_rag_spark.operators.tfidf import search_topk_df
+
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    model = build_tfidf(docs, key_cols=["doc_id"], text_fields=["text"])
+    queries = spark.createDataFrame(
+        [(qid, text) for qid, text in DOCS], ["query_id", "qtext"]
+    )
+    hits = search_topk_df(model, queries, ["query_id"], "qtext", k=2).collect()
+
+    by_query = {}
+    for r in hits:
+        by_query.setdefault(r.query_id, []).append(r)
+    assert set(by_query) == {0, 1, 2}
+    for qid, rows in by_query.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        assert rows[0].doc_id == qid, f"query {qid} should self-retrieve first"
+        assert rows[0].score == pytest.approx(1.0, abs=1e-9)
+
+    # Agreement with the driver-list single-query path on ordering.
+    single = search_topk(spark, model, DOCS[0][1], k=2).collect()
+    batch0 = [r.doc_id for r in by_query[0]]
+    assert [r.doc_id for r in single] == batch0
