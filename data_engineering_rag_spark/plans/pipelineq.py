@@ -835,3 +835,53 @@ def temporal_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(overlap))
         .select("n_train", "n_test", "boundary_ok", F.col("n_overlap_users").cast("long").alias("n_overlap_users"))
     )
+
+
+# --------------------------------------------------------------------------
+# Column profiling — the reconnaissance pass over a new data drop
+# --------------------------------------------------------------------------
+
+_PROFILE_TABLE = "orders"
+# (column, slot): which typed min/max slot the column fills.
+_PROFILE_COLS = [
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, slot in _PROFILE_COLS:
+        mn_num = f"cast(min({c}) as double)" if slot == "num" else "cast(NULL as double)"
+        mx_num = f"cast(max({c}) as double)" if slot == "num" else "cast(NULL as double)"
+        mn_str = f"cast(min({c}) as varchar)" if slot == "str" else "cast(NULL as varchar)"
+        mx_str = f"cast(max({c}) as varchar)" if slot == "str" else "cast(NULL as varchar)"
+        mn_ts = f"min({c})" if slot == "ts" else "cast(NULL as timestamp)"
+        mx_ts = f"max({c})" if slot == "ts" else "cast(NULL as timestamp)"
+        parts.append(f"""
+        SELECT '{c}' AS col_name,
+               cast(count(*) as bigint) AS n_rows,
+               cast(count(*) - count({c}) as bigint) AS n_nulls,
+               cast(count(distinct {c}) as bigint) AS n_distinct,
+               {mn_num} AS min_num, {mx_num} AS max_num,
+               {mn_str} AS min_str, {mx_str} AS max_str,
+               {mn_ts} AS min_ts, {mx_ts} AS max_ts
+        FROM {_PROFILE_TABLE}""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("column_profile_orders", _profile_oracle())
+def column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan profile of every ``orders`` column: null count,
+    exact distinct count, typed min/max. The oracle is the UNION-ALL
+    per-column spelling; the Spark side is ONE agg (the oracle scans
+    the table once per column — the profiler's whole point is that
+    Spark does not). At 100 TB switch ``exact_distinct=False`` for
+    HLL++ sketches: one stream instead of an |columns|-way Expand."""
+    from ..operators.profile import column_profile
+
+    return column_profile(load(spark, sf_dir, _PROFILE_TABLE))

@@ -62,3 +62,19 @@ def test_scd2_tiebreak_determinism(spark):
     out = scd2_intervals(changes, ["k"], "ts", ["attr"], tiebreak_cols=["seq"]).collect()
     cur = [r for r in out if r.is_current]
     assert len(cur) == 1 and cur[0].attr == "b"  # seq order decides the survivor
+
+
+def test_column_profile_planted(spark):
+    from data_engineering_rag_spark.operators.profile import column_profile
+
+    df = spark.createDataFrame(
+        [(1, None, 2.5), (2, "x", None), (2, "y", 7.5)], "k int, s string, v double"
+    )
+    prof = {r.col_name: r for r in column_profile(df).collect()}
+    assert prof["k"].n_rows == 3 and prof["k"].n_nulls == 0 and prof["k"].n_distinct == 2
+    assert prof["k"].min_num == 1.0 and prof["k"].max_num == 2.0
+    assert prof["s"].n_nulls == 1 and prof["s"].min_str == "x" and prof["s"].max_str == "y"
+    assert prof["v"].n_nulls == 1 and prof["v"].max_num == 7.5 and prof["v"].min_str is None
+    # Approx mode: same shape, sketch-based distincts still sane on tiny data.
+    aprof = {r.col_name: r for r in column_profile(df, exact_distinct=False).collect()}
+    assert aprof["k"].n_distinct == 2
