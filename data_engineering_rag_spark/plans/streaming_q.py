@@ -699,3 +699,78 @@ def events_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seconds_to_purchase"
         ),
     )
+
+
+@query(
+    "events_winsorized_values",
+    """
+    WITH ev AS (
+      SELECT event_type, event_id, value FROM events WHERE value IS NOT NULL
+    ),
+    ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM ev
+    ),
+    th AS (
+      SELECT event_type, cast(max(n) as bigint) AS n,
+             max(CASE WHEN rn = cast(ceil(0.01 * n) as bigint) THEN value END) AS p01,
+             max(CASE WHEN rn = cast(ceil(0.99 * n) as bigint) THEN value END) AS p99
+      FROM ranked GROUP BY event_type
+    )
+    SELECT ev.event_type, max(th.n) AS n, max(p01) AS p01, max(p99) AS p99,
+           cast(sum(CASE WHEN value < p01 THEN 1 ELSE 0 END) as bigint) AS n_clipped_low,
+           cast(sum(CASE WHEN value > p99 THEN 1 ELSE 0 END) as bigint) AS n_clipped_high
+    FROM ev JOIN th ON ev.event_type = th.event_type
+    GROUP BY ev.event_type
+    """,
+)
+def events_winsorized_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization audit (feature-engineering outlier clipping): exact
+    nearest-rank p01/p99 per event type, plus how many rows each tail
+    clip would touch. Thresholds are stored values (no interpolation
+    arithmetic) → engine-exact; tie order inside equal values cannot
+    change the selected value.
+
+    Scale: the exact path is one sort-per-key window — fine when each
+    key's partition fits an executor (events-per-type here). At 100 TB
+    swap in ``approx_percentile`` (t-digest, mergeable, no full sort)
+    and keep the same clip join; this query pins the exact semantics
+    the sketch is then judged against."""
+    from pyspark.sql.window import Window as W
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_type", "event_id", "value")
+    )
+    w = W.partitionBy("event_type").orderBy(F.col("value").asc(), F.col("event_id").asc())
+    cw = W.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cw).alias("n"),
+    )
+    sel = lambda frac: F.col("rn") == F.ceil(F.lit(frac) * F.col("n")).cast("long")
+    th = ranked.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max(F.when(sel(0.01), F.col("value"))).alias("p01"),
+        F.max(F.when(sel(0.99), F.col("value"))).alias("p99"),
+    )
+    return (
+        ev.join(F.broadcast(th), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("p01").alias("p01"),
+            F.max("p99").alias("p99"),
+            F.sum(F.when(F.col("value") < F.col("p01"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_low"),
+            F.sum(F.when(F.col("value") > F.col("p99"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_high"),
+        )
+    )

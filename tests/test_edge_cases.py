@@ -121,3 +121,28 @@ def test_vocab_and_cms_tiny_corpus(spark, tmp_path):
     assert len(vocab) == 1 and vocab[0].n_oov == 0 and vocab[0].oov_rate == 0.0
     cms = {r.term: r.est for r in REGISTRY["approx_top_terms_cms"].spark(spark, str(tmp_path)).collect()}
     assert cms == {"alpha": 2, "beta": 2, "gamma": 1}
+
+
+def test_winsorize_nearest_rank_bounds(spark, sf_dir):
+    """Nearest-rank semantics on 1..100: p01 = 1 (rank ceil(1)=1),
+    p99 = 99, so exactly one row clips high and none clip low."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window as W
+
+    ev = spark.range(1, 101).select(
+        F.lit("t").alias("event_type"),
+        F.col("id").alias("event_id"),
+        F.col("id").cast("double").alias("value"),
+    )
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    cw = W.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type", "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cw).alias("n"),
+    )
+    th = ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == F.ceil(F.lit(0.01) * F.col("n")).cast("long"), F.col("value"))).alias("p01"),
+        F.max(F.when(F.col("rn") == F.ceil(F.lit(0.99) * F.col("n")).cast("long"), F.col("value"))).alias("p99"),
+    ).collect()[0]
+    assert th.p01 == 1.0 and th.p99 == 99.0
