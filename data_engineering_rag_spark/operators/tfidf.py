@@ -384,3 +384,52 @@ def add_documents(model: TfidfModel, new_docs: DataFrame) -> TfidfModel:
         text_fields=model.text_fields,
         token_mode=model.token_mode,
     )
+
+
+def save_tfidf(model: TfidfModel, path: str) -> None:
+    """Persist a fitted index as parquet tables + a metadata row —
+    the build-once / serve-forever lifecycle (the reference refits
+    ``minsearch`` in-memory per process; a 100 TB index is built by a
+    batch job and SERVED by many, so it must round-trip through
+    storage). Weights land partitionable-by-term, which is exactly the
+    scoring join key; everything goes through the cluster FS (no
+    driver-local file I/O), so the path may be s3://, hdfs://, …"""
+    import json
+
+    model.weights.write.mode("overwrite").parquet(f"{path}/weights")
+    model.idf.write.mode("overwrite").parquet(f"{path}/idf")
+    spark = model.weights.sparkSession
+    meta = json.dumps(
+        {
+            "key_cols": model.key_cols,
+            "text_fields": model.text_fields,
+            "token_mode": model.token_mode,
+            "format_version": 1,
+        }
+    )
+    spark.createDataFrame([(meta,)], ["meta"]).coalesce(1).write.mode("overwrite").json(
+        f"{path}/meta"
+    )
+
+
+def load_tfidf(spark: SparkSession, path: str, persist: bool = False) -> TfidfModel:
+    """Reload a ``save_tfidf`` index. ``persist=True`` pins the tables
+    in cache for the serve-many loop (same contract as
+    ``build_tfidf(persist=True)``)."""
+    import json
+
+    meta = json.loads(spark.read.json(f"{path}/meta").collect()[0]["meta"])
+    if meta.get("format_version") != 1:
+        raise ValueError(f"unsupported tfidf index format: {meta.get('format_version')}")
+    weights = spark.read.parquet(f"{path}/weights")
+    idf = spark.read.parquet(f"{path}/idf")
+    if persist:
+        weights = weights.persist()
+        idf = idf.persist()
+    return TfidfModel(
+        weights=weights,
+        idf=idf,
+        key_cols=list(meta["key_cols"]),
+        text_fields=list(meta["text_fields"]),
+        token_mode=meta["token_mode"],
+    )

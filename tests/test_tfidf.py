@@ -184,3 +184,23 @@ def test_search_topk_df_self_retrieval(spark):
     single = search_topk(spark, model, DOCS[0][1], k=2).collect()
     batch0 = [r.doc_id for r in by_query[0]]
     assert [r.doc_id for r in single] == batch0
+
+
+def test_save_load_roundtrip(spark, tmp_path):
+    """A reloaded index must serve bit-identical search results and
+    preserve the fitted configuration (incl. token_mode)."""
+    from data_engineering_rag_spark.operators.tfidf import load_tfidf, save_tfidf
+
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    model = build_tfidf(docs, key_cols=["doc_id"], text_fields=["text"], token_mode="unicode")
+    path = str(tmp_path / "idx")
+    save_tfidf(model, path)
+    reloaded = load_tfidf(spark, path)
+    assert reloaded.key_cols == ["doc_id"]
+    assert reloaded.text_fields == ["text"]
+    assert reloaded.token_mode == "unicode"
+
+    q = "spark join"
+    orig = [(r.doc_id, round(r.score, 12)) for r in search_topk(spark, model, q, k=3).collect()]
+    back = [(r.doc_id, round(r.score, 12)) for r in search_topk(spark, reloaded, q, k=3).collect()]
+    assert orig == back
