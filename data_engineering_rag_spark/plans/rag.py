@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.paths import SKIP_SQL_SNIPPETS, extension_of, normalize_path, should_skip
 from ..functions.text import STRIP_FENCE_SQL, strip_code_fence_col
@@ -809,4 +810,108 @@ def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("hit5").cast("long").alias("n_hits_at5"),
         F.round(F.sum("hit5") / F.count(F.lit(1)).cast("double"), 8).alias("hit_rate_at5"),
         F.round(F.sum("rr60") / (F.lit(60.0) * F.count(F.lit(1))), 8).alias("mrr_at5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# RAG serving prep: per-query prompt/context assembly from top-k hits
+# (reference: the agent's system prompt instructs citation links built
+# as https://github.com/DataTalksClub/data-engineering-zoomcamp/blob/
+# main/<source> — zc_agent/prompts/search_agent.md; the assembly itself
+# is EXT: the data-side batch equivalent of what pydantic-ai does per
+# conversation turn)
+# --------------------------------------------------------------------------
+
+CONTEXT_K = 3
+_CITE_BASE = "https://github.com/DataTalksClub/data-engineering-zoomcamp/blob/main/"
+_CTX_HEADER = (
+    "Answer using only the context below. Cite sources as markdown links."
+)
+
+
+def _context_assembly_oracle() -> str:
+    qvals = ", ".join(f"({qid}, '{q}')" for qid, q in BATCH_QUERIES)
+    base = _batch_search_oracle(CONTEXT_K)
+    # Reuse the ranked-hit CTE chain; re-wrap its final SELECT as a CTE.
+    inner = base.strip().rstrip()
+    # base ends with the top-k SELECT; embed it as `hits`.
+    head, final_select = inner.rsplit("SELECT cast(query_id as bigint)", 1)
+    return f"""
+    {head.rstrip()},
+    hits AS (
+      SELECT cast(query_id as bigint){final_select}
+    ),
+    ranked AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+      FROM hits
+    ),
+    ctx AS (
+      SELECT r.query_id,
+             string_agg(
+               concat('[', cast(r.rn as varchar), '] [', d.source, '](',
+                      '{_CITE_BASE}', d.source, ')', chr(10), d.text),
+               concat(chr(10), chr(10)) ORDER BY r.rn
+             ) AS context
+      FROM ranked r JOIN documents d ON r.doc_id = d.doc_id
+      GROUP BY r.query_id
+    )
+    SELECT q.query_id,
+           concat('{_CTX_HEADER}', chr(10), chr(10), ctx.context,
+                  chr(10), chr(10), 'Question: ', q.qtext) AS prompt
+    FROM (SELECT cast(query_id as bigint) AS query_id, qtext
+          FROM (VALUES {qvals}) AS t(query_id, qtext)) q
+    JOIN ctx ON q.query_id = ctx.query_id
+    """
+
+
+@query("rag_context_assembly", _context_assembly_oracle())
+def rag_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch prompt assembly: top-{CONTEXT_K} hits per query → numbered
+    context blocks with the reference's GitHub citation-link rule →
+    one LLM-ready prompt string per query. Pure column arithmetic
+    (collect_list of (rank, block) structs, array_sort, array_join) —
+    the string assembly is deterministic, so the whole serving-prep
+    stage is value-checked.
+
+    Scale: hits are |Q|·k rows (tiny) → broadcast into the documents
+    join; the assembly groupBy shuffles only assembled blocks, never
+    the corpus."""
+    docs = load(spark, sf_dir, "documents")
+    model = build_tfidf(docs, key_cols=["doc_id"], text_fields=["text"])
+    hits = search_topk_batch(spark, model, BATCH_QUERIES, k=CONTEXT_K)
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("score"), 8).desc(), F.col("doc_id").asc()
+    )
+    ranked = hits.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "doc_id",
+        F.row_number().over(w).alias("rn"),
+    )
+    blocks = F.broadcast(ranked).join(docs.select("doc_id", "source", "text"), "doc_id").select(
+        "query_id",
+        F.struct(
+            F.col("rn").alias("rn"),
+            F.concat(
+                F.lit("["), F.col("rn").cast("string"), F.lit("] ["),
+                F.col("source"), F.lit("]("), F.lit(_CITE_BASE), F.col("source"),
+                F.lit(")\n"), F.col("text"),
+            ).alias("block"),
+        ).alias("rb"),
+    )
+    ctx = blocks.groupBy("query_id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("rb")), lambda x: x["block"]),
+            "\n\n",
+        ).alias("context")
+    )
+    queries_df = spark.createDataFrame(BATCH_QUERIES, ["query_id", "qtext"]).select(
+        F.col("query_id").cast("long").alias("query_id"), "qtext"
+    )
+    return F.broadcast(queries_df).join(ctx, "query_id").select(
+        "query_id",
+        F.concat(
+            F.lit(_CTX_HEADER), F.lit("\n\n"), F.col("context"),
+            F.lit("\n\n"), F.lit("Question: "), F.col("qtext"),
+        ).alias("prompt"),
     )
