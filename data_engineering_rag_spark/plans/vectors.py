@@ -849,3 +849,79 @@ def quantized_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= ANN_K)
         .select("q_id", "vec_id", "adot", "cosine", F.col("rn").cast("long").alias("rn"))
     )
+
+
+PAGERANK_DAMPING = 0.85
+PAGERANK_ITERS = 2
+
+_KNN_EDGES_SQL = f"""
+    v AS (SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings),
+    pscored AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             round(list_dot_product(a.ev, b.ev)
+                   / (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev))), 8)
+               + 0.0 AS cosine
+      FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    edges AS (
+      SELECT src, dst FROM (
+        SELECT *, row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rn
+        FROM pscored) WHERE rn <= {KNN_K}
+    )
+"""
+
+
+@query(
+    "pagerank_knn_2iter",
+    f"""
+    WITH {_KNN_EDGES_SQL},
+    nn AS (SELECT count(*) AS n FROM embeddings),
+    outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    pr0 AS (SELECT vec_id AS id, cast(1 as double) / n AS pr FROM embeddings, nn),
+    c1 AS (
+      SELECT e.dst AS id,
+             cast(sum(cast(p.pr / o.outdeg as decimal(28,18))) as double) AS s
+      FROM edges e JOIN pr0 p ON e.src = p.id JOIN outdeg o ON e.src = o.src
+      GROUP BY e.dst
+    ),
+    pr1 AS (
+      SELECT v0.id,
+             (cast(1 as double) - cast(0.85 as double)) / n
+               + cast(0.85 as double) * coalesce(s, cast(0 as double)) AS pr
+      FROM (SELECT vec_id AS id FROM embeddings) v0
+      LEFT JOIN c1 ON v0.id = c1.id, nn
+    ),
+    c2 AS (
+      SELECT e.dst AS id,
+             cast(sum(cast(p.pr / o.outdeg as decimal(28,18))) as double) AS s
+      FROM edges e JOIN pr1 p ON e.src = p.id JOIN outdeg o ON e.src = o.src
+      GROUP BY e.dst
+    ),
+    pr2 AS (
+      SELECT v0.id,
+             (cast(1 as double) - cast(0.85 as double)) / n
+               + cast(0.85 as double) * coalesce(s, cast(0 as double)) AS pr
+      FROM (SELECT vec_id AS id FROM embeddings) v0
+      LEFT JOIN c2 ON v0.id = c2.id, nn
+    )
+    SELECT id AS vec_id, round(pr, 8) AS pr FROM pr2
+    """,
+)
+def pagerank_knn_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (2 power iterations, d=0.85) over the within-bucket
+    kNN graph — similarity-graph centrality, the signal importance-
+    weighted corpus sampling uses. Decimal-exact contribution sums make
+    the doubles engine-portable; the DuckDB oracle runs both iterations
+    fully unrolled — two different executions, one answer.
+
+    Scale: each iteration = rank⋈edges equi-join + groupBy(dst), both
+    hash-partitioned by node id → co-partitioned once storage is; the
+    operator takes ``checkpoint_every`` for deep iteration counts."""
+    from ..operators.graph import pagerank
+
+    edges = knn_graph_by_label(spark, sf_dir).select("src", "dst")
+    nodes = load(spark, sf_dir, "embeddings").select(F.col("vec_id").alias("id"))
+    pr = pagerank(
+        nodes, edges, node_col="id", n_iter=PAGERANK_ITERS, damping=PAGERANK_DAMPING
+    )
+    return pr.select(F.col("id").alias("vec_id"), F.round("pr", 8).alias("pr"))

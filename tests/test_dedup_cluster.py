@@ -70,3 +70,23 @@ def test_components_with_reliable_checkpoint(spark, tmp_path):
         for r in connected_components(df, checkpoint_dir=str(tmp_path / "cc")).collect()
     }
     assert got == union_find(edges)
+
+
+def test_pagerank_cycle_and_dangling(spark):
+    """2-cycle: uniform rank is a fixed point (0.5 each). Dangling
+    variant: sink keeps receiving, source decays to (1-d)/N; total
+    mass < 1 is the documented no-redistribution semantics."""
+    from data_engineering_rag_spark.operators.graph import pagerank
+    import pyspark.sql.functions as F
+
+    nodes = spark.createDataFrame([(1,), (2,)], ["id"])
+    cyc = spark.createDataFrame([(1, 2), (2, 1)], ["src", "dst"])
+    pr = {r.id: r.pr for r in pagerank(nodes, cyc, n_iter=3).collect()}
+    assert abs(pr[1] - 0.5) < 1e-12 and abs(pr[2] - 0.5) < 1e-12
+
+    chain = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    pr = {r.id: r.pr for r in pagerank(nodes, chain, n_iter=2).collect()}
+    base = 0.15000000000000002 / 2
+    assert abs(pr[1] - base) < 1e-12          # no in-edges after decay
+    assert pr[2] > pr[1]                      # sink dominates
+    assert abs(pr[2] - (base + 0.85 * base)) < 1e-12
