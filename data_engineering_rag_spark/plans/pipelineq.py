@@ -885,3 +885,61 @@ def column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.profile import column_profile
 
     return column_profile(load(spark, sf_dir, _PROFILE_TABLE))
+
+
+# --------------------------------------------------------------------------
+# Weighted sampling — importance/curriculum sampling without an RNG
+# --------------------------------------------------------------------------
+
+_WSAMP_SALT = "wsamp1|"
+_WSAMP_N = 100
+_TWO_POW_60 = 1152921504606846976  # exact as a double
+
+
+def _wsamp_key_sql() -> str:
+    h = (
+        f"cast(concat('0x', substr(md5(concat('{_WSAMP_SALT}', cast(doc_id as varchar))), 1, 15)) "
+        "as bigint)"
+    )
+    return (
+        f"ln(cast({h} + 1 as double) / cast({_TWO_POW_60} as double)) "
+        "/ cast(n_chars as double)"
+    )
+
+
+@query(
+    "weighted_sample_docs",
+    f"""
+    SELECT doc_id, cast(n_chars as bigint) AS n_chars,
+           round({_wsamp_key_sql()}, 8) AS samp_key
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY round({_wsamp_key_sql()}, 8) DESC, doc_id
+    LIMIT {_WSAMP_N}
+    """,
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sample (Efraimidis–Spirakis A-RES): each doc
+    gets key ln(u)/w with u a salted-hash uniform in (0,1] and
+    w = n_chars; the global top-{_WSAMP_N} keys ARE a w-proportional
+    without-replacement sample. No RNG: the sample is a pure function
+    of doc ids (stable across re-runs/insertions like the split
+    assignment), and re-keying is never needed when new docs arrive —
+    merging top-k sets is enough (the property that matters for
+    incremental 100 TB curation: each shard computes its local top-k,
+    a tiny merge picks the global sample — TakeOrdered, no shuffle of
+    the corpus). Keys are rounded to 8 dp with doc_id tie-break so the
+    boundary is engine-exact; ln ordering equals the classic u^(1/w).
+    """
+    d = load(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(_WSAMP_SALT), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    u = (h + 1).cast("double") / F.lit(_TWO_POW_60).cast("double")
+    raw = F.log(u) / F.col("n_chars").cast("double")
+    keyed = d.select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars"), F.round(raw, 8).alias("samp_key")
+    )
+    return keyed.orderBy(F.col("samp_key").desc(), F.col("doc_id")).limit(_WSAMP_N)

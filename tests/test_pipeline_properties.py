@@ -113,3 +113,16 @@ def test_repetition_short_docs_excluded(spark, tmp_path):
     # 'aaaa...' is one distinct shingle repeated: dup fraction → (n-1)/n
     n = 50 - SHINGLE_REP_K + 1
     assert abs(got[1].dup_shingle_frac - (1 - 1 / n)) < 1e-8
+
+
+def test_weighted_sample_favors_heavy_docs(spark, sf_dir):
+    """The w-proportional sample must overrepresent long documents:
+    mean n_chars in the sample > corpus mean (deterministically, since
+    the sample is a pure hash function)."""
+    import pyspark.sql.functions as F
+    from data_engineering_rag_spark.plans import REGISTRY, load
+
+    samp = REGISTRY["weighted_sample_docs"].spark(spark, sf_dir)
+    m_s = samp.agg(F.avg("n_chars")).collect()[0][0]
+    m_c = load(spark, sf_dir, "documents").agg(F.avg("n_chars")).collect()[0][0]
+    assert m_s > m_c
