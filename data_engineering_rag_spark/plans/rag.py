@@ -915,3 +915,77 @@ def rag_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("\n\n"), F.lit("Question: "), F.col("qtext"),
         ).alias("prompt"),
     )
+
+
+# --------------------------------------------------------------------------
+# Two-stage retrieval: lexical pool → cross-encoder-stub rerank
+# --------------------------------------------------------------------------
+
+RERANK_POOL_K = 20
+RERANK_K = 5
+
+
+def _rerank_oracle() -> str:
+    qvals = ", ".join(f"('{t}', {c}.0)" for t, c in tokenize_query(SEARCH_QUERY).items())
+    xenc = (
+        "cast(concat('0x', substr(sha256(concat('xenc|', "
+        f"'{SEARCH_QUERY}', '|', cast(doc_id as varchar), '|', text)), 1, 8)) as bigint) "
+        "/ cast(4294967296 as double)"
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    ndocs AS (SELECT count(*) AS n_docs FROM documents),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    idf AS (SELECT term, ln((1 + n_docs) / (1 + df)) + 1 AS idf FROM dfreq, ndocs),
+    w AS (SELECT doc_id, tf.term, tf * idf AS w_raw FROM tf JOIN idf ON tf.term = idf.term),
+    nrm AS (SELECT doc_id, sqrt(sum(w_raw * w_raw)) AS nrm FROM w GROUP BY doc_id),
+    dvec AS (SELECT w.doc_id, w.term, w_raw / nrm AS w FROM w JOIN nrm ON w.doc_id = nrm.doc_id),
+    qtf AS (SELECT * FROM (VALUES {qvals}) AS t(term, qtf)),
+    qw AS (SELECT qtf.term, qtf * idf AS qw_raw FROM qtf JOIN idf ON qtf.term = idf.term),
+    qnrm AS (SELECT sqrt(sum(qw_raw * qw_raw)) AS qnrm FROM qw),
+    qvec AS (SELECT term, qw_raw / qnrm AS qw FROM qw, qnrm),
+    pool AS (
+      SELECT d.doc_id, round(sum(d.w * q.qw), 8) AS lex_score
+      FROM dvec d JOIN qvec q ON d.term = q.term
+      GROUP BY d.doc_id
+      ORDER BY round(sum(d.w * q.qw), 8) DESC, d.doc_id
+      LIMIT {RERANK_POOL_K}
+    ),
+    scored AS (
+      SELECT p.doc_id, p.lex_score, round({xenc}, 8) AS xenc_score
+      FROM pool p JOIN documents USING (doc_id)
+    )
+    SELECT doc_id, lex_score, xenc_score, cast(rn as bigint) AS rank FROM (
+      SELECT *, row_number() OVER (ORDER BY xenc_score DESC, doc_id) AS rn
+      FROM scored) WHERE rn <= {RERANK_K}
+    """
+
+
+@query("rerank_stub_topk", _rerank_oracle())
+def rerank_stub_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: cheap lexical top-{RERANK_POOL_K} pool,
+    then an (Arrow-batched, stubbed) cross-encoder rescores the pool
+    and keeps top-{RERANK_K}. The expensive scorer only ever sees the
+    pool — the contract that makes model-based reranking affordable at
+    any corpus size. Stub is sha-templated so the stage value-checks;
+    a real model drops into the same ``mapInPandas`` batch loop."""
+    from ..operators.rerank import rerank_stub
+
+    docs = load(spark, sf_dir, "documents")
+    model = build_tfidf(docs, key_cols=["doc_id"], text_fields=["text"])
+    pool = search_topk(spark, model, SEARCH_QUERY, k=RERANK_POOL_K).select(
+        "doc_id", F.round("score", 8).alias("lex_score")
+    )
+    cands = pool.join(docs.select("doc_id", "text"), "doc_id")
+    scored = rerank_stub(cands, SEARCH_QUERY, key_col="doc_id", text_col="text").select(
+        "doc_id", "lex_score", F.round("xenc_score", 8).alias("xenc_score")
+    )
+    w = Window.orderBy(F.col("xenc_score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= RERANK_K)
+    )

@@ -204,3 +204,22 @@ def test_save_load_roundtrip(spark, tmp_path):
     orig = [(r.doc_id, round(r.score, 12)) for r in search_topk(spark, model, q, k=3).collect()]
     back = [(r.doc_id, round(r.score, 12)) for r in search_topk(spark, reloaded, q, k=3).collect()]
     assert orig == back
+
+
+def test_rerank_stub_deterministic_and_pool_only(spark):
+    """The stub scorer is a pure function (same pool → same scores)
+    and scoring touches exactly the candidate pool rows."""
+    from data_engineering_rag_spark.operators.rerank import rerank_stub, stub_xenc_score
+
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    a = rerank_stub(docs, "q1", key_col="doc_id", text_col="text").collect()
+    b = rerank_stub(docs, "q1", key_col="doc_id", text_col="text").collect()
+    assert sorted((r.doc_id, r.xenc_score) for r in a) == sorted(
+        (r.doc_id, r.xenc_score) for r in b
+    )
+    assert len(a) == len(DOCS)
+    r0 = next(r for r in a if r.doc_id == 0)
+    assert r0.xenc_score == stub_xenc_score("q1", "0", DOCS[0][1])
+    # Different query → different scores (the query reaches the scorer).
+    c = {r.doc_id: r.xenc_score for r in rerank_stub(docs, "q2", "doc_id", "text").collect()}
+    assert any(c[r.doc_id] != r.xenc_score for r in a)
