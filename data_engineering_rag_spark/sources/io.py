@@ -11,6 +11,7 @@ interchange parity.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
 
@@ -137,3 +138,66 @@ def write_parquet_with_manifest(
     out.write(bytearray(json.dumps(manifest, indent=2).encode()))
     out.close()
     return manifest
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into files of
+    roughly ``target_file_bytes`` (the classic maintenance job — a
+    streaming sink or over-parallel write leaves thousands of KB-sized
+    files, and at 100 TB the NameNode/listing and per-file open costs
+    dominate reads). File count is sized from the dataset's actual
+    on-disk bytes, so the result tracks data volume, not the input's
+    partitioning. Returns the number of output files written.
+
+    Round-robin ``repartition(n)`` (not coalesce) so output files are
+    even-sized regardless of input skew; coalesce would glue adjacent
+    small files into uneven outputs and can collapse parallelism."""
+    df = spark.read.parquet(src_path)
+    # Sum the source's data-file sizes via the Hadoop FS API (works on
+    # any supported filesystem, not just file://).
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    it = fs.listFiles(hpath, True)
+    total = 0
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if not name.startswith("_") and not name.startswith("."):
+            total += st.getLen()
+    n_files = max(1, -(-total // target_file_bytes))  # ceil div
+    df.repartition(n_files).write.mode("overwrite").parquet(dst_path)
+    out = fs.listFiles(jvm.org.apache.hadoop.fs.Path(dst_path), True)
+    n_out = 0
+    while out.hasNext():
+        if out.next().getPath().getName().endswith(".parquet"):
+            n_out += 1
+    return n_out
+
+
+def write_parquet_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partitioned, within-file-sorted parquet write — the
+    clustering layout that makes parquet row-group min/max statistics
+    selective (a filter on ``sort_cols`` prunes whole files/row groups
+    at scan time, the poor man's Z-order for a single sort key).
+
+    ``repartitionByRange`` samples the sort key to build balanced
+    ranges (one shuffle), then ``sortWithinPartitions`` orders rows
+    inside each output task — no global sort barrier."""
+    cols = [F.col(c) for c in sort_cols]
+    parted = (
+        df.repartitionByRange(n_files, *cols) if n_files else df.repartitionByRange(*cols)
+    )
+    parted.sortWithinPartitions(*cols).write.mode(mode).parquet(path)

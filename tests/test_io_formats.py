@@ -102,3 +102,42 @@ def test_manifest_fingerprint_is_order_insensitive_and_sensitive_to_content(spar
     # manifest file is readable next to the data
     on_disk = json.loads((tmp_path / "a" / "_MANIFEST.json").read_text())
     assert on_disk == m1
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    import pyspark.sql.functions as F
+    from data_engineering_rag_spark.sources.io import compact_parquet
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    # Fragment: 64 partitions of a small dataset → 64 tiny files.
+    spark.range(10_000).select("id", F.md5(F.col("id").cast("string")).alias("h")) \
+        .repartition(64).write.parquet(src)
+    n_src = len([p for p in (tmp_path / "frag").glob("*.parquet")])
+    assert n_src >= 32
+    n_out = compact_parquet(spark, src, dst, target_file_bytes=8 * 1024 * 1024)
+    assert n_out == 1  # well under one target file of data
+    a = spark.read.parquet(src).orderBy("id").collect()
+    b = spark.read.parquet(dst).orderBy("id").collect()
+    assert a == b
+
+
+def test_write_parquet_sorted_clusters_key(spark, tmp_path):
+    from data_engineering_rag_spark.sources.io import write_parquet_sorted
+
+    df = spark.range(0, 1000).selectExpr("id", "cast(id % 7 as double) as v")
+    path = str(tmp_path / "sorted")
+    write_parquet_sorted(df, path, sort_cols=["id"], n_files=4)
+    files = sorted((tmp_path / "sorted").glob("*.parquet"))
+    assert len(files) == 4
+    # Each file holds a contiguous, internally sorted id range; ranges
+    # are disjoint across files (the pruning property).
+    ranges = []
+    for f in files:
+        ids = [r.id for r in spark.read.parquet(str(f)).collect()]
+        assert ids == sorted(ids)
+        ranges.append((min(ids), max(ids)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2
+    assert {r.id for f in files for r in spark.read.parquet(str(f)).collect()} == set(range(1000))
