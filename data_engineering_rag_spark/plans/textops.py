@@ -880,3 +880,36 @@ def approx_top_terms_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("cnt").alias("est"))
     )
     return est.orderBy(F.col("est").desc(), F.col("term")).limit(20)
+
+
+@query(
+    "token_sort_fingerprints",
+    f"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')), ' ')) AS fp
+      FROM documents
+    )
+    SELECT fp, cast(count(*) as bigint) AS n_docs, min(doc_id) AS canonical_id
+    FROM fp GROUP BY fp HAVING count(*) >= 2
+    """,
+)
+def token_sort_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive near-dup fingerprint: md5 of the SORTED token
+    multiset — catches shuffled/reordered copies that exact-hash dedup
+    misses, at narrow-map cost (no pair joins at all; the groupBy
+    shuffles 16-byte hashes only, like exact dedup). The cheap middle
+    rung between exact dedup and MinHash."""
+    d = load(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.array_join(
+            F.array_sort(F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0))),
+            " ",
+        )
+    )
+    return (
+        d.select("doc_id", fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"), F.min("doc_id").alias("canonical_id"))
+        .where(F.col("n_docs") >= 2)
+    )

@@ -77,3 +77,30 @@ def test_minhash_wide_modes_same_shape(spark, dup_corpus_dir):
 def test_bad_hash_mode_raises(spark, dup_corpus_dir):
     with pytest.raises(ValueError, match="hash_mode"):
         _minhash_wide(spark, dup_corpus_dir, hash_mode="sha1").collect()
+
+
+def test_token_sort_fingerprint_catches_reordered_docs(spark):
+    """Reordered copies share a fingerprint (exact-hash dedup misses
+    them); different multisets don't."""
+    import pyspark.sql.functions as F
+    from data_engineering_rag_spark.operators.tfidf import TOKEN_PATTERN
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark joins shuffle data"),
+            (2, "data shuffle spark joins"),   # same multiset, reordered
+            (3, "spark joins shuffle data data"),  # extra token → different
+        ],
+        ["doc_id", "text"],
+    )
+    fp = F.md5(
+        F.array_join(
+            F.array_sort(F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0))),
+            " ",
+        )
+    )
+    fps = {r.doc_id: r.f for r in docs.select("doc_id", fp.alias("f")).collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+    exact = {r.doc_id: r.h for r in docs.select("doc_id", F.md5("text").alias("h")).collect()}
+    assert exact[1] != exact[2]
