@@ -78,3 +78,32 @@ def test_column_profile_planted(spark):
     # Approx mode: same shape, sketch-based distincts still sane on tiny data.
     aprof = {r.col_name: r for r in column_profile(df, exact_distinct=False).collect()}
     assert aprof["k"].n_distinct == 2
+
+
+def test_scd2_intervals_partition_timeline(spark):
+    """Randomized invariant check: per key, intervals are contiguous
+    (each effective_to equals the next effective_from), exactly one
+    open current row, and adjacent intervals never share a state."""
+    import random
+    from datetime import datetime, timedelta
+
+    rng = random.Random(7)
+    rows = []
+    for k in range(20):
+        t = datetime(2024, 1, 1)
+        for _ in range(rng.randint(1, 12)):
+            t += timedelta(days=rng.randint(1, 5))
+            rows.append((k, t, rng.choice("abc")))
+    changes = spark.createDataFrame(rows, "k int, ts timestamp, st string")
+    out = scd2_intervals(changes, ["k"], "ts", ["st"]).collect()
+    by_key: dict[int, list] = {}
+    for r in out:
+        by_key.setdefault(r.k, []).append(r)
+    for k, ivs in by_key.items():
+        ivs.sort(key=lambda r: r.effective_from)
+        open_rows = [r for r in ivs if r.effective_to is None]
+        assert len(open_rows) == 1 and open_rows[0] is ivs[-1]
+        assert open_rows[0].is_current
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.effective_to == b.effective_from
+            assert a.st != b.st  # consecutive dedup collapsed no-ops

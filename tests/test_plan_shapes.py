@@ -56,3 +56,49 @@ def test_minhash_dedup_verify_stage_is_equi_join(spark, sf_dir):
     plan = _physical_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_snapshot_diff_single_join_no_nested_loop(spark, sf_dir):
+    """CDC diff is one full-outer hash join on the key."""
+    df = REGISTRY["snapshot_diff_orders"].spark(spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "FullOuter" in plan, plan
+
+
+def test_pagerank_iterations_are_equi_joins(spark, sf_dir):
+    df = REGISTRY["pagerank_knn_2iter"].spark(spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_retrieval_eval_scoring_broadcasts_queries(spark, sf_dir):
+    """The eval-search join must broadcast the query-vector side (the
+    index side never shuffles at scoring time). build_tfidf's 1-row
+    n_docs crossJoin legitimately plans a broadcast-cross of a scalar —
+    every OTHER nested-loop join is a regression, so count them."""
+    df = REGISTRY["retrieval_eval_metrics"].spark(spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    n_bnlj = plan.count("BroadcastNestedLoopJoin")
+    n_scalar_cross = plan.count("BroadcastNestedLoopJoin BuildRight, Cross")
+    assert n_bnlj == n_scalar_cross, plan
+
+
+def test_rerank_scorer_sees_only_the_pool(spark, sf_dir):
+    """Two-stage contract: the Python scorer (MapInPandas) must sit
+    ABOVE the top-k pool truncation, so the expensive stage touches
+    pool-many rows, never the corpus. (Scalar 1-row crosses from
+    query-vector normalization are benign and not gated here.)"""
+    from data_engineering_rag_spark.plans.rag import RERANK_POOL_K
+
+    df = REGISTRY["rerank_stub_topk"].spark(spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "MapInPandas" in plan, plan
+    assert f"TakeOrderedAndProject(limit={RERANK_POOL_K}" in plan, plan
+    pandas_pos = plan.index("MapInPandas")
+    pool_pos = plan.index(f"TakeOrderedAndProject(limit={RERANK_POOL_K}")
+    assert pandas_pos < pool_pos, "scorer must consume the truncated pool"
