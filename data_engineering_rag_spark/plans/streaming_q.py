@@ -812,3 +812,13 @@ def events_daily_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("long").alias("n_events"),
         F.round(F.sum("sv").cast("double"), 6).alias("sum_value"),
     )
+
+
+@query("stream_daily_rollup", None)
+def stream_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming daily pre-aggregate (rows-only: stateful watermark
+    semantics aren't SQL; pinned to the batch algebra by
+    ``tests/test_streaming.py::test_daily_rollup_stream_matches_batch``)."""
+    from ..streaming.events import _run_to_memory, daily_rollup_stream
+
+    return _run_to_memory(daily_rollup_stream(spark, sf_dir), "complete")

@@ -302,3 +302,28 @@ def doc_dedup_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
     )
     return _run_to_memory(kept, "append")
+
+
+def daily_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained DAILY pre-aggregate (the streaming
+    operationalization of ``events_daily_rollup_merge``'s contract:
+    raw events are consumed once, the rollup table absorbs them as
+    1-day tumbling windows). A 1-day watermark bounds state to ~2 open
+    days per event type; downstream monthly/backfill queries re-
+    aggregate the rollup, never the raw stream. Counts and decimal
+    value-sums are mergeable, so late re-emits (update mode) overwrite
+    cleanly by (day, type) key."""
+    ev = _event_stream(spark, sf_dir).withWatermark("ts", "1 day")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+        )
+        .select(
+            F.col("win.start").cast("date").alias("d"),
+            "event_type",
+            "n",
+            "sv",
+        )
+    )

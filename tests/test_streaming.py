@@ -214,3 +214,29 @@ def test_doc_dedup_gate_stream_equals_batch(spark, sf_dir):
         for r in REGISTRY["dedup_incremental_batch"].spark(spark, sf_dir).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_daily_rollup_stream_matches_batch(spark, sf_dir):
+    """The incrementally-maintained daily rollup must equal the batch
+    daily aggregation exactly (counts and decimal sums)."""
+    import pyspark.sql.functions as F
+    from data_engineering_rag_spark.plans import load
+    from data_engineering_rag_spark.streaming.events import (
+        _run_to_memory,
+        daily_rollup_stream,
+    )
+
+    got = {
+        (r.d, r.event_type): (r.n, r.sv)
+        for r in _run_to_memory(daily_rollup_stream(spark, sf_dir), "complete").collect()
+    }
+    batch = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("d"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+        )
+    )
+    want = {(r.d, r.event_type): (r.n, r.sv) for r in batch.collect()}
+    assert got == want
