@@ -822,3 +822,36 @@ def stream_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import _run_to_memory, daily_rollup_stream
 
     return _run_to_memory(daily_rollup_stream(spark, sf_dir), "complete")
+
+
+@query(
+    "events_cohort_retention",
+    """
+    WITH firstday AS (
+      SELECT user_id, min(cast(date_trunc('day', ts) as date)) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, cast(date_trunc('day', ts) as date) AS d FROM events
+    )
+    SELECT f.cohort, cast(date_diff('day', f.cohort, a.d) as bigint) AS day_offset,
+           cast(count(*) as bigint) AS n_users
+    FROM activity a JOIN firstday f ON a.user_id = f.user_id
+    GROUP BY f.cohort, date_diff('day', f.cohort, a.d)
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day,
+    counted on each subsequent active day offset — the product-
+    analytics staple. Shapes: two map-side-combinable aggs + one
+    equi-join on user_id (first-day table ≤ |users| rows, broadcast
+    at any realistic user count vs event volume)."""
+    ev = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    firstday = ev.groupBy("user_id").agg(F.min(day).alias("cohort"))
+    activity = ev.select("user_id", day.alias("d")).distinct()
+    return (
+        activity.join(F.broadcast(firstday), "user_id")
+        .groupBy("cohort", F.datediff(F.col("d"), F.col("cohort")).cast("long").alias("day_offset"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )

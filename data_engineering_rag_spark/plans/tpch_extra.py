@@ -286,3 +286,60 @@ def q20_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("n_dominant_parts"))
     )
+
+
+@query(
+    "orders_rfm_segments",
+    """
+    WITH rfm AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             count(*) AS freq,
+             sum(cast(o_totalprice as decimal(18,2))) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey, monetary,
+             ntile(5) OVER (ORDER BY last_order, o_custkey) AS r_score,
+             ntile(5) OVER (ORDER BY freq, o_custkey) AS f_score,
+             ntile(5) OVER (ORDER BY monetary, o_custkey) AS m_score
+      FROM rfm
+    )
+    SELECT concat(cast(r_score as varchar), cast(f_score as varchar),
+                  cast(m_score as varchar)) AS segment,
+           cast(count(*) as bigint) AS n_customers,
+           round(cast(sum(monetary) as double), 2) AS total_monetary
+    FROM scored GROUP BY 1
+    """,
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency/frequency/monetary
+    quintiles (ntile with key tie-breaks — deterministic in both
+    engines), rolled up per 3-digit segment. The global ntile sort is
+    over |customers| rows (already aggregated), not order lines;
+    monetary sums stay decimal-exact until the final display cast."""
+    o = load(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window as W
+
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+    )
+    scored = rfm.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(5).over(W.orderBy("last_order", "o_custkey")).alias("r_score"),
+        F.ntile(5).over(W.orderBy("freq", "o_custkey")).alias("f_score"),
+        F.ntile(5).over(W.orderBy("monetary", "o_custkey")).alias("m_score"),
+    )
+    return scored.groupBy(
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("segment")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.round(F.sum("monetary").cast("double"), 2).alias("total_monetary"),
+    )
