@@ -943,3 +943,85 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("n_chars").cast("long").alias("n_chars"), F.round(raw, 8).alias("samp_key")
     )
     return keyed.orderBy(F.col("samp_key").desc(), F.col("doc_id")).limit(_WSAMP_N)
+
+
+BIGRAM_LAMBDA = 0.75  # interpolation weight on the bigram ML estimate
+
+
+@query(
+    "bigram_lm_quality",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS a
+      FROM documents),
+    bigrams AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(a) - 1),
+                                           i -> concat(a[i], ' ', a[i + 1]))) AS bg
+      FROM toks WHERE len(a) >= 2),
+    unigrams AS (SELECT unnest(a) AS term FROM toks),
+    uc AS (SELECT term, count(*) AS c FROM unigrams GROUP BY term),
+    n_uni AS (SELECT cast(count(*) as bigint) AS t FROM unigrams),
+    bc AS (SELECT bg, count(*) AS c_ab FROM bigrams GROUP BY bg),
+    inst AS (
+      SELECT b.doc_id,
+             ln(cast({BIGRAM_LAMBDA} as double) * (c_ab / cast(ca.c as double))
+                + cast({1 - BIGRAM_LAMBDA} as double) * (cb.c / cast(t as double))) AS logp
+      FROM bigrams b
+        JOIN bc ON b.bg = bc.bg
+        JOIN uc ca ON split_part(b.bg, ' ', 1) = ca.term
+        JOIN uc cb ON split_part(b.bg, ' ', 2) = cb.term
+        CROSS JOIN n_uni)
+    SELECT doc_id, cast(count(*) as bigint) AS n_bigrams,
+           round(cast(sum(cast(logp as decimal(18,9))) as double) / count(*), 8) AS avg_logprob
+    FROM inst GROUP BY doc_id
+    """,
+)
+def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM quality score: p(w2|w1) = λ·c(w1w2)/c(w1)
+    + (1-λ)·c(w2)/T with λ={BIGRAM_LAMBDA}, scored as each doc's mean
+    bigram log-probability — one rung above the unigram filter (catches
+    word-salad whose unigrams are individually common). Same float
+    discipline as ``unigram_logprob_quality``: per-instance ln() is
+    IEEE-identical, the per-doc sum is decimal-exact.
+
+    Scale: bigram fan-out is a narrow array transform; count tables
+    aggregate map-side; the instance joins are equi-joins on bigram /
+    term keys — the token stream shuffles, counts broadcast."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0)).alias("a"),
+    )
+    mk_bg = F.transform(
+        F.sequence(F.lit(1), F.size("a") - 1),
+        lambda i: F.concat(F.get(F.col("a"), i - 1), F.lit(" "), F.get(F.col("a"), i)),
+    )
+    bigrams = (
+        toks.where(F.size("a") >= 2)
+        .select("doc_id", F.explode(mk_bg).alias("bg"))
+    )
+    unigrams = toks.select(F.explode("a").alias("term"))
+    uc = unigrams.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    n_uni = unigrams.groupBy().agg(F.count(F.lit(1)).cast("long").alias("t"))
+    bc = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("c_ab"))
+    w1 = F.split(F.col("bg"), " ").getItem(0)
+    w2 = F.split(F.col("bg"), " ").getItem(1)
+    inst = (
+        bigrams.join(bc, "bg")
+        .join(uc.select(F.col("term").alias("_t1"), F.col("c").alias("c_a")), w1 == F.col("_t1"))
+        .join(uc.select(F.col("term").alias("_t2"), F.col("c").alias("c_b")), w2 == F.col("_t2"))
+        .crossJoin(F.broadcast(n_uni))
+        .select(
+            "doc_id",
+            F.log(
+                F.lit(BIGRAM_LAMBDA) * (F.col("c_ab") / F.col("c_a").cast("double"))
+                + F.lit(1 - BIGRAM_LAMBDA) * (F.col("c_b") / F.col("t").cast("double"))
+            ).alias("logp"),
+        )
+    )
+    return inst.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("logp").cast("decimal(18,9)")).cast("double") / F.count(F.lit(1)), 8
+        ).alias("avg_logprob"),
+    )
