@@ -201,3 +201,14 @@ def write_parquet_sorted(
         df.repartitionByRange(n_files, *cols) if n_files else df.repartitionByRange(*cols)
     )
     parted.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
+
+
+def read_parquet_merged(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution-tolerant parquet read: union the schemas of
+    every file footer (``mergeSchema``) so a dataset whose writers
+    added columns over time reads as one table — old files surface the
+    new columns as NULL. Off by default in Spark because footer-merging
+    costs a pass over file metadata at planning time; turn it on only
+    for datasets that actually evolved (at 100 TB, prefer a declared
+    catalog schema and backfill)."""
+    return spark.read.option("mergeSchema", True).parquet(path)

@@ -141,3 +141,18 @@ def test_write_parquet_sorted_clusters_key(spark, tmp_path):
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2
     assert {r.id for f in files for r in spark.read.parquet(str(f)).collect()} == set(range(1000))
+
+
+def test_read_parquet_merged_schema_evolution(spark, tmp_path):
+    """Writers added a column over time: merged read surfaces the
+    union schema, with NULLs for files written before the column."""
+    from data_engineering_rag_spark.sources.io import read_parquet_merged
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, s string").write.parquet(path)
+    spark.createDataFrame([(2, "b", 9.5)], "id long, s string, score double") \
+        .write.mode("append").parquet(path)
+    df = read_parquet_merged(spark, path)
+    assert set(df.columns) == {"id", "s", "score"}
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5
