@@ -617,7 +617,7 @@ def vocab_oov_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     total AS (SELECT cast(count(*) as bigint) AS t FROM tok)
     SELECT doc_id, cast(count(*) as bigint) AS n_tokens,
            round(cast(sum(cast(ln(tf / cast(t as double)) as decimal(18,9))) as double)
-                 / count(*), 8) AS avg_logprob
+                 / count(*), 6) AS avg_logprob
     FROM tok JOIN counts USING (term), total
     GROUP BY doc_id
     """,
@@ -632,7 +632,12 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: per-token ln() is IEEE-identical in both engines; the
     per-doc SUM of doubles is order-dependent, so each term is cast to
     decimal(18,9) first and summed exactly, then divided and rounded —
-    the same trick `label_centroids` uses.
+    the same trick `label_centroids` uses. Output rounds to 6 dp (not
+    the usual 8): the mean sits ~1e-16 from arbitrary points, and at
+    corpus scale a value eventually lands within an ulp of the 1e-8
+    rounding grid where Spark's exact-decimal HALF_UP and DuckDB's
+    scaled-multiply round() disagree — observed at sf0.1; the 1e-6
+    grid puts the boundary 100× further away than before.
 
     Scale: counts table is |terms| rows (map-side combined); the join
     back onto the token stream is the only wide op and partial-aggs
@@ -653,7 +658,7 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.sum(lp).cast("double") / F.count(F.lit(1)), 8).alias("avg_logprob"),
+            F.round(F.sum(lp).cast("double") / F.count(F.lit(1)), 6).alias("avg_logprob"),
         )
     )
 
@@ -972,7 +977,7 @@ BIGRAM_LAMBDA = 0.75  # interpolation weight on the bigram ML estimate
         JOIN uc cb ON split_part(b.bg, ' ', 2) = cb.term
         CROSS JOIN n_uni)
     SELECT doc_id, cast(count(*) as bigint) AS n_bigrams,
-           round(cast(sum(cast(logp as decimal(18,9))) as double) / count(*), 8) AS avg_logprob
+           round(cast(sum(cast(logp as decimal(18,9))) as double) / count(*), 6) AS avg_logprob
     FROM inst GROUP BY doc_id
     """,
 )
@@ -982,7 +987,9 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram log-probability — one rung above the unigram filter (catches
     word-salad whose unigrams are individually common). Same float
     discipline as ``unigram_logprob_quality``: per-instance ln() is
-    IEEE-identical, the per-doc sum is decimal-exact.
+    IEEE-identical, the per-doc sum is decimal-exact, and the mean
+    rounds to 6 dp (see the unigram docstring for the grid-boundary
+    rationale — an 8-dp boundary hit was observed at sf0.1).
 
     Scale: bigram fan-out is a narrow array transform; count tables
     aggregate map-side; the instance joins are equi-joins on bigram /
@@ -1022,6 +1029,6 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inst.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.round(
-            F.sum(F.col("logp").cast("decimal(18,9)")).cast("double") / F.count(F.lit(1)), 8
+            F.sum(F.col("logp").cast("decimal(18,9)")).cast("double") / F.count(F.lit(1)), 6
         ).alias("avg_logprob"),
     )
