@@ -220,3 +220,61 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = True) -> 
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, FRAME_SCHEMA)
+
+
+AUDIO_WINDOW_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("win_idx", LongType(), False),
+        StructField("start_ms", LongType(), False),
+        StructField("end_ms", LongType(), False),
+        StructField("window_payload", BinaryType(), True),
+        StructField("window_sha", StringType(), True),
+    ]
+)
+
+
+def window_audio(media: DataFrame, win_ms: int = 2000, hop_ms: int = 1000) -> DataFrame:
+    """Audio windowing: each audio row fans out to overlapping
+    fixed-length windows (start = 0, hop, 2·hop, … < duration; end
+    clamped to duration) — the sliding-window chunker's semantics
+    applied to a time axis, as mapInPandas fan-out. Window payloads are
+    stubbed derivatives; a real PCM slice / feature extractor
+    (librosa/ffmpeg) drops into the same per-window call."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        stub = DecodeStub(deterministic_fake=True)
+        for pdf in batches:
+            rows = {
+                k: []
+                for k in (
+                    "media_id", "win_idx", "start_ms", "end_ms", "window_payload", "window_sha"
+                )
+            }
+            for mid, kind, payload, dur in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["duration_ms"]
+            ):
+                if kind != "audio" or payload is None or dur is None or pd.isna(dur):
+                    continue
+                if not stub.deterministic_fake:
+                    raise NotImplementedError(
+                        "real audio slicing requires an audio codec, not present here"
+                    )
+                dur = int(dur)
+                i = 0
+                while i * hop_ms < dur:
+                    start = i * hop_ms
+                    rows["media_id"].append(mid)
+                    rows["win_idx"].append(i)
+                    rows["start_ms"].append(start)
+                    rows["end_ms"].append(min(start + win_ms, dur))
+                    rows["window_payload"].append(
+                        _fake_derivative(bytes(payload), f"win|{i}")
+                    )
+                    rows["window_sha"].append(
+                        hashlib.sha256(bytes(payload) + b"|win|" + str(i).encode()).hexdigest()
+                    )
+                    i += 1
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, AUDIO_WINDOW_SCHEMA)

@@ -91,3 +91,29 @@ def media_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(media, every_ms=1000, fake=True).select(
         "media_id", "frame_idx", "t_ms", "frame_sha"
     )
+
+
+@query(
+    "media_audio_windows",
+    """
+    SELECT doc_id AS media_id,
+           cast(w.i as bigint) AS win_idx,
+           cast(w.i * 1000 as bigint) AS start_ms,
+           cast(least(w.i * 1000 + 2000, n_chars * 10) as bigint) AS end_ms,
+           sha256(concat(text, '|win|', cast(w.i as varchar))) AS window_sha
+    FROM documents, unnest(generate_series(0, (n_chars * 10 - 1) // 1000)) AS w(i)
+    WHERE doc_id % 3 = 1
+    """,
+)
+def media_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio windowing fan-out value check: every audio row (doc_id%3=1,
+    duration = n_chars·10 ms) emits overlapping 2 s windows on a 1 s
+    hop, end clamped to duration — the time-axis analogue of the text
+    chunker, run as mapInPandas fan-out with stub payload derivatives;
+    the oracle recomputes the window arithmetic and stub hashes."""
+    from ..operators.multimodal import synthetic_media, window_audio
+
+    media = synthetic_media(spark, load(spark, sf_dir, "documents"))
+    return window_audio(media, win_ms=2000, hop_ms=1000).select(
+        "media_id", "win_idx", "start_ms", "end_ms", "window_sha"
+    )
