@@ -913,3 +913,33 @@ def token_sort_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"), F.min("doc_id").alias("canonical_id"))
         .where(F.col("n_docs") >= 2)
     )
+
+
+def _lang_confusion_oracle() -> str:
+    from . import REGISTRY
+
+    inner = REGISTRY["language_id_heuristic"].oracle
+    return f"""
+    WITH scored AS ({inner})
+    SELECT lang AS declared,
+           CASE WHEN en_stopword_ratio > cast(0.05 as double) THEN 'en' ELSE 'other' END AS detected,
+           cast(count(*) as bigint) AS n_docs
+    FROM scored GROUP BY 1, 2
+    """
+
+
+@query("lang_confusion_matrix", _lang_confusion_oracle())
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-detected language confusion matrix: the QA view over
+    the stopword-ratio language detector (detected='en' iff rounded
+    ratio > 0.05). Mislabeled-language counts are the metadata-quality
+    signal corpus curation acts on. Composes the per-doc detector
+    query, so both engines share its exact arithmetic; the rollup is a
+    tiny groupBy."""
+    scored = language_id_heuristic(spark, sf_dir)
+    detected = F.when(F.col("en_stopword_ratio") > 0.05, "en").otherwise("other")
+    return (
+        scored.select(F.col("lang").alias("declared"), detected.alias("detected"))
+        .groupBy("declared", "detected")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
