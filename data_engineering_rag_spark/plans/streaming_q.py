@@ -695,9 +695,14 @@ def events_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "view_ts",
         "next_purchase_id",
-        (F.col("p_ts").cast("long") - F.col("view_ts").cast("long")).alias(
-            "seconds_to_purchase"
-        ),
+        # NTZ→long is not castable directly (Spark 4); NTZ→timestamp is a
+        # no-op under the session's pinned UTC, and timestamp→long is the
+        # same epoch-second truncation DuckDB's date_diff('second', ..)
+        # boundary-crossing count produces.
+        (
+            F.col("p_ts").cast("timestamp").cast("long")
+            - F.col("view_ts").cast("timestamp").cast("long")
+        ).alias("seconds_to_purchase"),
     )
 
 
