@@ -343,3 +343,41 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.round(F.sum("monetary").cast("double"), 2).alias("total_monetary"),
     )
+
+
+@query(
+    "q11_important_parts",
+    """
+    WITH part_value AS (
+      SELECT l_partkey,
+             round(cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,6))) as double), 6) AS part_value
+      FROM lineitem GROUP BY l_partkey),
+    total AS (
+      SELECT round(cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,6))) as double), 6) AS total_value
+      FROM lineitem)
+    SELECT l_partkey, part_value
+    FROM part_value, total
+    WHERE part_value > 0.001 * total_value
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11 shape (adapted: no partsupp table in the testdata, so
+    'value' is shipped revenue per part instead of supplycost×availqty;
+    fraction gate 0.001 sized to the synthetic part count). Completes
+    the q1-q22 sweep.
+
+    Plan shape: one groupBy(partkey) partial-aggregated scan for the
+    per-part values; the global total is a second scan reduced to ONE
+    row and broadcast into the HAVING-style filter — never a window
+    over all parts, never a self-join on partkey. Both sides of the
+    threshold compare are decimal-accumulated then rounded, so the
+    strict `>` resolves identically in both engines at any scale."""
+    li = load(spark, sf_dir, "lineitem")
+    value = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    part_value = li.groupBy("l_partkey").agg(_dsum(value, 6).alias("part_value"))
+    total = li.agg(_dsum(value, 6).alias("total_value"))
+    return (
+        part_value.join(F.broadcast(total))
+        .where(F.col("part_value") > 0.001 * F.col("total_value"))
+        .select("l_partkey", "part_value")
+    )
