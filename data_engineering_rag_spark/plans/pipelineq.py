@@ -1032,3 +1032,111 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("logp").cast("decimal(18,9)")).cast("double") / F.count(F.lit(1)), 6
         ).alias("avg_logprob"),
     )
+
+
+# Cross-doc substring-level dedup signal (word n-grams, after Lee et
+# al. 2021 "Deduplicating Training Data Makes Language Models Better" —
+# their 50-token threshold scaled down to the synthetic docs here).
+CROSSDOC_NGRAM = 8
+
+
+def _crossdoc_gram_sql() -> str:
+    n = CROSSDOC_NGRAM
+    return f"""
+      SELECT doc_id, array_to_string(t[i:i+{n - 1}], ' ') AS gram
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-{n - 1})) AS i
+            FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS t
+                  FROM documents)
+            WHERE len(t) >= {n})
+    """
+
+
+def _crossdoc_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, gram) — one row per {CROSSDOC_NGRAM}-token window.
+
+    Plan shape: the window fan-out is a codegen'd transform over the
+    token array (no per-window shuffle); only the exploded (doc_id,
+    gram) rows hit the wire, and every downstream consumer aggregates
+    them map-side first."""
+    n = CROSSDOC_NGRAM
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0)).alias("t"),
+    ).where(F.size("t") >= n)
+    # sequence() flips to step -1 when start > stop, so the >= n guard
+    # above is load-bearing: it keeps the sequence bounds non-inverted.
+    gram = F.expr(
+        f"explode(transform(sequence(0, size(t) - {n}), i -> array_join(slice(t, i + 1, {n}), ' ')))"
+    )
+    return toks.select("doc_id", gram.alias("gram"))
+
+
+@query(
+    "crossdoc_ngram_dup_fraction",
+    f"""
+    WITH grams AS ({_crossdoc_gram_sql()}),
+    freq AS (SELECT gram, count(DISTINCT doc_id) AS nd FROM grams GROUP BY gram)
+    SELECT g.doc_id,
+           cast(count(*) as bigint) AS n_grams,
+           cast(sum(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) as bigint) AS n_dup_grams,
+           round(sum(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END)::double / count(*), 6) AS dup_fraction
+    FROM grams g JOIN freq f USING (gram)
+    GROUP BY g.doc_id
+    """,
+)
+def crossdoc_ngram_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fraction of {CROSSDOC_NGRAM}-token windows that also
+    occur in at least one OTHER document — the substring-granularity
+    dedup signal that doc-level MinHash misses (boilerplate headers,
+    quoted passages, template text).
+
+    Scale shape: gram fan-out is |tokens| rows/doc; the frequency table
+    partial-aggregates to distinct grams before its shuffle, and the
+    gram→doc rejoin is an equi-join on the gram key (never all-pairs).
+    Docs shorter than the window drop out by construction (documented).
+    At 100 TB the gram key would be md5(gram) to bound shuffle width;
+    kept as the raw string here so the oracle shares the exact key."""
+    grams = _crossdoc_grams(spark, sf_dir)
+    freq = grams.groupBy("gram").agg(F.countDistinct("doc_id").alias("nd"))
+    dup = F.when(F.col("nd") >= 2, 1).otherwise(0)
+    return (
+        grams.join(freq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(dup).cast("long").alias("n_dup_grams"),
+            F.round(F.sum(dup).cast("double") / F.count(F.lit(1)), 6).alias("dup_fraction"),
+        )
+    )
+
+
+@query(
+    "boilerplate_ngrams_top20",
+    f"""
+    WITH grams AS ({_crossdoc_gram_sql()})
+    SELECT gram,
+           cast(count(*) as bigint) AS n_occurrences,
+           cast(count(DISTINCT doc_id) as bigint) AS n_docs
+    FROM grams
+    GROUP BY gram
+    ORDER BY n_occurrences DESC, gram
+    LIMIT 20
+    """,
+)
+def boilerplate_ngrams_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate mining: the 20 most frequent {CROSSDOC_NGRAM}-token
+    windows corpus-wide with their doc spread — the candidates a
+    cleaning pass would strip. Deterministic LIMIT via the (count DESC,
+    gram) total order; Spark plans the top-k as TakeOrderedAndProject,
+    so only 20 rows survive past the agg."""
+    grams = _crossdoc_grams(spark, sf_dir)
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), "gram")
+        .limit(20)
+    )
