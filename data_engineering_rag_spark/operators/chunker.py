@@ -77,3 +77,49 @@ def chunk_documents(
             F.substring(F.col(text_col), F.col(start_col) + 1, size).alias(text_col),
         )
     )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    text_col: str = "content",
+    size: int = 64,
+    step: int = 32,
+    token_pattern: str = r"\w\w+",
+    start_col: str = "tok_start",
+    chunk_col: str = "chunk",
+) -> DataFrame:
+    """Token-granularity sliding windows: same break rule as the char
+    chunker (C1), applied to the token sequence instead of the raw
+    string — the shape an LLM-ingest pipeline uses when chunk budgets
+    are counted in tokens, not characters.
+
+    Emits ``start_col`` (0-based token offset), ``chunk_col`` (the
+    window's tokens re-joined with single spaces) and ``n_tokens`` (the
+    clipped window length). Tokenization keeps the original case — the
+    chunk text is payload, not an index key. Docs with zero tokens emit
+    zero chunks, mirroring C1's empty-doc rule.
+
+    Same scale story as C1: explode over a codegen'd sequence, map-only,
+    no Python and no shuffle.
+    """
+    if size <= 0 or step <= 0:
+        raise ValueError("size and step must be positive")
+
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(token_pattern), F.lit(0))
+    df = df.withColumn("_toks", toks)
+    n = F.size("_toks").cast("long")
+    starts = F.sequence(F.lit(0).cast("long"), _last_start(n, size, step), F.lit(step).cast("long"))
+
+    passthrough = [c for c in df.columns if c not in (text_col, "_toks")]
+    return (
+        df.where(n > 0)
+        .withColumn(start_col, F.explode(starts))
+        .select(
+            *passthrough,
+            F.col(start_col),
+            F.array_join(F.slice(F.col("_toks"), F.col(start_col) + 1, size), " ").alias(
+                chunk_col
+            ),
+            F.least(F.lit(size).cast("long"), n - F.col(start_col)).alias("n_tokens"),
+        )
+    )

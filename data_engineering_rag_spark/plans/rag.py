@@ -989,3 +989,37 @@ def rerank_stub_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= RERANK_K)
     )
+
+
+TOK_CHUNK_SIZE = 64
+TOK_CHUNK_STEP = 32
+
+
+@query(
+    "chunk_tokens_windows",
+    f"""
+    SELECT doc_id, lang,
+           cast(s as bigint) AS tok_start,
+           array_to_string(t[cast(s as int) + 1 : cast(s as int) + {TOK_CHUNK_SIZE}], ' ') AS chunk,
+           cast(least({TOK_CHUNK_SIZE}, len(t) - s) as bigint) AS n_tokens
+    FROM (
+      SELECT doc_id, lang, t,
+             unnest({sliding_window_starts_sql('len(t)', TOK_CHUNK_SIZE, TOK_CHUNK_STEP)}) AS s
+      FROM (SELECT doc_id, lang, regexp_extract_all(text, '\\w\\w+') AS t FROM documents)
+      WHERE len(t) > 0
+    )
+    """,
+)
+def chunk_tokens_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1's sliding-window semantics at TOKEN granularity ({TOK_CHUNK_SIZE}
+    tokens every {TOK_CHUNK_STEP}) — the chunk-budget-in-tokens variant an
+    LLM ingest pipeline actually runs. Shares the char chunker's exact
+    closed-form break rule (operators/chunker.py::_last_start) and its
+    map-only explode plan; reference semantics zc_agent/load_data.py:13-25
+    transposed from chars to the token sequence."""
+    from ..operators.chunker import chunk_tokens
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return chunk_tokens(
+        docs, text_col="text", size=TOK_CHUNK_SIZE, step=TOK_CHUNK_STEP
+    ).select("doc_id", "lang", F.col("tok_start").cast("long").alias("tok_start"), "chunk", "n_tokens")

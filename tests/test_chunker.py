@@ -89,3 +89,41 @@ def test_property_matches_reference(spark, n, size, step):
         (c["start"], c["content"]) for c in reference_sliding_window(text, size, step)
     )
     assert got == expected
+
+
+# ---------------------------------------------------------------- tokens
+
+
+def reference_token_windows(tokens: list[str], size: int, step: int) -> list[tuple[int, str, int]]:
+    # Same break rule as reference_sliding_window, over a token list.
+    n = len(tokens)
+    out = []
+    for i in range(0, n, step):
+        w = tokens[i : i + size]
+        out.append((i, " ".join(w), len(w)))
+        if i + size > n:
+            break
+    return out
+
+
+@pytest.mark.parametrize("n_tokens", [0, 1, 31, 32, 63, 64, 65, 97, 200])
+def test_token_chunker_matches_reference_loop(spark, n_tokens):
+    from data_engineering_rag_spark.operators.chunker import chunk_tokens
+
+    words = [f"tok{i:03d}" for i in range(n_tokens)]
+    df = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "content"])
+    got = sorted(
+        (r.tok_start, r.chunk, r.n_tokens)
+        for r in chunk_tokens(df, text_col="content", size=64, step=32).collect()
+    )
+    assert got == sorted(reference_token_windows(words, 64, 32))
+
+
+def test_token_chunker_rejects_bad_params(spark):
+    from data_engineering_rag_spark.operators.chunker import chunk_tokens
+
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "content"])
+    with pytest.raises(ValueError):
+        chunk_tokens(df, size=0)
+    with pytest.raises(ValueError):
+        chunk_tokens(df, step=-1)
