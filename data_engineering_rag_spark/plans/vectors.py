@@ -925,3 +925,76 @@ def pagerank_knn_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         nodes, edges, node_col="id", n_iter=PAGERANK_ITERS, damping=PAGERANK_DAMPING
     )
     return pr.select(F.col("id").alias("vec_id"), F.round("pr", 8).alias("pr"))
+
+
+def _recall_oracle() -> str:
+    from . import REGISTRY
+
+    # Compose the two already-registered oracles verbatim: the recall
+    # metric must compare EXACTLY what the two declared queries return.
+    return f"""
+    WITH bf AS ({REGISTRY["ann_cosine_topk"].oracle}),
+         ivf AS ({REGISTRY["ivf_ann_topk"].oracle})
+    SELECT bf.q_id,
+           cast(count(ivf.vec_id) as bigint) AS n_overlap,
+           round(count(ivf.vec_id)::double / {ANN_K}, 6) AS recall_at_k
+    FROM bf LEFT JOIN ivf ON bf.q_id = ivf.q_id AND bf.vec_id = ivf.vec_id
+    GROUP BY bf.q_id
+    """
+
+
+@query("ann_recall_at10", _recall_oracle())
+def ann_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{ANN_K} of the IVF probe (nprobe=1) against the exact
+    brute-force top-{ANN_K} — the eval loop that decides whether an ANN
+    index is production-usable. Composes the two declared queries, so
+    the metric can never drift from what they actually return.
+
+    Scale: both inputs are per-query top-k (≤ |Q|×{ANN_K} rows); the
+    overlap join and the groupBy are driver-trivial at any corpus size
+    — the cost lives in the inputs, which carry the scale story."""
+    bf = ann_cosine_topk(spark, sf_dir).select("q_id", "vec_id")
+    ivf = ivf_ann_topk(spark, sf_dir).select(
+        F.col("q_id").alias("i_qid"), F.col("vec_id").alias("i_vid")
+    )
+    return (
+        bf.join(
+            ivf,
+            (F.col("q_id") == F.col("i_qid")) & (F.col("vec_id") == F.col("i_vid")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.count("i_vid").cast("long").alias("n_overlap"),
+            F.round(F.count("i_vid").cast("double") / ANN_K, 6).alias("recall_at_k"),
+        )
+    )
+
+
+@query(
+    "ivf_bucket_stats",
+    """
+    WITH b AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label),
+    t AS (SELECT sum(n_vecs) AS total, max(n_vecs) AS mx FROM b)
+    SELECT label, cast(n_vecs as bigint) AS n_vecs,
+           round(n_vecs::double / total, 6) AS frac_of_corpus,
+           round(n_vecs::double / mx, 6) AS frac_of_largest
+    FROM b, t
+    """,
+)
+def ivf_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF health diagnostics: per-bucket population, share of corpus,
+    and size relative to the largest bucket — the numbers that tell you
+    whether a probe actually cuts the scan (balanced buckets) or one
+    hot bucket still owns the corpus (skew → probe ≈ full scan). One
+    groupBy plus a broadcast single-row total; at 100 TB this is the
+    query you run BEFORE trusting ivf_ann_topk's latency."""
+    e = load(spark, sf_dir, "embeddings")
+    b = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    t = b.agg(F.sum("n_vecs").alias("total"), F.max("n_vecs").alias("mx"))
+    return b.join(F.broadcast(t)).select(
+        "label",
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+        F.round(F.col("n_vecs").cast("double") / F.col("total"), 6).alias("frac_of_corpus"),
+        F.round(F.col("n_vecs").cast("double") / F.col("mx"), 6).alias("frac_of_largest"),
+    )
