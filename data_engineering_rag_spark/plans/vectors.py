@@ -998,3 +998,91 @@ def ivf_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_vecs").cast("double") / F.col("total"), 6).alias("frac_of_corpus"),
         F.round(F.col("n_vecs").cast("double") / F.col("mx"), 6).alias("frac_of_largest"),
     )
+
+
+def _triangle_oracle() -> str:
+    from . import REGISTRY
+
+    return f"""
+    WITH g AS ({REGISTRY["knn_graph_by_label"].oracle}),
+    und AS (
+      SELECT g1.src AS a, g1.dst AS b
+      FROM g g1 JOIN g g2 ON g1.src = g2.dst AND g1.dst = g2.src
+      WHERE g1.src < g1.dst
+    ),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM und e1 JOIN und e2 ON e1.b = e2.a
+                  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    deg AS (
+      SELECT x, count(*) AS d
+      FROM (SELECT a AS x FROM und UNION ALL SELECT b AS x FROM und)
+      GROUP BY x
+    ),
+    agg AS (
+      SELECT count(*) AS n_nodes, cast(sum(d * (d - 1) / 2) as bigint) AS n_triples
+      FROM deg
+    )
+    SELECT cast(n_nodes as bigint) AS n_nodes,
+           (SELECT cast(count(*) as bigint) FROM und) AS n_edges,
+           cast(n_triangles as bigint) AS n_triangles,
+           round(CASE WHEN n_triples = 0 THEN 0.0
+                      ELSE 3.0 * n_triangles / n_triples END, 6) AS global_clustering
+    FROM tri, agg
+    """
+
+
+@query("knn_triangle_stats", _triangle_oracle())
+def knn_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics over the similarity graph: mutual-kNN edges
+    (both directions in the top-{KNN_K} lists), triangle count and the
+    global clustering coefficient — the structure signal that separates
+    clumped near-dup clusters from uniform corpora.
+
+    Scale shape: the classic edge-edge-edge triangle join, canonically
+    ordered (a<b<c) so each triangle counts once. Mutual-kNN bounds
+    degree at {KNN_K}, so the wedge join fans out at most k× the edge
+    table — this stays linear in |N| at fixed k, never |N|³. Composes
+    the registered kNN-graph query's own oracle verbatim."""
+    g = knn_graph_by_label(spark, sf_dir).select("src", "dst")
+    g2 = g.select(F.col("src").alias("s2"), F.col("dst").alias("d2"))
+    und = (
+        g.join(g2, (F.col("src") == F.col("d2")) & (F.col("dst") == F.col("s2")))
+        .where(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    )
+    e1 = und
+    e2 = und.select(F.col("a").alias("b2"), F.col("b").alias("c"))
+    e3 = und.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        und.select(F.col("a").alias("x"))
+        .unionAll(und.select(F.col("b").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    agg = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_triples"),
+    )
+    n_edges = und.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        tri.crossJoin(F.broadcast(agg))
+        .crossJoin(F.broadcast(n_edges))
+        .select(
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            "n_edges",
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+            F.round(
+                F.when(F.col("n_triples") == 0, F.lit(0.0)).otherwise(
+                    3.0 * F.col("n_triangles") / F.col("n_triples")
+                ),
+                6,
+            ).alias("global_clustering"),
+        )
+    )
