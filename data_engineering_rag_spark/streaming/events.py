@@ -33,8 +33,15 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # Watermarks require TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
+        # on NTZ). The session pins UTC, so the cast is value-preserving
+        # and the batch twins (which keep NTZ) collect identical naive
+        # datetimes.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
