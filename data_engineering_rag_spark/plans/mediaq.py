@@ -117,3 +117,38 @@ def media_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return window_audio(media, win_ms=2000, hop_ms=1000).select(
         "media_id", "win_idx", "start_ms", "end_ms", "window_sha"
     )
+
+
+@query(
+    "media_dedup_payloads",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS kind,
+             sha256(text) AS payload_sha
+      FROM documents)
+    SELECT payload_sha, kind,
+           cast(count(*) as bigint) AS n_copies,
+           min(media_id) AS canonical_media_id
+    FROM m
+    GROUP BY payload_sha, kind
+    HAVING count(*) >= 2
+    """,
+)
+def media_dedup_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash dedup on the BINARY payload column: duplicate
+    payloads within a modality collapse to a canonical (min media_id)
+    survivor. sha2 runs JVM-side on the bytes — no Python in the loop —
+    so at 100 TB the shuffle carries 32-byte digests, never payloads;
+    the reference pattern for 'did two crawls fetch the same image'."""
+    media = synthetic_media(spark, load(spark, sf_dir, "documents"))
+    return (
+        media.groupBy(F.sha2(F.col("payload"), 256).alias("payload_sha"), "kind")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.min("media_id").alias("canonical_media_id"),
+        )
+        .where(F.col("n_copies") >= 2)
+    )
