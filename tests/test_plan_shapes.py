@@ -102,3 +102,35 @@ def test_rerank_scorer_sees_only_the_pool(spark, sf_dir):
     pandas_pos = plan.index("MapInPandas")
     pool_pos = plan.index(f"TakeOrderedAndProject(limit={RERANK_POOL_K}")
     assert pandas_pos < pool_pos, "scorer must consume the truncated pool"
+
+
+def test_crossdoc_ngram_join_is_equi_join(spark, sf_dir):
+    """Gram frequency rejoin is an equi-join on the gram key — never a
+    nested loop over the exploded window table."""
+    df = REGISTRY["crossdoc_ngram_dup_fraction"].spark(spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_triangle_wedge_join_is_equi_join(spark, sf_dir):
+    """Triangle counting's edge-edge-edge joins are equi-joins on node
+    keys (degree is bounded by k, so this is the linear-in-|N| shape).
+    The final combine of three SINGLE-ROW aggregates is an intentional
+    broadcast cross join — allowed; what must never appear is a
+    CartesianProduct or a nested loop carrying an edge-table stream."""
+    df = REGISTRY["knn_triangle_stats"].spark(spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    # every wedge join planned as hash/sort-merge equi-join
+    assert "SortMergeJoin [b" in plan or "BroadcastHashJoin [b" in plan, plan
+
+
+def test_q11_total_is_broadcast_not_window(spark, sf_dir):
+    """q11's global total joins in as a broadcast single row; the plan
+    must not fall back to a cartesian/nested-loop over all parts (a
+    1-row broadcast nested loop is fine and expected — assert no
+    SortMergeJoin/shuffle on the threshold compare instead)."""
+    df = REGISTRY["q11_important_parts"].spark(spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
