@@ -98,6 +98,8 @@ def build_tfidf(
     text_fields: list[str],
     persist: bool = False,
     token_mode: str = "ascii",
+    min_df: int = 1,
+    max_df: float = 1.0,
 ) -> TfidfModel:
     """Fit one TF-IDF model per text field over ``df``.
 
@@ -109,7 +111,20 @@ def build_tfidf(
     unicode-aware pattern (closes the sklearn ``(?u)\\w`` parity gap for
     multilingual corpora); the fitted model remembers the mode so query
     tokenization stays consistent.
+
+    ``min_df``/``max_df`` prune the vocabulary with sklearn's
+    ``TfidfVectorizer`` semantics: keep terms appearing in at least
+    ``min_df`` docs (absolute count) and at most ``max_df``·n_docs
+    (proportion). Pruning happens BEFORE idf/norms, so document vectors
+    are L2-normalized over the surviving vocabulary only — exactly
+    sklearn's behavior. At scale this is also the perf lever: dropping
+    hapax terms (min_df=2) typically halves the index; dropping
+    stop-like terms (max_df<1) removes the highest-fan-out join keys.
     """
+    if min_df < 1:
+        raise ValueError("min_df must be >= 1 (absolute document count)")
+    if not (0.0 < max_df <= 1.0):
+        raise ValueError("max_df must be in (0, 1] (proportion of docs)")
     pattern = token_pattern_for(token_mode)
     n_docs = df.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
 
@@ -122,6 +137,9 @@ def build_tfidf(
             .agg(F.count(F.lit(1)).alias("tf"))
         )
         dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        dfreq = dfreq.crossJoin(F.broadcast(n_docs)).where(
+            (F.col("df") >= min_df) & (F.col("df") <= max_df * F.col("n_docs"))
+        ).drop("n_docs")
         idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
             F.lit(field).alias("field"),
             "term",

@@ -122,7 +122,7 @@ SEARCH_QUERY = "spark hash join window"
 SEARCH_K = 5
 
 
-def _search_oracle(query_text: str, k: int) -> str:
+def _search_oracle(query_text: str, k: int, min_df: int = 1, max_df: float = 1.0) -> str:
     toks = tokenize_query(query_text)
     qvals = ", ".join(f"('{t}', {c}.0)" for t, c in toks.items())
     chunk_src = f"""(
@@ -140,7 +140,8 @@ def _search_oracle(query_text: str, k: int) -> str:
     tf AS (SELECT doc_id, start, term, count(*) AS tf FROM tok GROUP BY doc_id, start, term),
     ndocs AS (SELECT count(*) AS n_docs FROM chunks),
     dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-    idf AS (SELECT term, ln((1 + n_docs) / (1 + df)) + 1 AS idf FROM dfreq, ndocs),
+    idf AS (SELECT term, ln((1 + n_docs) / (1 + df)) + 1 AS idf FROM dfreq, ndocs
+            WHERE df >= {min_df} AND df <= {max_df} * n_docs),
     w AS (SELECT doc_id, start, tf.term, tf * idf AS w_raw FROM tf JOIN idf ON tf.term = idf.term),
     nrm AS (SELECT doc_id, start, sqrt(sum(w_raw * w_raw)) AS nrm FROM w GROUP BY doc_id, start),
     dvec AS (SELECT w.doc_id, w.start, w.term, w_raw / nrm AS w
@@ -1023,3 +1024,36 @@ def chunk_tokens_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_tokens(
         docs, text_col="text", size=TOK_CHUNK_SIZE, step=TOK_CHUNK_STEP
     ).select("doc_id", "lang", F.col("tok_start").cast("long").alias("tok_start"), "chunk", "n_tokens")
+
+
+PRUNE_MIN_DF = 2  # drop hapax terms
+PRUNE_MAX_DF = 0.5  # drop terms in more than half the chunks
+
+
+@query(
+    "tfidf_search_pruned",
+    _search_oracle(SEARCH_QUERY, SEARCH_K, min_df=PRUNE_MIN_DF, max_df=PRUNE_MAX_DF),
+)
+def tfidf_search_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k search over a min_df/max_df-pruned vocabulary — sklearn
+    ``TfidfVectorizer(min_df=2, max_df=0.5)`` semantics (prune BEFORE
+    idf and norms, so document vectors renormalize over the surviving
+    terms). Hapax terms ~halve the index; stop-like terms are the
+    hottest join keys — pruning both is the standard scale lever for
+    a lexical index, and this query pins that it doesn't change
+    semantics beyond the documented vocabulary cut."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
+    chunks = chunk_documents(docs, text_col="content", size=CHUNK_SIZE, step=CHUNK_STEP)
+    model = build_tfidf(
+        chunks,
+        key_cols=["doc_id", "start"],
+        text_fields=["content"],
+        min_df=PRUNE_MIN_DF,
+        max_df=PRUNE_MAX_DF,
+    )
+    hits = search_topk(spark, model, SEARCH_QUERY, k=SEARCH_K)
+    return hits.select(
+        "doc_id",
+        F.col("start").cast("long").alias("start"),
+        F.round("score", 8).alias("score"),
+    )

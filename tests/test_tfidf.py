@@ -223,3 +223,38 @@ def test_rerank_stub_deterministic_and_pool_only(spark):
     # Different query → different scores (the query reaches the scorer).
     c = {r.doc_id: r.xenc_score for r in rerank_stub(docs, "q2", "doc_id", "text").collect()}
     assert any(c[r.doc_id] != r.xenc_score for r in a)
+
+
+def test_min_max_df_pruning(spark):
+    from data_engineering_rag_spark.operators.tfidf import build_tfidf
+
+    # 4 docs: 'common' in all 4, 'pair' in 2, 'hapax*' in 1 each.
+    df = spark.createDataFrame(
+        [
+            (1, "common pair hapax1"),
+            (2, "common pair hapax2"),
+            (3, "common hapax3"),
+            (4, "common hapax4"),
+        ],
+        ["doc_id", "text"],
+    )
+    model = build_tfidf(df, ["doc_id"], ["text"], min_df=2, max_df=0.75)
+    vocab = {r.term for r in model.idf.select("term").distinct().collect()}
+    assert vocab == {"pair"}  # hapax dropped by min_df, 'common' (4/4 > .75) by max_df
+
+    # pruned vectors renormalize: 'pair' alone → weight 1.0
+    w = {(r.doc_id): r.w for r in model.weights.collect()}
+    assert set(w) == {1, 2}
+    assert all(abs(v - 1.0) < 1e-12 for v in w.values())
+
+
+def test_bad_prune_params_raise(spark):
+    import pytest as _pytest
+
+    from data_engineering_rag_spark.operators.tfidf import build_tfidf
+
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        build_tfidf(df, ["doc_id"], ["text"], min_df=0)
+    with _pytest.raises(ValueError):
+        build_tfidf(df, ["doc_id"], ["text"], max_df=0.0)
