@@ -943,3 +943,70 @@ def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("declared", "detected")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
+
+
+def _lsh_recall_oracle() -> str:
+    from . import REGISTRY
+
+    return f"""
+    WITH truth_all AS ({REGISTRY["jaccard_similarity_sample"].oracle}),
+    truth AS (SELECT doc_a, doc_b FROM truth_all WHERE jaccard >= {DEDUP_JACCARD_T}),
+    cand_all AS ({REGISTRY["minhash_lsh_candidate_pairs"].oracle}),
+    cand AS (SELECT doc_a, doc_b FROM cand_all WHERE doc_a < 20 AND doc_b < 20),
+    hits AS (SELECT count(*) AS n_hits FROM truth JOIN cand USING (doc_a, doc_b)),
+    nt AS (SELECT count(*) AS n_truth FROM truth),
+    nc AS (SELECT count(*) AS n_cand FROM cand)
+    SELECT cast(n_truth as bigint) AS n_truth,
+           cast(n_cand as bigint) AS n_cand,
+           cast(n_hits as bigint) AS n_hits,
+           round(CASE WHEN n_truth = 0 THEN 1.0 ELSE n_hits::double / n_truth END, 6) AS recall,
+           round(CASE WHEN n_cand = 0 THEN 1.0 ELSE n_hits::double / n_cand END, 6) AS precision
+    FROM hits, nt, nc
+    """
+
+
+@query("lsh_candidate_quality", _lsh_recall_oracle())
+def lsh_candidate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-quality eval for the LSH banding stage: recall and
+    precision of its proposals against exact token-set Jaccard ≥
+    {DEDUP_JACCARD_T} on the bounded ground-truth sample (doc_id < 20,
+    same bound as jaccard_similarity_sample — the eval is cheap BY
+    CONSTRUCTION at any corpus size). This is the dial you read before
+    retuning bands/rows: low recall → more bands; low precision is
+    fine (the pipeline's verify stage filters it) but quantifies
+    wasted verification work. Composes both registered queries' own
+    oracles verbatim."""
+    truth = (
+        jaccard_similarity_sample(spark, sf_dir)
+        .where(F.col("jaccard") >= DEDUP_JACCARD_T)
+        .select("doc_a", "doc_b")
+    )
+    cand = (
+        minhash_lsh_candidate_pairs(spark, sf_dir)
+        .where((F.col("doc_a") < 20) & (F.col("doc_b") < 20))
+        .select("doc_a", "doc_b")
+    )
+    hits = truth.join(cand, ["doc_a", "doc_b"]).agg(F.count(F.lit(1)).alias("n_hits"))
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    return (
+        hits.crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            F.col("n_truth").cast("long").alias("n_truth"),
+            F.col("n_cand").cast("long").alias("n_cand"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.round(
+                F.when(F.col("n_truth") == 0, F.lit(1.0)).otherwise(
+                    F.col("n_hits").cast("double") / F.col("n_truth")
+                ),
+                6,
+            ).alias("recall"),
+            F.round(
+                F.when(F.col("n_cand") == 0, F.lit(1.0)).otherwise(
+                    F.col("n_hits").cast("double") / F.col("n_cand")
+                ),
+                6,
+            ).alias("precision"),
+        )
+    )
