@@ -860,3 +860,49 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort", F.datediff(F.col("d"), F.col("cohort")).cast("long").alias("day_offset"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+@query(
+    "events_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events),
+    trans AS (
+      SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type),
+    totals AS (
+      SELECT from_type, sum(n) AS total FROM trans GROUP BY from_type)
+    SELECT t.from_type, t.to_type, cast(n as bigint) AS n_transitions,
+           round(n::double / total, 6) AS p_transition
+    FROM trans t JOIN totals USING (from_type)
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (lead window, (ts, event_id) tiebreak for the non-unique
+    timestamps) — the sequence-analytics shape behind journey analysis
+    and next-event prediction features.
+
+    One shuffle to sessionless-order each user's history, then a
+    map-side-combinable count; the row-normalizing totals join is a
+    |types|² table → broadcast."""
+    from pyspark.sql.window import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    totals = trans.groupBy("from_type").agg(F.sum("n").alias("total"))
+    return trans.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n_transitions"),
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("p_transition"),
+    )
