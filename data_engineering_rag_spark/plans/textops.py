@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..operators.tfidf import TOKEN_PATTERN
 from . import load, query
@@ -1009,4 +1010,87 @@ def lsh_candidate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("precision"),
         )
+    )
+
+
+ZIPF_TOP_N = 1000
+
+
+@query(
+    "zipf_fit_stats",
+    f"""
+    WITH tf AS (
+      SELECT term, count(*) AS c
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+            FROM documents)
+      GROUP BY term),
+    top AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rnk
+      FROM tf ORDER BY c DESC, term LIMIT {ZIPF_TOP_N}),
+    pts AS (
+      SELECT cast(round(ln(rnk), 9) as decimal(18,9)) AS x,
+             cast(round(ln(c), 9) as decimal(18,9)) AS y
+      FROM top),
+    s AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM pts),
+    fit AS (
+      SELECT n,
+             cast(n * sxy - sx * sy as double) / cast(n * sxx - sx * sx as double) AS slope_raw,
+             cast(sy as double) AS syd, cast(sx as double) AS sxd
+      FROM s)
+    SELECT cast(n as bigint) AS n_terms,
+           round(slope_raw, 6) AS zipf_slope,
+           round(syd / n - slope_raw * sxd / n, 6) AS zipf_intercept
+    FROM fit
+    """,
+)
+def zipf_fit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus health check: least-squares fit of ln(freq) ~ ln(rank)
+    over the top-{ZIPF_TOP_N} terms. Natural text sits near slope -1
+    (Zipf's law); machine-generated or template-heavy corpora drift
+    flat — a cheap distribution-shift alarm for an ingest pipeline.
+
+    Determinism: the log points are quantized to 9 dp and accumulated
+    as exact decimals (the same pattern as the LM quality scores), so
+    the closed-form slope divides identical numbers in both engines.
+    Shape: one token-count groupBy, a {ZIPF_TOP_N}-row TakeOrdered,
+    single-row closed-form fit — no iteration, no driver math."""
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0))
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("term"))
+    top = tf.withColumn("rnk", F.row_number().over(w)).orderBy(
+        F.col("c").desc(), F.col("term")
+    ).limit(ZIPF_TOP_N)
+    pts = top.select(
+        F.round(F.log(F.col("rnk").cast("double")), 9).cast("decimal(18,9)").alias("x"),
+        F.round(F.log(F.col("c").cast("double")), 9).cast("decimal(18,9)").alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope_raw = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    return s.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(slope_raw, 6).alias("zipf_slope"),
+        F.round(
+            F.col("sy").cast("double") / F.col("n")
+            - slope_raw * F.col("sx").cast("double") / F.col("n"),
+            6,
+        ).alias("zipf_intercept"),
     )
