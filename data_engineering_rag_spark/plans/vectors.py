@@ -1045,6 +1045,8 @@ def knn_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree at {KNN_K}, so the wedge join fans out at most k× the edge
     table — this stays linear in |N| at fixed k, never |N|³. Composes
     the registered kNN-graph query's own oracle verbatim."""
+    from ..operators.scale import durable_checkpoint
+
     g = knn_graph_by_label(spark, sf_dir).select("src", "dst")
     g2 = g.select(F.col("src").alias("s2"), F.col("dst").alias("d2"))
     und = (
@@ -1052,6 +1054,10 @@ def knn_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("src") < F.col("dst"))
         .select(F.col("src").alias("a"), F.col("dst").alias("b"))
     )
+    # The edge table feeds three consumers (wedge join ×2 sides, degree
+    # table, edge count) — materialize it once instead of re-running
+    # the kNN build per consumer (same pattern as the LSH band table).
+    und = durable_checkpoint(und)
     e1 = und
     e2 = und.select(F.col("a").alias("b2"), F.col("b").alias("c"))
     e3 = und.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
