@@ -906,3 +906,87 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_transitions"),
         F.round(F.col("n").cast("double") / F.col("total"), 6).alias("p_transition"),
     )
+
+
+@query(
+    "events_errors_per_session",
+    """
+    WITH seq AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+             event_id
+      FROM events),
+    flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN prev_ts IS NULL
+                       OR date_diff('second', prev_ts, ts) > 600 THEN 1 ELSE 0 END AS new_session
+      FROM seq),
+    numbered AS (
+      SELECT user_id, ts, event_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged),
+    sessions AS (
+      SELECT user_id, cast(session_id as bigint) AS session_id,
+             min(ts) AS session_start, max(ts) AS session_end
+      FROM numbered GROUP BY user_id, session_id),
+    errors AS (SELECT user_id, ts FROM events WHERE event_type = 'error')
+    SELECT s.user_id, s.session_id, s.session_start,
+           cast(count(e.ts) as bigint) AS n_errors
+    FROM sessions s LEFT JOIN errors e
+      ON s.user_id = e.user_id AND e.ts >= s.session_start AND e.ts <= s.session_end
+    GROUP BY s.user_id, s.session_id, s.session_start
+    """,
+)
+def events_errors_per_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment attribution (errors → the session containing
+    them) executed as a BINNED range join — the standard rewrite that
+    turns a non-equi interval join into an equi-join so it hash-
+    partitions at scale.
+
+    The naive spelling joins on `user_id` + `ts BETWEEN start AND end`:
+    Spark plans the BETWEEN as a post-filter on the user_id equi-join,
+    which degrades when single users own long histories. Here each
+    session explodes into the 1-hour buckets it covers (sessions are
+    gap-bounded, so this is a tiny fan-out) and each error maps to its
+    one bucket; the join key becomes (user_id, bucket) — strictly finer
+    partitioning, the BETWEEN only refines within a bucket. The DuckDB
+    oracle runs the NAIVE non-equi spelling: two different join
+    strategies, one answer.
+
+    LEFT join keeps zero-error sessions (count(e.ts) counts matches)."""
+    from pyspark.sql.window import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    gap_s = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    numbered = ev.select(
+        "user_id",
+        "ts",
+        F.sum(
+            F.when(F.lag("ts").over(w).isNull() | (gap_s > 600), 1).otherwise(0)
+        ).over(wsum).alias("session_id"),
+    )
+    sessions = numbered.groupBy(
+        "user_id", F.col("session_id").cast("long").alias("session_id")
+    ).agg(F.min("ts").alias("session_start"), F.max("ts").alias("session_end"))
+
+    bucket = lambda c: F.floor(F.unix_timestamp(c) / 3600)  # noqa: E731
+    s_binned = sessions.withColumn(
+        "bucket", F.explode(F.sequence(bucket(F.col("session_start")), bucket(F.col("session_end"))))
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"), bucket(F.col("ts")).alias("bucket")
+    )
+    joined = s_binned.join(
+        errors,
+        (F.col("user_id") == F.col("e_user"))
+        & (s_binned.bucket == errors.bucket)
+        & (F.col("e_ts") >= F.col("session_start"))
+        & (F.col("e_ts") <= F.col("session_end")),
+        "left",
+    )
+    return joined.groupBy("user_id", "session_id", "session_start").agg(
+        F.count("e_ts").cast("long").alias("n_errors")
+    )

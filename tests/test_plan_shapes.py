@@ -134,3 +134,13 @@ def test_q11_total_is_broadcast_not_window(spark, sf_dir):
     df = REGISTRY["q11_important_parts"].spark(spark, sf_dir)
     plan = _physical_plan(df)
     assert "CartesianProduct" not in plan, plan
+
+
+def test_binned_range_join_is_equi_join(spark, sf_dir):
+    """The interval-containment join must plan as a hash/sort-merge
+    equi-join on (user_id, bucket) with the BETWEEN as a residual
+    filter — the whole point of the binning rewrite."""
+    df = REGISTRY["events_errors_per_session"].spark(spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
