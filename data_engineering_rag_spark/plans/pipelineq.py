@@ -1140,3 +1140,139 @@ def boilerplate_ngrams_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "gram")
         .limit(20)
     )
+
+
+# BPE tokenizer training (Sennrich et al. 2016): iteratively merge the
+# most frequent adjacent symbol pair. The classic preprocessing-train
+# step of an LLM data pipeline; here as a driver-controlled loop of
+# DataFrame ops (argmax collected per round, like the k-means
+# centroids), with the merge applied as a left-to-right greedy fold.
+BPE_MERGES = 3
+
+
+def _bpe_seq1_sql() -> str:
+    return f"""
+    seq1 AS (
+      SELECT term AS word, cast(count(*) as bigint) AS wf,
+             regexp_extract_all(term, '.') AS ch
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+            FROM documents)
+      GROUP BY term)
+    """
+
+
+def _bpe_iter_sql(k: int) -> str:
+    """One unrolled BPE round: weighted pair counts → deterministic
+    argmax → greedy left-to-right non-overlapping merge. Consecutive
+    overlapping matches only occur for a==b runs, where the `off % 2`
+    parity keeps every other one — exactly the greedy fold's choice."""
+    return f"""
+    pairs{k} AS (
+      SELECT ch[i] AS a, ch[i + 1] AS b, cast(sum(wf) as bigint) AS c
+      FROM seq{k}, unnest(generate_series(1, len(ch) - 1)) AS g(i)
+      WHERE len(ch) >= 2
+      GROUP BY 1, 2),
+    best{k} AS (SELECT a, b, c FROM pairs{k} ORDER BY c DESC, a, b LIMIT 1),
+    seqL{k} AS (
+      SELECT word, wf, i AS pos, ch[i] AS tok
+      FROM seq{k}, unnest(generate_series(1, len(ch))) AS g(i)),
+    match{k} AS (
+      SELECT m.word, m.pos FROM (
+        SELECT word, pos, tok, lead(tok) OVER (PARTITION BY word ORDER BY pos) AS nxt
+        FROM seqL{k}) m, best{k} b
+      WHERE m.tok = b.a AND m.nxt = b.b),
+    sel{k} AS (
+      SELECT word, pos FROM (
+        SELECT word, pos, pos - min(pos) OVER (PARTITION BY word, rid) AS off
+        FROM (SELECT word, pos,
+                     pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS rid
+              FROM match{k}))
+      WHERE off % 2 = 0),
+    seq{k + 1} AS (
+      SELECT l.word, l.wf,
+             list(CASE WHEN s.pos IS NOT NULL THEN l.tok || n.tok ELSE l.tok END
+                  ORDER BY l.pos) AS ch
+      FROM seqL{k} l
+      LEFT JOIN sel{k} s ON l.word = s.word AND l.pos = s.pos
+      LEFT JOIN sel{k} s2 ON l.word = s2.word AND l.pos = s2.pos + 1
+      LEFT JOIN seqL{k} n ON l.word = n.word AND n.pos = l.pos + 1
+      WHERE s2.pos IS NULL
+      GROUP BY l.word, l.wf)
+    """
+
+
+def _bpe_oracle() -> str:
+    iters = ",".join(_bpe_iter_sql(k).strip().rstrip(",") for k in range(1, BPE_MERGES + 1))
+    finals = " UNION ALL ".join(
+        f"SELECT cast({k} as bigint) AS step, a AS lhs, b AS rhs, c AS pair_count FROM best{k}"
+        for k in range(1, BPE_MERGES + 1)
+    )
+    return f"WITH {_bpe_seq1_sql().strip().rstrip(',')}, {iters} {finals}"
+
+
+def _bpe_fold_merge_expr(a: str, b: str) -> str:
+    """Greedy left-to-right merge of adjacent (a, b) as an aggregate
+    fold: merge when the accumulator's tail is `a` AND the incoming
+    symbol is `b`. A just-merged tail equals `a||b`, never `a` (b is
+    non-empty), so a merged token can't chain-merge within the round —
+    the same non-overlap rule the oracle's parity selection encodes."""
+    ab = a + b
+    return (
+        "aggregate(ch, cast(array() as array<string>), (acc, x) -> "
+        f"IF(size(acc) > 0 AND element_at(acc, -1) = '{a}' AND x = '{b}', "
+        f"concat(slice(acc, 1, size(acc) - 1), array('{ab}')), "
+        "concat(acc, array(x))))"
+    )
+
+
+@query("bpe_train_merges", _bpe_oracle())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train {BPE_MERGES} BPE merges over the corpus vocabulary
+    (Sennrich et al. 2016) — tokenizer training as Spark dataflow.
+
+    Scale shape: BPE trains on the WORD-FREQUENCY table, not the token
+    stream — one groupBy reduces the corpus to |vocab| rows, and every
+    round is a pair-explode + weighted count over that table (map-side
+    combinable), an argmax of |symbol-pairs| rows collected to the
+    driver for control flow (the k-means-centroid pattern), and a
+    narrow fold applying the merge. The oracle unrolls all
+    {BPE_MERGES} rounds in SQL — two different merge implementations
+    (greedy fold vs window-parity selection), one answer."""
+    d = load(spark, sf_dir, "documents")
+    wf = (
+        d.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0))
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("wf"))
+    )
+    seq = wf.select("word", "wf", F.expr("filter(split(word, ''), x -> x <> '')").alias("ch"))
+
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, BPE_MERGES + 1):
+        pairs = (
+            seq.where(F.size("ch") >= 2)
+            .select(
+                "wf",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(ch) - 1), "
+                        "i -> struct(element_at(ch, i) AS a, element_at(ch, i + 1) AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("wf").cast("long").alias("c"))
+        )
+        best = pairs.orderBy(F.desc("c"), "a", "b").limit(1).collect()
+        if not best:
+            break
+        a, b, c = best[0].a, best[0].b, int(best[0].c)
+        merges.append((step, a, b, c))
+        seq = seq.select("word", "wf", F.expr(_bpe_fold_merge_expr(a, b)).alias("ch"))
+
+    return spark.createDataFrame(
+        merges, "step bigint, lhs string, rhs string, pair_count bigint"
+    )

@@ -88,3 +88,55 @@ def test_stratified_rebalance_shrinks_en_only(spark, sf_dir):
     for lang in before:
         if lang != "en":
             assert after.get(lang) == before[lang]  # tail kept whole
+
+
+def test_bpe_fold_matches_python_reference(spark):
+    """The fold-based merge must implement greedy left-to-right
+    non-overlapping replacement — pinned against a character-level
+    Python reference on inputs with overlap chains (aaa, abab)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_rag_spark.plans.pipelineq import _bpe_fold_merge_expr
+
+    def py_merge(tokens, a, b):
+        out, i = [], 0
+        while i < len(tokens):
+            if i + 1 < len(tokens) and tokens[i] == a and tokens[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(tokens[i])
+                i += 1
+        return out
+
+    cases = [
+        (list("aaa"), "a", "a"),      # odd run: [aa, a]
+        (list("aaaa"), "a", "a"),     # even run: [aa, aa]
+        (list("abab"), "a", "b"),     # back-to-back pairs both merge
+        (list("xabby"), "a", "b"),    # single interior match
+        (list("ab"), "b", "a"),       # no match
+        (["ab", "b"], "a", "b"),      # pre-existing merged token must NOT re-match
+    ]
+    df = spark.createDataFrame(
+        [(i, toks, a, b) for i, (toks, a, b) in enumerate(cases)],
+        "i int, ch array<string>, a string, b string",
+    )
+    for i, (toks, a, b) in enumerate(cases):
+        got = (
+            df.where(F.col("i") == i)
+            .select(F.expr(_bpe_fold_merge_expr(a, b)).alias("m"))
+            .collect()[0]
+            .m
+        )
+        assert got == py_merge(toks, a, b), (toks, a, b, got)
+
+
+def test_bpe_train_monotone_counts(spark, sf_dir):
+    """Merge counts are non-increasing across rounds (each round takes
+    the global argmax of a shrinking pair mass)."""
+    from data_engineering_rag_spark.plans import REGISTRY
+
+    rows = sorted(REGISTRY["bpe_train_merges"].spark(spark, sf_dir).collect())
+    counts = [r.pair_count for r in rows]
+    assert len(rows) == 3
+    assert counts == sorted(counts, reverse=True)
