@@ -1276,3 +1276,69 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "step bigint, lhs string, rhs string, pair_count bigint"
     )
+
+
+def _bpe_apply_oracle() -> str:
+    iters = ",".join(_bpe_iter_sql(k).strip().rstrip(",") for k in range(1, BPE_MERGES + 1))
+    return f"""
+    WITH {_bpe_seq1_sql().strip().rstrip(',')}, {iters}
+    SELECT tok AS symbol,
+           cast(sum(wf) as bigint) AS total_count,
+           cast(count(DISTINCT word) as bigint) AS n_words
+    FROM (SELECT word, wf, unnest(ch) AS tok FROM seq{BPE_MERGES + 1})
+    GROUP BY tok
+    """
+
+
+@query("bpe_apply_symbol_stats", _bpe_apply_oracle())
+def bpe_apply_symbol_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE merges and report the resulting symbol
+    vocabulary: corpus-weighted occurrence counts and word spread per
+    symbol — the train→apply half of the tokenizer story.
+
+    The production shape this pins: segmentation is computed ONCE per
+    distinct word (|vocab| rows), never per token occurrence — the
+    tokenized vocab then broadcast-joins onto any stream. Re-runs the
+    same training loop (deterministic), re-applies each merge as the
+    greedy fold, explodes the final symbol sequences weighted by word
+    frequency."""
+    d = load(spark, sf_dir, "documents")
+    wf = (
+        d.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0))
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("wf"))
+    )
+    seq = wf.select("word", "wf", F.expr("filter(split(word, ''), x -> x <> '')").alias("ch"))
+    for step in range(1, BPE_MERGES + 1):
+        pairs = (
+            seq.where(F.size("ch") >= 2)
+            .select(
+                "wf",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(ch) - 1), "
+                        "i -> struct(element_at(ch, i) AS a, element_at(ch, i + 1) AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("wf").cast("long").alias("c"))
+        )
+        best = pairs.orderBy(F.desc("c"), "a", "b").limit(1).collect()
+        if not best:
+            break
+        seq = seq.select(
+            "word", "wf", F.expr(_bpe_fold_merge_expr(best[0].a, best[0].b)).alias("ch")
+        )
+    return (
+        seq.select("word", "wf", F.explode("ch").alias("symbol"))
+        .groupBy("symbol")
+        .agg(
+            F.sum("wf").cast("long").alias("total_count"),
+            F.countDistinct("word").cast("long").alias("n_words"),
+        )
+    )
