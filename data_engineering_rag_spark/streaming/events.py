@@ -334,3 +334,61 @@ def daily_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sv",
         )
     )
+
+
+def first_type_occurrence_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty detection with the Spark 4 state-v2 API
+    (``transformWithStateInPandas``): emit each (user, event_type)
+    combination the FIRST time it appears in the stream, keeping the
+    seen-set in a per-key ``MapState``.
+
+    vs ``applyInPandasWithState`` (state v1, ``user_totals_stateful``):
+    v2 gives typed composable state primitives (value/list/map) with
+    per-entry operations — here the map grows by |event_types| per
+    user, and only touched entries serialize per batch, the property
+    that matters when keys are hot and state is wide. State shards by
+    the groupBy key exactly like v1.
+
+    Within a micro-batch, rows are reduced to their (ts, event_id)
+    argmin per type BEFORE consulting state, so emission is
+    deterministic regardless of Arrow batch order."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class FirstSeen(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getMapState("seen", "event_type string", "marker int")
+
+        def handleInputRows(self, key, rows, timerValues):
+            best: dict[str, tuple] = {}
+            for pdf in rows:
+                for r in pdf.itertuples(index=False):
+                    cur = best.get(r.event_type)
+                    cand = (r.ts, r.event_id)
+                    if cur is None or cand < cur:
+                        best[r.event_type] = cand
+            out = []
+            for et in sorted(best):
+                if not self._seen.containsKey((et,)):
+                    self._seen.updateValue((et,), (1,))
+                    ts, eid = best[et]
+                    out.append((key[0], et, ts, eid))
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["user_id", "event_type", "first_ts", "first_event_id"]
+                )
+
+        def close(self) -> None:
+            pass
+
+    ev = _event_stream(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
+    firsts = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=FirstSeen(),
+        outputStructType="user_id bigint, event_type string, first_ts timestamp, first_event_id bigint",
+        outputMode="Update",
+        timeMode="None",
+    )
+    return _run_to_memory(firsts, "update")

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import datetime
 
+import pytest
 from pyspark.sql import functions as F
 
 from data_engineering_rag_spark.plans import REGISTRY, load
@@ -240,3 +241,18 @@ def test_daily_rollup_stream_matches_batch(spark, sf_dir):
     )
     want = {(r.d, r.event_type): (r.n, r.sv) for r in batch.collect()}
     assert got == want
+
+
+def test_first_type_occurrence_stream_equals_batch(spark, sf_dir):
+    """State-v2 (transformWithStateInPandas) novelty stream == batch
+    argmin per (user, event_type). Skips where google.protobuf (the
+    state-server transport) is unavailable."""
+    pytest.importorskip("google.protobuf.descriptor")
+
+    from data_engineering_rag_spark.plans import REGISTRY
+    from data_engineering_rag_spark.streaming.events import first_type_occurrence_stream
+
+    s = first_type_occurrence_stream(spark, sf_dir)
+    b = REGISTRY["events_first_type_occurrence"].spark(spark, sf_dir)
+    key = lambda r: (r.user_id, r.event_type, r.first_ts, r.first_event_id)  # noqa: E731
+    assert sorted(map(key, s.collect())) == sorted(map(key, b.collect()))
