@@ -1043,3 +1043,43 @@ if _state_v2_available():
         from ..streaming.events import first_type_occurrence_stream
 
         return first_type_occurrence_stream(spark, sf_dir)
+
+
+@query(
+    "events_view_purchase_left",
+    """
+    SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+           v.ts AS view_ts, p.ts AS purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + interval 30 minute
+    """,
+)
+def events_view_purchase_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the LEFT OUTER stream-stream join: every view
+    row survives, purchase columns null when no same-user purchase
+    lands in the 30-minute horizon."""
+    ev = load(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return v.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left",
+    ).select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
+
+
+@query("stream_view_purchase_left", None)
+def stream_view_purchase_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import view_purchase_left_stream
+
+    return view_purchase_left_stream(spark, sf_dir)

@@ -392,3 +392,45 @@ def first_type_occurrence_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeMode="None",
     )
     return _run_to_memory(firsts, "update")
+
+
+def view_purchase_left_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every view emits — joined to a
+    same-user purchase in the following 30 minutes when one exists,
+    with nulls once the watermark proves no match can arrive. The
+    distinct outer-join state machine: matched rows emit eagerly,
+    unmatched rows are held until the watermark passes their join
+    horizon, then emit exactly once. availableNow's final empty batch
+    advances the watermark to max(event time) − 1h, so views newer
+    than that horizon stay unemitted (asserted in the equivalence
+    test's finalized-prefix comparison)."""
+    ev = _event_stream(spark, sf_dir)
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter",
+    )
+    out = _run_to_memory(joined, "append")
+    return out.select(
+        F.col("v_user").alias("user_id"), "view_id", "purchase_id", "view_ts", "purchase_ts"
+    )

@@ -256,3 +256,34 @@ def test_first_type_occurrence_stream_equals_batch(spark, sf_dir):
     b = REGISTRY["events_first_type_occurrence"].spark(spark, sf_dir)
     key = lambda r: (r.user_id, r.event_type, r.first_ts, r.first_event_id)  # noqa: E731
     assert sorted(map(key, s.collect())) == sorted(map(key, b.collect()))
+
+
+def test_left_outer_funnel_stream_finalized_prefix(spark, sf_dir):
+    """LEFT OUTER stream-stream join: matched rows all emit in the
+    single availableNow batch; null-extended rows emit only once the
+    watermark (max ts − 1h) proves no match can arrive — compare the
+    finalized prefix, and require full equality there."""
+    from data_engineering_rag_spark.plans import REGISTRY, load
+    from data_engineering_rag_spark.streaming.events import view_purchase_left_stream
+
+    cols = ["user_id", "view_id", "purchase_id", "view_ts", "purchase_ts"]
+    stream = {tuple(r[c] for c in cols) for r in view_purchase_left_stream(spark, sf_dir).collect()}
+    batch_df = REGISTRY["events_view_purchase_left"].spark(spark, sf_dir)
+    batch = {tuple(r[c] for c in cols) for r in batch_df.collect()}
+
+    max_ts = load(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    # an unmatched view is evictable (and must emit) only once the
+    # watermark (max ts − 1h) passes its whole join horizon (+30 min)
+    horizon = max_ts - datetime.timedelta(hours=1, minutes=30)
+
+    matched_stream = {t for t in stream if t[2] is not None}
+    matched_batch = {t for t in batch if t[2] is not None}
+    assert matched_stream == matched_batch
+
+    null_stream = {t for t in stream if t[2] is None}
+    null_batch_final = {t for t in batch if t[2] is None and t[3] < horizon}
+    # every finalized unmatched view must have emitted, and nothing
+    # the watermark hasn't finalized may appear
+    assert null_batch_final <= null_stream
+    assert all(t[3] <= max_ts for t in null_stream)
+    assert len(null_stream) > 0
