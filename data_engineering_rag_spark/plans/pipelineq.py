@@ -1342,3 +1342,42 @@ def bpe_apply_symbol_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("word").cast("long").alias("n_words"),
         )
     )
+
+
+def _quality_decile_oracle() -> str:
+    from . import REGISTRY
+
+    return f"""
+    WITH q AS ({REGISTRY["unigram_logprob_quality"].oracle}),
+    tiered AS (
+      SELECT doc_id, avg_logprob,
+             ntile(10) OVER (ORDER BY avg_logprob, doc_id) AS decile
+      FROM q)
+    SELECT cast(decile as bigint) AS decile,
+           cast(count(*) as bigint) AS n_docs,
+           round(min(avg_logprob), 6) AS min_quality,
+           round(max(avg_logprob), 6) AS max_quality
+    FROM tiered GROUP BY decile
+    """
+
+
+@query("quality_decile_tiers", _quality_decile_oracle())
+def quality_decile_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality tiering for shard selection: deciles of the unigram-LM
+    quality score (deterministic ntile — doc_id tiebreak), with each
+    tier's population and score range. The downstream contract is
+    'train on deciles 4-10, route 1-3 to review'; this query is the
+    audit table that decision reads. Composes the registered quality
+    query's oracle verbatim."""
+    from pyspark.sql.window import Window as W
+
+    q = unigram_logprob_quality(spark, sf_dir).select("doc_id", "avg_logprob")
+    tiered = q.select(
+        "avg_logprob",
+        F.ntile(10).over(W.orderBy("avg_logprob", "doc_id")).alias("decile"),
+    )
+    return tiered.groupBy(F.col("decile").cast("long").alias("decile")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.min("avg_logprob"), 6).alias("min_quality"),
+        F.round(F.max("avg_logprob"), 6).alias("max_quality"),
+    )
