@@ -1092,3 +1092,99 @@ def knn_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("global_clustering"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# PCA top component — power iteration as pure dataflow, unrolled oracle
+# --------------------------------------------------------------------------
+
+PCA_ITERS = 2
+
+
+def _pca_iter_sql(k: int) -> str:
+    """One power-iteration round: s = Xv (per-row), u = Xᵀs (per-dim),
+    v' = u/‖u‖ rounded to 9 dp. Every reduction accumulates exact
+    decimals of 14-dp-quantized products, so both engines sum identical
+    numbers in any order."""
+    return f"""
+    s{k} AS (
+      SELECT c.vec_id, sum(cast(c.val * v.val as decimal(28,14))) AS s
+      FROM comp c JOIN v{k - 1} v USING (pos) GROUP BY c.vec_id),
+    u{k} AS (
+      SELECT c.pos, sum(cast(cast(s.s as double) * c.val as decimal(28,14))) AS u
+      FROM comp c JOIN s{k} s USING (vec_id) GROUP BY c.pos),
+    n{k} AS (
+      SELECT sqrt(cast(sum(cast(cast(u as double) * cast(u as double) as decimal(38,14))) as double)) AS nv
+      FROM u{k}),
+    v{k} AS (
+      SELECT pos, round(cast(u as double) / nv, 9) AS val FROM u{k}, n{k})
+    """
+
+
+def _pca_oracle() -> str:
+    iters = ",".join(_pca_iter_sql(k).strip().rstrip(",") for k in range(1, PCA_ITERS + 1))
+    return f"""
+    WITH comp AS (
+      SELECT vec_id, cast(pos as bigint) AS pos,
+             cast(embedding[cast(pos as int)] as double) AS val
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(pos)),
+    d AS (SELECT cast(max(pos) as double) AS md FROM comp),
+    v0 AS (SELECT DISTINCT pos, round(1.0 / sqrt(md), 9) AS val FROM comp, d),
+    {iters}
+    SELECT pos, round(val, 8) + 0.0 AS component FROM v{PCA_ITERS}
+    """
+
+
+@query("pca_power_top_component", _pca_oracle())
+def pca_power_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the (uncentered) embedding Gram
+    matrix via {PCA_ITERS} power-iteration rounds — the whitening /
+    drift-detection primitive, as PURE dataflow (no driver linear
+    algebra, no collected vectors).
+
+    Scale shape: the d×d covariance is never materialized — each round
+    is s = Xv (equi-join on pos, |N|·d component rows) then u = Xᵀs
+    (equi-join on vec_id, partial-aggregated per dim), exactly two
+    shuffles per round at any corpus size. Inter-round vectors are
+    rounded to 9 dp and every reduction accumulates exact decimals, so
+    both engines iterate on identical numbers — same discipline as the
+    k-means/pagerank oracles."""
+    e = load(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).select("vec_id", (F.col("pos") + 1).cast("long").alias("pos"), F.col("col").alias("val"))
+
+    d = comp.agg(F.max("pos").cast("double").alias("md"))
+    v = (
+        comp.select("pos").distinct()
+        .crossJoin(F.broadcast(d))
+        .select("pos", F.round(F.lit(1.0) / F.sqrt(F.col("md")), 9).alias("val"))
+    )
+    for _ in range(PCA_ITERS):
+        s = (
+            comp.join(v.select("pos", F.col("val").alias("vv")), "pos")
+            .groupBy("vec_id")
+            .agg(F.sum((F.col("val") * F.col("vv")).cast("decimal(28,14)")).alias("s"))
+        )
+        u = (
+            comp.join(s, "vec_id")
+            .groupBy("pos")
+            .agg(
+                F.sum((F.col("s").cast("double") * F.col("val")).cast("decimal(28,14)")).alias(
+                    "u"
+                )
+            )
+        )
+        n = u.agg(
+            F.sqrt(
+                F.sum(
+                    (F.col("u").cast("double") * F.col("u").cast("double")).cast(
+                        "decimal(38,14)"
+                    )
+                ).cast("double")
+            ).alias("nv")
+        )
+        v = u.crossJoin(F.broadcast(n)).select(
+            "pos", F.round(F.col("u").cast("double") / F.col("nv"), 9).alias("val")
+        )
+    return v.select("pos", (F.round("val", 8) + F.lit(0.0)).alias("component"))
