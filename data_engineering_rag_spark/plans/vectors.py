@@ -1188,3 +1188,70 @@ def pca_power_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pos", F.round(F.col("u").cast("double") / F.col("nv"), 9).alias("val")
         )
     return v.select("pos", (F.round("val", 8) + F.lit(0.0)).alias("component"))
+
+
+# --------------------------------------------------------------------------
+# Random-projection dimensionality reduction (Johnson–Lindenstrauss)
+# --------------------------------------------------------------------------
+
+RP_OUT_DIMS = 8
+
+
+def _rp_planes() -> list[list[float]]:
+    """Same deterministic md5-derived construction as the sign-LSH
+    hyperplanes (exact doubles, repr-round-trippable) under a distinct
+    salt, so the two operators can't accidentally share geometry."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"rpj|{k}|{i}".encode()).hexdigest()[:8], 16) / 4294967296.0 * 2 - 1
+            for i in range(PLANE_DIM)
+        ]
+        for k in range(RP_OUT_DIMS)
+    ]
+
+
+def _rp_oracle() -> str:
+    planes = _rp_planes()
+    scale = f"sqrt({RP_OUT_DIMS}.0)"
+    rows = " UNION ALL ".join(
+        f"""SELECT vec_id, cast({k} as bigint) AS k,
+               round(list_dot_product(embedding::DOUBLE[],
+                     [{", ".join(repr(c) for c in pl)}]::DOUBLE[]) / {scale}, 8) + 0.0 AS val
+        FROM embeddings"""
+        for k, pl in enumerate(planes)
+    )
+    return rows
+
+
+@query("rp_reduce_vectors", _rp_oracle())
+def rp_reduce_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection {PLANE_DIM}→{RP_OUT_DIMS}:
+    the cheap dimensionality cut in front of clustering / dedup when
+    full-width cosines are overkill. Projection matrix is literal
+    (md5-derived exact doubles), shared verbatim with the oracle; the
+    per-dim dot is the same left-to-right fold both engines compute
+    bit-identically (the sign-LSH precedent).
+
+    Scale: a narrow map — {RP_OUT_DIMS} folds per row, no shuffle, no
+    Python; output is {RP_OUT_DIMS}/{PLANE_DIM} of the input width
+    downstream ops then scan."""
+    e = load(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    planes = _rp_planes()
+    scale = float(RP_OUT_DIMS) ** 0.5
+    parts = [
+        e.select(
+            "vec_id",
+            F.lit(k).cast("long").alias("k"),
+            (F.round(dot(v, F.array(*[F.lit(c) for c in pl])) / F.lit(scale), 8) + F.lit(0.0)).alias(
+                "val"
+            ),
+        )
+        for k, pl in enumerate(planes)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
