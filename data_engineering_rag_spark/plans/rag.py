@@ -1057,3 +1057,116 @@ def tfidf_search_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("start").cast("long").alias("start"),
         F.round("score", 8).alias("score"),
     )
+
+
+MISSPELLED_QUERY_TERMS = ("sparkk", "joiin", "windoww", "hashh")
+SPELL_MAX_DIST = 2
+SPELL_TOP = 3
+
+
+def _spell_oracle() -> str:
+    terms = ", ".join(f"('{t}')" for t in MISSPELLED_QUERY_TERMS)
+    return f"""
+    WITH vocab AS (
+      SELECT term, count(*) AS freq
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+            FROM documents)
+      GROUP BY term),
+    q AS (SELECT * FROM (VALUES {terms}) AS t(qterm)),
+    cand AS (
+      SELECT qterm, term AS suggestion, freq,
+             cast(levenshtein(qterm, term) as bigint) AS dist
+      FROM q, vocab
+      WHERE levenshtein(qterm, term) <= {SPELL_MAX_DIST})
+    SELECT qterm, suggestion, dist, cast(freq as bigint) AS freq,
+           cast(rn as bigint) AS rn
+    FROM (SELECT *, row_number() OVER (PARTITION BY qterm
+                                       ORDER BY dist, freq DESC, suggestion) AS rn
+          FROM cand)
+    WHERE rn <= {SPELL_TOP}
+    """
+
+
+@query("spell_suggest_terms", _spell_oracle())
+def spell_suggest_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did-you-mean: for each out-of-vocabulary query term, the top
+    {SPELL_TOP} corpus-vocabulary terms by (edit distance, frequency)
+    — the query-assist layer in front of lexical search.
+
+    Scale shape: the vocabulary (|distinct terms|) is the small side —
+    it broadcasts against the query terms; candidate generation is
+    distance-bounded. At web-corpus vocab sizes the same query runs
+    over a deletes-index (SymSpell) instead of the direct product —
+    the ranking contract stays identical."""
+    d = load(spark, sf_dir, "documents")
+    vocab = (
+        d.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0))
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    q = spark.createDataFrame([(t,) for t in MISSPELLED_QUERY_TERMS], ["qterm"])
+    cand = (
+        F.broadcast(q)
+        .crossJoin(vocab)
+        .withColumn("dist", F.levenshtein("qterm", "term").cast("long"))
+        .where(F.col("dist") <= SPELL_MAX_DIST)
+    )
+    w = Window.partitionBy("qterm").orderBy("dist", F.desc("freq"), "term")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= SPELL_TOP)
+        .select(
+            "qterm",
+            F.col("term").alias("suggestion"),
+            "dist",
+            F.col("freq").cast("long").alias("freq"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
+def _facet_oracle(query_text: str) -> str:
+    toks = tokenize_query(query_text)
+    qvals = ", ".join(f"('{t}')" for t in toks)
+    return f"""
+    WITH q AS (SELECT * FROM (VALUES {qvals}) AS t(term)),
+    tok AS (
+      SELECT doc_id, lang, source,
+             unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+      FROM documents),
+    matches AS (
+      SELECT DISTINCT doc_id, lang, source FROM tok JOIN q USING (term))
+    SELECT lang, source,
+           cast(count(*) as bigint) AS n_matching_docs
+    FROM matches GROUP BY lang, source
+    """
+
+
+@query("search_facet_counts", _facet_oracle(SEARCH_QUERY))
+def search_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facets for the flagship query: how the FULL match set (any query
+    term present) distributes over (lang, source) — the sidebar counts
+    a search UI renders next to the top-k hits. Match-set semantics,
+    not top-k: facets must reflect everything the filter would return.
+
+    Shape: broadcast the query terms, semi-join-style distinct on
+    doc_id, then a combinable group count — the facet pass costs one
+    scan regardless of how many facet dimensions ride along."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0))
+        ).alias("term"),
+    )
+    q = spark.createDataFrame([(t,) for t in tokenize_query(SEARCH_QUERY)], ["term"])
+    matches = toks.join(F.broadcast(q), "term").select("doc_id", "lang", "source").distinct()
+    return matches.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matching_docs")
+    )
