@@ -1170,3 +1170,180 @@ def search_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matches.groupBy("lang", "source").agg(
         F.count(F.lit(1)).cast("long").alias("n_matching_docs")
     )
+
+
+MMR_LAMBDA = 0.7
+MMR_POOL = 10
+MMR_SELECT = 3
+
+
+def _mmr_oracle(query_text: str) -> str:
+    """Unrolled greedy MMR over the top-{MMR_POOL} pool. Pairwise sims
+    multiply 8dp-quantized weights and accumulate exact decimals, so
+    both engines compare identical MMR scores at every step."""
+    pool_sql = _search_oracle(query_text, MMR_POOL)
+    step_sel = []
+    prev = "sel1"
+    for k in (2, 3):
+        step_sel.append(f"""
+    ms{k} AS (
+      SELECT p.doc_id, p.start, p.rel,
+             coalesce(max(s.sim), 0.0) AS maxsim
+      FROM pool p
+      LEFT JOIN sims s ON s.a_doc = p.doc_id AND s.a_start = p.start
+       AND EXISTS (SELECT 1 FROM selected{k - 1} q
+                   WHERE q.doc_id = s.b_doc AND q.start = s.b_start)
+      WHERE NOT EXISTS (SELECT 1 FROM selected{k - 1} q
+                        WHERE q.doc_id = p.doc_id AND q.start = p.start)
+      GROUP BY p.doc_id, p.start, p.rel),
+    sel{k} AS (
+      SELECT doc_id, start, rel,
+             round({MMR_LAMBDA} * rel - {1 - MMR_LAMBDA} * maxsim, 8) AS mmr
+      FROM ms{k}
+      ORDER BY round({MMR_LAMBDA} * rel - {1 - MMR_LAMBDA} * maxsim, 8) DESC, doc_id, start
+      LIMIT 1),
+    selected{k} AS (SELECT doc_id, start FROM selected{k - 1}
+                    UNION ALL SELECT doc_id, start FROM sel{k})""")
+        prev = f"sel{k}"
+    steps_sql = ",".join(step_sel)
+    finals = " UNION ALL ".join(
+        f"SELECT cast({k} as bigint) AS step, doc_id, start, rel, mmr FROM sel{k}"
+        for k in range(1, MMR_SELECT + 1)
+    )
+    return f"""
+    WITH pool AS (
+      SELECT doc_id, start, score AS rel FROM ({pool_sql})
+    ),
+    dvec_pool AS (
+      SELECT t.doc_id, t.start, t.term, round(t.w, 8) AS wq FROM (
+        WITH x AS (SELECT 1)
+        {_search_dvec_sql()}
+      ) t JOIN pool p ON t.doc_id = p.doc_id AND t.start = p.start
+    ),
+    sims AS (
+      SELECT a.doc_id AS a_doc, a.start AS a_start,
+             b.doc_id AS b_doc, b.start AS b_start,
+             cast(sum(cast(a.wq * b.wq as decimal(28,16))) as double) AS sim
+      FROM dvec_pool a JOIN dvec_pool b
+        ON a.term = b.term AND (a.doc_id, a.start) <> (b.doc_id, b.start)
+      GROUP BY 1, 2, 3, 4),
+    sel1 AS (
+      SELECT doc_id, start, rel, round({MMR_LAMBDA} * rel, 8) AS mmr
+      FROM pool ORDER BY rel DESC, doc_id, start LIMIT 1),
+    selected1 AS (SELECT doc_id, start FROM sel1),
+    {steps_sql}
+    {finals}
+    """
+
+
+def _search_dvec_sql() -> str:
+    """The L2-normalized chunk weight table (same CTE chain as
+    ``_search_oracle`` up to dvec), emitted as a standalone SELECT."""
+    return f"""
+    SELECT w.doc_id, w.start, w.term, w_raw / nrm AS w FROM (
+      WITH chunks AS (
+        SELECT doc_id, cast(start as bigint) AS start,
+               substr(text, cast(start as int) + 1, {CHUNK_SIZE}) AS content
+        FROM (SELECT doc_id, text,
+                     unnest({sliding_window_starts_sql('length(text)', CHUNK_SIZE, CHUNK_STEP)}) AS start
+              FROM documents WHERE length(text) > 0)),
+      tok AS (
+        SELECT doc_id, start, unnest(regexp_extract_all(lower(content), '{TOKEN_PATTERN}')) AS term
+        FROM chunks),
+      tf AS (SELECT doc_id, start, term, count(*) AS tf FROM tok GROUP BY doc_id, start, term),
+      ndocs AS (SELECT count(*) AS n_docs FROM chunks),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      idf AS (SELECT term, ln((1 + n_docs) / (1 + df)) + 1 AS idf FROM dfreq, ndocs),
+      w AS (SELECT doc_id, start, tf.term, tf * idf AS w_raw FROM tf JOIN idf ON tf.term = idf.term),
+      nrm AS (SELECT doc_id, start, sqrt(sum(w_raw * w_raw)) AS nrm FROM w GROUP BY doc_id, start)
+      SELECT w.doc_id, w.start, w.term, w.w_raw, nrm.nrm
+      FROM w JOIN nrm ON w.doc_id = nrm.doc_id AND w.start = nrm.start
+    ) w(doc_id, start, term, w_raw, nrm)
+    """
+
+
+@query("mmr_diversified_topk", _mmr_oracle(SEARCH_QUERY))
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998): greedy
+    re-selection of {MMR_SELECT} results from the top-{MMR_POOL} pool,
+    trading relevance against redundancy (λ={MMR_LAMBDA}) — the
+    diversification layer RAG context assembly wants when the top hits
+    are near-duplicate chunks.
+
+    Pure dataflow: pairwise pool similarities are one term-equi-join
+    over the pool's weight rows (pool², but pool is {MMR_POOL}), each
+    greedy step is a window argmax — no driver loop, everything
+    composes lazily. Weights quantize to 8dp before the sim products
+    and the products accumulate as exact decimals, so both engines
+    rank identical MMR scores at every step."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
+    chunks = chunk_documents(docs, text_col="content", size=CHUNK_SIZE, step=CHUNK_STEP)
+    model = build_tfidf(chunks, key_cols=["doc_id", "start"], text_fields=["content"])
+    pool = (
+        search_topk(spark, model, SEARCH_QUERY, k=MMR_POOL)
+        .select("doc_id", F.col("start").cast("long").alias("start"), F.round("score", 8).alias("rel"))
+    )
+    from ..operators.scale import durable_checkpoint
+
+    pool = durable_checkpoint(pool)
+
+    pw = model.weights.join(pool.select("doc_id", "start"), ["doc_id", "start"]).select(
+        "doc_id", "start", "term", F.round("w", 8).alias("wq")
+    )
+    a = pw.select(
+        F.col("doc_id").alias("a_doc"), F.col("start").alias("a_start"), "term",
+        F.col("wq").alias("wa"),
+    )
+    b = pw.select(
+        F.col("doc_id").alias("b_doc"), F.col("start").alias("b_start"), "term",
+        F.col("wq").alias("wb"),
+    )
+    sims = (
+        a.join(b, "term")
+        .where((F.col("a_doc") != F.col("b_doc")) | (F.col("a_start") != F.col("b_start")))
+        .groupBy("a_doc", "a_start", "b_doc", "b_start")
+        .agg(F.sum((F.col("wa") * F.col("wb")).cast("decimal(28,16)")).cast("double").alias("sim"))
+    )
+    sims = durable_checkpoint(sims)
+
+    lam = F.lit(MMR_LAMBDA)
+    one_minus = F.lit(1 - MMR_LAMBDA)
+
+    sel = pool.orderBy(F.desc("rel"), "doc_id", "start").limit(1).select(
+        "doc_id", "start", "rel", F.round(lam * F.col("rel"), 8).alias("mmr")
+    )
+    selected = sel.select("doc_id", "start")
+    out = [sel.withColumn("step", F.lit(1).cast("long"))]
+    for k in range(2, MMR_SELECT + 1):
+        cand = pool.join(selected, ["doc_id", "start"], "left_anti")
+        ms = (
+            cand.join(
+                sims.join(
+                    selected.select(
+                        F.col("doc_id").alias("b_doc"), F.col("start").alias("b_start")
+                    ),
+                    ["b_doc", "b_start"],
+                ).select(
+                    F.col("a_doc").alias("doc_id"), F.col("a_start").alias("start"), "sim"
+                ),
+                ["doc_id", "start"],
+                "left",
+            )
+            .groupBy("doc_id", "start", "rel")
+            .agg(F.coalesce(F.max("sim"), F.lit(0.0)).alias("maxsim"))
+        )
+        step_sel = (
+            ms.select(
+                "doc_id", "start", "rel",
+                F.round(lam * F.col("rel") - one_minus * F.col("maxsim"), 8).alias("mmr"),
+            )
+            .orderBy(F.desc("mmr"), "doc_id", "start")
+            .limit(1)
+        )
+        step_sel = durable_checkpoint(step_sel)
+        out.append(step_sel.withColumn("step", F.lit(k).cast("long")))
+        selected = selected.unionByName(step_sel.select("doc_id", "start"))
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res.select("step", "doc_id", "start", "rel", "mmr")
