@@ -1083,3 +1083,48 @@ def stream_view_purchase_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import view_purchase_left_stream
 
     return view_purchase_left_stream(spark, sf_dir)
+
+
+@query(
+    "events_seasonal_profile",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, count(*) AS n
+      FROM events GROUP BY date_trunc('hour', ts)),
+    keyed AS (
+      -- Spark dayofweek() is 1=Sunday..7=Saturday; DuckDB's is 0-based
+      SELECT dayofweek(h) + 1 AS dow, hour(h) AS hod, n FROM hourly),
+    profile AS (
+      SELECT dow, hod,
+             cast(count(*) as bigint) AS n_slots,
+             round(cast(sum(cast(n as decimal(18,0))) as double) / count(*), 6) AS mean_events
+      FROM keyed GROUP BY dow, hod)
+    SELECT cast(dow as bigint) AS dow, cast(hod as bigint) AS hod,
+           n_slots, mean_events
+    FROM profile
+    """,
+)
+def events_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality profile: mean hourly event volume per (day-of-week,
+    hour-of-day) cell — the baseline an anomaly detector subtracts
+    before looking at residuals (complements the rolling z-score,
+    which is trend-local rather than calendar-aware). Two combinable
+    aggregations, no joins."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        hourly.select(
+            F.dayofweek("h").cast("long").alias("dow"),
+            F.hour("h").cast("long").alias("hod"),
+            "n",
+        )
+        .groupBy("dow", "hod")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_slots"),
+            F.round(
+                F.sum(F.col("n").cast("decimal(18,0)")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_events"),
+        )
+    )

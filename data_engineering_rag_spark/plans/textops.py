@@ -1094,3 +1094,87 @@ def zipf_fit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("zipf_intercept"),
     )
+
+
+@query(
+    "char_entropy_quality",
+    f"""
+    WITH chars AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '.')) AS ch
+      FROM documents),
+    counts AS (
+      SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch),
+    totals AS (
+      SELECT doc_id, cast(sum(c) as bigint) AS n FROM counts GROUP BY doc_id)
+    SELECT c.doc_id,
+           t.n AS n_chars_total,
+           cast(count(*) as bigint) AS n_distinct_chars,
+           round(cast(sum(cast(round(-(c::double / n) * ln(c::double / n) / ln(2.0), 9)
+                               as decimal(18,9))) as double), 6) AS entropy_bits
+    FROM counts c JOIN totals t USING (doc_id)
+    GROUP BY c.doc_id, t.n
+    """,
+)
+def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality signal: low entropy flags repetitive /
+    degenerate text (aaaa…, template spam), high entropy flags binary
+    junk — the Shannon counterpart to the Gopher repetition rules.
+    Per-term contributions quantize to 9dp before the exact decimal
+    sum (the LM-quality discipline), so the per-doc bits match across
+    engines. Shape: one explode + two combinable aggs."""
+    d = load(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.lower(F.col("text")), F.lit("."), F.lit(0))).alias("ch"),
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("doc_id").agg(F.sum("c").cast("long").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    contrib = F.round(-p * F.log(p) / F.log(F.lit(2.0)), 9).cast("decimal(18,9)")
+    return (
+        counts.join(totals, "doc_id")
+        .groupBy("doc_id", F.col("n").alias("n_chars_total"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+            F.round(F.sum(contrib).cast("double"), 6).alias("entropy_bits"),
+        )
+    )
+
+
+@query(
+    "top_terms_per_lang",
+    f"""
+    SELECT lang, term, cast(freq as bigint) AS freq, cast(rn as bigint) AS rn
+    FROM (
+      SELECT lang, term, freq,
+             row_number() OVER (PARTITION BY lang ORDER BY freq DESC, term) AS rn
+      FROM (
+        SELECT lang, term, count(*) AS freq
+        FROM (SELECT lang, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+              FROM documents)
+        GROUP BY lang, term))
+    WHERE rn <= 5
+    """,
+)
+def top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k on the token stream: each language's 5 most
+    frequent terms — the per-slice vocabulary drill-down next to the
+    global top-20. Partial-aggregated counts, then one window shuffle
+    on lang."""
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            "lang",
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0))
+            ).alias("term"),
+        )
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("freq"), "term")
+    return (
+        tf.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("lang", "term", F.col("freq").cast("long").alias("freq"), F.col("rn").cast("long").alias("rn"))
+    )
