@@ -1255,3 +1255,86 @@ def rp_reduce_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+LPA_ITERS = 2
+
+
+def _lpa_oracle() -> str:
+    from . import REGISTRY
+
+    rounds = []
+    for k in range(1, LPA_ITERS + 1):
+        rounds.append(f"""
+    votes{k} AS (
+      SELECT e.dst AS node, l.lab AS lab, count(*) AS c
+      FROM und e JOIN l{k - 1} l ON l.node = e.src
+      GROUP BY e.dst, l.lab),
+    l{k} AS (
+      SELECT n.node,
+             coalesce(
+               (SELECT v.lab FROM votes{k} v WHERE v.node = n.node
+                ORDER BY v.c DESC, v.lab LIMIT 1),
+               n.lab) AS lab
+      FROM l{k - 1} n)""")
+    rounds_sql = ",".join(rounds)
+    return f"""
+    WITH g AS ({REGISTRY["knn_graph_by_label"].oracle}),
+    mutual AS (
+      SELECT g1.src AS a, g1.dst AS b
+      FROM g g1 JOIN g g2 ON g1.src = g2.dst AND g1.dst = g2.src
+      WHERE g1.src < g1.dst),
+    und AS (SELECT a AS src, b AS dst FROM mutual
+            UNION ALL SELECT b AS src, a AS dst FROM mutual),
+    l0 AS (SELECT vec_id AS node, vec_id AS lab FROM embeddings),
+    {rounds_sql}
+    SELECT node AS vec_id, lab AS community FROM l{LPA_ITERS}
+    """
+
+
+@query("lpa_communities_2iter", _lpa_oracle())
+def lpa_communities_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation community detection (Raghavan et al. 2007),
+    {LPA_ITERS} synchronous rounds over the mutual-kNN graph: each node
+    adopts its neighbors' most frequent label (ties → min label;
+    isolated nodes keep their own). Complements connected components
+    (which merges everything reachable) by finding DENSE groups — the
+    near-dup "cluster vs bridge" distinction.
+
+    Scale: per round one equi-join edges⋈labels + a combinable count +
+    a per-node window argmax — degree ≤ k bounds the vote table at
+    k·|N|. Edge table checkpointed once (the triangle-stats pattern)."""
+    from ..operators.scale import durable_checkpoint
+
+    g = knn_graph_by_label(spark, sf_dir).select("src", "dst")
+    g2 = g.select(F.col("src").alias("s2"), F.col("dst").alias("d2"))
+    mutual = (
+        g.join(g2, (F.col("src") == F.col("d2")) & (F.col("dst") == F.col("s2")))
+        .where(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    )
+    und = mutual.unionByName(
+        mutual.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    und = durable_checkpoint(und)
+
+    labels = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("node"), F.col("vec_id").alias("lab")
+    )
+    for _ in range(LPA_ITERS):
+        votes = (
+            und.join(labels.select(F.col("node").alias("src"), "lab"), "src")
+            .groupBy(F.col("dst").alias("node"), "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("c"), "lab")
+        best = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", F.col("lab").alias("new_lab"))
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select("node", F.coalesce("new_lab", "lab").alias("lab"))
+        )
+    return labels.select(F.col("node").alias("vec_id"), F.col("lab").alias("community"))
