@@ -1830,3 +1830,37 @@ def join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top1_share"),
         )
     )
+
+
+@query(
+    "basket_part_pairs_top20",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS support
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey)
+    SELECT part_a, part_b, cast(support as bigint) AS support
+    FROM pairs
+    ORDER BY support DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def basket_part_pairs_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the 20 part pairs most often bought
+    in the same order (pair support counts). The self-join is keyed on
+    orderkey with canonical part ordering, so the pair space is
+    Σ|order|² (orders are ≤7 lines here), never |parts|² — the same
+    bounded-by-co-occurrence argument as the term-join Jaccard."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+    )
+    return pairs.orderBy(F.desc("support"), "part_a", "part_b").limit(20)

@@ -1128,3 +1128,73 @@ def events_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_events"),
         )
     )
+
+
+@query(
+    "events_funnel_steps_ordered",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+    SELECT cast((SELECT count(*) FROM s1) as bigint) AS n_signup,
+           cast((SELECT count(*) FROM s2) as bigint) AS n_then_view,
+           cast((SELECT count(*) FROM s3) as bigint) AS n_then_purchase,
+           round((SELECT count(*) FROM s2)::double
+                 / greatest((SELECT count(*) FROM s1), 1), 6) AS view_rate,
+           round((SELECT count(*) FROM s3)::double
+                 / greatest((SELECT count(*) FROM s2), 1), 6) AS purchase_rate
+    """,
+)
+def events_funnel_steps_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ORDERED 3-step funnel (signup → later view → later
+    purchase): each stage anchors on the previous stage's first
+    completion time, so out-of-order activity doesn't count — the
+    semantics product funnels actually need (the 2-step join funnel
+    only checks co-occurrence within a horizon).
+
+    Shape: three user-keyed min-aggregations, each joined to the
+    previous stage's anchor — combinable aggs + equi-joins, one
+    single-row summary out."""
+    ev = load(spark, sf_dir, "events")
+    s1 = ev.where(F.col("event_type") == "signup").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    s2 = (
+        ev.where(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    c1 = s1.agg(F.count(F.lit(1)).alias("n_signup"))
+    c2 = s2.agg(F.count(F.lit(1)).alias("n_then_view"))
+    c3 = s3.agg(F.count(F.lit(1)).alias("n_then_purchase"))
+    return (
+        c1.crossJoin(F.broadcast(c2))
+        .crossJoin(F.broadcast(c3))
+        .select(
+            F.col("n_signup").cast("long").alias("n_signup"),
+            F.col("n_then_view").cast("long").alias("n_then_view"),
+            F.col("n_then_purchase").cast("long").alias("n_then_purchase"),
+            F.round(
+                F.col("n_then_view").cast("double") / F.greatest(F.col("n_signup"), F.lit(1)), 6
+            ).alias("view_rate"),
+            F.round(
+                F.col("n_then_purchase").cast("double")
+                / F.greatest(F.col("n_then_view"), F.lit(1)),
+                6,
+            ).alias("purchase_rate"),
+        )
+    )
