@@ -1198,3 +1198,56 @@ def events_funnel_steps_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("purchase_rate"),
         )
     )
+
+
+@query(
+    "events_journey_patterns",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS journey
+      FROM events GROUP BY user_id)
+    SELECT user_id,
+           cast(length(journey) as bigint) AS n_steps,
+           cast(len(regexp_extract_all(journey, 'vp')) as bigint) AS n_view_then_purchase,
+           cast(len(regexp_extract_all(journey, 'e+')) as bigint) AS n_error_bursts,
+           cast(length(regexp_extract(journey, 'e+')) as bigint) AS first_error_burst_len
+    FROM seq
+    """,
+)
+def events_journey_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern analytics without MATCH_RECOGNIZE: compress
+    each user's ordered history into a journey string (one char per
+    event type, (ts, event_id)-ordered), then count regex patterns —
+    immediate view→purchase adjacencies, error bursts (maximal runs),
+    first burst length. The compile-the-sequence-to-a-string trick
+    turns sequential pattern queries into vectorized regex over one
+    row per user.
+
+    Shape: one ordered collect per user (the journey is |events/user|
+    chars — bounded here; at scale, window the journey per session),
+    then a narrow regex map."""
+    ev = load(spark, sf_dir, "events")
+    journey = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("ch")))
+            ),
+            lambda x: x.ch,
+        ),
+        "",
+    )
+    seq = ev.groupBy("user_id").agg(journey.alias("journey"))
+    return seq.select(
+        "user_id",
+        F.length("journey").cast("long").alias("n_steps"),
+        F.size(F.regexp_extract_all(F.col("journey"), F.lit("vp"), F.lit(0)))
+        .cast("long")
+        .alias("n_view_then_purchase"),
+        F.size(F.regexp_extract_all(F.col("journey"), F.lit("e+"), F.lit(0)))
+        .cast("long")
+        .alias("n_error_bursts"),
+        F.length(F.regexp_extract(F.col("journey"), "e+", 0)).cast("long").alias(
+            "first_error_burst_len"
+        ),
+    )
