@@ -1864,3 +1864,84 @@ def basket_part_pairs_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("support"))
     )
     return pairs.orderBy(F.desc("support"), "part_a", "part_b").limit(20)
+
+
+@query(
+    "orders_pareto_frontier",
+    """
+    WITH pts AS (
+      SELECT o_orderkey, o_totalprice, o_orderdate FROM orders),
+    ranked AS (
+      SELECT o_orderkey, o_totalprice, o_orderdate,
+             max(o_orderdate) OVER (
+               ORDER BY o_totalprice DESC, o_orderdate DESC, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_date_so_far
+      FROM pts)
+    SELECT o_orderkey, o_totalprice, o_orderdate
+    FROM ranked
+    WHERE best_date_so_far IS NULL OR o_orderdate > best_date_so_far
+    """,
+)
+def orders_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline): orders not dominated on
+    (totalprice, orderdate) — maximize both. The single-window-pass
+    formulation: sort by price desc, keep rows whose date beats the
+    running max; O(n log n) with ONE shuffle-free window after the
+    range sort, versus the naive NOT EXISTS self-join's O(n²). The
+    (price, date, key) tiebreak makes equal-price runs deterministic:
+    within a run, only a strictly later date survives.
+
+    At scale the global sort is a range partition (Spark plans it as
+    such); the window never crosses the sorted order."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.orderBy(F.desc("o_totalprice"), F.desc("o_orderdate"), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_totalprice",
+            "o_orderdate",
+            F.max("o_orderdate").over(w).alias("best"),
+        )
+        .where(F.col("best").isNull() | (F.col("o_orderdate") > F.col("best")))
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+    )
+
+
+@query(
+    "benford_first_digit_audit",
+    """
+    WITH digits AS (
+      SELECT cast(substr(cast(cast(o_totalprice as bigint) as varchar), 1, 1) as bigint) AS d
+      FROM orders WHERE o_totalprice >= 1),
+    counts AS (SELECT d, count(*) AS n FROM digits GROUP BY d),
+    total AS (SELECT cast(sum(n) as bigint) AS t FROM counts)
+    SELECT d,
+           cast(n as bigint) AS n_orders,
+           round(n::double / t, 6) AS observed_p,
+           round(ln(1.0 + 1.0 / d) / ln(10.0), 6) AS benford_p,
+           round(abs(n::double / t - ln(1.0 + 1.0 / d) / ln(10.0)), 6) AS abs_dev
+    FROM counts, total
+    """,
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit on order totals: observed first-digit
+    distribution vs log10(1 + 1/d) — the classic anomaly screen for
+    fabricated or capped numeric columns (synthetic uniform data is
+    EXPECTED to deviate; the point is the audit shape). First digit
+    via integer-string truncation (identical in both engines); one
+    combinable count + a broadcast total."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    d = F.substring(F.col("o_totalprice").cast("bigint").cast("string"), 1, 1).cast("long")
+    counts = o.select(d.alias("d")).groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").cast("long").alias("t"))
+    benford = F.log(1.0 + 1.0 / F.col("d")) / F.log(F.lit(10.0))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "d",
+        F.col("n").cast("long").alias("n_orders"),
+        F.round(F.col("n").cast("double") / F.col("t"), 6).alias("observed_p"),
+        F.round(benford, 6).alias("benford_p"),
+        F.round(F.abs(F.col("n").cast("double") / F.col("t") - benford), 6).alias("abs_dev"),
+    )
