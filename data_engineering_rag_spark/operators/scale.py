@@ -94,3 +94,83 @@ def repartition_for_join(df: DataFrame, key: str, n_partitions: int | None = Non
     the same key reuse one exchange (Catalyst's ReusedExchange kicks in
     when partitioning already matches)."""
     return df.repartition(n_partitions, F.col(key)) if n_partitions else df.repartition(F.col(key))
+
+
+def _ceil_div(x, y):
+    # Exact integer ceil-division spelled over doubles (exact below
+    # 2^53, far past any realistic row count).
+    return F.floor((x + y - F.lit(1)) / y)
+
+
+def with_global_rank(
+    df: DataFrame,
+    order_cols: list,
+    rank_col: str = "rnk",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global ``row_number`` WITHOUT an ``Exchange
+    SinglePartition``: the scale-safe replacement for
+    ``row_number().over(Window.orderBy(...))``, whose unpartitioned
+    window funnels every row through one task.
+
+    Shape: ``repartitionByRange`` on the sort key (a parallel range
+    exchange — partition id ascends with sort order), a PER-PARTITION
+    ``row_number`` (window partitioned by ``spark_partition_id()``),
+    and a broadcast prefix-count join over the tiny per-partition count
+    table (≤ #partitions rows), so ``global rank = local rank + rows in
+    earlier ranges``. Both branches reference the same range exchange;
+    Catalyst's ReuseExchange materializes it once, which also pins one
+    consistent set of range boundaries.
+
+    ``order_cols`` must be a total order (include a unique tiebreak) —
+    ties straddling a range boundary would otherwise make the rank
+    partition-dependent.
+    """
+    from pyspark.sql.window import Window
+
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    n = num_partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    ranged = df.repartitionByRange(n, *cols).withColumn("_gr_pid", F.spark_partition_id())
+    w = Window.partitionBy("_gr_pid").orderBy(*cols)
+    local = ranged.withColumn("_gr_lrn", F.row_number().over(w))
+    counts = ranged.groupBy("_gr_pid").agg(F.count(F.lit(1)).alias("_gr_n"))
+    a, b = counts.alias("a"), counts.alias("b")
+    prefix = (
+        a.join(b, F.col("b._gr_pid") < F.col("a._gr_pid"), "left")
+        .groupBy(F.col("a._gr_pid").alias("_gr_pid"))
+        .agg(F.coalesce(F.sum(F.col("b._gr_n")), F.lit(0)).alias("_gr_off"))
+    )
+    return (
+        local.join(F.broadcast(prefix), "_gr_pid")
+        .withColumn(rank_col, (F.col("_gr_lrn") + F.col("_gr_off")).cast("int"))
+        .drop("_gr_pid", "_gr_lrn", "_gr_off")
+    )
+
+
+def with_global_ntile(
+    df: DataFrame,
+    n_buckets: int,
+    order_cols: list,
+    bucket_col: str = "bucket",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ``ntile(n)`` over a global ordering without the
+    single-partition sort: global rank via :func:`with_global_rank`,
+    then the closed-form ntile bucket — the first ``total % n`` buckets
+    take ``ceil(total/n)`` rows, the rest ``floor(total/n)`` (SQL ntile
+    semantics exactly, positional, not value-based). The one-row total
+    broadcasts."""
+    ranked = with_global_rank(df, order_cols, "_gn_rnk", num_partitions)
+    tot = df.groupBy().agg(F.count(F.lit(1)).alias("_gn_total"))
+    r, t = F.col("_gn_rnk"), F.col("_gn_total")
+    q = F.floor(t / n_buckets)
+    rem = t % n_buckets
+    big = q + F.lit(1)
+    bucket = F.when(r <= rem * big, _ceil_div(r, big)).otherwise(
+        rem + _ceil_div(r - rem * big, q)
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn(bucket_col, bucket.cast("int"))
+        .drop("_gn_rnk", "_gn_total")
+    )

@@ -114,17 +114,42 @@ _DRIVER_VERIFIED = frozenset(
         "tfidf_search_filtered", "tfidf_search_rocchio", "tfidf_search_topk",
         "token_counts_bpe_ish", "token_frequencies_top20",
         "token_sort_fingerprints", "vector_norms",
+        # round 4 (CORRECTNESS_r04.json)
+        "events_hourly_stats", "events_json_props", "events_user_activity",
+        "events_sessionize_batch", "events_sliding_counts",
+        "events_view_purchase_funnel", "events_enriched_static",
+        "events_asof_last_view", "events_hourly_gapfill",
+        "events_weekly_retention", "events_value_histogram",
+        "events_longest_gap_pandas", "events_conversion_cogroup",
+        "events_replay_filtered", "events_rolling_zscore",
+        "events_asof_next_purchase", "events_winsorized_values",
+        "events_daily_rollup_merge", "events_cohort_retention",
+        "events_markov_transitions", "events_errors_per_session",
+        "events_first_type_occurrence", "events_view_purchase_left",
+        "events_seasonal_profile", "events_funnel_steps_ordered",
+        "events_journey_patterns", "pii_redact", "dataset_split_assign",
+        "stratified_rebalance", "bigram_pmi_top20", "dedup_canonical_docs",
+        "sample_n_per_lang", "sequence_pack_greedy", "repetition_stats",
+        "decontaminate_overlap", "gopher_quality_rules",
+        "dedup_incremental_batch", "vocab_oov_stats",
+        "unigram_logprob_quality", "normalize_nfc_stats",
+        "corpus_materialize_clean", "temporal_split_audit",
+        "column_profile_orders", "weighted_sample_docs",
+        "bigram_lm_quality", "crossdoc_ngram_dup_fraction",
+        "boilerplate_ngrams_top20", "bpe_train_merges",
+        "bpe_apply_symbol_stats", "quality_decile_tiers",
     }
 )
 
 _MODULE_PRIORITY = {
-    # never-driver-checked backlog for round 4's window: the events
-    # batch twins and the training-data pipeline family lead; the
-    # round-2 TPC-H sweep and CDC/SCD2 follow (they spill past slot 50
-    # and rotate in next round).
-    "streaming_q": 0, "pipelineq": 1, "vectors": 2, "relational": 3,
-    "tpch_extra": 4, "cdcq": 5,
-    "rag": 6, "ingestq": 7, "logsq": 8, "mediaq": 9, "textops": 10,
+    # round-5 window: the final 41 never-driver-checked oracle queries
+    # (vectors extras, relational extras, tpch_extra sweep, CDC,
+    # round-4 rag/media/textops additions) all fit in one 50-slot
+    # window — after this rotation every oracle query in the registry
+    # has a driver-green row (r1 ∪ r3 ∪ r4 ∪ r5 = 190/190).
+    "vectors": 0, "relational": 1, "tpch_extra": 2, "cdcq": 3,
+    "rag": 4, "mediaq": 5, "textops": 6,
+    "streaming_q": 7, "pipelineq": 8, "ingestq": 9, "logsq": 10,
 }
 
 

@@ -576,13 +576,13 @@ def vocab_oov_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic tokenizer-training selection) and per-language OOV
     coverage: what fraction of token occurrences a fixed vocab misses.
 
-    Scale: term counts map-side combine to |terms| rows; the top-V rank
-    sorts only the DISTINCT term table (not the token stream — |terms|
-    ≪ |tokens|); the vocab itself (V rows) broadcasts back onto the
-    token stream, so the only full-stream shuffle is the final per-lang
-    agg, which partial-aggregates to |langs| rows per partition."""
-    from pyspark.sql import Window
-
+    Scale: term counts map-side combine to |terms| rows; the top-V
+    selection is ``orderBy().limit()`` — Spark plans
+    TakeOrderedAndProject (per-shard top-V, merge V·shards rows), never
+    a global-window sort; the vocab itself (V rows) broadcasts back
+    onto the token stream, so the only full-stream shuffle is the final
+    per-lang agg, which partial-aggregates to |langs| rows per
+    partition."""
     d = load(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id",
@@ -592,8 +592,7 @@ def vocab_oov_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("term"),
     )
     counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
-    rk = F.row_number().over(Window.orderBy(F.col("n").desc(), F.col("term").asc()))
-    vocab = counts.select("term", rk.alias("rk")).where(F.col("rk") <= VOCAB_SIZE)
+    vocab = counts.orderBy(F.col("n").desc(), F.col("term").asc()).limit(VOCAB_SIZE)
     marked = tok.join(
         F.broadcast(vocab.select("term", F.lit(1).alias("_in_vocab"))), "term", "left"
     )
@@ -807,18 +806,19 @@ def temporal_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the user-overlap count — users appearing on both sides are the
     entity-level leakage a stricter split would group by.
 
-    The global rank is an audit-time device (one sort); a production
-    split materializes the cutoff TIMESTAMP (e.g. from a percentile
-    sketch) and labels with a narrow comparison instead."""
+    The exact (ts, event_id) rank is computed scale-safely — range
+    exchange + per-range row_number + broadcast prefix counts
+    (``with_global_rank``), never a single-partition window sort; a
+    production split can further cheapen this to a percentile-sketch
+    cutoff TIMESTAMP and a narrow comparison."""
+    from ..operators.scale import with_global_rank
+
     ev = load(spark, sf_dir, "events")
-    from pyspark.sql.window import Window as W
 
     tot = ev.groupBy().agg(F.count(F.lit(1)).alias("n"))
-    ranked = (
-        ev.select("event_id", "user_id", "ts")
-        .crossJoin(F.broadcast(tot))
-        .withColumn("rn", F.row_number().over(W.orderBy("ts", "event_id")))
-    )
+    ranked = with_global_rank(
+        ev.select("event_id", "user_id", "ts"), ["ts", "event_id"], "rn"
+    ).crossJoin(F.broadcast(tot))
     lab = ranked.withColumn(
         "is_train", F.col("rn") <= F.floor(TEMPORAL_TRAIN_FRAC * F.col("n")).cast("long")
     )
@@ -1368,13 +1368,17 @@ def quality_decile_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier's population and score range. The downstream contract is
     'train on deciles 4-10, route 1-3 to review'; this query is the
     audit table that decision reads. Composes the registered quality
-    query's oracle verbatim."""
-    from pyspark.sql.window import Window as W
+    query's oracle verbatim.
+
+    The decile assignment is exact positional ntile computed
+    scale-safely (``with_global_ntile``: range exchange + per-range
+    rank + broadcast prefix counts + closed-form bucket), never a
+    single-partition window sort over all docs."""
+    from ..operators.scale import with_global_ntile
 
     q = unigram_logprob_quality(spark, sf_dir).select("doc_id", "avg_logprob")
-    tiered = q.select(
-        "avg_logprob",
-        F.ntile(10).over(W.orderBy("avg_logprob", "doc_id")).alias("decile"),
+    tiered = with_global_ntile(q, 10, ["avg_logprob", "doc_id"], "decile").select(
+        "avg_logprob", "decile"
     )
     return tiered.groupBy(F.col("decile").cast("long").alias("decile")).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

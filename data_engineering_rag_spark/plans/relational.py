@@ -1884,28 +1884,46 @@ def basket_part_pairs_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def orders_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D Pareto frontier (skyline): orders not dominated on
-    (totalprice, orderdate) — maximize both. The single-window-pass
-    formulation: sort by price desc, keep rows whose date beats the
-    running max; O(n log n) with ONE shuffle-free window after the
-    range sort, versus the naive NOT EXISTS self-join's O(n²). The
-    (price, date, key) tiebreak makes equal-price runs deterministic:
-    within a run, only a strictly later date survives.
+    (totalprice, orderdate) — maximize both; a row survives iff its
+    date beats the running-max date over everything sorting before it
+    on (price desc, date desc, key). The (price, date, key) tiebreak
+    makes equal-price runs deterministic: within a run, only a
+    strictly later date survives.
 
-    At scale the global sort is a range partition (Spark plans it as
-    such); the window never crosses the sorted order."""
+    Two-phase scale-safe shape (an unpartitioned running-max window
+    would plan ``Exchange SinglePartition`` — one task sorts every
+    order): range-exchange on the sort key (partition id ascends with
+    sort order), compute the running max PER RANGE, then close the
+    cross-partition gap with the tiny per-partition max-date table
+    (≤ #partitions rows): global running max = greatest(local running
+    max, max date over all earlier ranges), the latter a broadcast
+    prefix join. Exact — every partition boundary is also a sort
+    boundary."""
     o = load(spark, sf_dir, "orders")
-    w = (
-        Window.orderBy(F.desc("o_totalprice"), F.desc("o_orderdate"), F.col("o_orderkey"))
+    sort_cols = [F.desc("o_totalprice"), F.desc("o_orderdate"), F.col("o_orderkey")]
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    ranged = (
+        o.select("o_orderkey", "o_totalprice", "o_orderdate")
+        .repartitionByRange(n_parts, *sort_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    wloc = (
+        Window.partitionBy("_pid")
+        .orderBy(*sort_cols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    local = ranged.withColumn("_local_best", F.max("o_orderdate").over(wloc))
+    pmax = ranged.groupBy("_pid").agg(F.max("o_orderdate").alias("_pmax"))
+    a, b = pmax.alias("a"), pmax.alias("b")
+    prev = (
+        a.join(b, F.col("b._pid") < F.col("a._pid"), "left")
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(F.max(F.col("b._pmax")).alias("_prev_best"))
+    )
+    best = F.greatest("_local_best", "_prev_best")  # greatest() skips nulls
     return (
-        o.select(
-            "o_orderkey",
-            "o_totalprice",
-            "o_orderdate",
-            F.max("o_orderdate").over(w).alias("best"),
-        )
-        .where(F.col("best").isNull() | (F.col("o_orderdate") > F.col("best")))
+        local.join(F.broadcast(prev), "_pid")
+        .where(best.isNull() | (F.col("o_orderdate") > best))
         .select("o_orderkey", "o_totalprice", "o_orderdate")
     )
 
@@ -1914,7 +1932,7 @@ def orders_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "benford_first_digit_audit",
     """
     WITH digits AS (
-      SELECT cast(substr(cast(cast(o_totalprice as bigint) as varchar), 1, 1) as bigint) AS d
+      SELECT cast(substr(cast(cast(floor(o_totalprice) as bigint) as varchar), 1, 1) as bigint) AS d
       FROM orders WHERE o_totalprice >= 1),
     counts AS (SELECT d, count(*) AS n FROM digits GROUP BY d),
     total AS (SELECT cast(sum(n) as bigint) AS t FROM counts)
@@ -1931,10 +1949,12 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution vs log10(1 + 1/d) — the classic anomaly screen for
     fabricated or capped numeric columns (synthetic uniform data is
     EXPECTED to deviate; the point is the audit shape). First digit
-    via integer-string truncation (identical in both engines); one
-    combinable count + a broadcast total."""
+    via explicit floor() before the bigint cast on BOTH sides —
+    Spark's double→bigint cast truncates but DuckDB's rounds, so the
+    truncation must be spelled out; one combinable count + a
+    broadcast total."""
     o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
-    d = F.substring(F.col("o_totalprice").cast("bigint").cast("string"), 1, 1).cast("long")
+    d = F.substring(F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1).cast("long")
     counts = o.select(d.alias("d")).groupBy("d").agg(F.count(F.lit(1)).alias("n"))
     total = counts.agg(F.sum("n").cast("long").alias("t"))
     benford = F.log(1.0 + 1.0 / F.col("d")) / F.log(F.lit(10.0))

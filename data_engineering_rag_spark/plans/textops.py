@@ -1055,8 +1055,12 @@ def zipf_fit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: the log points are quantized to 9 dp and accumulated
     as exact decimals (the same pattern as the LM quality scores), so
     the closed-form slope divides identical numbers in both engines.
-    Shape: one token-count groupBy, a {ZIPF_TOP_N}-row TakeOrdered,
-    single-row closed-form fit — no iteration, no driver math."""
+    Shape: one token-count groupBy, then ``orderBy().limit()`` FIRST —
+    Spark plans TakeOrderedAndProject (per-shard top-N merge), so only
+    the {ZIPF_TOP_N} surviving rows ever see the rank window; that
+    window is single-partition but pool-bounded (≤{ZIPF_TOP_N} rows by
+    construction), the same exemption as the rag.py rerank pools.
+    Single-row closed-form fit — no iteration, no driver math."""
     d = load(spark, sf_dir, "documents")
     tf = (
         d.select(
@@ -1068,9 +1072,11 @@ def zipf_fit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     w = Window.orderBy(F.col("c").desc(), F.col("term"))
-    top = tf.withColumn("rnk", F.row_number().over(w)).orderBy(
-        F.col("c").desc(), F.col("term")
-    ).limit(ZIPF_TOP_N)
+    top = (
+        tf.orderBy(F.col("c").desc(), F.col("term"))
+        .limit(ZIPF_TOP_N)
+        .withColumn("rnk", F.row_number().over(w))
+    )
     pts = top.select(
         F.round(F.log(F.col("rnk").cast("double")), 9).cast("decimal(18,9)").alias("x"),
         F.round(F.log(F.col("c").cast("double")), 9).cast("decimal(18,9)").alias("y"),

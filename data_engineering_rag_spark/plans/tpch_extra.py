@@ -315,23 +315,32 @@ def q20_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per-customer recency/frequency/monetary
     quintiles (ntile with key tie-breaks — deterministic in both
-    engines), rolled up per 3-digit segment. The global ntile sort is
-    over |customers| rows (already aggregated), not order lines;
-    monetary sums stay decimal-exact until the final display cast."""
+    engines), rolled up per 3-digit segment. Each quintile is exact
+    positional ntile computed scale-safely over the |customers|-row agg
+    table (``with_global_ntile``: range exchange + per-range rank +
+    broadcast prefix counts — never a single-partition window sort);
+    the three scores re-join on the customer key. Monetary sums stay
+    decimal-exact until the final display cast."""
+    from ..operators.scale import with_global_ntile
+
     o = load(spark, sf_dir, "orders")
-    from pyspark.sql.window import Window as W
 
     rfm = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("freq"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
     )
-    scored = rfm.select(
-        "o_custkey",
-        "monetary",
-        F.ntile(5).over(W.orderBy("last_order", "o_custkey")).alias("r_score"),
-        F.ntile(5).over(W.orderBy("freq", "o_custkey")).alias("f_score"),
-        F.ntile(5).over(W.orderBy("monetary", "o_custkey")).alias("m_score"),
+    r = with_global_ntile(
+        rfm.select("o_custkey", "last_order"), 5, ["last_order", "o_custkey"], "r_score"
+    ).select("o_custkey", "r_score")
+    f = with_global_ntile(
+        rfm.select("o_custkey", "freq"), 5, ["freq", "o_custkey"], "f_score"
+    ).select("o_custkey", "f_score")
+    m = with_global_ntile(
+        rfm.select("o_custkey", "monetary"), 5, ["monetary", "o_custkey"], "m_score"
+    ).select("o_custkey", "m_score")
+    scored = (
+        rfm.select("o_custkey", "monetary").join(r, "o_custkey").join(f, "o_custkey").join(m, "o_custkey")
     )
     return scored.groupBy(
         F.concat(

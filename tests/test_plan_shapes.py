@@ -144,3 +144,62 @@ def test_binned_range_join_is_equi_join(spark, sf_dir):
     plan = _physical_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+# --- Global-window gate: a Window with orderBy and no partitionBy plans
+# `Exchange SinglePartition` — every row through ONE task, the classic
+# 100 TB scale-killer. The six queries below used to ship it; they must
+# now plan threshold-broadcast / range-exchange / TakeOrdered shapes.
+# Pool-bounded windows (input capped by an upstream limit, e.g. the
+# rag.py rerank pools and zipf's top-N) stay exempt.
+
+import re
+
+
+def _unbounded_single_partition_windows(plan: str) -> int:
+    """Count Window nodes fed by an `Exchange SinglePartition` whose
+    input is NOT bounded by a limit (TakeOrderedAndProject /
+    GlobalLimit / LocalLimit directly beneath the exchange)."""
+    lines = plan.splitlines()
+    hits = 0
+    for i, ln in enumerate(lines):
+        if not re.search(r"\bWindow\b", ln):  # excludes WindowGroupLimit
+            continue
+        for j in range(i + 1, min(i + 4, len(lines))):
+            if "Exchange SinglePartition" in lines[j]:
+                below = "\n".join(lines[j + 1 : j + 3])
+                if not re.search(r"TakeOrderedAndProject|GlobalLimit|LocalLimit", below):
+                    hits += 1
+                break
+    return hits
+
+
+def test_detector_flags_global_window(spark, sf_dir):
+    """Positive control: the detector must flag the anti-pattern it
+    exists to catch (guards the gate itself against plan-text drift)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    df = (
+        spark.range(0, 1000)
+        .withColumn("rn", F.row_number().over(Window.orderBy("id")))
+    )
+    assert _unbounded_single_partition_windows(_physical_plan(df)) == 1
+
+
+GLOBAL_WINDOW_GATED = [
+    "orders_rfm_segments",
+    "quality_decile_tiers",
+    "temporal_split_audit",
+    "orders_pareto_frontier",
+    "vocab_oov_stats",
+    "zipf_fit_stats",
+]
+
+
+def test_no_unbounded_single_partition_windows(spark, sf_dir):
+    for name in GLOBAL_WINDOW_GATED:
+        df = REGISTRY[name].spark(spark, sf_dir)
+        plan = _physical_plan(df)
+        n = _unbounded_single_partition_windows(plan)
+        assert n == 0, f"{name}: {n} unbounded single-partition window(s)\n{plan}"
