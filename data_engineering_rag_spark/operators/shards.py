@@ -26,15 +26,15 @@ def materialize_training_shards(
     ``_MANIFEST.json`` at the root with the content fingerprint.
     Returns the manifest."""
     from ..plans.pipelineq import dataset_split_assign
-    from ..sources.io import write_parquet_with_manifest
 
     from ..plans import REGISTRY
 
     clean = REGISTRY["corpus_materialize_clean"].spark(spark, sf_dir)
     splits = dataset_split_assign(spark, sf_dir).select("doc_id", "split")
-    # corpus_materialize_clean already restricts to the train split's
-    # gates; re-join the full assignment so val/test shards materialize
-    # from the same survivor set (gates minus the split restriction).
+    # corpus_materialize_clean applies every cleaning gate but NO split
+    # restriction (only the decontamination doc_id >= DECON_EVAL_DOCS
+    # gate); joining the split assignment therefore yields all three
+    # splits from one survivor set.
     shard = clean.select("doc_id", "lang", "content_md5").join(splits, "doc_id")
 
     manifest = write_parquet_with_manifest_partitioned(shard, path, files_per_split)
@@ -46,16 +46,27 @@ def write_parquet_with_manifest_partitioned(
 ) -> dict:
     """Partitioned variant of ``sources/io.py::write_parquet_with_manifest``:
     hive-partition by ``split``, bound files per partition via
-    repartition(split-key round robin), same order-insensitive
-    fingerprint contract."""
+    repartition on (split, salt), same order-insensitive fingerprint
+    contract.
+
+    The salt matters: repartitioning on the split value ALONE would
+    hash all rows of a split into one partition — exactly one file per
+    split regardless of the knob, and distinct splits colliding into
+    the same task. Salting by ``pmod(xxhash64(doc_id), k)`` spreads
+    each split over exactly ``files_per_partition`` partitions."""
     import json
 
     fingerprint_row = df.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.bit_xor(F.xxhash64(*df.columns)).alias("fingerprint"),
     ).collect()[0]
+    n_splits = df.select("split").distinct().count()
     (
-        df.repartition(files_per_partition, "split")
+        df.repartition(
+            max(1, n_splits * files_per_partition),
+            "split",
+            F.pmod(F.xxhash64("doc_id"), F.lit(files_per_partition)),
+        )
         .write.mode("overwrite")
         .partitionBy("split")
         .parquet(path)
@@ -66,10 +77,8 @@ def write_parquet_with_manifest_partitioned(
         "schema": df.schema.jsonValue(),
         "partitioned_by": ["split"],
     }
-    spark = df.sparkSession
-    sc = spark.sparkContext
-    # write via the JVM-agnostic local path (tests run on local FS)
+    # write via the JVM-agnostic local path (tests run on local FS; on
+    # object stores use the util in sources/io)
     with open(f"{path}/_MANIFEST.json", "w") as f:
         json.dump(manifest, f, indent=2, default=str)
-    _ = sc  # layout is FS-local here; on object stores use the util in sources/io
     return manifest

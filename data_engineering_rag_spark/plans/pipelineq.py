@@ -733,8 +733,10 @@ def corpus_materialize_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus-prep ENDGAME in one query — materialize the training
     set that survives every gate: exact-dedup canonical survivors
     (min-id per content hash) ∧ Gopher quality rules ∧ benchmark
-    decontamination (no flagged eval overlap), restricted to the train
-    split. This is the query a 100 TB pipeline writes as its output
+    decontamination (no flagged eval overlap, plus the doc_id ≥
+    {DECON_EVAL_DOCS} held-out-eval carve-out — no split restriction;
+    joining ``dataset_split_assign`` downstream yields all three
+    splits). This is the query a 100 TB pipeline writes as its output
     table; each stage is individually oracle-checked
     (``dedup_canonical_docs``, ``gopher_quality_rules``,
     ``decontaminate_overlap``) and the composition re-verifies them
@@ -1225,19 +1227,18 @@ def _bpe_fold_merge_expr(a: str, b: str) -> str:
     )
 
 
-@query("bpe_train_merges", _bpe_oracle())
-def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train {BPE_MERGES} BPE merges over the corpus vocabulary
-    (Sennrich et al. 2016) — tokenizer training as Spark dataflow.
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Shared BPE training pass (Sennrich et al. 2016): returns the
+    merge list AND the final segmented word-frequency DataFrame, so the
+    train query and the apply query run the per-merge pair-count +
+    1-row-collect loop exactly ONCE between them.
 
     Scale shape: BPE trains on the WORD-FREQUENCY table, not the token
     stream — one groupBy reduces the corpus to |vocab| rows, and every
     round is a pair-explode + weighted count over that table (map-side
     combinable), an argmax of |symbol-pairs| rows collected to the
     driver for control flow (the k-means-centroid pattern), and a
-    narrow fold applying the merge. The oracle unrolls all
-    {BPE_MERGES} rounds in SQL — two different merge implementations
-    (greedy fold vs window-parity selection), one answer."""
+    narrow fold applying the merge."""
     d = load(spark, sf_dir, "documents")
     wf = (
         d.select(
@@ -1272,7 +1273,17 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         a, b, c = best[0].a, best[0].b, int(best[0].c)
         merges.append((step, a, b, c))
         seq = seq.select("word", "wf", F.expr(_bpe_fold_merge_expr(a, b)).alias("ch"))
+    return merges, seq
 
+
+@query("bpe_train_merges", _bpe_oracle())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train {BPE_MERGES} BPE merges over the corpus vocabulary —
+    tokenizer training as Spark dataflow (see ``_bpe_train`` for the
+    scale shape). The oracle unrolls all {BPE_MERGES} rounds in SQL —
+    two different merge implementations (greedy fold vs window-parity
+    selection), one answer."""
+    merges, _ = _bpe_train(spark, sf_dir)
     return spark.createDataFrame(
         merges, "step bigint, lhs string, rhs string, pair_count bigint"
     )
@@ -1298,42 +1309,12 @@ def bpe_apply_symbol_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The production shape this pins: segmentation is computed ONCE per
     distinct word (|vocab| rows), never per token occurrence — the
-    tokenized vocab then broadcast-joins onto any stream. Re-runs the
-    same training loop (deterministic), re-applies each merge as the
-    greedy fold, explodes the final symbol sequences weighted by word
+    tokenized vocab then broadcast-joins onto any stream. Reuses the
+    segmented vocabulary from the single shared training pass
+    (``_bpe_train``) — the per-merge pair-count loop is NOT re-run —
+    then explodes the final symbol sequences weighted by word
     frequency."""
-    d = load(spark, sf_dir, "documents")
-    wf = (
-        d.select(
-            F.explode(
-                F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0))
-            ).alias("word")
-        )
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).cast("long").alias("wf"))
-    )
-    seq = wf.select("word", "wf", F.expr("filter(split(word, ''), x -> x <> '')").alias("ch"))
-    for step in range(1, BPE_MERGES + 1):
-        pairs = (
-            seq.where(F.size("ch") >= 2)
-            .select(
-                "wf",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(ch) - 1), "
-                        "i -> struct(element_at(ch, i) AS a, element_at(ch, i + 1) AS b))"
-                    )
-                ).alias("p"),
-            )
-            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .agg(F.sum("wf").cast("long").alias("c"))
-        )
-        best = pairs.orderBy(F.desc("c"), "a", "b").limit(1).collect()
-        if not best:
-            break
-        seq = seq.select(
-            "word", "wf", F.expr(_bpe_fold_merge_expr(best[0].a, best[0].b)).alias("ch")
-        )
+    _, seq = _bpe_train(spark, sf_dir)
     return (
         seq.select("word", "wf", F.explode("ch").alias("symbol"))
         .groupBy("symbol")

@@ -1224,20 +1224,44 @@ def events_journey_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     turns sequential pattern queries into vectorized regex over one
     row per user.
 
-    Shape: one ordered collect per user (the journey is |events/user|
-    chars — bounded here; at scale, window the journey per session),
-    then a narrow regex map."""
+    Shape: hierarchical collect — the heavy ordered collect happens per
+    (user, SESSION) (10-min-gap sessions via the same gaps-and-islands
+    windows as ``events_sessionize_batch``), so per-group state is
+    bounded by session length, never a user's whole history; the
+    per-user combine then concatenates the few per-session strings in
+    session order. Exact: sessions partition the (ts, event_id)-ordered
+    history contiguously (a session boundary is by construction a ts
+    gap), so concatenating session journeys in order rebuilds the full
+    journey string. Then a narrow regex map."""
     ev = load(spark, sf_dir, "events")
-    journey = F.array_join(
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_s = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    numbered = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.substring("event_type", 1, 1).alias("ch"),
+        F.when(F.lag("ts").over(w).isNull() | (gap_s > 600), 1).otherwise(0).alias("new_session"),
+    ).withColumn("session_id", F.sum("new_session").over(wsum))
+    session_journey = F.array_join(
         F.transform(
-            F.array_sort(
-                F.collect_list(F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("ch")))
-            ),
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "ch"))),
             lambda x: x.ch,
         ),
         "",
     )
-    seq = ev.groupBy("user_id").agg(journey.alias("journey"))
+    per_session = numbered.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"), session_journey.alias("sj")
+    )
+    user_journey = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("session_id", "sj"))),
+            lambda x: x.sj,
+        ),
+        "",
+    )
+    seq = per_session.groupBy("user_id").agg(user_journey.alias("journey"))
     return seq.select(
         "user_id",
         F.length("journey").cast("long").alias("n_steps"),

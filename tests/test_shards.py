@@ -31,3 +31,16 @@ def test_shards_layout_and_manifest(spark, sf_dir, tmp_path):
     train = back.where("split = 'train'")
     plan = train._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+    # compaction contract: each split directory holds MORE than one data
+    # file (the salt spreads rows) and no more than files_per_split
+    for d in splits:
+        files = [
+            f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")
+        ]
+        assert 1 <= len(files) <= 2, (d, files)
+    # at least one split actually fans out to 2 files
+    assert any(
+        len([f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")]) == 2
+        for d in splits
+    )
