@@ -391,7 +391,22 @@ def first_type_occurrence_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
-    return _run_to_memory(firsts, "update")
+    # state-v2 keeps each state variable in its own column family —
+    # only the RocksDB provider supports that (the default HDFS-backed
+    # store refuses with MULTIPLE_COLUMN_FAMILIES). Set for this query,
+    # restore after (the provider choice pins at query start).
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    try:
+        return _run_to_memory(firsts, "update")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def view_purchase_left_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
