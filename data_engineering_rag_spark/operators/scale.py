@@ -126,6 +126,21 @@ def with_global_rank(
     ties straddling a range boundary would otherwise make the rank
     partition-dependent.
     """
+    local, _, prefix = _ranked_with_offsets(df, order_cols, num_partitions)
+    return (
+        local.join(F.broadcast(prefix), "_gr_pid")
+        .withColumn(rank_col, (F.col("_gr_lrn") + F.col("_gr_off")).cast("int"))
+        .drop("_gr_pid", "_gr_lrn", "_gr_off")
+    )
+
+
+def _ranked_with_offsets(df: DataFrame, order_cols: list, num_partitions: int | None):
+    """Shared kernel for :func:`with_global_rank` /
+    :func:`with_global_ntile`: (per-range locally-ranked rows, tiny
+    per-range count table, broadcast prefix-offset table). All three
+    reference the SAME range exchange — Catalyst's ReuseExchange
+    materializes it once — so consumers derive totals from the count
+    table instead of re-scanning ``df``."""
     from pyspark.sql.window import Window
 
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
@@ -140,11 +155,7 @@ def with_global_rank(
         .groupBy(F.col("a._gr_pid").alias("_gr_pid"))
         .agg(F.coalesce(F.sum(F.col("b._gr_n")), F.lit(0)).alias("_gr_off"))
     )
-    return (
-        local.join(F.broadcast(prefix), "_gr_pid")
-        .withColumn(rank_col, (F.col("_gr_lrn") + F.col("_gr_off")).cast("int"))
-        .drop("_gr_pid", "_gr_lrn", "_gr_off")
-    )
+    return local, counts, prefix
 
 
 def with_global_ntile(
@@ -159,9 +170,15 @@ def with_global_ntile(
     then the closed-form ntile bucket — the first ``total % n`` buckets
     take ``ceil(total/n)`` rows, the rest ``floor(total/n)`` (SQL ntile
     semantics exactly, positional, not value-based). The one-row total
-    broadcasts."""
-    ranked = with_global_rank(df, order_cols, "_gn_rnk", num_partitions)
-    tot = df.groupBy().agg(F.count(F.lit(1)).alias("_gn_total"))
+    is summed from the tiny per-range count table (which rides the same
+    range exchange — no second scan of ``df``) and broadcasts."""
+    local, counts, prefix = _ranked_with_offsets(df, order_cols, num_partitions)
+    ranked = (
+        local.join(F.broadcast(prefix), "_gr_pid")
+        .withColumn("_gn_rnk", (F.col("_gr_lrn") + F.col("_gr_off")).cast("int"))
+        .drop("_gr_pid", "_gr_lrn", "_gr_off")
+    )
+    tot = counts.agg(F.sum("_gr_n").cast("long").alias("_gn_total"))
     r, t = F.col("_gn_rnk"), F.col("_gn_total")
     q = F.floor(t / n_buckets)
     rem = t % n_buckets
