@@ -1366,3 +1366,248 @@ def quality_decile_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("avg_logprob"), 6).alias("min_quality"),
         F.round(F.max("avg_logprob"), 6).alias("max_quality"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-5 additions — tokenizer/corpus-mix/novelty/drift metrics, the
+# remaining audit surfaces a training-data pipeline reads before a run.
+# --------------------------------------------------------------------------
+
+# GPT-style pre-tokenizer piece classes: letter runs / digit runs /
+# single non-space symbol (same classes as textops.token_counts_bpe_ish).
+_PIECE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+@query(
+    "tokenizer_fertility_by_lang",
+    f"""
+    WITH per_doc AS (
+      SELECT lang,
+             len(string_split_regex(trim(text), '\\s+')) AS n_words,
+             len(regexp_extract_all(lower(text), '{_PIECE_RE}')) AS n_pieces,
+             list_sum(list_transform(regexp_extract_all(lower(text), '{_PIECE_RE}'),
+                      x -> length(x))) AS piece_chars
+      FROM documents WHERE length(trim(text)) > 0)
+    SELECT lang,
+           cast(count(*) as bigint) AS n_docs,
+           cast(sum(n_words) as bigint) AS n_words,
+           cast(sum(n_pieces) as bigint) AS n_pieces,
+           round(cast(sum(n_pieces) as double) / sum(n_words), 6) AS fertility,
+           round(cast(sum(piece_chars) as double) / sum(n_pieces), 6) AS chars_per_piece
+    FROM per_doc GROUP BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit: pieces-per-word and chars-per-piece by
+    language under a GPT-style pre-tokenizer segmentation — the metric
+    tokenizer evaluations report per language (high fertility = the
+    vocabulary under-serves that language, inflating training cost).
+
+    Shape: narrow per-doc maps (regexp counts + a local array-length
+    fold — no explode, the token stream never materializes as rows),
+    then one combinable per-lang agg. All ratios divide exact integer
+    sums, rounded identically in both engines."""
+    d = load(spark, sf_dir, "documents").where(F.length(F.trim(F.col("text"))) > 0)
+    pieces = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_PIECE_RE), F.lit(0))
+    per_doc = d.select(
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_words"),
+        F.size(pieces).alias("n_pieces"),
+        F.aggregate(
+            F.transform(pieces, lambda x: F.length(x)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("piece_chars"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_pieces").cast("long").alias("n_pieces"),
+        F.round(F.sum("n_pieces").cast("double") / F.sum("n_words"), 6).alias("fertility"),
+        F.round(F.sum("piece_chars").cast("double") / F.sum("n_pieces"), 6).alias(
+            "chars_per_piece"
+        ),
+    )
+
+
+MIXTURE_ALPHA = 0.5  # temperature exponent: sqrt smoothing
+
+
+@query(
+    "corpus_mixture_weights",
+    """
+    WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    tot AS (SELECT cast(sum(n) as bigint) AS nd FROM counts),
+    smoothed AS (
+      SELECT lang, n, cast(round(sqrt(n::double / nd), 9) as decimal(18,9)) AS s
+      FROM counts, tot),
+    z AS (SELECT sum(s) AS z FROM smoothed)
+    SELECT lang,
+           cast(n as bigint) AS n_docs,
+           round(cast(s as double), 9) AS smoothed_share,
+           round(cast(s as double) / cast(z as double), 6) AS mixture_weight
+    FROM smoothed, z
+    """,
+)
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain-mixture weights (alpha = 0.5): the
+    sampling distribution multilingual training runs use to up-weight
+    low-resource languages — w_i = p_i^alpha / sum_j p_j^alpha over the
+    per-language document shares.
+
+    Determinism: sqrt of an exact-integer ratio is IEEE-identical; each
+    smoothed share is rounded to 9 dp and accumulated as exact decimal
+    before the normalizing division (the float-reduction discipline).
+    Shape: one tiny per-lang agg, two broadcast scalars."""
+    counts = load(spark, sf_dir, "documents").groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counts.agg(F.sum("n").cast("long").alias("nd"))
+    smoothed = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n",
+        F.round(F.sqrt(F.col("n").cast("double") / F.col("nd")), 9)
+        .cast("decimal(18,9)")
+        .alias("s"),
+    )
+    z = smoothed.agg(F.sum("s").alias("z"))
+    return smoothed.crossJoin(F.broadcast(z)).select(
+        "lang",
+        F.col("n").cast("long").alias("n_docs"),
+        F.round(F.col("s").cast("double"), 9).alias("smoothed_share"),
+        F.round(F.col("s").cast("double") / F.col("z").cast("double"), 6).alias(
+            "mixture_weight"
+        ),
+    )
+
+
+NOVELTY_NGRAM = 3
+
+
+def _novelty_gram_sql() -> str:
+    n = NOVELTY_NGRAM
+    return f"""
+      SELECT doc_id, array_to_string(t[i:i+{n - 1}], ' ') AS gram
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-{n - 1})) AS i
+            FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS t
+                  FROM documents)
+            WHERE len(t) >= {n})
+    """
+
+
+@query(
+    "ngram_novelty_rate",
+    f"""
+    WITH grams AS ({_novelty_gram_sql()}),
+    dg AS (SELECT DISTINCT doc_id, gram FROM grams),
+    first_seen AS (SELECT gram, min(doc_id) AS first_doc FROM dg GROUP BY gram)
+    SELECT d.doc_id,
+           cast(count(*) as bigint) AS n_distinct_grams,
+           cast(sum(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END) as bigint) AS n_novel,
+           round(sum(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END)::double
+                 / count(*), 6) AS novelty_rate
+    FROM dg d JOIN first_seen f USING (gram)
+    GROUP BY d.doc_id
+    """,
+)
+def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc novelty: fraction of a document's distinct
+    {NOVELTY_NGRAM}-grams that first appear in THAT document under
+    doc_id order — the incremental-information signal a curriculum or
+    dedup-priority pass ranks by (low novelty = the doc mostly restates
+    earlier corpus content).
+
+    Shape: gram fan-out is narrow; first-seen is a combinable
+    min-aggregate per gram; the rejoin is an equi-join on the gram key
+    (never all-pairs). Same gram-key discipline as
+    ``crossdoc_ngram_dup_fraction`` (md5 the key at 100 TB)."""
+    n = NOVELTY_NGRAM
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0)).alias("t"),
+    ).where(F.size("t") >= n)
+    gram = F.expr(
+        f"explode(transform(sequence(0, size(t) - {n}), i -> array_join(slice(t, i + 1, {n}), ' ')))"
+    )
+    dg = toks.select("doc_id", gram.alias("gram")).distinct()
+    first_seen = dg.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        dg.join(first_seen, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_grams"),
+            F.sum(novel).cast("long").alias("n_novel"),
+            F.round(F.sum(novel).cast("double") / F.count(F.lit(1)), 6).alias("novelty_rate"),
+        )
+    )
+
+
+PSI_BUCKET_CHARS = 500  # length-bucket width
+PSI_BUCKET_CAP = 20  # open-ended top bucket
+
+
+@query(
+    "length_drift_psi",
+    f"""
+    WITH lab AS (
+      SELECT CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS snap_a,
+             least(length(text) // {PSI_BUCKET_CHARS}, {PSI_BUCKET_CAP}) AS bucket
+      FROM documents),
+    per_bucket AS (
+      SELECT bucket,
+             sum(snap_a) AS na,
+             sum(1 - snap_a) AS nb
+      FROM lab GROUP BY bucket),
+    tots AS (
+      SELECT cast(sum(na) as bigint) AS ta, cast(sum(nb) as bigint) AS tb,
+             cast(count(*) as bigint) AS k
+      FROM per_bucket),
+    terms AS (
+      SELECT bucket,
+             cast(round(
+               ((na + 1)::double / (ta + k) - (nb + 1)::double / (tb + k))
+               * ln(((na + 1)::double / (ta + k)) / ((nb + 1)::double / (tb + k))),
+               9) as decimal(18,9)) AS term
+      FROM per_bucket, tots)
+    SELECT (SELECT k FROM tots) AS n_buckets,
+           round(cast(sum(term) as double), 6) AS psi
+    FROM terms
+    """,
+)
+def length_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift check between two corpus
+    snapshots (even vs odd doc_id here; in production, yesterday's drop
+    vs today's): PSI over capped 500-char length buckets with Laplace
+    smoothing — the standard ingest-monitoring alarm (PSI > 0.2 =
+    investigate the feed).
+
+    Determinism: buckets are pure integer division (no float log
+    binning); every per-bucket PSI term divides exact integers, is
+    rounded to 9 dp, and accumulates as exact decimal. Shape: one
+    combinable two-way count per bucket, broadcast totals, one-row
+    output."""
+    lab = load(spark, sf_dir, "documents").select(
+        F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0).alias("snap_a"),
+        F.least(
+            F.expr(f"length(text) div {PSI_BUCKET_CHARS}"), F.lit(PSI_BUCKET_CAP)
+        ).alias("bucket"),
+    )
+    per_bucket = lab.groupBy("bucket").agg(
+        F.sum("snap_a").alias("na"), F.sum(1 - F.col("snap_a")).alias("nb")
+    )
+    tots = per_bucket.agg(
+        F.sum("na").cast("long").alias("ta"),
+        F.sum("nb").cast("long").alias("tb"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    pa = (F.col("na") + 1).cast("double") / (F.col("ta") + F.col("k"))
+    pb = (F.col("nb") + 1).cast("double") / (F.col("tb") + F.col("k"))
+    terms = per_bucket.crossJoin(F.broadcast(tots)).select(
+        F.col("k"),
+        F.round((pa - pb) * F.log(pa / pb), 9).cast("decimal(18,9)").alias("term"),
+    )
+    return terms.groupBy("k").agg(
+        F.round(F.sum("term").cast("double"), 6).alias("psi")
+    ).select(F.col("k").alias("n_buckets"), "psi")
