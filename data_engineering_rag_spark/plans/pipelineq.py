@@ -1611,3 +1611,121 @@ def length_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.groupBy("k").agg(
         F.round(F.sum("term").cast("double"), 6).alias("psi")
     ).select(F.col("k").alias("n_buckets"), "psi")
+
+
+def _decon_lsh_oracle() -> str:
+    from .textops import MINHASH_PERMS, N_LSH_BANDS, SHINGLE_K, _MH_P
+
+    mins_cols = ", ".join(
+        f"min(({a} * bh + {b}) % {_MH_P}) AS m{i}" for i, a, b in MINHASH_PERMS
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {band} AS band, "
+        f"concat(m{4 * band}, '|', m{4 * band + 1}, '|', m{4 * band + 2}, '|', m{4 * band + 3}) AS sig "
+        "FROM mins"
+        for band in range(N_LSH_BANDS)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id,
+             cast(concat('0x', substr(md5(substr(text, cast(i as int), {SHINGLE_K})), 1, 15)) as bigint)
+               % {_MH_P} AS bh
+      FROM documents, unnest(generate_series(1, length(text) - {SHINGLE_K} + 1)) AS t(i)
+      WHERE length(text) >= {SHINGLE_K}
+    ),
+    mins AS (SELECT doc_id, {mins_cols} FROM sh GROUP BY doc_id),
+    bands AS (SELECT doc_id, band, md5(sig) AS band_hash FROM ({band_union})),
+    ev AS (SELECT * FROM bands WHERE doc_id < {DECON_EVAL_DOCS}),
+    tr AS (SELECT * FROM bands WHERE doc_id >= {DECON_EVAL_DOCS})
+    SELECT t.doc_id,
+           cast(count(DISTINCT e.doc_id) as bigint) AS n_eval_matches,
+           cast(count(*) as bigint) AS n_band_hits
+    FROM tr t JOIN ev e ON t.band = e.band AND t.band_hash = e.band_hash
+    GROUP BY t.doc_id
+    """
+
+
+@query("minhash_decontaminate", _decon_lsh_oracle())
+def minhash_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination — the MinHash complement to
+    ``decontaminate_overlap``'s exact 3-gram rule: a training doc is
+    flagged when any LSH band of its character-shingle MinHash
+    signature collides with a held-out eval doc's (near-duplicate at
+    the ~0.84-Jaccard banding operating point, catching paraphrase-ish
+    contamination exact n-grams miss).
+
+    Shape: one signature pass over the corpus, split into the tiny eval
+    side (broadcasts) and the train side, then an equi-join on
+    (band, band_hash) — never train×eval all-pairs. Empty result on
+    this synthetic corpus (all texts distinct) is the agreement the
+    oracle checks, same as ``minhash_lsh_candidate_pairs``."""
+    from .textops import N_LSH_BANDS, _minhash_wide
+
+    mins = _minhash_wide(spark, sf_dir, hash_mode="md5")
+    band_rows = ", ".join(
+        f"cast({band} as bigint), md5(concat_ws('|', cast(m{4 * band} as string), "
+        f"cast(m{4 * band + 1} as string), cast(m{4 * band + 2} as string), "
+        f"cast(m{4 * band + 3} as string)))"
+        for band in range(N_LSH_BANDS)
+    )
+    bands = mins.select(
+        "doc_id",
+        F.expr(f"stack({N_LSH_BANDS}, {band_rows}) AS (band, band_hash)"),
+    ).select("doc_id", "band", "band_hash")
+    ev = bands.where(F.col("doc_id") < DECON_EVAL_DOCS)
+    tr = bands.where(F.col("doc_id") >= DECON_EVAL_DOCS)
+    e, t = ev.alias("e"), tr.alias("t")
+    return (
+        t.join(
+            F.broadcast(e),
+            (F.col("t.band") == F.col("e.band"))
+            & (F.col("t.band_hash") == F.col("e.band_hash")),
+        )
+        .groupBy(F.col("t.doc_id").alias("doc_id"))
+        .agg(
+            F.countDistinct("e.doc_id").cast("long").alias("n_eval_matches"),
+            F.count(F.lit(1)).cast("long").alias("n_band_hits"),
+        )
+    )
+
+
+@query(
+    "domain_balance_entropy",
+    """
+    WITH cells AS (SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source),
+    tot AS (SELECT cast(sum(n) as bigint) AS nd, cast(count(*) as bigint) AS k FROM cells),
+    terms AS (
+      SELECT cast(round(-(n::double / nd) * ln(n::double / nd), 9) as decimal(18,9)) AS term
+      FROM cells, tot)
+    SELECT (SELECT k FROM tot) AS n_cells,
+           round(cast(sum(term) as double), 6) AS entropy_nats,
+           round(exp(cast(sum(term) as double)), 6) AS effective_domains
+    FROM terms
+    """,
+)
+def domain_balance_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus balance audit: Shannon entropy (nats) of the
+    (lang, source) cell distribution and the effective number of
+    domains exp(H) — the one-number summary a mixture-rebalancing pass
+    targets (effective_domains ≪ n_cells = the corpus is dominated by
+    few domains).
+
+    Determinism: each -p·ln(p) term divides exact integers, rounds to
+    9 dp, accumulates as exact decimal; exp() of the identical double
+    is IEEE-identical. Shape: one tiny two-column agg + broadcast
+    scalars."""
+    cells = load(spark, sf_dir, "documents").groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("nd"), F.count(F.lit(1)).cast("long").alias("k")
+    )
+    p = F.col("n").cast("double") / F.col("nd")
+    terms = cells.crossJoin(F.broadcast(tot)).select(
+        "k", F.round(-p * F.log(p), 9).cast("decimal(18,9)").alias("term")
+    )
+    h = F.sum("term").cast("double")
+    return terms.groupBy("k").agg(
+        F.round(h, 6).alias("entropy_nats"),
+        F.round(F.exp(h), 6).alias("effective_domains"),
+    ).select(F.col("k").alias("n_cells"), "entropy_nats", "effective_domains")

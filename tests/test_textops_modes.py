@@ -104,3 +104,40 @@ def test_token_sort_fingerprint_catches_reordered_docs(spark):
     assert fps[1] != fps[3]
     exact = {r.doc_id: r.h for r in docs.select("doc_id", F.md5("text").alias("h")).collect()}
     assert exact[1] != exact[2]
+
+
+def test_minhash_decontaminate_flags_planted_contamination(spark, tmp_path):
+    """Positive-path pin for `minhash_decontaminate` (its driver oracle
+    agrees on an EMPTY result over the all-distinct synthetic corpus):
+    a train doc that near-dups an eval doc must be flagged, clean
+    train docs must not."""
+    from data_engineering_rag_spark.plans.pipelineq import (
+        DECON_EVAL_DOCS,
+        minhash_decontaminate,
+    )
+
+    leak = "the quick brown fox jumps over the lazy dog again and again in the field" * 3
+    rows = [(0, leak)]  # eval doc (doc_id < DECON_EVAL_DOCS)
+    rows += [
+        (i, " ".join(f"ev{i}x{j}q{(i * 37 + j) * 7919}" for j in range(25)))
+        for i in range(1, DECON_EVAL_DOCS)
+    ]
+    rows.append((DECON_EVAL_DOCS + 2, leak + " x"))  # contaminated train doc
+    rows += [
+        (DECON_EVAL_DOCS + 10 + i, " ".join(f"tr{i}x{j}q{(i * 31 + j) * 104729}" for j in range(25)))
+        for i in range(8)
+    ]
+    df = pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": "en",
+            "source": "fixture",
+            "n_chars": [len(r[1]) for r in rows],
+        }
+    )
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    got = {r.doc_id: r.n_eval_matches for r in minhash_decontaminate(spark, str(tmp_path)).collect()}
+    assert DECON_EVAL_DOCS + 2 in got and got[DECON_EVAL_DOCS + 2] >= 1
+    assert set(got) == {DECON_EVAL_DOCS + 2}
