@@ -1729,3 +1729,86 @@ def domain_balance_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(h, 6).alias("entropy_nats"),
         F.round(F.exp(h), 6).alias("effective_domains"),
     ).select(F.col("k").alias("n_cells"), "entropy_nats", "effective_domains")
+
+
+@query(
+    "packing_efficiency_stats",
+    f"""
+    WITH packed AS (
+      SELECT lang,
+             cast(floor(cast(cb as double) / {PACK_BUDGET_CHARS}) as bigint) AS pack_id,
+             n_chars
+      FROM (SELECT lang, n_chars,
+                   coalesce(sum(n_chars) OVER (
+                     PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+            FROM documents)),
+    per_pack AS (
+      SELECT lang, pack_id,
+             cast(sum(n_chars) as bigint) AS fill,
+             cast(count(*) as bigint) AS n_docs
+      FROM packed GROUP BY lang, pack_id)
+    SELECT lang,
+           cast(count(*) as bigint) AS n_packs,
+           cast(sum(n_docs) as bigint) AS n_docs,
+           round(avg(cast(fill as double)) / {PACK_BUDGET_CHARS}, 6) AS mean_fill_ratio,
+           cast(sum(CASE WHEN fill > {PACK_BUDGET_CHARS} THEN 1 ELSE 0 END) as bigint) AS n_overflow_packs
+    FROM per_pack GROUP BY lang
+    """,
+)
+def packing_efficiency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-run audit over ``sequence_pack_greedy``'s assignment:
+    per language, how many packs the budget produced, their mean fill
+    ratio, and how many overflow (the at-most-one-tail-doc overshoot
+    the greedy scheme allows). This is the table a batch-shape tuner
+    reads before fixing the sequence-length budget.
+
+    Shape: reuses the pack assignment (one per-lang cumulative-sum
+    window), then two combinable aggs; `avg` divides exact integer
+    sums before the single rounded emit."""
+    packed = sequence_pack_greedy(spark, sf_dir)
+    sizes = load(spark, sf_dir, "documents").select("doc_id", F.col("n_chars").alias("nc"))
+    per_pack = (
+        packed.join(sizes, "doc_id")
+        .groupBy("lang", "pack_id")
+        .agg(F.sum("nc").cast("long").alias("fill"), F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    over = F.when(F.col("fill") > PACK_BUDGET_CHARS, 1).otherwise(0)
+    return per_pack.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_packs"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.round(F.avg(F.col("fill").cast("double")) / PACK_BUDGET_CHARS, 6).alias(
+            "mean_fill_ratio"
+        ),
+        F.sum(over).cast("long").alias("n_overflow_packs"),
+    )
+
+
+@query(
+    "dedup_size_histogram",
+    """
+    WITH clusters AS (
+      SELECT md5(text) AS h, cast(count(*) as bigint) AS cluster_size
+      FROM documents GROUP BY md5(text))
+    SELECT cluster_size,
+           cast(count(*) as bigint) AS n_clusters,
+           cast(sum(cluster_size) as bigint) AS n_docs
+    FROM clusters GROUP BY cluster_size
+    """,
+)
+def dedup_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution: how many exact-content
+    clusters exist at each multiplicity and how many docs they hold —
+    the first chart of any dedup report (mass in size≥2 = removable
+    volume; a heavy tail = template spam).
+
+    Shape: 16-byte-hash groupBy (payloads never shuffle) re-aggregated
+    to |distinct sizes| rows — both aggs map-side combinable."""
+    d = load(spark, sf_dir, "documents")
+    clusters = d.groupBy(F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return clusters.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("cluster_size").cast("long").alias("n_docs"),
+    )
