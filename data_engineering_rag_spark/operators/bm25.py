@@ -31,7 +31,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .tfidf import _tokens, token_pattern_for, tokenize_query
+from .tfidf import _term_frequencies, token_pattern_for, tokenize_query
 
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -71,11 +71,9 @@ def build_bm25(
     term — exactly the search join key.
     """
     pattern = token_pattern_for(token_mode)
-    tf = (
-        _tokens(df, key_cols, text_field, pattern)
-        .groupBy(*key_cols, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    # narrow per-row run-length counting (see tfidf._term_frequencies):
+    # the token stream never shuffles; tf arrives pre-aggregated per doc
+    tf = _term_frequencies(df, key_cols, text_field, pattern)
     dl = tf.groupBy(*key_cols).agg(F.sum("tf").alias("dl"))
     # Global stats: N counts ALL docs (a zero-token doc still dilutes
     # avgdl), total token mass from the tf table.
