@@ -72,8 +72,12 @@ def build_bm25(
     """
     pattern = token_pattern_for(token_mode)
     # narrow per-row run-length counting (see tfidf._term_frequencies):
-    # the token stream never shuffles; tf arrives pre-aggregated per doc
-    tf = _term_frequencies(df, key_cols, text_field, pattern)
+    # the token stream never shuffles; tf arrives pre-aggregated per
+    # doc, and the doc-key repartition is the ONE materialization all
+    # downstream consumers (dl, tokmass, dfreq, the weight join) reuse
+    tf = _term_frequencies(df, key_cols, text_field, pattern).repartition(
+        *[F.col(c) for c in key_cols]
+    )
     dl = tf.groupBy(*key_cols).agg(F.sum("tf").alias("dl"))
     # Global stats: N counts ALL docs (a zero-token doc still dilutes
     # avgdl), total token mass from the tf table.

@@ -164,8 +164,16 @@ def build_tfidf(
     per_field = []
     idf_tables = []
     for field in text_fields:
-        # narrow per-row run-length counting — no token-stream shuffle
-        tf = _term_frequencies(df, key_cols, field, pattern)
+        # Narrow per-row run-length counting — the raw token stream
+        # never shuffles. The explicit repartition on the doc key makes
+        # the tokenize pass materialize ONCE (both consumers below read
+        # the same exchange via ReuseExchange) and pre-satisfies the L2
+        # norm window's partitioning, so the only other exchange left is
+        # dfreq's |terms|-row agg. Wire bytes: |distinct (doc, term)|
+        # rows instead of every token occurrence.
+        tf = _term_frequencies(df, key_cols, field, pattern).repartition(
+            *[F.col(c) for c in key_cols]
+        )
         dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
         dfreq = dfreq.crossJoin(F.broadcast(n_docs)).where(
             (F.col("df") >= min_df) & (F.col("df") <= max_df * F.col("n_docs"))
@@ -402,7 +410,9 @@ def add_documents(model: TfidfModel, new_docs: DataFrame) -> TfidfModel:
     per_field = []
     for field in model.text_fields:
         idf_f = model.idf.where(F.col("field") == field).drop("field")
-        tf = _term_frequencies(new_docs, model.key_cols, field, pattern)
+        tf = _term_frequencies(new_docs, model.key_cols, field, pattern).repartition(
+            *[F.col(c) for c in model.key_cols]
+        )
         w = tf.join(F.broadcast(idf_f), "term").select(
             *model.key_cols, "term", (F.col("tf") * F.col("idf")).alias("w_raw")
         )
