@@ -258,3 +258,43 @@ def test_bad_prune_params_raise(spark):
         build_tfidf(df, ["doc_id"], ["text"], min_df=0)
     with _pytest.raises(ValueError):
         build_tfidf(df, ["doc_id"], ["text"], max_df=0.0)
+
+
+def test_term_frequencies_match_groupby_reference(spark):
+    """The narrow run-length tf (no token-stream shuffle) must emit
+    exactly the rows the classic explode->groupBy(doc, term) produces —
+    including unicode mode, repeated terms, and empty/token-free docs
+    (which emit nothing either way)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_rag_spark.operators.tfidf import (
+        _term_frequencies,
+        _tokens,
+        token_pattern_for,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the quick brown the fox fox"),
+            (2, "alpha beta beta GAMMA gamma alpha alpha"),
+            (3, ""),
+            (4, "x y z"),  # all single-char: zero \w\w+ tokens
+            (5, "naïve café naïve café naïve"),
+        ],
+        ["doc_id", "text"],
+    )
+    for mode in ("ascii", "unicode"):
+        pat = token_pattern_for(mode)
+        ref = (
+            _tokens(docs, ["doc_id"], "text", pat)
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        got = _term_frequencies(docs, ["doc_id"], "text", pat)
+        diff = (
+            ref.alias("a")
+            .join(got.alias("b"), ["doc_id", "term"], "full")
+            .where("a.tf IS DISTINCT FROM b.tf")
+            .count()
+        )
+        assert diff == 0, mode
