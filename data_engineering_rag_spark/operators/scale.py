@@ -191,3 +191,83 @@ def with_global_ntile(
         .withColumn(bucket_col, bucket.cast("int"))
         .drop("_gn_rnk", "_gn_total")
     )
+
+
+def grouped_top_k(
+    df: DataFrame,
+    group_cols: list,
+    order_cols: list,
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Exact per-group top-k without concentrating each group into one
+    task. A window partitioned only by a LOW-CARDINALITY group key
+    (e.g. ~5 languages) funnels the whole input into ≤|groups| tasks —
+    the grouped cousin of the global-window scale killer. Two phases:
+    local top-k per (group, input partition) — high parallelism, no
+    pre-shuffle needed, since a group's global top-k rows are top-k in
+    whichever partition they sit — then the exact per-group rank over
+    the pooled ≤ k·P survivors.
+
+    ``order_cols`` must totally order rows within a group (unique
+    tiebreak), else ranks are not well-defined in either phase."""
+    from pyspark.sql.window import Window
+
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    wl = Window.partitionBy(*group_cols, "_gtk_pid").orderBy(*cols)
+    pooled = (
+        df.withColumn("_gtk_pid", F.spark_partition_id())
+        .withColumn("_gtk_lrn", F.row_number().over(wl))
+        .where(F.col("_gtk_lrn") <= k)
+        .drop("_gtk_pid", "_gtk_lrn")
+    )
+    w = Window.partitionBy(*group_cols).orderBy(*cols)
+    return pooled.withColumn(rank_col, F.row_number().over(w)).where(F.col(rank_col) <= k)
+
+
+def grouped_prefix_sum(
+    df: DataFrame,
+    group_cols: list,
+    order_cols: list,
+    value_col: str,
+    out_col: str = "prefix_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact per-group EXCLUSIVE running sum (rows-unbounded-preceding
+    to 1-preceding) without funnelling each group into one task: range
+    exchange on (group, order) — so partition id ascends with the
+    group-major sort order — a per-(group, range) local running sum,
+    and a broadcast prefix join over the tiny per-(group, range) total
+    table (same-group earlier ranges only). The same kernel shape as
+    ``with_global_rank``; contiguity matters here, hence the range
+    exchange that ``grouped_top_k`` can skip."""
+    from pyspark.sql.window import Window
+
+    gcols = [F.col(c) if isinstance(c, str) else c for c in group_cols]
+    ocols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    n = num_partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    ranged = df.repartitionByRange(n, *gcols, *ocols).withColumn(
+        "_gps_pid", F.spark_partition_id()
+    )
+    wl = (
+        Window.partitionBy(*group_cols, "_gps_pid")
+        .orderBy(*ocols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn("_gps_local", F.coalesce(F.sum(value_col).over(wl), F.lit(0)))
+    totals = ranged.groupBy(*group_cols, "_gps_pid").agg(F.sum(value_col).alias("_gps_n"))
+    a, b = totals.alias("a"), totals.alias("b")
+    same_group = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in group_cols]
+    cond = same_group[0]
+    for c in same_group[1:]:
+        cond = cond & c
+    prefix = (
+        a.join(b, cond & (F.col("b._gps_pid") < F.col("a._gps_pid")), "left")
+        .groupBy(*[F.col(f"a.{c}").alias(c) for c in group_cols], F.col("a._gps_pid").alias("_gps_pid"))
+        .agg(F.coalesce(F.sum(F.col("b._gps_n")), F.lit(0)).alias("_gps_off"))
+    )
+    return (
+        local.join(F.broadcast(prefix), [*group_cols, "_gps_pid"])
+        .withColumn(out_col, F.col("_gps_local") + F.col("_gps_off"))
+        .drop("_gps_pid", "_gps_local", "_gps_off")
+    )

@@ -281,19 +281,19 @@ def sample_n_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-n stratified sample: {STRAT_N} docs per language by salted
     hash order — the per-group companion to ``deterministic_sample_docs``
     (reservoir sampling without the RNG: hash order is the shuffle).
-    Distributed shape: one window per group, rank cutoff — partial
-    top-n per partition would kick in via TakeOrdered if expressed as
-    global sort; per-group the window shuffles only (lang) keys."""
-    from pyspark.sql.window import Window
+
+    Distributed shape: ``grouped_top_k`` — a window partitioned ONLY by
+    the ~|langs|-cardinality group key would funnel the corpus into
+    ≤|langs| tasks, so phase one takes the per-(lang, input-partition)
+    local top-{STRAT_N} (full parallelism), and the exact per-lang rank
+    runs over the pooled ≤ {STRAT_N}·P survivors."""
+    from ..operators.scale import grouped_top_k
 
     d = load(spark, sf_dir, "documents")
     key = F.md5(F.concat(F.lit(_STRAT_SALT), F.col("doc_id").cast("string")))
-    w = Window.partitionBy("lang").orderBy(key, "doc_id")
-    return (
-        d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
-        .where(F.col("rn") <= STRAT_N)
-        .select("doc_id", "lang", F.col("rn").cast("long").alias("rn"))
-    )
+    return grouped_top_k(
+        d.select("doc_id", "lang"), ["lang"], [key, F.col("doc_id")], STRAT_N, "rn"
+    ).select("doc_id", "lang", F.col("rn").cast("long").alias("rn"))
 
 
 PACK_BUDGET_CHARS = 4096
@@ -318,23 +318,23 @@ def sequence_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard streaming-pack approximation; exact bin packing is not
     order-stable, hence not distributable). Integer running sums are
     exact in both engines; the /budget floor is a <2^53 double divide.
-    Shape: one window per language partition — no shuffle beyond the
-    (lang) keys, and at 100 TB the pack assignment stays a narrow
-    window over the natural ingest order."""
-    from pyspark.sql.window import Window
+
+    Shape: ``grouped_prefix_sum`` — the naive per-lang window funnels
+    each language (≈ the whole corpus for ~5 langs) into one task; the
+    helper range-exchanges on (lang, doc_id), running-sums per range,
+    and closes the gap with a broadcast per-(lang, range) total join —
+    exact, fully parallel."""
+    from ..operators.scale import grouped_prefix_sum
 
     d = load(spark, sf_dir, "documents")
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    cb = grouped_prefix_sum(
+        d.select("doc_id", "lang", "n_chars"), ["lang"], ["doc_id"], "n_chars", "cb"
     )
-    cb = F.coalesce(F.sum("n_chars").over(w), F.lit(0))
-    return d.select(
+    return cb.select(
         "doc_id",
         "lang",
         "n_chars",
-        F.floor(cb.cast("double") / PACK_BUDGET_CHARS).cast("long").alias("pack_id"),
+        F.floor(F.col("cb").cast("double") / PACK_BUDGET_CHARS).cast("long").alias("pack_id"),
     )
 
 

@@ -1165,8 +1165,12 @@ def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group top-k on the token stream: each language's 5 most
     frequent terms — the per-slice vocabulary drill-down next to the
-    global top-20. Partial-aggregated counts, then one window shuffle
-    on lang."""
+    global top-20. Partial-aggregated counts, then ``grouped_top_k``
+    (local per-(lang, partition) top-5 pools ≤ 5·P rows per lang before
+    the exact rank — a window partitioned only by the ~5-value lang key
+    would sort each language's whole term table in one task)."""
+    from ..operators.scale import grouped_top_k
+
     d = load(spark, sf_dir, "documents")
     tf = (
         d.select(
@@ -1178,9 +1182,6 @@ def top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "term")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    w = Window.partitionBy("lang").orderBy(F.desc("freq"), "term")
-    return (
-        tf.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 5)
-        .select("lang", "term", F.col("freq").cast("long").alias("freq"), F.col("rn").cast("long").alias("rn"))
+    return grouped_top_k(tf, ["lang"], [F.desc("freq"), F.col("term")], 5, "rn").select(
+        "lang", "term", F.col("freq").cast("long").alias("freq"), F.col("rn").cast("long").alias("rn")
     )

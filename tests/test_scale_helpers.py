@@ -61,3 +61,31 @@ def test_helpers_plan_no_single_partition_window(spark):
         with_global_ntile(df, 5, ["v", "id"], "b")._jdf.queryExecution().executedPlan().toString()
     )
     assert _unbounded_single_partition_windows(ntile_plan) == 0, ntile_plan
+
+
+def test_grouped_top_k_matches_window_reference(spark):
+    from data_engineering_rag_spark.operators.scale import grouped_top_k
+
+    df = _df(spark, 4999).withColumn("g", (F.col("id") % 4).cast("string"))
+    ref = (
+        df.withColumn("rn", F.row_number().over(Window.partitionBy("g").orderBy("v", "id")))
+        .where(F.col("rn") <= 7)
+    )
+    got = grouped_top_k(df, ["g"], ["v", "id"], 7, "rn").withColumnRenamed("rn", "rn2")
+    j = ref.join(got, ["g", "id", "v"], "full")
+    assert j.where("rn IS DISTINCT FROM rn2").count() == 0
+
+
+def test_grouped_prefix_sum_matches_window_reference(spark):
+    from data_engineering_rag_spark.operators.scale import grouped_prefix_sum
+
+    df = _df(spark, 4999).withColumn("g", (F.col("id") % 3).cast("string"))
+    w = (
+        Window.partitionBy("g")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ref = df.withColumn("ps", F.coalesce(F.sum("v").over(w), F.lit(0)))
+    got = grouped_prefix_sum(df, ["g"], ["id"], "v", "ps").withColumnRenamed("ps", "ps2")
+    j = ref.join(got, ["g", "id", "v"], "full")
+    assert j.where("ps IS DISTINCT FROM ps2").count() == 0
