@@ -738,27 +738,31 @@ def events_winsorized_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic) → engine-exact; tie order inside equal values cannot
     change the selected value.
 
-    Scale: the exact path is one sort-per-key window — fine when each
-    key's partition fits an executor (events-per-type here). At 100 TB
-    swap in ``approx_percentile`` (t-digest, mergeable, no full sort)
-    and keep the same clip join; this query pins the exact semantics
+    Scale: the exact per-type rank comes from ``grouped_prefix_sum``
+    of ones (range exchange on (type, value, id) + per-range running
+    count + broadcast per-(type, range) totals) — a window partitioned
+    only by the ~5-value event_type would sort a fifth of all events
+    in one task; per-type totals are a combinable groupBy, not a count
+    window. At 100 TB ``approx_percentile`` (t-digest, mergeable)
+    remains the cheaper option; this query pins the exact semantics
     the sketch is then judged against."""
-    from pyspark.sql.window import Window as W
+    from ..operators.scale import grouped_prefix_sum
 
     ev = (
         load(spark, sf_dir, "events")
         .where(F.col("value").isNotNull())
         .select("event_type", "event_id", "value")
     )
-    w = W.partitionBy("event_type").orderBy(F.col("value").asc(), F.col("event_id").asc())
-    cw = W.partitionBy("event_type")
-    ranked = ev.select(
-        "event_type",
-        "value",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(cw).alias("n"),
-    )
-    sel = lambda frac: F.col("rn") == F.ceil(F.lit(frac) * F.col("n")).cast("long")
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ranked = grouped_prefix_sum(
+        ev.withColumn("_one", F.lit(1)),
+        ["event_type"],
+        ["value", "event_id"],
+        "_one",
+        "_rn0",
+    ).join(F.broadcast(counts), "event_type")
+    rn = F.col("_rn0") + 1
+    sel = lambda frac: rn == F.ceil(F.lit(frac) * F.col("n")).cast("long")
     th = ranked.groupBy("event_type").agg(
         F.max("n").cast("long").alias("n"),
         F.max(F.when(sel(0.01), F.col("value"))).alias("p01"),
