@@ -15,6 +15,7 @@ from pyspark.sql.window import Window
 from ..streaming.events import (
     dedup_events_stream,
     hourly_event_stats_stream,
+    session_journeys_stream,
     sessionize_stream,
     sliding_counts_stream,
     user_totals_stateful_stream,
@@ -151,6 +152,15 @@ def stream_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("stream_sessionize", None)
 def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_stream(spark, sf_dir)
+
+
+@query("stream_session_journeys", None)
+def stream_session_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, session) journey strings as a streaming session_window
+    aggregate (rows-only: collect-in-session-window is not
+    SQL-expressible for DuckDB; the equivalence test pins it to the
+    batch gaps-and-islands journeys over finalized sessions)."""
+    return session_journeys_stream(spark, sf_dir)
 
 
 @query(

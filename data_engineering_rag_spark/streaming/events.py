@@ -449,3 +449,36 @@ def view_purchase_left_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("v_user").alias("user_id"), "view_id", "purchase_id", "view_ts", "purchase_ts"
     )
+
+
+def session_journeys_stream(spark: SparkSession, sf_dir: str, gap: str = "10 minutes") -> DataFrame:
+    """Per-(user, session) journey strings, streaming-native: a
+    ``session_window`` aggregation whose payload is the ordered
+    event-type-initial string (collect structs, ``array_sort`` AFTER
+    the aggregate — collect order inside a streaming agg is arrival-
+    dependent, the sort makes the emitted journey deterministic). The
+    streaming half of ``events_journey_patterns``'s per-session
+    collect; watermark-bounded session state, append-mode finalized
+    sessions only."""
+    ev = _event_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = ev.groupBy(F.session_window("ts", gap).alias("sw"), "user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("ch"))
+                    )
+                ),
+                lambda x: x.ch,
+            ),
+            "",
+        ).alias("journey"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    out = _run_to_memory(agg, "append")
+    return out.select(
+        "user_id",
+        F.col("sw.start").alias("session_start"),
+        "journey",
+        F.col("n_events").cast("long").alias("n_events"),
+    )

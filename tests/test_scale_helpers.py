@@ -89,3 +89,36 @@ def test_grouped_prefix_sum_matches_window_reference(spark):
     got = grouped_prefix_sum(df, ["g"], ["id"], "v", "ps").withColumnRenamed("ps", "ps2")
     j = ref.join(got, ["g", "id", "v"], "full")
     assert j.where("ps IS DISTINCT FROM ps2").count() == 0
+
+
+def test_winsorize_sketch_path_close_to_exact(spark, sf_dir):
+    """The documented 100 TB alternative for `events_winsorized_values`
+    — approx_percentile (t-digest, mergeable, no ranking pass) — must
+    land within 2% relative error of the exact nearest-rank thresholds
+    it would replace (accuracy=10000 ≈ 1e-4 rank error)."""
+    from data_engineering_rag_spark.plans import REGISTRY, load
+    import pyspark.sql.functions as F
+
+    exact = {
+        r.event_type: (r.p01, r.p99)
+        for r in REGISTRY["events_winsorized_values"].spark(spark, sf_dir).collect()
+    }
+    approx = {
+        r.event_type: (r.a01, r.a99)
+        for r in (
+            load(spark, sf_dir, "events")
+            .where(F.col("value").isNotNull())
+            .groupBy("event_type")
+            .agg(
+                F.percentile_approx("value", 0.01, 10000).alias("a01"),
+                F.percentile_approx("value", 0.99, 10000).alias("a99"),
+            )
+            .collect()
+        )
+    }
+    assert set(exact) == set(approx)
+    for et, (p01, p99) in exact.items():
+        a01, a99 = approx[et]
+        spread = abs(p99 - p01) or 1.0
+        assert abs(a01 - p01) / spread < 0.02, (et, p01, a01)
+        assert abs(a99 - p99) / spread < 0.02, (et, p99, a99)

@@ -287,3 +287,59 @@ def test_left_outer_funnel_stream_finalized_prefix(spark, sf_dir):
     assert null_batch_final <= null_stream
     assert all(t[3] <= max_ts for t in null_stream)
     assert len(null_stream) > 0
+
+
+def test_session_journeys_stream_equals_batch_finalized(spark, sf_dir):
+    """Streaming session_window journey strings == batch gaps-and-islands
+    per-session journeys, over sessions the watermark has finalized
+    (append mode can only emit a session once watermark > end + gap)."""
+    from data_engineering_rag_spark.streaming.events import session_journeys_stream
+
+    from pyspark.sql.window import Window
+
+    gap = datetime.timedelta(minutes=10)
+    watermark = _max_ts(spark, sf_dir) - datetime.timedelta(hours=1)
+
+    stream = {
+        (r.user_id, r.session_start, r.journey, r.n_events)
+        for r in session_journeys_stream(spark, sf_dir, "10 minutes").collect()
+    }
+
+    # batch reference: same gaps-and-islands sessions, journey = ordered
+    # event-type initials within the session
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_s = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    numbered = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.substring("event_type", 1, 1).alias("ch"),
+        F.when(F.lag("ts").over(w).isNull() | (gap_s > 600), 1).otherwise(0).alias("ns"),
+    ).withColumn("sid", F.sum("ns").over(wsum))
+    batch_rows = (
+        numbered.groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts", "event_id", "ch"))),
+                    lambda x: x.ch,
+                ),
+                "",
+            ).alias("journey"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .collect()
+    )
+    batch = {(r.user_id, r.session_start, r.journey, r.n_events) for r in batch_rows}
+    batch_end = {(r.user_id, r.session_start): r.session_end for r in batch_rows}
+
+    # every finalized stream session matches a batch session exactly
+    assert stream <= batch
+    # anything batch-only sits in the unfinalized tail near the watermark
+    for row in batch - stream:
+        assert batch_end[(row[0], row[1])] + gap >= watermark, row
+    assert len(stream) > 0
