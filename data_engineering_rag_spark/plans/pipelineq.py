@@ -1812,3 +1812,89 @@ def dedup_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_clusters"),
         F.sum("cluster_size").cast("long").alias("n_docs"),
     )
+
+
+LINE_DEDUP_MIN_CHARS = 10  # only lines this long (trimmed) participate
+_LINE_POS_BASE = 1_000_000  # encodes (doc_id, line_no) as one orderable int
+
+
+@query(
+    "line_dedup_clean",
+    f"""
+    WITH lines AS (
+      SELECT doc_id, cast(i as bigint) AS line_no, arr[i] AS line
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS arr FROM documents),
+           unnest(generate_series(1, len(arr))) AS t(i)),
+    elig AS (
+      SELECT doc_id, line_no, md5(trim(line)) AS k,
+             doc_id * {_LINE_POS_BASE} + line_no AS pos
+      FROM lines WHERE length(trim(line)) >= {LINE_DEDUP_MIN_CHARS}),
+    first_pos AS (SELECT k, min(pos) AS fp FROM elig GROUP BY k),
+    flagged AS (
+      SELECT l.doc_id, l.line_no, l.line,
+             CASE WHEN e.k IS NOT NULL
+                       AND l.doc_id * {_LINE_POS_BASE} + l.line_no <> f.fp
+                  THEN 1 ELSE 0 END AS is_dup
+      FROM lines l
+      LEFT JOIN elig e ON l.doc_id = e.doc_id AND l.line_no = e.line_no
+      LEFT JOIN first_pos f ON e.k = f.k)
+    SELECT doc_id,
+           cast(count(*) as bigint) AS n_lines,
+           cast(sum(is_dup) as bigint) AS n_dup_lines_removed,
+           md5(string_agg(CASE WHEN is_dup = 0 THEN line END, chr(10) ORDER BY line_no)) AS cleaned_md5,
+           cast(sum(CASE WHEN is_dup = 0 THEN length(line) ELSE 0 END) as bigint) AS cleaned_chars
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def line_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global LINE-level deduplication: a line (trimmed,
+    ≥{LINE_DEDUP_MIN_CHARS} chars) survives only at its corpus-wide
+    FIRST occurrence in (doc_id, line_no) order; later copies are
+    dropped — the boilerplate-stripping pass (nav bars, license
+    headers, cookie banners) that doc-level dedup cannot express. Short
+    and empty lines pass through untouched (dedup'ing them would
+    destroy formatting). Emits per-doc audit rows: line counts, drops,
+    md5 + length of the cleaned reconstruction.
+
+    Shape: the only wide ops are a 16-byte-hash min-aggregate (first
+    occurrence per line hash — map-side combinable) and the hash-keyed
+    rejoin; reconstruction collects each doc's own kept lines (bounded
+    by doc size, the rows already live on the doc's partitions)."""
+    d = load(spark, sf_dir, "documents")
+    lines = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), "\n")).alias("line_no0", "line"),
+    ).select("doc_id", (F.col("line_no0") + 1).cast("long").alias("line_no"), "line")
+    pos = F.col("doc_id") * _LINE_POS_BASE + F.col("line_no")
+    elig = lines.where(F.length(F.trim("line")) >= LINE_DEDUP_MIN_CHARS).select(
+        "doc_id", "line_no", F.md5(F.trim("line")).alias("k"), pos.alias("pos")
+    )
+    first_pos = elig.groupBy("k").agg(F.min("pos").alias("fp"))
+    flagged = (
+        lines.join(elig.select("doc_id", "line_no", "k"), ["doc_id", "line_no"], "left")
+        .join(first_pos, "k", "left")
+        .select(
+            "doc_id",
+            "line_no",
+            "line",
+            F.when(F.col("k").isNotNull() & (pos != F.col("fp")), 1)
+            .otherwise(0)
+            .alias("is_dup"),
+        )
+    )
+    kept_sorted = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("is_dup") == 0, F.struct("line_no", "line"))
+            )
+        ),
+        lambda x: x.line,
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("is_dup").cast("long").alias("n_dup_lines_removed"),
+        F.md5(F.array_join(kept_sorted, "\n")).alias("cleaned_md5"),
+        F.sum(F.when(F.col("is_dup") == 0, F.length("line")).otherwise(0))
+        .cast("long")
+        .alias("cleaned_chars"),
+    )
