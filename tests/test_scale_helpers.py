@@ -122,3 +122,45 @@ def test_winsorize_sketch_path_close_to_exact(spark, sf_dir):
         spread = abs(p99 - p01) or 1.0
         assert abs(a01 - p01) / spread < 0.02, (et, p01, a01)
         assert abs(a99 - p99) / spread < 0.02, (et, p99, a99)
+
+
+def test_kernel_helpers_partition_count_edges(spark):
+    """The rank/ntile/prefix kernels must be exact at both degenerate
+    partitionings: everything in ONE range partition, and far more
+    partitions than rows (empty ranges)."""
+    from data_engineering_rag_spark.operators.scale import (
+        grouped_prefix_sum,
+        with_global_ntile,
+        with_global_rank,
+    )
+
+    df = _df(spark, 173)
+    ref_rank = df.withColumn("r", F.row_number().over(Window.orderBy("v", "id")))
+    for n_parts in (1, 1000):
+        got = with_global_rank(df, ["v", "id"], "r", num_partitions=n_parts)
+        assert (
+            ref_rank.join(got.withColumnRenamed("r", "r2"), ["id", "v"])
+            .where("r <> r2")
+            .count()
+            == 0
+        ), n_parts
+        ref_nt = df.withColumn("b", F.ntile(7).over(Window.orderBy("v", "id")))
+        gnt = with_global_ntile(df, 7, ["v", "id"], "b", num_partitions=n_parts)
+        assert (
+            ref_nt.join(gnt.withColumnRenamed("b", "b2"), ["id", "v"])
+            .where("b <> b2")
+            .count()
+            == 0
+        ), n_parts
+
+    g = df.withColumn("g", (F.col("id") % 2).cast("string"))
+    w = Window.partitionBy("g").orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+    ref_ps = g.withColumn("ps", F.coalesce(F.sum("v").over(w), F.lit(0)))
+    for n_parts in (1, 1000):
+        gps = grouped_prefix_sum(g, ["g"], ["id"], "v", "ps", num_partitions=n_parts)
+        assert (
+            ref_ps.join(gps.withColumnRenamed("ps", "ps2"), ["g", "id", "v"])
+            .where("ps IS DISTINCT FROM ps2")
+            .count()
+            == 0
+        ), n_parts
