@@ -203,3 +203,18 @@ def test_no_unbounded_single_partition_windows(spark, sf_dir):
         plan = _physical_plan(df)
         n = _unbounded_single_partition_windows(plan)
         assert n == 0, f"{name}: {n} unbounded single-partition window(s)\n{plan}"
+
+
+def test_grouped_window_rewrites_keep_parallel_shape(spark, sf_dir):
+    """The low-cardinality-group rewrites must keep their two-phase
+    kernels: the per-(group, partition) column of grouped_top_k /
+    grouped_prefix_sum appears in the Window spec (a revert to a plain
+    partitionBy(lang/event_type) window would drop it)."""
+    for name, marker in [
+        ("sample_n_per_lang", "_gtk_pid"),
+        ("top_terms_per_lang", "_gtk_pid"),
+        ("sequence_pack_greedy", "_gps_pid"),
+        ("events_winsorized_values", "_gps_pid"),
+    ]:
+        plan = _physical_plan(REGISTRY[name].spark(spark, sf_dir))
+        assert marker in plan, f"{name}: expected {marker} in plan\n{plan}"
