@@ -1659,9 +1659,24 @@ def minhash_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band, band_hash) — never train×eval all-pairs. Empty result on
     this synthetic corpus (all texts distinct) is the agreement the
     oracle checks, same as ``minhash_lsh_candidate_pairs``."""
+    return _decontaminate_lsh(spark, sf_dir, hash_mode="md5")
+
+
+@query("minhash_decontaminate_xxh", None)
+def minhash_decontaminate_xxh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-hash twin of ``minhash_decontaminate``: identical
+    banding pipeline on Spark-native ``xxhash64`` shingle hashes (pure
+    JVM integer path — no hex strings, no base-16 conversion). Rows-only
+    (DuckDB has no xxhash64; the md5 twin carries the oracle); the
+    planted-contamination test pins that both modes flag the same
+    train docs."""
+    return _decontaminate_lsh(spark, sf_dir, hash_mode="xxhash64")
+
+
+def _decontaminate_lsh(spark: SparkSession, sf_dir: str, hash_mode: str) -> DataFrame:
     from .textops import N_LSH_BANDS, _minhash_wide
 
-    mins = _minhash_wide(spark, sf_dir, hash_mode="md5")
+    mins = _minhash_wide(spark, sf_dir, hash_mode=hash_mode)
     band_rows = ", ".join(
         f"cast({band} as bigint), md5(concat_ws('|', cast(m{4 * band} as string), "
         f"cast(m{4 * band + 1} as string), cast(m{4 * band + 2} as string), "

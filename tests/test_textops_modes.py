@@ -141,3 +141,9 @@ def test_minhash_decontaminate_flags_planted_contamination(spark, tmp_path):
     got = {r.doc_id: r.n_eval_matches for r in minhash_decontaminate(spark, str(tmp_path)).collect()}
     assert DECON_EVAL_DOCS + 2 in got and got[DECON_EVAL_DOCS + 2] >= 1
     assert set(got) == {DECON_EVAL_DOCS + 2}
+
+    # production-hash twin flags the same train docs (mode parity)
+    from data_engineering_rag_spark.plans.pipelineq import minhash_decontaminate_xxh
+
+    got_xxh = {r.doc_id for r in minhash_decontaminate_xxh(spark, str(tmp_path)).collect()}
+    assert got_xxh == set(got)
