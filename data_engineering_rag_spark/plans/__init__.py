@@ -64,17 +64,22 @@ from . import pipelineq  # noqa: E402,F401
 from . import cdcq  # noqa: E402,F401
 
 # The driver's per-round correctness check covers only the first ~50
-# REGISTRY entries (observed in CORRECTNESS_r01.json), so insertion
-# order decides which queries get driver-side oracle evidence. Rotate
-# queries that already have a green driver row (union of rounds 1 and
-# 3, CORRECTNESS_r01/r03.json) to the back — they stay pinned by
-# tests/test_oracle_parity.py — and put never-driver-checked oracle
-# queries first. Rows-only queries sit between (they only get a weak
-# check, so they shouldn't consume window slots ahead of oracle
-# queries).
-_DRIVER_VERIFIED = frozenset(
+# REGISTRY entries, so insertion order decides which queries get
+# driver-side oracle evidence each round. Ordering policy (see
+# _reorder_for_driver_window):
+#   0. STALE — queries whose Spark body was materially rewritten AFTER
+#      their latest driver-green row (LAST_CHANGED > evidence round):
+#      the local oracle-parity test still pins them, but the hard
+#      driver signal predates the code, so they lead the window.
+#   1. never-driver-checked oracle queries (new this round).
+#   2. rows-only queries (weak check only — don't consume slots).
+#   3. driver-verified queries whose evidence postdates their code.
+# tests/test_registry_evidence.py cross-checks these maps against the
+# CORRECTNESS_r*.json files so neither can silently rot.
+_DRIVER_VERIFIED_BY_ROUND: dict[int, frozenset[str]] = {}
+
+_DRIVER_VERIFIED_BY_ROUND[1] = frozenset(
     {
-        # round 1 (CORRECTNESS_r01.json)
         "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
         "agg_rollup_status", "agg_cube_orders", "agg_distinct_stats",
         "agg_avg_acctbal_by_nation", "join_semi_big_orders",
@@ -95,7 +100,11 @@ _DRIVER_VERIFIED = frozenset(
         "q14_promo_revenue_pct", "q16_supplier_part_counts",
         "q21_waiting_supplier", "revenue_share_of_total",
         "q2_min_cost_supplier", "window_range_frames", "null_semantics",
-        # round 3 (CORRECTNESS_r03.json)
+    }
+)
+
+_DRIVER_VERIFIED_BY_ROUND[3] = frozenset(
+    {
         "ann_cosine_topk", "bm25_search_topk", "chunk_documents",
         "chunk_documents_default_params", "dedup_clusters_levenshtein",
         "dedup_exact_stats", "deterministic_sample_docs", "doc_fingerprints",
@@ -114,7 +123,11 @@ _DRIVER_VERIFIED = frozenset(
         "tfidf_search_filtered", "tfidf_search_rocchio", "tfidf_search_topk",
         "token_counts_bpe_ish", "token_frequencies_top20",
         "token_sort_fingerprints", "vector_norms",
-        # round 4 (CORRECTNESS_r04.json)
+    }
+)
+
+_DRIVER_VERIFIED_BY_ROUND[4] = frozenset(
+    {
         "events_hourly_stats", "events_json_props", "events_user_activity",
         "events_sessionize_batch", "events_sliding_counts",
         "events_view_purchase_funnel", "events_enriched_static",
@@ -141,27 +154,88 @@ _DRIVER_VERIFIED = frozenset(
     }
 )
 
+_DRIVER_VERIFIED_BY_ROUND[5] = frozenset(
+    {
+        "agg_rollup_grouping_flags", "ann_recall_at10",
+        "basket_part_pairs_top20", "benford_first_digit_audit",
+        "char_entropy_quality", "chunk_tokens_windows",
+        "corpus_mixture_weights", "data_quality_audit",
+        "dedup_size_histogram", "domain_balance_entropy",
+        "ivf_ann_multiprobe", "ivf_bucket_stats", "join_key_skew_audit",
+        "kmeans_lloyd_2iter", "kmv_distinct_sketch", "knn_graph_by_label",
+        "knn_triangle_stats", "length_drift_psi", "line_dedup_clean",
+        "lpa_communities_2iter", "lsh_ann_topk", "lsh_candidate_quality",
+        "media_dedup_payloads", "minhash_decontaminate",
+        "mmr_diversified_topk", "ngram_novelty_rate",
+        "orders_pareto_frontier", "orders_rfm_segments",
+        "packing_efficiency_stats", "pagerank_knn_2iter",
+        "pca_power_top_component", "q11_important_parts",
+        "q12_late_shipment_priority", "q13_customer_order_distribution",
+        "q15_top_supplier", "q20_dominant_part_suppliers",
+        "q6_forecast_revenue", "q8_market_share", "q9_product_profit",
+        "quantized_ann_topk", "rp_reduce_vectors", "scalar_regex_funcs",
+        "scd2_order_priority_history", "search_facet_counts",
+        "snapshot_diff_orders", "spell_suggest_terms",
+        "tfidf_search_pruned", "tokenizer_fertility_by_lang",
+        "top_terms_per_lang", "zipf_fit_stats",
+    }
+)
+
+#: Latest driver-green round per query (derived from the per-round sets).
+DRIVER_EVIDENCE_ROUND: dict[str, int] = {}
+for _rnd, _names in sorted(_DRIVER_VERIFIED_BY_ROUND.items()):
+    for _n in _names:
+        DRIVER_EVIDENCE_ROUND[_n] = _rnd
+
+#: Round in which a query's Spark body last MATERIALLY changed (the
+#: result-producing logic, not comments/aliases). Only queries changed
+#: after round 1 need an entry; absent → assume evidence is fresh.
+#: UPDATE THIS whenever you rewrite a registered query's body — the
+#: staleness gate in tests/test_registry_evidence.py enforces that its
+#: latest driver row is >= this round or that it leads the next window.
+LAST_CHANGED: dict[str, int] = {
+    # round-5 narrow-tf rewrite (operators/tfidf.py) — evidence from r3
+    "tfidf_doc_weights": 5, "tfidf_search_topk": 5,
+    "tfidf_multiquery_topk": 5, "tfidf_search_filtered": 5,
+    "tfidf_search_rocchio": 5, "bm25_search_topk": 5,
+    "hybrid_rrf_related_docs": 5, "retrieval_eval_metrics": 5,
+    # round-5 scale-kernel rewrites — evidence from r4
+    "quality_decile_tiers": 5, "temporal_split_audit": 5,
+    "vocab_oov_stats": 5, "sequence_pack_greedy": 5,
+    "events_winsorized_values": 5, "events_journey_patterns": 5,
+    "bpe_apply_symbol_stats": 5,
+    # round-6 rewrite: struct-min first-occurrence + empty-doc NULL
+    # (plans/pipelineq.py line_dedup_clean) — evidence from r5
+    "line_dedup_clean": 6,
+}
+
+
+def _is_stale(name: str) -> bool:
+    evidence = DRIVER_EVIDENCE_ROUND.get(name)
+    return evidence is not None and LAST_CHANGED.get(name, 0) > evidence
+
+
 _MODULE_PRIORITY = {
-    # round-5 window: the final 41 never-driver-checked oracle queries
-    # (vectors extras, relational extras, tpch_extra sweep, CDC,
-    # round-4 rag/media/textops additions) all fit in one 50-slot
-    # window — after this rotation every oracle query in the registry
-    # has a driver-green row (r1 ∪ r3 ∪ r4 ∪ r5 = 190/190).
-    "vectors": 0, "relational": 1, "tpch_extra": 2, "cdcq": 3,
-    "rag": 4, "mediaq": 5, "textops": 6,
-    "streaming_q": 7, "pipelineq": 8, "ingestq": 9, "logsq": 10,
+    # round-6 window: ~15 stale rewrites lead, then the new round-6
+    # oracle queries (module order below); verified-fresh queries
+    # rotate to the back.
+    "pipelineq": 0, "textops": 1, "vectors": 2, "relational": 3,
+    "tpch_extra": 4, "rag": 5, "mediaq": 6, "streaming_q": 7,
+    "cdcq": 8, "ingestq": 9, "logsq": 10,
 }
 
 
 def _reorder_for_driver_window() -> None:
     def rank(item: tuple[str, QuerySpec]) -> tuple[int, int]:
         name, spec = item
-        if name in _DRIVER_VERIFIED:
+        if _is_stale(name) and spec.oracle is not None:
+            return (0, 0)
+        if name in DRIVER_EVIDENCE_ROUND:
             return (3, 0)
         if spec.oracle is None:
             return (2, 0)
         mod = spec.spark.__module__.rsplit(".", 1)[-1]
-        return (0, _MODULE_PRIORITY.get(mod, 0))
+        return (1, _MODULE_PRIORITY.get(mod, 0))
 
     ordered = sorted(REGISTRY.items(), key=rank)  # stable: keeps module order within rank
     REGISTRY.clear()

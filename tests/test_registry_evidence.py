@@ -10,17 +10,32 @@ import glob
 import json
 import os
 
-from data_engineering_rag_spark.plans import REGISTRY
+import re
+
+from data_engineering_rag_spark.plans import (
+    _DRIVER_VERIFIED_BY_ROUND,
+    DRIVER_EVIDENCE_ROUND,
+    LAST_CHANGED,
+    REGISTRY,
+)
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DRIVER_WINDOW = 50
 
 
+def _driver_rows_by_round() -> dict[int, set[str]]:
+    rows: dict[int, set[str]] = {}
+    for path in glob.glob(os.path.join(REPO_ROOT, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        with open(path) as f:
+            rows[rnd] = set(json.load(f))
+    return rows
+
+
 def _driver_rows() -> set[str]:
     names: set[str] = set()
-    for path in glob.glob(os.path.join(REPO_ROOT, "CORRECTNESS_r*.json")):
-        with open(path) as f:
-            names |= set(json.load(f))
+    for per_round in _driver_rows_by_round().values():
+        names |= per_round
     return names
 
 
@@ -52,3 +67,50 @@ def test_window_prioritizes_unchecked_oracle_queries():
         f"verified queries {squatters} hold window slots while unchecked "
         f"oracle queries wait: {waiting}"
     )
+
+
+def test_in_code_evidence_map_matches_correctness_files():
+    """The static _DRIVER_VERIFIED_BY_ROUND map in plans/__init__.py
+    must mirror the CORRECTNESS_r*.json files on disk, so the reorder
+    logic and the staleness gate can't drift from reality. Rounds on
+    disk but not in code (a new round just landed) are reported so the
+    map gets updated next session."""
+    on_disk = _driver_rows_by_round()
+    for rnd, names in _DRIVER_VERIFIED_BY_ROUND.items():
+        assert rnd in on_disk, f"code claims round {rnd} evidence but no CORRECTNESS_r{rnd:02d}.json"
+        extra = names - on_disk[rnd]
+        assert not extra, f"code claims round-{rnd} rows absent from the file: {sorted(extra)}"
+
+
+def test_rewritten_queries_have_fresh_evidence_or_window_slot():
+    """Staleness gate (VERDICT r5 item 2): a query whose body was
+    materially rewritten (LAST_CHANGED) must have a driver-green row
+    from that round or later — or sit inside the next driver window so
+    the evidence gets re-earned. Prevents rewritten-after-evidence
+    queries from silently keeping pre-rewrite rows as their only hard
+    signal."""
+    by_round = _driver_rows_by_round()
+    latest: dict[str, int] = {}
+    for rnd, names in sorted(by_round.items()):
+        for n in names:
+            latest[n] = rnd
+    window = set(list(REGISTRY)[:DRIVER_WINDOW])
+    stale = [
+        name
+        for name, changed in LAST_CHANGED.items()
+        if name in REGISTRY
+        and REGISTRY[name].oracle is not None
+        and latest.get(name, 0) < changed
+        and name not in window
+    ]
+    assert not stale, (
+        "queries rewritten after their latest driver row, and not "
+        f"scheduled in the next window: {stale}"
+    )
+
+
+def test_last_changed_names_exist():
+    unknown = [n for n in LAST_CHANGED if n not in REGISTRY]
+    assert not unknown, f"LAST_CHANGED references unknown queries: {unknown}"
+    unknown_ev = [n for n in DRIVER_EVIDENCE_ROUND if n not in REGISTRY]
+    assert not unknown_ev, f"evidence map references unknown queries: {unknown_ev}"
