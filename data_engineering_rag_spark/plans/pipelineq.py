@@ -1830,7 +1830,6 @@ def dedup_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LINE_DEDUP_MIN_CHARS = 10  # only lines this long (trimmed) participate
-_LINE_POS_BASE = 1_000_000  # encodes (doc_id, line_no) as one orderable int
 
 
 @query(
@@ -1841,18 +1840,18 @@ _LINE_POS_BASE = 1_000_000  # encodes (doc_id, line_no) as one orderable int
       FROM (SELECT doc_id, string_split(text, chr(10)) AS arr FROM documents),
            unnest(generate_series(1, len(arr))) AS t(i)),
     elig AS (
-      SELECT doc_id, line_no, md5(trim(line)) AS k,
-             doc_id * {_LINE_POS_BASE} + line_no AS pos
+      SELECT doc_id, line_no, md5(trim(line)) AS k
       FROM lines WHERE length(trim(line)) >= {LINE_DEDUP_MIN_CHARS}),
-    first_pos AS (SELECT k, min(pos) AS fp FROM elig GROUP BY k),
+    first_occ AS (
+      SELECT k, min(row(doc_id, line_no)) AS fp FROM elig GROUP BY k),
     flagged AS (
       SELECT l.doc_id, l.line_no, l.line,
              CASE WHEN e.k IS NOT NULL
-                       AND l.doc_id * {_LINE_POS_BASE} + l.line_no <> f.fp
+                       AND row(l.doc_id, l.line_no) <> f.fp
                   THEN 1 ELSE 0 END AS is_dup
       FROM lines l
       LEFT JOIN elig e ON l.doc_id = e.doc_id AND l.line_no = e.line_no
-      LEFT JOIN first_pos f ON e.k = f.k)
+      LEFT JOIN first_occ f ON e.k = f.k)
     SELECT doc_id,
            cast(count(*) as bigint) AS n_lines,
            cast(sum(is_dup) as bigint) AS n_dup_lines_removed,
@@ -1872,27 +1871,36 @@ def line_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 + length of the cleaned reconstruction.
 
     Shape: the only wide ops are a 16-byte-hash min-aggregate (first
-    occurrence per line hash — map-side combinable) and the hash-keyed
-    rejoin; reconstruction collects each doc's own kept lines (bounded
-    by doc size, the rows already live on the doc's partitions)."""
+    occurrence per line hash as a min(struct(doc_id, line_no)) — no
+    integer position encoding, so million-line docs can't collide —
+    map-side combinable) and the hash-keyed rejoin; reconstruction
+    collects each doc's own kept lines (bounded by doc size, the rows
+    already live on the doc's partitions). A doc whose every line is a
+    dropped duplicate emits NULL cleaned_md5 (matching SQL string_agg
+    over an empty set), not md5('')."""
     d = load(spark, sf_dir, "documents")
     lines = d.select(
         "doc_id",
         F.posexplode(F.split(F.col("text"), "\n")).alias("line_no0", "line"),
     ).select("doc_id", (F.col("line_no0") + 1).cast("long").alias("line_no"), "line")
-    pos = F.col("doc_id") * _LINE_POS_BASE + F.col("line_no")
     elig = lines.where(F.length(F.trim("line")) >= LINE_DEDUP_MIN_CHARS).select(
-        "doc_id", "line_no", F.md5(F.trim("line")).alias("k"), pos.alias("pos")
+        "doc_id", "line_no", F.md5(F.trim("line")).alias("k")
     )
-    first_pos = elig.groupBy("k").agg(F.min("pos").alias("fp"))
+    first_occ = elig.groupBy("k").agg(
+        F.min(F.struct("doc_id", "line_no")).alias("fp")
+    )
     flagged = (
-        lines.join(elig.select("doc_id", "line_no", "k"), ["doc_id", "line_no"], "left")
-        .join(first_pos, "k", "left")
+        lines.join(elig, ["doc_id", "line_no"], "left")
+        .join(first_occ, "k", "left")
         .select(
             "doc_id",
             "line_no",
             "line",
-            F.when(F.col("k").isNotNull() & (pos != F.col("fp")), 1)
+            F.when(
+                F.col("k").isNotNull()
+                & (F.struct("doc_id", "line_no") != F.col("fp")),
+                1,
+            )
             .otherwise(0)
             .alias("is_dup"),
         )
@@ -1905,10 +1913,11 @@ def line_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda x: x.line,
     )
+    n_kept = F.sum(F.when(F.col("is_dup") == 0, 1).otherwise(0))
     return flagged.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_lines"),
         F.sum("is_dup").cast("long").alias("n_dup_lines_removed"),
-        F.md5(F.array_join(kept_sorted, "\n")).alias("cleaned_md5"),
+        F.when(n_kept > 0, F.md5(F.array_join(kept_sorted, "\n"))).alias("cleaned_md5"),
         F.sum(F.when(F.col("is_dup") == 0, F.length("line")).otherwise(0))
         .cast("long")
         .alias("cleaned_chars"),

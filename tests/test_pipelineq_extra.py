@@ -48,6 +48,64 @@ def test_line_dedup_drops_exactly_repeated_long_lines(spark, tmp_path):
     assert got[2].cleaned_chars == len("another unique body line") + len(short)
 
 
+def test_line_dedup_first_occurrence_survives_million_line_docs(spark, tmp_path):
+    """Regression pin for the retired integer position encoding
+    (doc_id * 1_000_000 + line_no): a doc with >1M lines made its tail
+    positions collide with the NEXT doc_id's head, so the "first"
+    occurrence could be mis-picked. With min(struct(doc_id, line_no))
+    the planted duplicate at doc1:line 1_050_000 (old pos 2_050_000)
+    beats doc2:line 1 (old pos 2_000_001 — the old encoding's pick)."""
+    from data_engineering_rag_spark.plans.pipelineq import line_dedup_clean
+
+    planted = "PLANTED-DUPLICATE-BOILERPLATE-LINE"
+    n_lines = 1_050_000
+    body = ["ab"] * n_lines  # short lines: never eligible, cheap to explode
+    body[n_lines - 1] = planted  # doc1's copy sits at line_no 1_050_000
+    sf = _write_docs(
+        tmp_path,
+        [
+            (1, "\n".join(body)),
+            (2, f"{planted}\nunique doc2 body line"),
+        ],
+    )
+    got = {r.doc_id: r for r in line_dedup_clean(spark, sf).collect()}
+    # (1, 1_050_000) < (2, 1) in struct order: doc1 keeps, doc2 drops.
+    assert got[1].n_dup_lines_removed == 0 and got[1].n_lines == n_lines
+    assert got[2].n_dup_lines_removed == 1
+    assert got[2].cleaned_chars == len("unique doc2 body line")
+
+
+def test_line_dedup_all_dropped_doc_yields_null_md5(spark, tmp_path):
+    """A doc whose EVERY line is a dropped duplicate reconstructs to an
+    empty set: cleaned_md5 must be NULL (the SQL string_agg-over-empty
+    semantics), not md5('') — pinned on both engines."""
+    import duckdb
+
+    from data_engineering_rag_spark.plans import REGISTRY
+    from data_engineering_rag_spark.plans.pipelineq import line_dedup_clean
+
+    boiler = "This boilerplate line is the whole of doc 3"
+    sf = _write_docs(
+        tmp_path,
+        [
+            (1, f"{boiler}\nunique doc1 line"),
+            (3, boiler),  # single line, duplicate of doc1's first -> all dropped
+        ],
+    )
+    got = {r.doc_id: r for r in line_dedup_clean(spark, sf).collect()}
+    assert got[3].n_dup_lines_removed == 1 and got[3].cleaned_md5 is None
+    assert got[3].cleaned_chars == 0
+    assert got[1].cleaned_md5 is not None
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    oracle = {
+        r[0]: r for r in con.execute(REGISTRY["line_dedup_clean"].oracle).fetchall()
+    }
+    assert oracle[3][3] is None  # cleaned_md5 column
+    assert oracle[1][3] == got[1].cleaned_md5
+
+
 def test_grouped_top_k_when_k_exceeds_group_size(spark):
     from data_engineering_rag_spark.operators.scale import grouped_top_k
     from pyspark.sql.window import Window
