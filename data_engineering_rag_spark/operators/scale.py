@@ -118,18 +118,19 @@ def with_global_rank(
     ``row_number`` (window partitioned by ``spark_partition_id()``),
     and a broadcast prefix-count join over the tiny per-partition count
     table (≤ #partitions rows), so ``global rank = local rank + rows in
-    earlier ranges``. Both branches reference the same range exchange;
-    Catalyst's ReuseExchange materializes it once, which also pins one
-    consistent set of range boundaries.
+    earlier ranges``.
 
     ``order_cols`` must be a total order (include a unique tiebreak) —
     ties straddling a range boundary would otherwise make the rank
     partition-dependent.
+
+    The rank is a ``long``: these helpers exist to survive row counts
+    a single-partition window can't, so they must not overflow at 2^31.
     """
     local, _, prefix = _ranked_with_offsets(df, order_cols, num_partitions)
     return (
         local.join(F.broadcast(prefix), "_gr_pid")
-        .withColumn(rank_col, (F.col("_gr_lrn") + F.col("_gr_off")).cast("int"))
+        .withColumn(rank_col, (F.col("_gr_lrn") + F.col("_gr_off")).cast("long"))
         .drop("_gr_pid", "_gr_lrn", "_gr_off")
     )
 
@@ -137,15 +138,28 @@ def with_global_rank(
 def _ranked_with_offsets(df: DataFrame, order_cols: list, num_partitions: int | None):
     """Shared kernel for :func:`with_global_rank` /
     :func:`with_global_ntile`: (per-range locally-ranked rows, tiny
-    per-range count table, broadcast prefix-offset table). All three
-    reference the SAME range exchange — Catalyst's ReuseExchange
-    materializes it once — so consumers derive totals from the count
-    table instead of re-scanning ``df``."""
+    per-range count table, broadcast prefix-offset table).
+
+    The ranked branch and the count branch MUST observe the same range
+    boundaries and partition ids, or offsets mis-join. That sharing is
+    structural, not optimizer-dependent: the post-exchange frame is
+    ``persist()``-ed, so both branches read one materialized
+    InMemoryRelation (partition ids are frozen into the cache) instead
+    of relying on Catalyst's ReuseExchange to deduplicate two exchange
+    instances — which column pruning or canonicalization drift across
+    Spark versions could silently break. The cache costs what the
+    reused shuffle files would have (MEMORY_AND_DISK, projected input
+    only); eviction is LRU."""
     from pyspark.sql.window import Window
+    from pyspark import StorageLevel
 
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     n = num_partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-    ranged = df.repartitionByRange(n, *cols).withColumn("_gr_pid", F.spark_partition_id())
+    ranged = (
+        df.repartitionByRange(n, *cols)
+        .withColumn("_gr_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     w = Window.partitionBy("_gr_pid").orderBy(*cols)
     local = ranged.withColumn("_gr_lrn", F.row_number().over(w))
     counts = ranged.groupBy("_gr_pid").agg(F.count(F.lit(1)).alias("_gr_n"))
@@ -175,7 +189,7 @@ def with_global_ntile(
     local, counts, prefix = _ranked_with_offsets(df, order_cols, num_partitions)
     ranked = (
         local.join(F.broadcast(prefix), "_gr_pid")
-        .withColumn("_gn_rnk", (F.col("_gr_lrn") + F.col("_gr_off")).cast("int"))
+        .withColumn("_gn_rnk", (F.col("_gr_lrn") + F.col("_gr_off")).cast("long"))
         .drop("_gr_pid", "_gr_lrn", "_gr_off")
     )
     tot = counts.agg(F.sum("_gr_n").cast("long").alias("_gn_total"))
@@ -240,14 +254,21 @@ def grouped_prefix_sum(
     and a broadcast prefix join over the tiny per-(group, range) total
     table (same-group earlier ranges only). The same kernel shape as
     ``with_global_rank``; contiguity matters here, hence the range
-    exchange that ``grouped_top_k`` can skip."""
+    exchange that ``grouped_top_k`` can skip. As there, the
+    post-exchange frame is persisted so the running-sum branch and the
+    totals branch structurally share one materialization (consistent
+    range boundaries + partition ids without depending on
+    ReuseExchange)."""
     from pyspark.sql.window import Window
+    from pyspark import StorageLevel
 
     gcols = [F.col(c) if isinstance(c, str) else c for c in group_cols]
     ocols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     n = num_partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-    ranged = df.repartitionByRange(n, *gcols, *ocols).withColumn(
-        "_gps_pid", F.spark_partition_id()
+    ranged = (
+        df.repartitionByRange(n, *gcols, *ocols)
+        .withColumn("_gps_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     wl = (
         Window.partitionBy(*group_cols, "_gps_pid")

@@ -53,7 +53,12 @@ def write_parquet_with_manifest_partitioned(
     hash all rows of a split into one partition — exactly one file per
     split regardless of the knob, and distinct splits colliding into
     the same task. Salting by ``pmod(xxhash64(doc_id), k)`` spreads
-    each split over exactly ``files_per_partition`` partitions."""
+    each split over AT MOST ``files_per_partition`` partitions — a
+    range exchange on (split, salt) gives each (split, salt) combo its
+    own contiguous range, so the count is exactly the knob whenever the
+    sampled boundaries resolve one combo per partition (the balanced
+    case); combos merged by sampling only ever lower the file count,
+    never interleave splits within a task."""
     import json
 
     fingerprint_row = df.agg(
@@ -62,7 +67,7 @@ def write_parquet_with_manifest_partitioned(
     ).collect()[0]
     n_splits = df.select("split").distinct().count()
     (
-        df.repartition(
+        df.repartitionByRange(
             max(1, n_splits * files_per_partition),
             "split",
             F.pmod(F.xxhash64("doc_id"), F.lit(files_per_partition)),

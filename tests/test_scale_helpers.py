@@ -164,3 +164,57 @@ def test_kernel_helpers_partition_count_edges(spark):
             .count()
             == 0
         ), n_parts
+
+
+def test_kernels_exact_without_exchange_reuse(spark):
+    """The ranked branch and the count/offset branch of the kernels
+    must agree on range boundaries and partition ids even when Catalyst
+    does NOT deduplicate the exchanges (ADVICE r5: the old shape was
+    only correct because ReuseExchange happened to fire). The persisted
+    post-exchange frame makes the sharing structural; this runs the
+    parity checks with exchange/subquery reuse disabled and asserts the
+    rank invariant (ranks are exactly the permutation 1..N)."""
+    from data_engineering_rag_spark.operators.scale import grouped_prefix_sum
+
+    confs = {
+        "spark.sql.exchangeReuseEnabled": "false",
+        "spark.sql.execution.reuseSubquery": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+
+        df = _df(spark, 4999)
+        n = df.count()
+        got = with_global_rank(df, ["v", "id"], "r")
+        stats = got.agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("r").alias("mn"),
+            F.max("r").alias("mx"),
+            F.countDistinct("r").alias("nd"),
+        ).first()
+        assert (stats.cnt, stats.mn, stats.mx, stats.nd) == (n, 1, n, n)
+        ref = df.withColumn("r", F.row_number().over(Window.orderBy("v", "id")))
+        assert ref.join(got.withColumnRenamed("r", "r2"), ["id", "v"]).where("r <> r2").count() == 0
+
+        ref_nt = df.withColumn("b", F.ntile(7).over(Window.orderBy("v", "id")))
+        gnt = with_global_ntile(df, 7, ["v", "id"], "b")
+        assert ref_nt.join(gnt.withColumnRenamed("b", "b2"), ["id", "v"]).where("b <> b2").count() == 0
+
+        g = df.withColumn("g", (F.col("id") % 3).cast("string"))
+        w = Window.partitionBy("g").orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+        ref_ps = g.withColumn("ps", F.coalesce(F.sum("v").over(w), F.lit(0)))
+        gps = grouped_prefix_sum(g, ["g"], ["id"], "v", "ps")
+        assert (
+            ref_ps.join(gps.withColumnRenamed("ps", "ps2"), ["g", "id", "v"])
+            .where("ps IS DISTINCT FROM ps2")
+            .count()
+            == 0
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
