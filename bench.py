@@ -43,6 +43,12 @@ BENCH_QUERIES = [
     "ivf_ann_topk",
     "events_sessionize_batch",
     "events_hourly_stats",
+    # round-6 additions (VERDICT r5 item 4): the round-5 dedup family
+    # and the scale-kernel sentinel, so regressions in these shapes
+    # show up as a trend line, not a surprise.
+    "line_dedup_clean",
+    "minhash_decontaminate",
+    "orders_rfm_segments",
 ]
 
 
