@@ -1212,22 +1212,25 @@ def _bpe_oracle() -> str:
     return f"WITH {_bpe_seq1_sql().strip().rstrip(',')}, {iters} {finals}"
 
 
-def _bpe_fold_merge_expr(a: str, b: str) -> str:
+def _bpe_fold_merge_expr(a: str, b: str, src: str = "ch") -> str:
     """Greedy left-to-right merge of adjacent (a, b) as an aggregate
     fold: merge when the accumulator's tail is `a` AND the incoming
     symbol is `b`. A just-merged tail equals `a||b`, never `a` (b is
     non-empty), so a merged token can't chain-merge within the round —
-    the same non-overlap rule the oracle's parity selection encodes."""
+    the same non-overlap rule the oracle's parity selection encodes.
+
+    ``src`` is the input array expression — the batched trainer chains
+    several folds into ONE projection by nesting them."""
     ab = a + b
     return (
-        "aggregate(ch, cast(array() as array<string>), (acc, x) -> "
+        f"aggregate({src}, cast(array() as array<string>), (acc, x) -> "
         f"IF(size(acc) > 0 AND element_at(acc, -1) = '{a}' AND x = '{b}', "
         f"concat(slice(acc, 1, size(acc) - 1), array('{ab}')), "
         "concat(acc, array(x))))"
     )
 
 
-def _bpe_train(spark: SparkSession, sf_dir: str):
+def _bpe_train(spark: SparkSession, sf_dir: str, n_merges: int | None = None):
     """Shared BPE training pass (Sennrich et al. 2016): returns the
     merge list AND the final segmented word-frequency DataFrame, so the
     train query and the apply query run the per-merge pair-count +
@@ -1239,6 +1242,21 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
     combinable), an argmax of |symbol-pairs| rows collected to the
     driver for control flow (the k-means-centroid pattern), and a
     narrow fold applying the merge."""
+    seq = _bpe_word_seq(spark, sf_dir)
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, (n_merges or BPE_MERGES) + 1):
+        best = _bpe_pair_counts(seq).orderBy(F.desc("c"), "a", "b").limit(1).collect()
+        if not best:
+            break
+        a, b, c = best[0].a, best[0].b, int(best[0].c)
+        merges.append((step, a, b, c))
+        seq = seq.select("word", "wf", F.expr(_bpe_fold_merge_expr(a, b)).alias("ch"))
+    return merges, seq
+
+
+def _bpe_word_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-frequency table with each word split to its base-character
+    symbol sequence — the |vocab|-row frame both trainers iterate on."""
     d = load(spark, sf_dir, "documents")
     wf = (
         d.select(
@@ -1249,30 +1267,82 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("wf"))
     )
-    seq = wf.select("word", "wf", F.expr("filter(split(word, ''), x -> x <> '')").alias("ch"))
+    return wf.select("word", "wf", F.expr("filter(split(word, ''), x -> x <> '')").alias("ch"))
 
-    merges: list[tuple[int, str, str, int]] = []
-    for step in range(1, BPE_MERGES + 1):
-        pairs = (
-            seq.where(F.size("ch") >= 2)
-            .select(
-                "wf",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(ch) - 1), "
-                        "i -> struct(element_at(ch, i) AS a, element_at(ch, i + 1) AS b))"
-                    )
-                ).alias("p"),
-            )
-            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .agg(F.sum("wf").cast("long").alias("c"))
+
+def _bpe_pair_counts(seq: DataFrame) -> DataFrame:
+    """Corpus-weighted adjacent-pair counts over the segmented vocab —
+    pair-explode + partial-agg'd weighted sum (map-side combinable)."""
+    return (
+        seq.where(F.size("ch") >= 2)
+        .select(
+            "wf",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ch) - 1), "
+                    "i -> struct(element_at(ch, i) AS a, element_at(ch, i + 1) AS b))"
+                )
+            ).alias("p"),
         )
-        best = pairs.orderBy(F.desc("c"), "a", "b").limit(1).collect()
-        if not best:
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("wf").cast("long").alias("c"))
+    )
+
+
+def _bpe_train_batched(
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int | None = None,
+    batch_size: int = 8,
+):
+    """Batched BPE training — the production-merge-count scale path
+    (VERDICT r5 item 5). Sequential training is one driver round-trip
+    PER merge; at 30k+ merges that is 30k sequential Spark jobs of pure
+    scheduler latency. This variant collects the top pair candidates
+    once per ROUND and merges a disjoint PREFIX of them (public
+    SentencePiece-style batching), cutting round-trips by ~batch_size×.
+
+    Exactness argument: the batch keeps candidates in sequential pick
+    order (desc count, then lexicographic) and STOPS at the first
+    candidate sharing a symbol with an earlier pick (or equal to one of
+    its merged outputs). Symbol-disjoint merges cannot change each
+    other's occurrence counts — a merge only destroys pairs touching
+    its own symbols and creates pairs containing its output — so every
+    kept candidate has exactly the count and rank sequential training
+    would have seen, UNLESS a pair created mid-batch would have
+    outranked a later pick. That corner is corpus-dependent; the parity
+    test pins batched ≡ sequential (merge list AND final segmentation)
+    on the fixture corpus, and ``batch_size=1`` degenerates to the
+    sequential trainer exactly. The 1-merge-per-round spelling remains
+    the registered oracle."""
+    seq = _bpe_word_seq(spark, sf_dir)
+    target = n_merges or BPE_MERGES
+    merges: list[tuple[int, str, str, int]] = []
+    while len(merges) < target:
+        # over-fetch so a conflict-cut prefix still fills the batch budget
+        top = (
+            _bpe_pair_counts(seq)
+            .orderBy(F.desc("c"), "a", "b")
+            .limit(max(batch_size * 4, 16))
+            .collect()
+        )
+        if not top:
             break
-        a, b, c = best[0].a, best[0].b, int(best[0].c)
-        merges.append((step, a, b, c))
-        seq = seq.select("word", "wf", F.expr(_bpe_fold_merge_expr(a, b)).alias("ch"))
+        used: set[str] = set()
+        batch: list[tuple[str, str, int]] = []
+        for r in top:
+            if len(batch) >= batch_size or len(merges) + len(batch) >= target:
+                break
+            if r.a in used or r.b in used or r.a + r.b in used:
+                break  # prefix rule: later picks would reorder vs sequential
+            batch.append((r.a, r.b, int(r.c)))
+            used.update((r.a, r.b, r.a + r.b))
+        for a, b, c in batch:
+            merges.append((len(merges) + 1, a, b, c))
+        src = "ch"
+        for a, b, _ in batch:  # disjoint → folds commute; one projection
+            src = _bpe_fold_merge_expr(a, b, src)
+        seq = seq.select("word", "wf", F.expr(src).alias("ch"))
     return merges, seq
 
 

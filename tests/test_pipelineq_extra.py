@@ -120,3 +120,23 @@ def test_grouped_top_k_when_k_exceeds_group_size(spark):
     j = ref.join(got, ["g", "id", "v"], "full")
     assert j.where("rn IS DISTINCT FROM rn2").count() == 0
     assert got.count() == 23
+
+
+def test_bpe_batched_training_matches_sequential(spark, sf_dir):
+    """The batched trainer (top-M disjoint-prefix merges per driver
+    round-trip — the 30k-merge scale path) must reproduce sequential
+    Sennrich training exactly on the fixture corpus: same merge list
+    (same order, counts included) and the same final segmentation.
+    Exercises 3 batch rounds and the created-pair case (sequential pick
+    #8 merges a symbol created by pick #7)."""
+    from data_engineering_rag_spark.plans.pipelineq import (
+        _bpe_train,
+        _bpe_train_batched,
+    )
+
+    m_seq, seq_seq = _bpe_train(spark, sf_dir, n_merges=12)
+    m_bat, seq_bat = _bpe_train_batched(spark, sf_dir, n_merges=12, batch_size=4)
+    assert m_bat == m_seq
+    a = seq_seq.selectExpr("word", "array_join(ch, '|') AS s")
+    b = seq_bat.selectExpr("word", "array_join(ch, '|') AS s")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
