@@ -660,3 +660,295 @@ def code_detect_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(score.cast("decimal(18,9)")).cast("double") / F.count(F.lit(1)), 8
         ).alias("avg_code_score"),
     )
+
+
+# --------------------------------------------------------------------------
+# MinHash estimator calibration
+# --------------------------------------------------------------------------
+
+J_CAL_SAMPLE = 20  # bounded all-pairs sample, as in jaccard_similarity_sample
+
+
+def _minhash_calibration_oracle() -> str:
+    from .textops import _MH_P, MINHASH_PERMS, SHINGLE_K
+
+    mins = ", ".join(
+        f"min(({a} * bh + {b}) % {_MH_P}) AS m{i}" for i, a, b in MINHASH_PERMS
+    )
+    matches = " + ".join(
+        f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i, _, _ in MINHASH_PERMS
+    )
+    n_perms = len(MINHASH_PERMS)
+    return f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, substr(text, cast(i as int), {SHINGLE_K}) AS s
+      FROM documents, unnest(generate_series(1, length(text) - {SHINGLE_K} + 1)) AS t(i)
+      WHERE length(text) >= {SHINGLE_K} AND doc_id < {J_CAL_SAMPLE}),
+    sizes AS (SELECT doc_id, cast(count(*) as bigint) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, cast(count(*) as bigint) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    bh AS (
+      SELECT doc_id,
+             cast(concat('0x', substr(md5(substr(text, cast(i as int), {SHINGLE_K})), 1, 15)) as bigint)
+               % {_MH_P} AS bh
+      FROM documents, unnest(generate_series(1, length(text) - {SHINGLE_K} + 1)) AS t(i)
+      WHERE length(text) >= {SHINGLE_K} AND doc_id < {J_CAL_SAMPLE}),
+    mins AS (SELECT doc_id, {mins} FROM bh GROUP BY doc_id),
+    est AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             cast({matches} as double) / {n_perms} AS est_j
+      FROM mins a JOIN mins b ON a.doc_id < b.doc_id)
+    SELECT e.doc_a, e.doc_b,
+           round(e.est_j, 8) AS est_jaccard,
+           round(cast(coalesce(i.n_inter, 0) as double)
+                 / (sa.n + sb.n - coalesce(i.n_inter, 0)), 8) AS exact_jaccard,
+           round(abs(e.est_j - cast(coalesce(i.n_inter, 0) as double)
+                            / (sa.n + sb.n - coalesce(i.n_inter, 0))), 8) AS abs_err
+    FROM est e
+    LEFT JOIN inter i ON e.doc_a = i.doc_a AND e.doc_b = i.doc_b
+    JOIN sizes sa ON e.doc_a = sa.doc_id
+    JOIN sizes sb ON e.doc_b = sb.doc_id
+    """
+
+
+@query("minhash_jaccard_calibration", _minhash_calibration_oracle())
+def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality calibration: over a bounded sample
+    (doc_id < {J_CAL_SAMPLE}, as in ``jaccard_similarity_sample``),
+    the MinHash-estimated Jaccard (matching signature slots / perms)
+    next to the EXACT character-shingle Jaccard for every pair, with
+    the absolute estimator error — the table that justifies the LSH
+    banding operating point before anyone trusts
+    ``minhash_lsh_candidate_pairs`` at 100 TB.
+
+    Shape: the pair space is O(sample²) BY CONSTRUCTION; signatures
+    come from the shared kernel (``textops._minhash_wide`` — the
+    doc_id filter pushes through the groupBy to the scan), exact
+    Jaccard from a distinct-shingle equi-join. Cites the same
+    universal-hash family as ``minhash_signatures``."""
+    from .textops import MINHASH_PERMS, SHINGLE_K, _minhash_wide
+
+    n_perms = len(MINHASH_PERMS)
+    d = load(spark, sf_dir, "documents").where(
+        (F.length("text") >= SHINGLE_K) & (F.col("doc_id") < J_CAL_SAMPLE)
+    )
+    sh = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text") - SHINGLE_K + 1)).alias("i"),
+        "text",
+    ).select("doc_id", F.expr(f"substring(text, i, {SHINGLE_K})").alias("s")).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    mins = _minhash_wide(spark, sf_dir).where(F.col("doc_id") < J_CAL_SAMPLE)
+    ma = mins.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"m{i}").alias(f"a{i}") for i, _, _ in MINHASH_PERMS]
+    )
+    mb = mins.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"m{i}").alias(f"b{i}") for i, _, _ in MINHASH_PERMS]
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i, _, _ in MINHASH_PERMS
+    )
+    est = (
+        ma.crossJoin(mb)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", (matches.cast("double") / n_perms).alias("est_j"))
+    )
+    ni = F.coalesce(F.col("n_inter"), F.lit(0))
+    exact = ni.cast("double") / (F.col("sa.n") + F.col("sb.n") - ni)
+    return (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("est_j"), 8).alias("est_jaccard"),
+            F.round(exact, 8).alias("exact_jaccard"),
+            F.round(F.abs(F.col("est_j") - exact), 8).alias("abs_err"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Source drift (KL divergence)
+# --------------------------------------------------------------------------
+
+DRIFT_POOL_TERMS = 200  # KL is computed over the top-N global terms only
+
+
+def _drift_kl_oracle() -> str:
+    return f"""
+    WITH tf AS (
+      SELECT source, tok, cast(count(*) as bigint) AS c
+      FROM (SELECT source, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS tok
+            FROM documents)
+      GROUP BY source, tok),
+    gl AS (SELECT tok, sum(c) AS c FROM tf GROUP BY tok),
+    pool AS (SELECT tok, c FROM gl ORDER BY c DESC, tok LIMIT {DRIFT_POOL_TERMS}),
+    gtot AS (SELECT sum(c) AS t FROM pool),
+    stot AS (
+      SELECT tf.source, sum(tf.c) AS t
+      FROM tf JOIN pool ON tf.tok = pool.tok GROUP BY tf.source),
+    contrib AS (
+      SELECT tf.source,
+             round((tf.c / st.t) * ln((tf.c / st.t) / (pool.c / gt.t)), 9) AS kc
+      FROM tf JOIN pool ON tf.tok = pool.tok
+              JOIN stot st ON tf.source = st.source
+              CROSS JOIN gtot gt)
+    SELECT source,
+           cast(count(*) as bigint) AS n_terms_used,
+           round(cast(sum(cast(kc as decimal(18,9))) as double), 6) AS kl_divergence
+    FROM contrib GROUP BY source
+    """
+
+
+@query("source_term_drift_kl", _drift_kl_oracle())
+def source_term_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift monitor: KL(source ‖ corpus) over the unigram
+    distributions restricted to the top-{DRIFT_POOL_TERMS} global terms
+    (both sides renormalized over the pool — bounded support, no
+    zero-probability terms) — the number that flags "this crawl slice
+    stopped looking like the mixture" before it poisons training.
+
+    Shape: one (source, term) groupBy; the pool is
+    TakeOrderedAndProject and broadcasts; per-term contributions are
+    rounded then accumulated as exact decimal (``zipf_fit_stats``'s
+    determinism recipe), so the float reduction is engine-identical."""
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            "source",
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0))
+            ).alias("tok"),
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    gl = tf.groupBy("tok").agg(F.sum("c").alias("gc"))
+    pool = gl.orderBy(F.col("gc").desc(), "tok").limit(DRIFT_POOL_TERMS)
+    gtot = pool.agg(F.sum("gc").alias("gt"))
+    pooled = tf.join(F.broadcast(pool), "tok")
+    stot = pooled.groupBy("source").agg(F.sum("c").alias("st"))
+    p = F.col("c") / F.col("st")
+    q = F.col("gc") / F.col("gt")
+    contrib = (
+        pooled.join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(gtot))
+        .select("source", F.round(p * F.log(p / q), 9).alias("kc"))
+    )
+    return contrib.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms_used"),
+        F.round(F.sum(F.col("kc").cast("decimal(18,9)")).cast("double"), 6).alias(
+            "kl_divergence"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Keyword extraction
+# --------------------------------------------------------------------------
+
+KEYWORDS_PER_DOC = 5
+
+
+def _keyword_oracle() -> str:
+    from . import REGISTRY
+
+    return f"""
+    WITH base AS ({REGISTRY["tfidf_doc_weights"].oracle})
+    SELECT doc_id, term, w,
+           cast(rn as bigint) AS rn
+    FROM (SELECT doc_id, term, w,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, term) AS rn
+          FROM base)
+    WHERE rn <= {KEYWORDS_PER_DOC}
+    """
+
+
+@query("tfidf_keywords_per_doc", _keyword_oracle())
+def tfidf_keywords_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: each document's top-{KEYWORDS_PER_DOC} terms
+    by L2-normalized TF-IDF weight — the doc-tagging/faceting pass that
+    turns the search index into corpus metadata. Ranks on the ROUNDED
+    weight (term tiebreak) so ranks can't flip between engines.
+
+    Shape: reuses ``tfidf_doc_weights`` (one index build), then a
+    window partitioned by doc_id — a HIGH-cardinality key, so the
+    grouped-window funnel the scale helpers exist for does not apply
+    here."""
+    from pyspark.sql.window import Window
+
+    from . import REGISTRY
+
+    w = REGISTRY["tfidf_doc_weights"].spark(spark, sf_dir)
+    win = Window.partitionBy("doc_id").orderBy(F.col("w").desc(), "term")
+    return (
+        w.withColumn("rn", F.row_number().over(win).cast("long"))
+        .where(F.col("rn") <= KEYWORDS_PER_DOC)
+        .select("doc_id", "term", "w", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# Dedup retention accounting
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_retention_by_source",
+    """
+    WITH canon AS (
+      SELECT doc_id, source, n_chars,
+             doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS survives
+      FROM documents)
+    SELECT source,
+           cast(count(*) as bigint) AS n_docs,
+           cast(sum(CASE WHEN survives THEN 1 ELSE 0 END) as bigint) AS n_survivors,
+           cast(sum(n_chars) as bigint) AS chars_total,
+           cast(sum(CASE WHEN survives THEN n_chars ELSE 0 END) as bigint) AS chars_retained,
+           round(cast(sum(CASE WHEN survives THEN n_chars ELSE 0 END) as double)
+                 / sum(n_chars), 8) AS retention_ratio
+    FROM canon GROUP BY source
+    """,
+)
+def dedup_retention_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup impact accounting: per source, how many docs and how much
+    character mass survive exact-content canonicalization (min doc_id
+    per content hash) — the report that attributes dedup losses to the
+    source that shipped the duplicates (``dedup_size_histogram`` gives
+    the distribution; this gives the blame).
+
+    Shape: survival is a min-aggregate on the 16-byte content hash
+    re-joined by hash (payloads never shuffle), then one combinable
+    per-source rollup — the same kernel as ``dedup_exact_stats``."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", F.md5("text").alias("h")
+    )
+    first = d.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    canon = d.join(first, "h").select(
+        "source", "n_chars", (F.col("doc_id") == F.col("keep_id")).alias("survives")
+    )
+    return canon.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("survives"), 1).otherwise(0)).cast("long").alias("n_survivors"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+        F.sum(F.when(F.col("survives"), F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("chars_retained"),
+        F.round(
+            F.sum(F.when(F.col("survives"), F.col("n_chars")).otherwise(0)).cast("double")
+            / F.sum("n_chars"),
+            8,
+        ).alias("retention_ratio"),
+    )
