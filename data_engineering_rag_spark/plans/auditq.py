@@ -486,3 +486,230 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("frac_at_risk_k5"),
     )
+
+
+# --------------------------------------------------------------------------
+# Irregular time-series & attribution analytics over events
+# --------------------------------------------------------------------------
+
+
+@query(
+    "time_weighted_user_value",
+    """
+    WITH iv AS (
+      SELECT user_id, value,
+             date_diff('second', ts,
+                       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS dt
+      FROM events)
+    SELECT user_id,
+           cast(count(*) as bigint) AS n_intervals,
+           cast(sum(dt) as bigint) AS total_secs,
+           round(cast(sum(cast(value as decimal(18,6)) * dt) as double) / sum(dt), 6)
+             AS twa_value
+    FROM iv WHERE dt IS NOT NULL AND dt > 0
+    GROUP BY user_id
+    """,
+)
+def time_weighted_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-weighted average value per user — each reading holds until
+    the next one, so it is weighted by its interval length, the correct
+    mean for irregularly-sampled gauges (row-weighted means over-count
+    burst periods). Zero-length intervals carry no weight and drop out.
+
+    Shape: one lead() window on the HIGH-cardinality user_id key, then
+    a partial-aggregable groupBy. The value*dt products accumulate as
+    exact decimals so both engines emit bit-identical doubles."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    iv = ev.select(
+        "user_id",
+        "value",
+        (F.unix_timestamp(F.lead("ts").over(w)) - F.unix_timestamp("ts")).alias("dt"),
+    ).where(F.col("dt").isNotNull() & (F.col("dt") > 0))
+    return iv.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum("dt").cast("long").alias("total_secs"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)") * F.col("dt")).cast("double")
+            / F.sum("dt"),
+            6,
+        ).alias("twa_value"),
+    )
+
+
+GAP_THRESHOLDS_S = (60, 300, 600, 1800, 3600)
+
+
+@query(
+    "session_gap_survival",
+    f"""
+    WITH gaps AS (
+      SELECT date_diff('second',
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_s
+      FROM events)
+    SELECT t.threshold_s,
+           cast(count(*) as bigint) AS n_gaps,
+           cast(sum(CASE WHEN gap_s > t.threshold_s THEN 1 ELSE 0 END) as bigint) AS n_exceed,
+           round(sum(CASE WHEN gap_s > t.threshold_s THEN 1 ELSE 0 END)::double / count(*), 6)
+             AS survival
+    FROM gaps CROSS JOIN (VALUES {", ".join(f"({t})" for t in GAP_THRESHOLDS_S)}) t(threshold_s)
+    WHERE gap_s IS NOT NULL
+    GROUP BY t.threshold_s
+    """,
+)
+def session_gap_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival curve of inter-event gaps — P(gap > t) at candidate
+    session-timeout thresholds. This is the evidence behind the 10-min
+    gap every sessionize query in this repo uses: pick the threshold
+    where the curve flattens (real session boundaries) instead of the
+    steep head (within-session pauses). One lag() window on user_id,
+    then a broadcast 5-row threshold table and a partial-aggregable
+    conditional count — the 5x row fan-out happens map-side."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).alias("gap_s")
+    ).where(F.col("gap_s").isNotNull())
+    thresholds = F.broadcast(
+        load(spark, sf_dir, "events")
+        .sparkSession.createDataFrame(
+            [(t,) for t in GAP_THRESHOLDS_S], "threshold_s int"
+        )
+    )
+    return gaps.crossJoin(thresholds).groupBy("threshold_s").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum((F.col("gap_s") > F.col("threshold_s")).cast("int")).cast("long").alias("n_exceed"),
+        F.round(
+            F.sum((F.col("gap_s") > F.col("threshold_s")).cast("int")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("survival"),
+    )
+
+
+MAD_CUT = 4.4478  # 3 * 1.4826 (the normal-consistency constant), one literal
+
+
+@query(
+    "robust_outlier_audit",
+    f"""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           cast(count(*) as bigint) AS n,
+           round(any_value(d.med), 6) AS median_value,
+           round(any_value(m.mad), 6) AS mad_value,
+           cast(sum(CASE WHEN d.adev > {MAD_CUT} * m.mad THEN 1 ELSE 0 END) as bigint)
+             AS n_outliers,
+           round(sum(CASE WHEN d.adev > {MAD_CUT} * m.mad THEN 1 ELSE 0 END)::double
+                 / count(*), 6) AS outlier_rate
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def robust_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD outlier detection per event type — the robust
+    alternative to mean/stddev z-scores (one fat-tailed burst inflates
+    a stddev until nothing is an outlier; the median absolute deviation
+    doesn't move). Flags |x - med| > 3·1.4826·MAD, the standard
+    normal-consistent cut. Shape: two exact-percentile groupBys on the
+    same low-cardinality key with broadcast joins back — no windows, no
+    per-group sort concentration (percentile_cont aggregates
+    per-group, it doesn't single-task the partition)."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY value)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY adev)").alias("mad")
+    )
+    d = dev.join(F.broadcast(mad), "event_type")
+    out_flag = (F.col("adev") > F.lit(MAD_CUT) * F.col("mad")).cast("int")
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.first("med"), 6).alias("median_value"),
+        F.round(F.first("mad"), 6).alias("mad_value"),
+        F.sum(out_flag).cast("long").alias("n_outliers"),
+        F.round(F.sum(out_flag).cast("double") / F.count(F.lit(1)), 6).alias("outlier_rate"),
+    )
+
+
+ATTR_WINDOW_MIN = 30
+
+
+@query(
+    "events_attribution_last_touch",
+    f"""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'),
+    touch AS (
+      SELECT purchase_id, event_type FROM (
+        SELECT p.purchase_id, e.event_type,
+               row_number() OVER (PARTITION BY p.purchase_id
+                                  ORDER BY e.ts DESC, e.event_id DESC) AS rn
+        FROM p JOIN events e
+          ON e.user_id = p.user_id AND e.event_type <> 'purchase'
+         AND e.ts < p.p_ts AND e.ts >= p.p_ts - INTERVAL {ATTR_WINDOW_MIN} MINUTE
+      ) q WHERE rn = 1),
+    attributed AS (
+      SELECT p.purchase_id, coalesce(t.event_type, 'direct') AS attributed_type
+      FROM p LEFT JOIN touch t USING (purchase_id))
+    SELECT attributed_type,
+           cast(count(*) as bigint) AS n_purchases,
+           round(count(*)::double / (SELECT count(*) FROM p), 6) AS share
+    FROM attributed GROUP BY attributed_type
+    """,
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: each purchase credits the
+    most recent non-purchase event by the same user inside a
+    {ATTR_WINDOW_MIN}-minute lookback, else 'direct'. The
+    marketing-analytics shape behind every as-of join in this repo —
+    here the argmax-per-purchase is a partial-aggregable
+    max(struct(ts, event_id, type)), never a window over the raw join
+    fan-out, and the time bound keeps the per-user join quadratic only
+    within the lookback, which is what makes it tractable at 100 TB."""
+    ev = load(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    cand = p.join(
+        ev.select("user_id", "event_type", "ts", "event_id"),
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("event_type") != "purchase")
+        & (F.col("ts") < F.col("p_ts"))
+        & (F.col("ts") >= F.col("p_ts") - F.expr(f"INTERVAL {ATTR_WINDOW_MIN} MINUTES")),
+    )
+    touch = cand.groupBy("purchase_id").agg(
+        F.max(F.struct("ts", "event_id", F.col("event_type").alias("et"))).alias("m")
+    ).select("purchase_id", F.col("m.et").alias("touch_type"))
+    attributed = p.join(touch, "purchase_id", "left").select(
+        "purchase_id", F.coalesce(F.col("touch_type"), F.lit("direct")).alias("attributed_type")
+    )
+    total = p.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        attributed.groupBy("attributed_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "attributed_type",
+            F.col("n").cast("long").alias("n_purchases"),
+            F.round(F.col("n").cast("double") / F.col("n_total"), 6).alias("share"),
+        )
+    )
