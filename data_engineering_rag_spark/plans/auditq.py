@@ -291,11 +291,12 @@ KMV_SALT = "kmv|"
 
 
 def _kmv_oracle() -> str:
+    from .pipelineq import _crossdoc_gram_sql
+
     return f"""
     WITH st AS (
-      SELECT DISTINCT source, tok
-      FROM (SELECT source, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS tok
-            FROM documents)),
+      SELECT DISTINCT d.source, g.gram AS tok
+      FROM ({_crossdoc_gram_sql()}) g JOIN documents d USING (doc_id)),
     hashed AS (
       SELECT source, tok,
              cast(concat('0x', substr(md5(concat('{KMV_SALT}', tok)), 1, 15)) as bigint) AS h
@@ -304,7 +305,11 @@ def _kmv_oracle() -> str:
       SELECT source, h FROM (
         SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
         FROM hashed) WHERE rn <= {KMV_K}),
-    kth AS (SELECT source, max(h) AS hk, count(*) AS nk FROM sk GROUP BY source),
+    kth AS (
+      SELECT source,
+             CASE WHEN count(*) < {KMV_K} THEN count(*) * 1.0
+                  ELSE ({KMV_K} - 1) * {KMV_SPACE} / max(h) END AS est
+      FROM sk GROUP BY source),
     pairs AS (
       SELECT a.source AS source_a, b.source AS source_b
       FROM (SELECT DISTINCT source FROM st) a
@@ -318,7 +323,9 @@ def _kmv_oracle() -> str:
                row_number() OVER (PARTITION BY source_a, source_b ORDER BY h) AS rn
         FROM usk_in) q WHERE rn <= {KMV_K}),
     ukth AS (
-      SELECT source_a, source_b, max(h) AS hk
+      SELECT source_a, source_b,
+             CASE WHEN count(*) < {KMV_K} THEN count(*) * 1.0
+                  ELSE ({KMV_K} - 1) * {KMV_SPACE} / max(h) END AS uest
       FROM usk GROUP BY source_a, source_b),
     exact AS (
       SELECT p.source_a, p.source_b,
@@ -331,11 +338,8 @@ def _kmv_oracle() -> str:
            cast(e.na + e.nb - e.ni as bigint) AS n_exact_union,
            cast(e.ni as bigint) AS n_exact_inter,
            round(e.ni::double / (e.na + e.nb - e.ni), 6) AS exact_jaccard,
-           round(({KMV_K} - 1) * {KMV_SPACE} / u.hk, 4) AS est_union,
-           round(((({KMV_K} - 1) * {KMV_SPACE} / ka.hk)
-                  + (({KMV_K} - 1) * {KMV_SPACE} / kb.hk)
-                  - (({KMV_K} - 1) * {KMV_SPACE} / u.hk))
-                 / (({KMV_K} - 1) * {KMV_SPACE} / u.hk), 6) AS est_jaccard
+           round(u.uest, 4) AS est_union,
+           round((ka.est + kb.est - u.uest) / u.uest, 6) AS est_jaccard
     FROM exact e
     JOIN ukth u ON u.source_a = e.source_a AND u.source_b = e.source_b
     JOIN kth ka ON ka.source = e.source_a
@@ -345,12 +349,13 @@ def _kmv_oracle() -> str:
 
 @query("kmv_overlap_matrix", _kmv_oracle())
 def kmv_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-source vocabulary overlap, twice: exactly (distinct-token
-    set algebra — the O(|vocab|) shuffle you can afford at test scale)
-    and from {KMV_K}-minimum-values sketches (Bar-Yossef et al.): the
-    kth smallest 60-bit hash estimates distinct counts as (k-1)*2^60/h_k,
-    and KMV sketches UNION losslessly (merge, keep k smallest), so one
-    tiny per-source sketch answers every pairwise union/Jaccard. The
+    """Cross-source 8-token-shingle overlap, twice: exactly (distinct-
+    shingle set algebra — the shuffle you can afford at test scale) and
+    from {KMV_K}-minimum-values sketches (Bar-Yossef et al.): the kth
+    smallest 60-bit hash estimates distinct counts as (k-1)*2^60/h_k
+    (exact count when the sketch isn't full), and KMV sketches UNION
+    losslessly (merge, keep k smallest), so one tiny per-source sketch
+    answers every pairwise union/Jaccard. The
     audit pins estimate vs exact side-by-side — the justification table
     for replacing the exact join with sketches at 100 TB, where each
     source's sketch is {KMV_K} longs regardless of corpus size.
@@ -359,15 +364,13 @@ def kmv_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sources are a LOW-cardinality key — a plain partitionBy window
     would funnel the token stream into ~5 tasks)."""
     from ..operators.scale import grouped_top_k
+    from .pipelineq import _crossdoc_grams
 
     d = load(spark, sf_dir, "documents")
     st = (
-        d.select(
-            "source",
-            F.explode(
-                F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0))
-            ).alias("tok"),
-        )
+        _crossdoc_grams(spark, sf_dir)
+        .join(d.select("doc_id", "source"), "doc_id")
+        .select("source", F.col("gram").alias("tok"))
         .distinct()
     )
     hashed = st.select(
@@ -377,8 +380,13 @@ def kmv_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("h"),
     )
+    est_of = lambda nk, hk: F.when(  # noqa: E731
+        nk < KMV_K, nk.cast("double")
+    ).otherwise((KMV_K - 1) * F.lit(KMV_SPACE) / hk)
     sk = grouped_top_k(hashed.select("source", "h"), ["source"], ["h"], KMV_K).drop("rn")
-    kth = sk.groupBy("source").agg(F.max("h").alias("hk"))
+    kth = sk.groupBy("source").agg(
+        est_of(F.count(F.lit(1)), F.max("h")).alias("est")
+    )
     srcs = st.select("source").distinct()
     pairs = (
         srcs.select(F.col("source").alias("source_a"))
@@ -395,7 +403,9 @@ def kmv_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     usk = grouped_top_k(usk_in, ["source_a", "source_b"], ["h"], KMV_K).drop("rn")
-    ukth = usk.groupBy("source_a", "source_b").agg(F.max("h").alias("uhk"))
+    ukth = usk.groupBy("source_a", "source_b").agg(
+        est_of(F.count(F.lit(1)), F.max("h")).alias("uest")
+    )
     per_src = st.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         st.select(F.col("source").alias("source_a"), "tok")
@@ -404,14 +414,13 @@ def kmv_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("ni"))
     )
-    est = lambda hk: (KMV_K - 1) * F.lit(KMV_SPACE) / hk  # noqa: E731
     out = (
         pairs.join(inter, ["source_a", "source_b"], "left")
         .join(per_src.select(F.col("source").alias("source_a"), F.col("n").alias("na")), "source_a")
         .join(per_src.select(F.col("source").alias("source_b"), F.col("n").alias("nb")), "source_b")
         .join(ukth, ["source_a", "source_b"])
-        .join(kth.select(F.col("source").alias("source_a"), F.col("hk").alias("hka")), "source_a")
-        .join(kth.select(F.col("source").alias("source_b"), F.col("hk").alias("hkb")), "source_b")
+        .join(kth.select(F.col("source").alias("source_a"), F.col("est").alias("esta")), "source_a")
+        .join(kth.select(F.col("source").alias("source_b"), F.col("est").alias("estb")), "source_b")
         .withColumn("ni", F.coalesce(F.col("ni"), F.lit(0)))
     )
     return out.select(
@@ -422,9 +431,9 @@ def kmv_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("ni").cast("double") / (F.col("na") + F.col("nb") - F.col("ni")), 6).alias(
             "exact_jaccard"
         ),
-        F.round(est(F.col("uhk")), 4).alias("est_union"),
+        F.round(F.col("uest"), 4).alias("est_union"),
         F.round(
-            (est(F.col("hka")) + est(F.col("hkb")) - est(F.col("uhk"))) / est(F.col("uhk")), 6
+            (F.col("esta") + F.col("estb") - F.col("uest")) / F.col("uest"), 6
         ).alias("est_jaccard"),
     )
 
@@ -712,4 +721,304 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("n").cast("long").alias("n_purchases"),
             F.round(F.col("n").cast("double") / F.col("n_total"), 6).alias("share"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Training-prep audits: split leakage, negatives, centroid geometry,
+# containment
+# --------------------------------------------------------------------------
+
+
+def _split_leak_oracle() -> str:
+    from .pipelineq import _bucket_sql, _crossdoc_gram_sql
+
+    return f"""
+    WITH splits AS (
+      SELECT doc_id,
+             CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+      FROM (SELECT doc_id, {_bucket_sql("doc_id")} AS b FROM documents)),
+    grams AS ({_crossdoc_gram_sql()}),
+    sg AS (
+      SELECT DISTINCT s.split, g.gram
+      FROM grams g JOIN splits s USING (doc_id)),
+    per AS (SELECT split, count(*) AS n FROM sg GROUP BY split),
+    shared AS (
+      SELECT a.split AS split_a, b.split AS split_b, count(*) AS n_shared
+      FROM sg a JOIN sg b ON a.gram = b.gram AND a.split < b.split
+      GROUP BY a.split, b.split)
+    SELECT s.split_a, s.split_b,
+           cast(pa.n as bigint) AS n_grams_a,
+           cast(pb.n as bigint) AS n_grams_b,
+           cast(s.n_shared as bigint) AS n_shared,
+           round(s.n_shared::double / least(pa.n, pb.n), 6) AS contamination
+    FROM shared s
+    JOIN per pa ON pa.split = s.split_a
+    JOIN per pb ON pb.split = s.split_b
+    """
+
+
+@query("split_leakage_audit", _split_leak_oracle())
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test LEAKAGE audit at substring granularity: the
+    fraction of 8-token shingles each split pair shares (normalized by
+    the smaller side). Doc-level hash splits guarantee no document
+    crosses a split — but template text, boilerplate, and quoted
+    passages still do, and that's what inflates eval scores. Run after
+    ``dataset_split_assign``, before any benchmark claim.
+
+    Shape: distinct (split, gram) partial-aggregates before its
+    shuffle; the pair join is an equi-join on the gram key (never
+    all-pairs across docs). At 100 TB the gram would be md5-hashed to
+    bound shuffle width, exactly as ``crossdoc_ngram_dup_fraction``."""
+    from .pipelineq import _bucket_col, _crossdoc_grams
+
+    d = load(spark, sf_dir, "documents")
+    splits = d.select("doc_id", _bucket_col(F.col("doc_id")).alias("b")).select(
+        "doc_id",
+        F.when(F.col("b") < 80, "train").when(F.col("b") < 90, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    sg = (
+        _crossdoc_grams(spark, sf_dir)
+        .join(splits, "doc_id")
+        .select("split", "gram")
+        .distinct()
+    )
+    per = sg.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+    shared = (
+        sg.select(F.col("split").alias("split_a"), "gram")
+        .join(sg.select(F.col("split").alias("split_b"), "gram"), "gram")
+        .where(F.col("split_a") < F.col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(per.select(F.col("split").alias("split_a"), F.col("n").alias("na"))),
+            "split_a",
+        )
+        .join(
+            F.broadcast(per.select(F.col("split").alias("split_b"), F.col("n").alias("nb"))),
+            "split_b",
+        )
+        .select(
+            "split_a",
+            "split_b",
+            F.col("na").cast("long").alias("n_grams_a"),
+            F.col("nb").cast("long").alias("n_grams_b"),
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.round(
+                F.col("n_shared").cast("double") / F.least(F.col("na"), F.col("nb")), 6
+            ).alias("contamination"),
+        )
+    )
+
+
+CN_ANCHORS = 10  # doc_id < this are the anchor documents
+CN_K = 4  # negatives per anchor
+CN_SALT = "neg|"
+
+
+@query(
+    "contrastive_negatives_sample",
+    f"""
+    WITH anchors AS (
+      SELECT doc_id AS anchor_doc_id, source AS a_source
+      FROM documents WHERE doc_id < {CN_ANCHORS}),
+    cand AS (
+      SELECT a.anchor_doc_id, d.doc_id AS neg_doc_id, d.source AS neg_source,
+             cast(concat('0x', substr(md5(concat('{CN_SALT}',
+                    cast(a.anchor_doc_id as varchar), '|', cast(d.doc_id as varchar))), 1, 15))
+                  as bigint) AS h
+      FROM anchors a JOIN documents d ON d.source <> a.a_source)
+    SELECT anchor_doc_id, neg_doc_id, neg_source, cast(rn as bigint) AS rn
+    FROM (SELECT *, row_number() OVER (PARTITION BY anchor_doc_id
+                                       ORDER BY h, neg_doc_id) AS rn
+          FROM cand) q
+    WHERE rn <= {CN_K}
+    """,
+)
+def contrastive_negatives_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic in-batch NEGATIVE mining for contrastive training
+    (retrieval/embedding fine-tuning): each anchor draws {CN_K}
+    pseudo-random cross-source negatives via a salted pair hash — the
+    same sample on every run, any partitioning, any insertion order
+    (the property an RNG-based sampler loses on re-runs). Cross-source
+    is the cheap hard-negative heuristic: same-domain lookalikes score
+    high but carry no relevance signal.
+
+    Shape: anchors broadcast; per-anchor top-k runs through
+    ``grouped_top_k`` (anchors are a LOW-cardinality key — a plain
+    partitionBy window would single-task the candidate stream)."""
+    from ..operators.scale import grouped_top_k
+
+    d = load(spark, sf_dir, "documents")
+    anchors = d.where(F.col("doc_id") < CN_ANCHORS).select(
+        F.col("doc_id").alias("anchor_doc_id"), F.col("source").alias("a_source")
+    )
+    cand = (
+        d.select(F.col("doc_id").alias("neg_doc_id"), F.col("source").alias("neg_source"))
+        .join(F.broadcast(anchors), F.col("neg_source") != F.col("a_source"))
+        .select(
+            "anchor_doc_id",
+            "neg_doc_id",
+            "neg_source",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(CN_SALT),
+                            F.col("anchor_doc_id").cast("string"),
+                            F.lit("|"),
+                            F.col("neg_doc_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    return (
+        grouped_top_k(cand, ["anchor_doc_id"], ["h", "neg_doc_id"], CN_K)
+        .select(
+            "anchor_doc_id", "neg_doc_id", "neg_source", F.col("rn").cast("long").alias("rn")
+        )
+    )
+
+
+@query(
+    "embedding_centroid_shift",
+    """
+    WITH comp AS (
+      SELECT label, cast(pos as bigint) AS pos, embedding[pos]::DOUBLE AS v
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(pos)),
+    cent AS (
+      SELECT label, pos,
+             cast(sum(cast(v as decimal(27,18))) as double) / count(*) AS c
+      FROM comp GROUP BY label, pos),
+    pairs AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             cast(sum(cast(a.c * b.c as decimal(38,18))) as double) AS num,
+             cast(sum(cast(a.c * a.c as decimal(38,18))) as double) AS da,
+             cast(sum(cast(b.c * b.c as decimal(38,18))) as double) AS db
+      FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+      GROUP BY a.label, b.label)
+    SELECT label_a, label_b,
+           round(num / (sqrt(da) * sqrt(db)), 8) AS centroid_cosine,
+           round(sqrt(da + db - 2 * num), 6) AS centroid_l2
+    FROM pairs
+    """,
+)
+def embedding_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise geometry of per-label embedding centroids — the drift /
+    cluster-separation monitor for an embedding space: low inter-
+    centroid cosine = well-separated clusters; a pair drifting toward 1
+    flags label confusion or encoder collapse. Same shape monitors a
+    source's centroid across ingestion batches at 100 TB (N tiny
+    centroid vectors, however big the corpus).
+
+    Shape: posexplode → one partial-aggregable (label, dim) groupBy; the
+    pairwise stage joins |labels|x|dims| rows — already reduced from
+    |vectors|. Centroid means and all cross products accumulate as
+    exact decimals so both engines emit identical doubles."""
+    e = load(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "v")
+    ).select("label", (F.col("pos0") + 1).cast("long").alias("pos"), "v")
+    cent = comp.groupBy("label", "pos").agg(
+        (F.sum(F.col("v").cast("decimal(27,18)")).cast("double") / F.count(F.lit(1))).alias("c")
+    )
+    a = cent.select(F.col("label").alias("label_a"), "pos", F.col("c").alias("ca"))
+    b = cent.select(F.col("label").alias("label_b"), "pos", F.col("c").alias("cb"))
+    pairs = (
+        a.join(b, "pos")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum((F.col("ca") * F.col("cb")).cast("decimal(38,18)")).cast("double").alias("num"),
+            F.sum((F.col("ca") * F.col("ca")).cast("decimal(38,18)")).cast("double").alias("da"),
+            F.sum((F.col("cb") * F.col("cb")).cast("decimal(38,18)")).cast("double").alias("db"),
+        )
+    )
+    return pairs.select(
+        "label_a",
+        "label_b",
+        F.round(F.col("num") / (F.sqrt("da") * F.sqrt("db")), 8).alias("centroid_cosine"),
+        F.round(F.sqrt(F.col("da") + F.col("db") - 2 * F.col("num")), 6).alias("centroid_l2"),
+    )
+
+
+CONTAIN_MAX_DF = 20  # shingles in more docs than this are boilerplate, not overlap
+
+
+def _containment_oracle() -> str:
+    from .pipelineq import _crossdoc_gram_sql
+
+    return f"""
+    WITH g0 AS (SELECT DISTINCT doc_id, gram FROM ({_crossdoc_gram_sql()})),
+    df AS (SELECT gram, count(*) AS nd FROM g0 GROUP BY gram),
+    grams AS (
+      SELECT g0.doc_id, g0.gram, df.nd
+      FROM g0 JOIN df USING (gram) WHERE df.nd <= {CONTAIN_MAX_DF}),
+    per AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+      WHERE a.nd >= 2
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT i.doc_a, i.doc_b,
+           cast(pa.n as bigint) AS n_grams_a,
+           cast(i.ni as bigint) AS n_inter,
+           round(i.ni::double / pa.n, 6) AS containment
+    FROM inter i JOIN per pa ON pa.doc_id = i.doc_a
+    """
+
+
+@query("shingle_containment_pairs", _containment_oracle())
+def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection — containment C(a,b) =
+    |S(a)∩S(b)| / |S(a)| over 8-token shingles (Broder's original
+    resemblance/containment pair): Jaccard misses a short doc quoted
+    wholesale inside a long one (union dwarfs the overlap), containment
+    pins it at ~1.0. The excerpt/quotation detector a dedup pass runs
+    AFTER symmetric MinHash. Directed pairs, so both a⊂b and b⊂a are
+    visible. The containment universe drops shingles in more than
+    {CONTAIN_MAX_DF} docs — boilerplate that would both fan the join
+    out quadratically in its doc-frequency AND mislabel template reuse
+    as quotation. That cap is what bounds the join at 100 TB: the
+    worst-case pair fan-out per shingle is {CONTAIN_MAX_DF}², however
+    hot the template.
+
+    Shape: equi-join on the gram key only (pairs materialize solely
+    where rare shingles actually collide — never the |docs|² cross
+    join); both inputs partial-aggregate first."""
+    from .pipelineq import _crossdoc_grams
+
+    g0 = _crossdoc_grams(spark, sf_dir).distinct()
+    df_ = g0.groupBy("gram").agg(F.count(F.lit(1)).alias("nd"))
+    grams = g0.join(df_, "gram").where(F.col("nd") <= CONTAIN_MAX_DF)
+    per = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        grams.where(F.col("nd") >= 2)
+        .select(F.col("doc_id").alias("doc_a"), "gram")
+        .join(grams.select(F.col("doc_id").alias("doc_b"), "gram"), "gram")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    return inter.join(
+        F.broadcast(per.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))), "doc_a"
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.col("na").cast("long").alias("n_grams_a"),
+        F.col("ni").cast("long").alias("n_inter"),
+        F.round(F.col("ni").cast("double") / F.col("na"), 6).alias("containment"),
     )
