@@ -1022,3 +1022,304 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ni").cast("long").alias("n_inter"),
         F.round(F.col("ni").cast("double") / F.col("na"), 6).alias("containment"),
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization, HITS, and Markov stationary analytics
+# --------------------------------------------------------------------------
+
+PQ_SUBS = 4  # subspaces: 64 dims -> 4 x 16
+PQ_SUBDIM = 16
+PQ_CODES = 8  # codes per subspace; init = vec_id 0..7's subvectors
+
+
+def _pq_oracle() -> str:
+    return f"""
+    WITH comp AS (
+      SELECT vec_id, cast((pos - 1) // {PQ_SUBDIM} as bigint) AS sub,
+             cast((pos - 1) % {PQ_SUBDIM} + 1 as bigint) AS spos,
+             embedding[pos]::DOUBLE AS val
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(pos)),
+    subv AS (
+      SELECT vec_id, sub, list(val ORDER BY spos) AS sv
+      FROM comp GROUP BY vec_id, sub),
+    codes AS (
+      SELECT sub, cast(vec_id as bigint) AS code, sv AS cv
+      FROM subv WHERE vec_id < {PQ_CODES}),
+    assign AS (
+      SELECT vec_id, sub, code, d2 FROM (
+        SELECT v.vec_id, v.sub, c.code,
+               round(list_dot_product(v.sv, v.sv) - 2 * list_dot_product(v.sv, c.cv)
+                     + list_dot_product(c.cv, c.cv), 8) AS d2,
+               row_number() OVER (
+                 PARTITION BY v.vec_id, v.sub
+                 ORDER BY round(list_dot_product(v.sv, v.sv) - 2 * list_dot_product(v.sv, c.cv)
+                                + list_dot_product(c.cv, c.cv), 8), c.code) AS rn
+        FROM subv v JOIN codes c ON v.sub = c.sub) q
+      WHERE rn = 1),
+    recomputed AS (
+      SELECT a.sub, a.code, c.spos,
+             round(cast(sum(cast(c.val as decimal(28,12))) as double) / count(*), 8) AS cval
+      FROM assign a JOIN comp c ON c.vec_id = a.vec_id AND c.sub = a.sub
+      GROUP BY a.sub, a.code, c.spos)
+    SELECT a.sub AS subspace, a.code,
+           cast(count(*) as bigint) AS n_members,
+           round(cast(sum(cast(a.d2 as decimal(28,8))) as double), 8) AS wcss,
+           any_value(r.cval) AS c1
+    FROM assign a JOIN recomputed r ON r.sub = a.sub AND r.code = a.code AND r.spos = 1
+    GROUP BY a.sub, a.code
+    """
+
+
+@query("pq_codebook_train", _pq_oracle())
+def pq_codebook_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT-quantization codebook training, one Lloyd fold: split
+    the 64-dim space into {PQ_SUBS} x {PQ_SUBDIM}-dim subspaces, run an
+    independent tiny k-means (k={PQ_CODES}, deterministic init from the
+    first {PQ_CODES} vectors) in each, emit per-(subspace, code)
+    membership, quantization WCSS, and the refit centroid's first
+    component. PQ is how billion-vector ANN fits in RAM: a vector
+    compresses to {PQ_SUBS} bytes of code ids, and asymmetric distances
+    come from {PQ_SUBS} table lookups (Jégou et al., public IVF-PQ).
+
+    Distributed shape per subspace, same as ``kmeans_lloyd_2iter``:
+    codebooks are tiny -> broadcast to the assignment map (no shuffle
+    of the vector table); the refit partial-aggregates to
+    subs x codes x dims cells. All {PQ_SUBS} subspace problems ride ONE
+    plan — subspace is just another grouping column, so 'train {PQ_SUBS}
+    independent quantizers' costs one pass, not {PQ_SUBS}."""
+    from pyspark.sql.window import Window
+
+    from .vectors import dot, l2_norm_sq
+
+    e = load(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "val")
+    ).select(
+        "vec_id",
+        (F.col("pos0") / PQ_SUBDIM).cast("long").alias("sub"),
+        (F.col("pos0") % PQ_SUBDIM + 1).cast("long").alias("spos"),
+        "val",
+    )
+    subv = comp.groupBy("vec_id", "sub").agg(
+        F.transform(F.sort_array(F.collect_list(F.struct("spos", "val"))), lambda s: s["val"]).alias(
+            "sv"
+        )
+    )
+    codes = subv.where(F.col("vec_id") < PQ_CODES).select(
+        "sub", F.col("vec_id").cast("long").alias("code"), F.col("sv").alias("cv")
+    )
+    d2 = F.round(
+        l2_norm_sq(F.col("sv")) - 2 * dot(F.col("sv"), F.col("cv")) + l2_norm_sq(F.col("cv")), 8
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy("d2", "code")
+    assign = (
+        subv.join(F.broadcast(codes), "sub")
+        .select("vec_id", "sub", "code", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    recomputed = (
+        assign.join(comp, ["vec_id", "sub"])
+        .groupBy("sub", "code", "spos")
+        .agg(
+            F.round(
+                F.sum(F.col("val").cast("decimal(28,12)")).cast("double") / F.count(F.lit(1)), 8
+            ).alias("cval")
+        )
+    )
+    return (
+        assign.groupBy("sub", "code")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.round(F.sum(F.col("d2").cast("decimal(28,8)")).cast("double"), 8).alias("wcss"),
+        )
+        .join(
+            F.broadcast(recomputed.where(F.col("spos") == 1).select("sub", "code", "cval")),
+            ["sub", "code"],
+        )
+        .select(
+            F.col("sub").alias("subspace"),
+            "code",
+            "n_members",
+            "wcss",
+            F.col("cval").alias("c1"),
+        )
+    )
+
+
+HITS_ITERS = 2
+
+
+def _hits_oracle() -> str:
+    from . import REGISTRY
+
+    edges = REGISTRY["knn_graph_by_label"].oracle
+    sql = f"""
+    WITH edges AS (SELECT src, dst FROM ({edges}) e),
+    nodes AS (SELECT vec_id FROM embeddings),
+    h0 AS (SELECT vec_id, cast(1 as bigint) AS h FROM nodes)
+    """
+    prev_h = "h0"
+    for i in range(1, HITS_ITERS + 1):
+        sql += f""",
+    a{i} AS (
+      SELECT n.vec_id, cast(coalesce(sum(p.h), 0) as bigint) AS a
+      FROM nodes n
+      LEFT JOIN edges e ON e.dst = n.vec_id
+      LEFT JOIN {prev_h} p ON p.vec_id = e.src
+      GROUP BY n.vec_id),
+    h{i} AS (
+      SELECT n.vec_id, cast(coalesce(sum(q.a), 0) as bigint) AS h
+      FROM nodes n
+      LEFT JOIN edges e ON e.src = n.vec_id
+      LEFT JOIN a{i} q ON q.vec_id = e.dst
+      GROUP BY n.vec_id)
+    """
+        prev_h = f"h{i}"
+    sql += f"""
+    SELECT n.vec_id, a.a AS authority_score, h.h AS hub_score
+    FROM nodes n
+    JOIN a{HITS_ITERS} a USING (vec_id) JOIN h{HITS_ITERS} h USING (vec_id)
+    """
+    return sql
+
+
+@query("hits_hub_authority", _hits_oracle())
+def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities, {HITS_ITERS} power iterations over the
+    k-NN graph (Kleinberg) — the directed-graph complement to
+    ``pagerank_knn_2iter``: a vector many neighbors point AT is an
+    authority (a cluster medoid); one whose OWN neighbor list hits
+    authorities is a hub. Deliberately UNnormalized: after
+    {HITS_ITERS} iterations from all-ones the scores are exact path
+    counts (integers — cross-engine determinism for free); the usual
+    L2 normalization rescales ranks it never changes, so it stays a
+    display concern.
+
+    Distributed shape per iteration: two equi-joins on the edge key +
+    partial-aggregable integer sums — the standard message-passing
+    pattern. Edges reuse the ``knn_graph_by_label`` plan (bucketed
+    self-join, never |N|²)."""
+    from .vectors import knn_graph_by_label
+
+    edges = knn_graph_by_label(spark, sf_dir).select("src", "dst")
+    nodes = load(spark, sf_dir, "embeddings").select("vec_id")
+    h = nodes.select("vec_id", F.lit(1).cast("long").alias("s"))
+    a = None
+    for _ in range(HITS_ITERS):
+        a = (
+            nodes.join(edges, nodes.vec_id == edges.dst, "left")
+            .join(h.select(F.col("vec_id").alias("_sv"), "s"), F.col("src") == F.col("_sv"), "left")
+            .groupBy(nodes.vec_id)
+            .agg(F.coalesce(F.sum("s"), F.lit(0)).cast("long").alias("s"))
+        )
+        h = (
+            nodes.join(edges, nodes.vec_id == edges.src, "left")
+            .join(a.select(F.col("vec_id").alias("_sv"), "s"), F.col("dst") == F.col("_sv"), "left")
+            .groupBy(nodes.vec_id)
+            .agg(F.coalesce(F.sum("s"), F.lit(0)).cast("long").alias("s"))
+        )
+    return (
+        nodes.join(a.select("vec_id", F.col("s").alias("authority_score")), "vec_id")
+        .join(h.select("vec_id", F.col("s").alias("hub_score")), "vec_id")
+        .select("vec_id", "authority_score", "hub_score")
+    )
+
+
+MARKOV_ITERS = 2
+
+
+def _markov_stationary_oracle() -> str:
+    sql = """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events),
+    trans AS (
+      SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type),
+    p AS (
+      SELECT from_type, to_type,
+             round(n::double / sum(n) OVER (PARTITION BY from_type), 9) AS p
+      FROM trans),
+    types AS (SELECT DISTINCT event_type FROM events),
+    pi0 AS (
+      SELECT event_type, round(1.0 / (SELECT count(*) FROM types), 9) AS prob FROM types)
+    """
+    prev = "pi0"
+    for i in range(1, MARKOV_ITERS + 1):
+        sql += f""",
+    pi{i} AS (
+      SELECT t.event_type,
+             round(coalesce(cast(sum(cast(pr.prob * p.p as decimal(38,18)))
+                                 as double), 0.0), 9) AS prob
+      FROM types t
+      LEFT JOIN p ON p.to_type = t.event_type
+      LEFT JOIN {prev} pr ON pr.event_type = p.from_type
+      GROUP BY t.event_type)
+    """
+        prev = f"pi{i}"
+    sql += f"""
+    SELECT event_type, round(prob, 8) + 0.0 AS stationary_prob
+    FROM pi{MARKOV_ITERS}
+    """
+    return sql
+
+
+@query("markov_stationary_power", _markov_stationary_oracle())
+def markov_stationary_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate stationary distribution of the event-type Markov
+    chain: {MARKOV_ITERS} power iterations of pi·P from uniform, with
+    P the row-normalized transition matrix ``events_markov_transitions``
+    estimates. Where the raw event-type histogram says what users DO,
+    the stationary distribution says where the chain SETTLES — the
+    long-run state mix under observed dynamics, and the quantity a
+    traffic simulator needs.
+
+    Shape: P is |types|² ≈ tiny — the heavy lift is the one lag()
+    window building transitions (high-cardinality user key); each
+    power step is a broadcast join + decimal-exact sum over ≤|types|
+    terms. At 100 TB the matrix still fits in a float[25]; only the
+    transition count changes."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("event_type", F.lead("event_type").over(w).alias("next_type")).where(
+        F.col("next_type").isNotNull()
+    )
+    trans = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    totals = trans.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    p = trans.join(F.broadcast(totals), "from_type").select(
+        "from_type", "to_type", F.round(F.col("n").cast("double") / F.col("tot"), 9).alias("p")
+    )
+    types = ev.select("event_type").distinct()
+    ntypes = types.agg(F.count(F.lit(1)).alias("nt"))
+    pi = types.crossJoin(F.broadcast(ntypes)).select(
+        "event_type", F.round(F.lit(1.0) / F.col("nt"), 9).alias("prob")
+    )
+    for _ in range(MARKOV_ITERS):
+        pi = (
+            types.join(p, p.to_type == types.event_type, "left")
+            .join(
+                pi.select(F.col("event_type").alias("_ft"), "prob"),
+                F.col("from_type") == F.col("_ft"),
+                "left",
+            )
+            .groupBy(types.event_type)
+            .agg(
+                F.round(
+                    F.coalesce(
+                        F.sum((F.col("prob") * F.col("p")).cast("decimal(38,18)")).cast("double"),
+                        F.lit(0.0),
+                    ),
+                    9,
+                ).alias("prob")
+            )
+        )
+    return pi.select("event_type", (F.round("prob", 8) + F.lit(0.0)).alias("stationary_prob"))
