@@ -1323,3 +1323,287 @@ def markov_stationary_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return pi.select("event_type", (F.round("prob", 8) + F.lit(0.0)).alias("stationary_prob"))
+
+
+# --------------------------------------------------------------------------
+# Partition planning, funnel timing, prefix dedup, Good-Turing, Gini
+# --------------------------------------------------------------------------
+
+PFP_TARGET_BYTES = 131072  # toy 128 KiB target "file" for the planner
+PFP_ROW_OVERHEAD = 32  # fixed per-row byte estimate + variable-width cols
+
+
+@query(
+    "partition_file_planner",
+    f"""
+    WITH sized AS (
+      SELECT date_trunc('month', o_orderdate) AS part_month,
+             {PFP_ROW_OVERHEAD} + length(o_orderpriority) + length(o_orderstatus) AS est
+      FROM orders),
+    parts AS (
+      SELECT part_month, count(*) AS n_rows, sum(est) AS est_bytes
+      FROM sized GROUP BY part_month),
+    total AS (SELECT sum(n_rows)::double / count(*) AS avg_rows FROM parts)
+    SELECT cast(part_month as date) AS part_month,
+           cast(n_rows as bigint) AS n_rows,
+           cast(est_bytes as bigint) AS est_bytes,
+           cast((est_bytes + {PFP_TARGET_BYTES} - 1) // {PFP_TARGET_BYTES} as bigint) AS n_files,
+           round(n_rows / avg_rows, 6) AS skew_vs_avg
+    FROM parts, total
+    """,
+)
+def partition_file_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction/layout PLANNING table: per month-partition row count,
+    estimated bytes, the file count a {PFP_TARGET_BYTES}-byte target
+    implies (ceil division in pure integer math), and skew vs the mean
+    partition. This is the input to every small-file compaction and
+    repartition(n) decision — at 100 TB you run the planner (one cheap
+    partial-aggregable groupBy over scan metadata) BEFORE the write,
+    instead of discovering a 40k-file partition after. The byte
+    estimator uses fixed + variable-width column terms only (no
+    engine-specific serialization guesses)."""
+    o = load(spark, sf_dir, "orders")
+    sized = o.select(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("part_month"),
+        (
+            F.lit(PFP_ROW_OVERHEAD)
+            + F.length("o_orderpriority")
+            + F.length("o_orderstatus")
+        ).alias("est"),
+    )
+    parts = sized.groupBy("part_month").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("est").alias("est_bytes")
+    )
+    total = parts.agg(
+        (F.sum("n_rows").cast("double") / F.count(F.lit(1))).alias("avg_rows")
+    )
+    return parts.crossJoin(F.broadcast(total)).select(
+        "part_month",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("est_bytes").cast("long").alias("est_bytes"),
+        F.expr(f"(est_bytes + {PFP_TARGET_BYTES} - 1) div {PFP_TARGET_BYTES}")
+        .cast("long")
+        .alias("n_files"),
+        F.round(F.col("n_rows") / F.col("avg_rows"), 6).alias("skew_vs_avg"),
+    )
+
+
+FUNNEL_LOOKBACK_H = 24
+
+
+@query(
+    "funnel_time_to_convert",
+    f"""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'),
+    lat AS (
+      SELECT p.purchase_id,
+             date_diff('second', min(e.ts), any_value(p.p_ts)) AS latency_s
+      FROM p JOIN events e
+        ON e.user_id = p.user_id AND e.event_type = 'view'
+       AND e.ts < p.p_ts AND e.ts >= p.p_ts - INTERVAL {FUNNEL_LOOKBACK_H} HOUR
+      GROUP BY p.purchase_id)
+    SELECT cast(count(*) as bigint) AS n_conversions,
+           round(quantile_cont(latency_s, 0.5), 6) AS p50_latency_s,
+           round(quantile_cont(latency_s, 0.9), 6) AS p90_latency_s,
+           round(sum(latency_s)::double / count(*), 6) AS avg_latency_s
+    FROM lat
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase conversion LATENCY: for each purchase, seconds
+    since the user's FIRST view inside a {FUNNEL_LOOKBACK_H}-hour
+    lookback, summarized as exact p50/p90/mean — the time-dimension
+    companion to ``events_view_purchase_funnel`` (which counts, but
+    doesn't time). The per-purchase min-view is a partial-aggregable
+    min, the bounded join keys per-user fan-out to the lookback
+    horizon, and latencies are integer seconds so every downstream
+    stat is FP-stable."""
+    ev = load(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    lat = (
+        p.join(
+            ev.where(F.col("event_type") == "view").select("user_id", "ts"),
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("ts") < F.col("p_ts"))
+            & (F.col("ts") >= F.col("p_ts") - F.expr(f"INTERVAL {FUNNEL_LOOKBACK_H} HOURS")),
+        )
+        .groupBy("purchase_id")
+        .agg(
+            (F.unix_timestamp(F.first("p_ts")) - F.unix_timestamp(F.min("ts"))).alias("latency_s")
+        )
+    )
+    return lat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_conversions"),
+        F.round(F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY latency_s)"), 6).alias(
+            "p50_latency_s"
+        ),
+        F.round(F.expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY latency_s)"), 6).alias(
+            "p90_latency_s"
+        ),
+        F.round(F.sum("latency_s").cast("double") / F.count(F.lit(1)), 6).alias("avg_latency_s"),
+    )
+
+
+PREFIX_LEN = 64
+
+
+@query(
+    "doc_prefix_dedup",
+    f"""
+    WITH keyed AS (
+      SELECT lang, doc_id, md5(substr(text, 1, {PREFIX_LEN})) AS pfx
+      FROM documents),
+    grp AS (
+      SELECT lang, pfx, count(*) AS sz FROM keyed GROUP BY lang, pfx)
+    SELECT lang,
+           cast(sum(sz) as bigint) AS n_docs,
+           cast(count(*) as bigint) AS n_prefix_groups,
+           cast(sum(sz) - count(*) as bigint) AS n_dup_docs,
+           round(count(*)::double / sum(sz), 6) AS retention
+    FROM grp GROUP BY lang
+    """,
+)
+def doc_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFIX-key near-dedup per language: documents sharing an
+    identical first-{PREFIX_LEN}-char hash collapse to one group — the
+    cheap catch for mirrored pages, re-crawls with changed footers, and
+    templated intros that differ only past the fold (public CC-dedup
+    practice: URL+prefix keys before any MinHash spend). Retention =
+    groups/docs is the per-language survival rate if the pass kept one
+    doc per group. Pure projection + two partial-aggregable groupBys —
+    the md5 prefix key bounds shuffle width regardless of doc length."""
+    d = load(spark, sf_dir, "documents")
+    keyed = d.select(
+        "lang", "doc_id", F.md5(F.substring("text", 1, PREFIX_LEN)).alias("pfx")
+    )
+    grp = keyed.groupBy("lang", "pfx").agg(F.count(F.lit(1)).alias("sz"))
+    return grp.groupBy("lang").agg(
+        F.sum("sz").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_prefix_groups"),
+        (F.sum("sz") - F.count(F.lit(1))).cast("long").alias("n_dup_docs"),
+        F.round(F.count(F.lit(1)).cast("double") / F.sum("sz"), 6).alias("retention"),
+    )
+
+
+GT_MAX_F = 10
+
+
+@query(
+    "good_turing_counts",
+    f"""
+    WITH tf AS (
+      SELECT tok, count(*) AS f
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS tok
+            FROM documents)
+      GROUP BY tok),
+    foff AS (SELECT f, count(*) AS n_f FROM tf GROUP BY f)
+    SELECT a.f, cast(a.n_f as bigint) AS n_f,
+           cast(coalesce(b.n_f, 0) as bigint) AS n_f_plus_1,
+           round((a.f + 1) * coalesce(b.n_f, 0)::double / a.n_f, 6) AS gt_adjusted_count
+    FROM foff a LEFT JOIN foff b ON b.f = a.f + 1
+    WHERE a.f <= {GT_MAX_F}
+    """,
+)
+def good_turing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOOD-TURING frequency-of-frequencies: N_f for f ≤ {GT_MAX_F} and
+    the smoothed count f* = (f+1)·N_(f+1)/N_f — the classical
+    adjustment for how much probability mass the unseen/rare tail
+    deserves (the input every Katz-backoff LM and the 'how much tail
+    vocabulary does one more shard buy' estimate needs). Two nested
+    partial-aggregable groupBys (token counts, then count-of-counts —
+    the second input is at most |distinct frequencies| rows) and a
+    self-join on f+1."""
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0))
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    foff = tf.groupBy("f").agg(F.count(F.lit(1)).alias("n_f"))
+    a = foff.select(F.col("f"), F.col("n_f"))
+    b = foff.select((F.col("f") - 1).alias("f"), F.col("n_f").alias("n_f1"))
+    return (
+        a.join(b, "f", "left")
+        .where(F.col("f") <= GT_MAX_F)
+        .select(
+            "f",
+            F.col("n_f").cast("long").alias("n_f"),
+            F.coalesce(F.col("n_f1"), F.lit(0)).cast("long").alias("n_f_plus_1"),
+            F.round(
+                (F.col("f") + 1) * F.coalesce(F.col("n_f1"), F.lit(0)).cast("double")
+                / F.col("n_f"),
+                6,
+            ).alias("gt_adjusted_count"),
+        )
+    )
+
+
+GINI_SHIFT = 1000.0  # c_acctbal >= -999.99, so +1000 makes values positive
+
+
+@query(
+    "acctbal_gini_by_nation",
+    f"""
+    WITH ranked AS (
+      SELECT c_nationkey, c_acctbal + {GINI_SHIFT} AS x,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal, c_custkey) AS i
+      FROM customer)
+    SELECT c_nationkey,
+           cast(count(*) as bigint) AS n_customers,
+           round((2.0 * cast(sum(cast(i * cast(x as decimal(18,6)) as decimal(38,6)))
+                             as double))
+                 / (count(*) * cast(sum(cast(x as decimal(18,6))) as double))
+                 - (count(*) + 1.0) / count(*), 6) AS gini
+    FROM ranked GROUP BY c_nationkey
+    """,
+)
+def acctbal_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI coefficient of account balances per nation — the standard
+    rank-formula spelling G = 2·Σi·xᵢ/(n·Σxᵢ) − (n+1)/n over values
+    shifted non-negative (+{GINI_SHIFT}; TPC-H balances floor at
+    -999.99). The concentration metric that tells a partitioner
+    whether a nation's balance mass sits in a few whales (salting
+    candidates) or spreads evenly.
+
+    Scale shape: nations are a LOW-cardinality key, so the within-
+    nation rank comes from ``grouped_prefix_sum`` (range-exchange
+    kernel, counting 1s → exclusive prefix count + 1 = rank) instead
+    of a 25-task partitionBy window; the Σi·xᵢ reduction then
+    partial-aggregates as exact decimals."""
+    from ..operators.scale import grouped_prefix_sum
+
+    c = load(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_custkey", "c_acctbal", F.lit(1).alias("_one")
+    )
+    ranked = grouped_prefix_sum(
+        c, ["c_nationkey"], ["c_acctbal", "c_custkey"], "_one", out_col="_pfx"
+    ).select(
+        "c_nationkey",
+        (F.col("c_acctbal") + GINI_SHIFT).alias("x"),
+        (F.col("_pfx") + 1).alias("i"),
+    )
+    return ranked.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.round(
+            (
+                2.0
+                * F.sum(
+                    (F.col("i") * F.col("x").cast("decimal(18,6)")).cast("decimal(38,6)")
+                ).cast("double")
+            )
+            / (F.count(F.lit(1)) * F.sum(F.col("x").cast("decimal(18,6)")).cast("double"))
+            - (F.count(F.lit(1)) + F.lit(1.0)) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )
