@@ -239,15 +239,14 @@ def bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.where(F.col("o_totalprice") > BF_PRICE_CUT).select(F.col("o_custkey").alias("k")).distinct()
     )
     probe = c.select(F.col("c_custkey").alias("pk")).distinct()
-    bits = None
-    for s in BF_SALTS:
-        p = build.select(_bf_pos_col(s, F.col("k")).alias("pos"))
-        bits = p if bits is None else bits.unionAll(p)
-    bits = bits.distinct()
-    pp = None
-    for s in BF_SALTS:
-        p = probe.select("pk", _bf_pos_col(s, F.col("pk")).alias("pos"))
-        pp = p if pp is None else pp.unionAll(p)
+    # one scan per side: the k hash positions explode from an array
+    # projection instead of k unioned re-scans
+    bits = build.select(
+        F.explode(F.array(*[_bf_pos_col(s, F.col("k")) for s in BF_SALTS])).alias("pos")
+    ).distinct()
+    pp = probe.select(
+        "pk", F.explode(F.array(*[_bf_pos_col(s, F.col("pk")) for s in BF_SALTS])).alias("pos")
+    )
     passed = (
         pp.distinct()
         .join(bits, "pos")

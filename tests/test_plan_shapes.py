@@ -197,8 +197,20 @@ GLOBAL_WINDOW_GATED = [
 ]
 
 
+AUDITQ_ROUND6 = [
+    "zorder_layout_audit", "bloom_prefilter_audit", "kmv_overlap_matrix",
+    "k_anonymity_audit", "time_weighted_user_value", "session_gap_survival",
+    "robust_outlier_audit", "events_attribution_last_touch",
+    "split_leakage_audit", "contrastive_negatives_sample",
+    "embedding_centroid_shift", "shingle_containment_pairs",
+    "pq_codebook_train", "hits_hub_authority", "markov_stationary_power",
+    "partition_file_planner", "funnel_time_to_convert", "doc_prefix_dedup",
+    "good_turing_counts", "acctbal_gini_by_nation",
+]
+
+
 def test_no_unbounded_single_partition_windows(spark, sf_dir):
-    for name in GLOBAL_WINDOW_GATED:
+    for name in GLOBAL_WINDOW_GATED + AUDITQ_ROUND6:
         df = REGISTRY[name].spark(spark, sf_dir)
         plan = _physical_plan(df)
         n = _unbounded_single_partition_windows(plan)
@@ -215,6 +227,11 @@ def test_grouped_window_rewrites_keep_parallel_shape(spark, sf_dir):
         ("top_terms_per_lang", "_gtk_pid"),
         ("sequence_pack_greedy", "_gps_pid"),
         ("events_winsorized_values", "_gps_pid"),
+        # round-6 auditq: per-source/per-pair/per-anchor top-k and the
+        # within-nation Gini rank all ride the grouped kernels
+        ("kmv_overlap_matrix", "_gtk_pid"),
+        ("contrastive_negatives_sample", "_gtk_pid"),
+        ("acctbal_gini_by_nation", "_gps_pid"),
     ]:
         plan = _physical_plan(REGISTRY[name].spark(spark, sf_dir))
         assert marker in plan, f"{name}: expected {marker} in plan\n{plan}"
