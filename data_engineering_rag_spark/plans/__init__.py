@@ -64,6 +64,7 @@ from . import pipelineq  # noqa: E402,F401
 from . import cdcq  # noqa: E402,F401
 from . import corpusq  # noqa: E402,F401
 from . import auditq  # noqa: E402,F401
+from . import analyticsq  # noqa: E402,F401
 
 # The driver's per-round correctness check covers only the first ~50
 # REGISTRY entries, so insertion order decides which queries get
@@ -221,7 +222,7 @@ _MODULE_PRIORITY = {
     # round-6 window: ~16 stale rewrites lead, then the new round-6
     # oracle queries (module order below); verified-fresh queries
     # rotate to the back.
-    "auditq": 0, "corpusq": 0, "pipelineq": 0, "textops": 1, "vectors": 2, "relational": 3,
+    "auditq": 0, "analyticsq": 0, "corpusq": 0, "pipelineq": 0, "textops": 1, "vectors": 2, "relational": 3,
     "tpch_extra": 4, "rag": 5, "mediaq": 6, "streaming_q": 7,
     "cdcq": 8, "ingestq": 9, "logsq": 10,
 }

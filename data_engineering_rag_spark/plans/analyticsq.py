@@ -1,0 +1,550 @@
+"""Round-6 forward batch: business/ops analytics extensions —
+association-rule lift, cohort LTV, supplier scorecards, OLS trend
+fitting, EWMA smoothing, seasonal anomaly detection, readability
+scoring, and the window value-function sweep.
+
+These widen the §2 relational/analytics surface with the standard
+warehouse-analytics shapes (all public: Agrawal association rules,
+cohort LTV curves, Flesch readability, OLS normal equations). Same
+cross-engine determinism discipline as plans/__init__.py — notably the
+EWMA uses dyadic weights (2^-k is an EXACT double) and decimal-exact
+product accumulation, and OLS runs entirely on integer sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.tfidf import TOKEN_PATTERN
+from . import load, query
+
+# --------------------------------------------------------------------------
+# Association rules: lift/confidence on top of pair support
+# --------------------------------------------------------------------------
+
+LIFT_MIN_SUPPORT = 2
+
+
+@query(
+    "basket_pair_lift_top20",
+    f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
+    per AS (SELECT l_partkey, count(*) AS cnt FROM items GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS support
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING count(*) >= {LIFT_MIN_SUPPORT})
+    SELECT part_a, part_b, cast(support as bigint) AS support,
+           round(support::double / pa.cnt, 6) AS confidence_a_to_b,
+           round(support::double * n.n_orders / (pa.cnt * pb.cnt), 6) AS lift
+    FROM pairs
+    JOIN per pa ON pa.l_partkey = part_a
+    JOIN per pb ON pb.l_partkey = part_b
+    CROSS JOIN n
+    ORDER BY lift DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def basket_pair_lift_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule METRICS on top of ``basket_part_pairs_top20``'s
+    raw support: confidence P(b|a) and lift P(ab)/(P(a)P(b)) — support
+    ranks popular pairs, lift ranks SURPRISING ones (the actual
+    recommendation signal; support alone just re-finds the two
+    best-selling parts). Min-support {LIFT_MIN_SUPPORT} prunes the
+    singleton-pair noise floor before ranking.
+
+    Shape: the pair space stays bounded by co-occurrence (orderkey
+    equi-join, canonical part order); per-part counts broadcast back;
+    final ranking is TakeOrdered(20), never a global sort."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    per = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= LIFT_MIN_SUPPORT)
+    )
+    out = (
+        pairs.join(
+            F.broadcast(per.select(F.col("l_partkey").alias("part_a"), F.col("cnt").alias("ca"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(per.select(F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cb"))),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("support").cast("long").alias("support"),
+            F.round(F.col("support").cast("double") / F.col("ca"), 6).alias("confidence_a_to_b"),
+            F.round(
+                F.col("support").cast("double") * F.col("n_orders") / (F.col("ca") * F.col("cb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(F.desc("lift"), "part_a", "part_b").limit(20)
+
+
+# --------------------------------------------------------------------------
+# Cohort lifetime value
+# --------------------------------------------------------------------------
+
+
+@query(
+    "customer_ltv_cohort",
+    """
+    WITH fo AS (
+      SELECT o_custkey, date_trunc('month', min(o_orderdate)) AS cohort
+      FROM orders GROUP BY o_custkey),
+    sz AS (SELECT cohort, count(*) AS n_customers FROM fo GROUP BY cohort),
+    spend AS (
+      SELECT f.cohort,
+             date_diff('month', f.cohort, date_trunc('month', o.o_orderdate)) AS m_off,
+             sum(cast(o.o_totalprice as decimal(18,6))) AS s
+      FROM orders o JOIN fo f ON o.o_custkey = f.o_custkey
+      GROUP BY f.cohort, date_diff('month', f.cohort, date_trunc('month', o.o_orderdate))),
+    cum AS (
+      SELECT a.cohort, a.m_off, sum(b.s) AS cum_s
+      FROM spend a JOIN spend b ON b.cohort = a.cohort AND b.m_off <= a.m_off
+      GROUP BY a.cohort, a.m_off)
+    SELECT cast(c.cohort as date) AS cohort,
+           cast(c.m_off as bigint) AS month_offset,
+           cast(z.n_customers as bigint) AS n_customers,
+           round(cast(c.cum_s as double) / z.n_customers, 6) AS avg_cum_ltv
+    FROM cum c JOIN sz z USING (cohort)
+    """,
+)
+def customer_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LIFETIME-VALUE curve: customers grouped by first-order
+    month, average CUMULATIVE spend per customer at each month offset —
+    the revenue twin of ``events_cohort_retention`` (which counts
+    presence; this integrates money). Reading down a column compares
+    cohort quality at equal age; the curve flattening is churn.
+
+    Shape: two partial-aggregable groupBys; the cumulative sum runs as
+    a triangle self-join over the (cohort, offset) AGGREGATE (≤
+    cohorts·offsets rows — tiny), never a window over raw orders.
+    Spend accumulates as exact decimals."""
+    o = load(spark, sf_dir, "orders")
+    fo = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).cast("date").alias("cohort")
+    )
+    sz = fo.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_customers"))
+    spend = (
+        o.join(fo, "o_custkey")
+        .groupBy(
+            "cohort",
+            (
+                F.months_between(
+                    F.date_trunc("month", F.col("o_orderdate")), F.col("cohort")
+                )
+            )
+            .cast("long")
+            .alias("m_off"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("s"))
+    )
+    a = spend.select("cohort", "m_off", "s")
+    b = spend.select(F.col("cohort").alias("cohort"), F.col("m_off").alias("b_off"), F.col("s").alias("bs"))
+    cum = (
+        a.drop("s")
+        .join(b, "cohort")
+        .where(F.col("b_off") <= F.col("m_off"))
+        .groupBy("cohort", "m_off")
+        .agg(F.sum("bs").alias("cum_s"))
+    )
+    return cum.join(F.broadcast(sz), "cohort").select(
+        "cohort",
+        F.col("m_off").cast("long").alias("month_offset"),
+        F.col("n_customers").cast("long").alias("n_customers"),
+        F.round(F.col("cum_s").cast("double") / F.col("n_customers"), 6).alias("avg_cum_ltv"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Supplier scorecard
+# --------------------------------------------------------------------------
+
+
+SLOW_SHIP_DAYS = 60  # shipped this long after order placement = slow
+
+
+@query(
+    "supplier_scorecard",
+    f"""
+    SELECT l.l_suppkey AS suppkey,
+           any_value(s.s_name) AS s_name,
+           cast(count(*) as bigint) AS n_lines,
+           round(cast(sum(cast(l.l_extendedprice * (1 - l.l_discount) as decimal(18,4)))
+                      as double), 2) AS revenue,
+           round(sum(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate)
+                          > {SLOW_SHIP_DAYS} THEN 1 ELSE 0 END)::double
+                 / count(*), 6) AS slow_ship_rate,
+           round(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)::double
+                 / count(*), 6) AS return_rate
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    GROUP BY l.l_suppkey
+    """,
+)
+def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier OPERATIONS scorecard: revenue, slow-shipment rate
+    (shipped > {SLOW_SHIP_DAYS} days after order placement), and return
+    rate per supplier in one pass — the multi-metric rollup a
+    procurement dashboard refreshes nightly. One combinable groupBy
+    over the lineitem⋈orders fact join + a broadcast supplier-name
+    join; revenue uses the q1 exact-decimal discipline."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = load(spark, sf_dir, "supplier")
+    slow = (F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > SLOW_SHIP_DAYS).cast("int")
+    ret = (F.col("l_returnflag") == "R").cast("int")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s.select("s_suppkey", "s_name")), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.first("s_name").alias("s_name"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+                ).cast("double"),
+                2,
+            ).alias("revenue"),
+            F.round(F.sum(slow).cast("double") / F.count(F.lit(1)), 6).alias("slow_ship_rate"),
+            F.round(F.sum(ret).cast("double") / F.count(F.lit(1)), 6).alias("return_rate"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# OLS trend per order status
+# --------------------------------------------------------------------------
+
+
+@query(
+    "orders_status_trend_ols",
+    """
+    WITH m0 AS (SELECT date_trunc('month', min(o_orderdate)) AS mn FROM orders),
+    series AS (
+      SELECT o_orderstatus AS status,
+             date_diff('month', mn, date_trunc('month', o_orderdate)) AS x,
+             count(*) AS y
+      FROM orders, m0
+      GROUP BY o_orderstatus, date_diff('month', mn, date_trunc('month', o_orderdate))),
+    sums AS (
+      SELECT status, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM series GROUP BY status)
+    SELECT status,
+           cast(n as bigint) AS n_months,
+           round((n * sxy - sx * sy)::double / (n * sxx - sx * sx), 6) AS slope,
+           round((sy::double - ((n * sxy - sx * sy)::double / (n * sxx - sx * sx)) * sx) / n, 6)
+             AS intercept
+    FROM sums
+    """,
+)
+def orders_status_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares TREND per order status: monthly counts regressed
+    on month index via the closed-form normal equations — slope answers
+    'is the F/O/P mix drifting' with a number instead of a chart. Every
+    Σ is an INTEGER sum (counts × indices), so the only float ops are
+    two final divisions — bit-identical everywhere, no numerically
+    fragile centering pass needed.
+
+    Shape: one groupBy to monthly counts (tiny), one groupBy to the
+    five sufficient statistics — the classic 'reduce to sums, solve on
+    the driver-sized result' pattern that scales to any event volume."""
+    o = load(spark, sf_dir, "orders")
+    m0 = o.agg(F.date_trunc("month", F.min("o_orderdate")).alias("mn"))
+    series = (
+        o.crossJoin(F.broadcast(m0))
+        .groupBy(
+            F.col("o_orderstatus").alias("status"),
+            F.months_between(F.date_trunc("month", F.col("o_orderdate")), F.col("mn"))
+            .cast("long")
+            .alias("x"),
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    sums = series.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        "status",
+        F.col("n").cast("long").alias("n_months"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# EWMA with exact dyadic weights
+# --------------------------------------------------------------------------
+
+EWMA_MAX_LAG = 32  # 2^-k underflows relevance long before k=32
+
+
+@query(
+    "ewma_user_value",
+    f"""
+    WITH ranked AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) - 1 AS k
+      FROM events),
+    recent AS (SELECT * FROM ranked WHERE k < {EWMA_MAX_LAG})
+    SELECT user_id,
+           cast(count(*) as bigint) AS n_used,
+           round(cast(sum(cast(value / (1::BIGINT << k) as decimal(38,18))) as double)
+                 / cast(sum(cast(1.0 / (1::BIGINT << k) as decimal(38,18))) as double), 6)
+             AS ewma_value
+    FROM recent GROUP BY user_id
+    """,
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each user's value
+    stream (α = 1/2), newest first — the recency-weighted state a
+    feature store keeps per entity. The determinism trick: α = 1/2
+    makes every weight 2^-k, an EXACT dyadic double (integer shift +
+    one division — no pow(), no libm variance across engines), and the
+    weighted products accumulate as exact decimals. Lags ≥
+    {EWMA_MAX_LAG} are dropped: their weight is below 2^-31 ≈ 5e-10,
+    under the output rounding.
+
+    Shape: one row_number window on the HIGH-cardinality user key,
+    truncated to the last {EWMA_MAX_LAG} rows per user before any
+    arithmetic — bounded state per user at any history length."""
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    ev = load(spark, sf_dir, "events")
+    recent = (
+        ev.select("user_id", "value", (F.row_number().over(w) - 1).alias("k"))
+        .where(F.col("k") < EWMA_MAX_LAG)
+    )
+    wgt_num = (F.col("value") / F.expr("shiftleft(1L, k)")).cast("decimal(38,18)")
+    wgt_den = (F.lit(1.0) / F.expr("shiftleft(1L, k)")).cast("decimal(38,18)")
+    return recent.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_used"),
+        F.round(F.sum(wgt_num).cast("double") / F.sum(wgt_den).cast("double"), 6).alias(
+            "ewma_value"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Seasonal anomaly detection on hourly counts
+# --------------------------------------------------------------------------
+
+ANOM_Z = 2.0
+
+
+@query(
+    "events_hourly_anomaly",
+    f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_start, count(*) AS n
+      FROM events GROUP BY event_type, date_trunc('hour', ts)),
+    keyed AS (
+      SELECT event_type, hour_start, n,
+             dayofweek(hour_start) AS dow, hour(hour_start) AS hod
+      FROM hourly),
+    base AS (
+      SELECT event_type, dow, hod, count(*) AS m,
+             sum(n) AS s1, sum(n * n) AS s2
+      FROM keyed GROUP BY event_type, dow, hod
+      HAVING count(*) >= 3),
+    scored AS (
+      SELECT k.event_type, k.hour_start, k.n,
+             round(b.s1::double / b.m, 6) AS expected,
+             round((k.n - b.s1::double / b.m)
+                   / sqrt((b.s2 - b.s1::double * b.s1 / b.m) / (b.m - 1)), 6) AS zscore
+      FROM keyed k JOIN base b
+        ON b.event_type = k.event_type AND b.dow = k.dow AND b.hod = k.hod
+      WHERE (b.s2 - b.s1::double * b.s1 / b.m) / (b.m - 1) > 0)
+    SELECT event_type, hour_start, cast(n as bigint) AS n_events, expected, zscore
+    FROM scored WHERE abs(zscore) >= {ANOM_Z}
+    """,
+)
+def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONAL anomaly detection: each (type, hour) count scored
+    against the baseline of the SAME weekday+hour slot across history —
+    so Friday 20:00 compares to Friday 20:00s, not to 04:00 (the
+    day/week cycle is signal, not noise). Flags |z| ≥ {ANOM_Z} against
+    a baseline needing ≥3 observations and positive variance.
+
+    Determinism: mean and variance come from INTEGER sufficient
+    statistics (Σn, Σn² — exact at any scale, combinable map-side),
+    never a float stddev whose accumulation order could differ. Shape:
+    two partial-aggregable groupBys + an equi-join on the slot key."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_start")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    keyed = hourly.select(
+        "event_type",
+        "hour_start",
+        "n",
+        F.dayofweek("hour_start").alias("dow"),
+        F.hour("hour_start").alias("hod"),
+    )
+    base = (
+        keyed.groupBy("event_type", "dow", "hod")
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.sum("n").alias("s1"),
+            F.sum(F.col("n") * F.col("n")).alias("s2"),
+        )
+        .where(F.col("m") >= 3)
+    )
+    var = (F.col("s2") - F.col("s1").cast("double") * F.col("s1") / F.col("m")) / (
+        F.col("m") - 1
+    )
+    scored = (
+        keyed.join(F.broadcast(base), ["event_type", "dow", "hod"])
+        .where(var > 0)
+        .select(
+            "event_type",
+            "hour_start",
+            F.col("n").cast("long").alias("n_events"),
+            F.round(F.col("s1").cast("double") / F.col("m"), 6).alias("expected"),
+            F.round(
+                (F.col("n") - F.col("s1").cast("double") / F.col("m")) / F.sqrt(var), 6
+            ).alias("zscore"),
+        )
+    )
+    return scored.where(F.abs(F.col("zscore")) >= ANOM_Z)
+
+
+# --------------------------------------------------------------------------
+# Readability scoring
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_readability_scores",
+    f"""
+    WITH feats AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS n_words,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+             greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS n_syllables
+      FROM documents)
+    SELECT doc_id,
+           cast(n_words as bigint) AS n_words,
+           cast(n_sentences as bigint) AS n_sentences,
+           cast(n_syllables as bigint) AS n_syllables,
+           round(206.835 - 1.015 * (n_words::double / n_sentences)
+                        - 84.6 * (n_syllables::double / n_words), 4) AS flesch_score
+    FROM feats WHERE n_words > 0
+    """,
+)
+def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLESCH reading-ease per document, with vowel-group runs as the
+    engine-portable syllable proxy (the classic approximation — exact
+    syllabification needs a dictionary; the proxy preserves the
+    ranking) — the readability axis of corpus quality scoring, next to
+    ``quality_scores``'s length/punct heuristics: too-low targets
+    legalese/spec dumps, implausibly-high flags word-salad.
+
+    Shape: three regexp counts per row + per-row double arithmetic
+    written identically in both dialects — a pure narrow map, no
+    shuffle at all."""
+    d = load(spark, sf_dir, "documents")
+    feats = d.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0))
+        ).alias("n_words"),
+        F.greatest(
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), F.lit(0))), F.lit(1)
+        ).alias("n_sentences"),
+        F.greatest(
+            F.size(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), F.lit(0))
+            ),
+            F.lit(1),
+        ).alias("n_syllables"),
+    ).where(F.col("n_words") > 0)
+    return feats.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_sentences").cast("long").alias("n_sentences"),
+        F.col("n_syllables").cast("long").alias("n_syllables"),
+        F.round(
+            F.lit(206.835)
+            - 1.015 * (F.col("n_words").cast("double") / F.col("n_sentences"))
+            - 84.6 * (F.col("n_syllables").cast("double") / F.col("n_words")),
+            4,
+        ).alias("flesch_score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Window value-function sweep
+# --------------------------------------------------------------------------
+
+WVF_MAX_CUST = 100
+
+
+@query(
+    "window_value_functions",
+    f"""
+    SELECT o_orderkey, o_custkey,
+           first_value(o_orderkey) OVER w AS first_key,
+           nth_value(o_orderkey, 2) OVER w AS second_key,
+           last_value(o_orderkey) OVER w AS last_key,
+           lag(o_totalprice, 1, 0.0) OVER w AS prev_price
+    FROM orders
+    WHERE o_custkey < {WVF_MAX_CUST}
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VALUE window-function sweep — first_value / nth_value(2) /
+    last_value over an explicit full-partition frame, plus lag with a
+    default — completing §2.9's window coverage beyond the ranking and
+    running-frame sweeps (last_value without the explicit frame is the
+    classic running-frame footgun; the full frame here pins the
+    correct spelling in both dialects). Per-customer partitions are
+    HIGH-cardinality, so the window parallelizes; the custkey filter
+    just keeps the driver compare small."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    # lag is frame-less by definition in Spark — same window, no frame
+    wl = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o = load(spark, sf_dir, "orders").where(F.col("o_custkey") < WVF_MAX_CUST)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+        F.last("o_orderkey").over(w).alias("last_key"),
+        F.lag("o_totalprice", 1, 0.0).over(wl).alias("prev_price"),
+    )

@@ -206,6 +206,10 @@ AUDITQ_ROUND6 = [
     "pq_codebook_train", "hits_hub_authority", "markov_stationary_power",
     "partition_file_planner", "funnel_time_to_convert", "doc_prefix_dedup",
     "good_turing_counts", "acctbal_gini_by_nation",
+    # analyticsq forward batch
+    "basket_pair_lift_top20", "customer_ltv_cohort", "supplier_scorecard",
+    "orders_status_trend_ols", "ewma_user_value", "events_hourly_anomaly",
+    "text_readability_scores", "window_value_functions",
 ]
 
 
