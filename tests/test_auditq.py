@@ -182,3 +182,98 @@ def test_containment_detects_planted_excerpt(spark, tmp_path):
     }
     assert rows[(900002, 900001)] == pytest.approx(1.0)
     assert rows[(900001, 900002)] < 1.0
+
+
+# --------------------------------------------------------------------------
+# analyticsq invariants
+# --------------------------------------------------------------------------
+
+
+def test_ewma_bounded_and_uses_at_most_cap(spark, sf_dir):
+    from data_engineering_rag_spark.plans.analyticsq import EWMA_MAX_LAG
+
+    out = REGISTRY["ewma_user_value"].spark(spark, sf_dir)
+    ev = load(spark, sf_dir, "events")
+    rng = ev.groupBy("user_id").agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    joined = out.join(rng, "user_id")
+    assert joined.where(F.col("n_used") > EWMA_MAX_LAG).count() == 0
+    bad = joined.where(
+        (F.col("ewma_value") < F.col("lo") - 1e-6) | (F.col("ewma_value") > F.col("hi") + 1e-6)
+    ).count()
+    assert bad == 0
+
+
+def test_ols_recovers_planted_line(spark, tmp_path):
+    """y = 3x + 7 monthly counts must come back slope=3, intercept=7."""
+    import shutil
+
+    src = "/root/testdata/sf0.001"
+    fix = tmp_path / "sfols"
+    fix.mkdir()
+    for t in "region nation customer supplier part lineitem events documents embeddings".split():
+        shutil.copy(f"{src}/{t}.parquet", fix / f"{t}.parquet")
+    import datetime
+
+    rows = []
+    key = 0
+    for m in range(6):  # months 0..5, count = 3m + 7
+        for _ in range(3 * m + 7):
+            key += 1
+            rows.append(
+                (key, key % 50, "F", 100.0, datetime.date(2024, 1 + m, 15), "1-URGENT")
+            )
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double,"
+        " o_orderdate date, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(fix / "orders.parquet"))
+    got = {r.status: r for r in REGISTRY["orders_status_trend_ols"].spark(spark, str(fix)).collect()}
+    assert got["F"].slope == pytest.approx(3.0)
+    assert got["F"].intercept == pytest.approx(7.0)
+    assert got["F"].n_months == 6
+
+
+def test_ltv_monotone_in_offset(spark, sf_dir):
+    rows = REGISTRY["customer_ltv_cohort"].spark(spark, sf_dir).collect()
+    by_cohort: dict = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort, []).append((r.month_offset, r.avg_cum_ltv))
+    assert by_cohort
+    for seq in by_cohort.values():
+        seq.sort()
+        for (_, a), (_, b) in zip(seq, seq[1:]):
+            assert b >= a - 1e-6  # cumulative spend never decreases
+
+
+def test_scorecard_rates_bounded_and_lines_covered(spark, sf_dir):
+    out = REGISTRY["supplier_scorecard"].spark(spark, sf_dir)
+    li_n = load(spark, sf_dir, "lineitem").count()
+    agg = out.agg(F.sum("n_lines"), F.min("slow_ship_rate"), F.max("slow_ship_rate"),
+                  F.min("return_rate"), F.max("return_rate")).collect()[0]
+    assert agg[0] == li_n  # every line attributed to exactly one supplier
+    assert 0.0 <= agg[1] and agg[2] <= 1.0
+    assert 0.0 <= agg[3] and agg[4] <= 1.0
+
+
+def test_readability_planted_extremes(spark, tmp_path):
+    """Monosyllabic short sentences must outscore a long-word run-on."""
+    import shutil
+
+    src = "/root/testdata/sf0.001"
+    fix = tmp_path / "sfread"
+    fix.mkdir()
+    for t in "region nation customer supplier part orders lineitem events embeddings".split():
+        shutil.copy(f"{src}/{t}.parquet", fix / f"{t}.parquet")
+    easy = "the cat sat. the dog ran. we go up. it is fun. he did it."
+    hard = (
+        "notwithstanding institutional considerations regarding interoperability "
+        "methodologies, organizational multidimensional characterization "
+        "necessitates comprehensive infrastructural reconceptualization"
+    )
+    spark.createDataFrame(
+        [(1, easy, "en", "s", len(easy)), (2, hard, "en", "s", len(hard))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(fix / "documents.parquet"))
+    got = {r.doc_id: r.flesch_score for r in
+           REGISTRY["text_readability_scores"].spark(spark, str(fix)).collect()}
+    assert got[1] > 80 > got[2]
