@@ -548,3 +548,252 @@ def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(w).alias("last_key"),
         F.lag("o_totalprice", 1, 0.0).over(wl).alias("prev_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted median, rolling distinct actives, degree power law,
+# quantile normalization
+# --------------------------------------------------------------------------
+
+
+@query(
+    "weighted_median_price_by_flag",
+    """
+    WITH w AS (
+      SELECT l_returnflag, l_extendedprice AS price,
+             cast(l_quantity as bigint) AS qty,
+             sum(cast(l_quantity as bigint)) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw
+      FROM lineitem),
+    tot AS (SELECT l_returnflag, sum(qty) AS t FROM w GROUP BY l_returnflag),
+    firsts AS (
+      SELECT w.l_returnflag, min(w.price) AS wmedian
+      FROM w JOIN tot USING (l_returnflag)
+      WHERE 2 * w.cumw >= tot.t
+      GROUP BY w.l_returnflag)
+    SELECT f.l_returnflag,
+           cast(t.t as bigint) AS total_weight,
+           round(f.wmedian, 6) AS weighted_median_price
+    FROM firsts f JOIN tot t USING (l_returnflag)
+    """,
+)
+def weighted_median_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTITY-weighted median price per return flag — each line votes
+    with its quantity, so the median reflects units actually moved, not
+    line-count (the difference between 'median line' and 'median unit
+    sold'). Defined as the first price where cumulative weight reaches
+    half the total — exact, no interpolation.
+
+    Scale shape: return flags are a LOW-cardinality key, so the
+    cumulative weight comes from ``grouped_prefix_sum`` (range-exchange
+    kernel) instead of a 3-task partitionBy window; the threshold pick
+    is then a partial-aggregable conditional min."""
+    from ..operators.scale import grouped_prefix_sum
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    w = grouped_prefix_sum(
+        li, ["l_returnflag"], ["price", "l_orderkey", "l_linenumber"], "qty", out_col="_pfx"
+    ).withColumn("cumw", F.col("_pfx") + F.col("qty"))
+    tot = w.groupBy("l_returnflag").agg(F.sum("qty").alias("t"))
+    firsts = (
+        w.join(F.broadcast(tot), "l_returnflag")
+        .where(2 * F.col("cumw") >= F.col("t"))
+        .groupBy("l_returnflag")
+        .agg(F.min("price").alias("wmedian"))
+    )
+    return firsts.join(F.broadcast(tot), "l_returnflag").select(
+        "l_returnflag",
+        F.col("t").cast("long").alias("total_weight"),
+        F.round("wmedian", 6).alias("weighted_median_price"),
+    )
+
+
+ROLLING_DAYS = 7
+
+
+@query(
+    "rolling_7d_active_users",
+    f"""
+    WITH act AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts)::date AS d FROM events),
+    days AS (SELECT DISTINCT d FROM act),
+    fan AS (
+      SELECT DISTINCT days.d AS window_day, act.user_id
+      FROM days JOIN act
+        ON act.d <= days.d AND act.d > days.d - {ROLLING_DAYS})
+    SELECT window_day, cast(count(*) as bigint) AS active_users_7d
+    FROM fan GROUP BY window_day
+    """,
+)
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {ROLLING_DAYS}-day ACTIVE USERS per day — the DAU/WAU
+    staple that a naive window can't do (count(DISTINCT) isn't valid
+    over a running frame): distinct (user, day) activity fans out to
+    the ≤{ROLLING_DAYS} window-days it supports, then a distinct +
+    count per window day. The fan-out is a bounded range join (≤
+    {ROLLING_DAYS}× the activity table, independent of event volume —
+    events dedupe to user-days FIRST), all partial-aggregable."""
+    ev = load(spark, sf_dir, "events")
+    act = ev.select("user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d")).distinct()
+    days = act.select("d").distinct().select(F.col("d").alias("window_day"))
+    fan = (
+        act.join(
+            F.broadcast(days),
+            (F.col("d") <= F.col("window_day"))
+            & (F.col("d") > F.date_sub(F.col("window_day"), ROLLING_DAYS)),
+        )
+        .select("window_day", "user_id")
+        .distinct()
+    )
+    return fan.groupBy("window_day").agg(
+        F.count(F.lit(1)).cast("long").alias("active_users_7d")
+    )
+
+
+def _degree_powerlaw_oracle() -> str:
+    from . import REGISTRY
+
+    edges = REGISTRY["knn_graph_by_label"].oracle
+    return f"""
+    WITH edges AS (SELECT src, dst FROM ({edges}) e),
+    deg AS (SELECT dst AS v, count(*) AS d FROM edges GROUP BY dst),
+    hist AS (SELECT d, count(*) AS n_nodes FROM deg GROUP BY d),
+    pts AS (SELECT ln(d::double) AS x, ln(n_nodes::double) AS y FROM hist),
+    sums AS (
+      SELECT count(*) AS n,
+             sum(cast(x as decimal(28,14))) AS sx,
+             sum(cast(y as decimal(28,14))) AS sy,
+             sum(cast(x * y as decimal(28,14))) AS sxy,
+             sum(cast(x * x as decimal(28,14))) AS sxx
+      FROM pts)
+    SELECT cast(n as bigint) AS n_points,
+           round((n * cast(sxy as double) - cast(sx as double) * cast(sy as double))
+                 / (n * cast(sxx as double) - cast(sx as double) * cast(sx as double)), 6)
+             AS loglog_slope
+    FROM sums
+    """
+
+
+@query("knn_degree_powerlaw", _degree_powerlaw_oracle())
+def knn_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-degree distribution of the k-NN graph with a log-log OLS
+    slope — the power-law exponent estimate that says whether the
+    neighbor graph has hubs (heavy tail → a few vectors dominate
+    neighbor lists, and dedup/ANN quality degrades around them) or is
+    degree-homogeneous. Out-degree is fixed at k by construction;
+    in-degree is the informative side.
+
+    Determinism: ln() of small INTEGERS only — identical doubles on
+    both engines (same libm-correct values for the same exact inputs,
+    pinned by the parity gate) — then decimal-exact sums into the
+    closed-form slope. Histogram is tiny; the heavy step is the degree
+    groupBy on the edge list."""
+    from .vectors import knn_graph_by_label
+
+    edges = knn_graph_by_label(spark, sf_dir).select("src", "dst")
+    deg = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("d"))
+    hist = deg.groupBy("d").agg(F.count(F.lit(1)).alias("n_nodes"))
+    pts = hist.select(
+        F.log(F.col("d").cast("double")).alias("x"),
+        F.log(F.col("n_nodes").cast("double")).alias("y"),
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(28,14)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(28,14)")).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(28,14)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,14)")).alias("sxx"),
+    )
+    return sums.select(
+        F.col("n").cast("long").alias("n_points"),
+        F.round(
+            (F.col("n") * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double"))
+            / (F.col("n") * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")),
+            6,
+        ).alias("loglog_slope"),
+    )
+
+
+def _decile_normalize_oracle() -> str:
+    bounds_union = " UNION ALL ".join(
+        f"SELECT {i} AS decile, round(quantile_cont(n_chars, {i / 10.0}), 6) AS corpus_upper"
+        f" FROM documents"
+        for i in range(1, 11)
+    )
+    return f"""
+    WITH ranked AS (
+      SELECT source, doc_id, n_chars,
+             ntile(10) OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS src_decile
+      FROM documents),
+    bounds AS ({bounds_union})
+    SELECT r.source, cast(r.src_decile as bigint) AS src_decile,
+           cast(count(*) as bigint) AS n_docs,
+           cast(max(r.n_chars) as bigint) AS src_upper,
+           any_value(b.corpus_upper) AS corpus_upper
+    FROM ranked r JOIN bounds b ON b.decile = r.src_decile
+    GROUP BY r.source, r.src_decile
+    """
+
+
+@query("length_decile_normalize", _decile_normalize_oracle())
+def length_decile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE-NORMALIZATION map for doc lengths: each source's decile
+    boundary next to the corpus-wide boundary at the same quantile —
+    the lookup table that maps 'long for src17' onto 'long for the
+    corpus' (sources with different length regimes otherwise make one
+    global length filter over- or under-prune per source). Reading a
+    row: src_upper far below corpus_upper → that source's decile is
+    globally short.
+
+    Shape: the within-source decile is an ntile on the source key
+    (moderate cardinality; the ranked output is consumed aggregated,
+    ≤ sources×10 rows); corpus boundaries are 10 exact percentiles
+    from ONE aggregate pass, broadcast back."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = d.select("source", "doc_id", "n_chars", F.ntile(10).over(w).alias("src_decile"))
+    deciles = [i / 10.0 for i in range(1, 11)]
+    bounds = (
+        d.agg(
+            *[
+                F.round(
+                    F.expr(f"percentile_cont({q}) WITHIN GROUP (ORDER BY n_chars)"), 6
+                ).alias(f"q{i}")
+                for i, q in enumerate(deciles, start=1)
+            ]
+        )
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(i).alias("decile"), F.col(f"q{i}").alias("corpus_upper"))
+                        for i in range(1, 11)
+                    ]
+                )
+            ).alias("s")
+        )
+        .select(F.col("s.decile").alias("src_decile"), F.col("s.corpus_upper"))
+    )
+    return (
+        ranked.groupBy("source", "src_decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.max("n_chars").cast("long").alias("src_upper"),
+        )
+        .join(F.broadcast(bounds), "src_decile")
+        .select(
+            "source",
+            F.col("src_decile").cast("long").alias("src_decile"),
+            "n_docs",
+            "src_upper",
+            "corpus_upper",
+        )
+    )

@@ -210,6 +210,8 @@ AUDITQ_ROUND6 = [
     "basket_pair_lift_top20", "customer_ltv_cohort", "supplier_scorecard",
     "orders_status_trend_ols", "ewma_user_value", "events_hourly_anomaly",
     "text_readability_scores", "window_value_functions",
+    "weighted_median_price_by_flag", "rolling_7d_active_users",
+    "knn_degree_powerlaw", "length_decile_normalize",
 ]
 
 
