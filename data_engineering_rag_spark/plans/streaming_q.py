@@ -1289,3 +1289,14 @@ def events_journey_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_error_burst_len"
         ),
     )
+
+
+@query("stream_rolling_actives", None)
+def stream_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct actives as a dedup→window-agg stateful
+    chain (rows-only: two chained stateful operators aren't
+    SQL-expressible; the equivalence test pins finalized days to
+    ``rolling_7d_active_users``)."""
+    from ..streaming.events import rolling_actives_stream
+
+    return rolling_actives_stream(spark, sf_dir)

@@ -482,3 +482,43 @@ def session_journeys_stream(spark: SparkSession, sf_dir: str, gap: str = "10 min
         "journey",
         F.col("n_events").cast("long").alias("n_events"),
     )
+
+
+def rolling_actives_stream(
+    spark: SparkSession, sf_dir: str, days: int = 7, delay: str = "7 days"
+) -> DataFrame:
+    """Rolling {days}-day DISTINCT active users as a streaming chain of
+    TWO stateful operators — the pattern a naive sliding count(*)
+    cannot express (count(DISTINCT) is not a streaming aggregate):
+
+      1. fan each event's day out to the {days} window-days it
+         supports (a stateless explode of a day sequence),
+      2. ``dropDuplicates`` on (user, window_day) — watermark-aged
+         dedup state, so each user counts once per window,
+      3. a 1-day tumbling count over the deduped pairs, append mode —
+         only watermark-finalized window-days emit.
+
+    The streaming half of ``rolling_7d_active_users`` (same dedup-
+    then-bounded-fan-out shape, incremental instead of re-scanned);
+    state per operator is bounded by users x {days} inside the
+    watermark horizon, independent of event volume."""
+    ev = _event_stream(spark, sf_dir)
+    pairs = ev.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.date_trunc("day", F.col("ts")),
+                F.date_trunc("day", F.col("ts")) + F.expr(f"INTERVAL {days - 1} DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("wday_ts"),
+    )
+    deduped = pairs.withWatermark("wday_ts", delay).dropDuplicates(["user_id", "wday_ts"])
+    agg = deduped.groupBy(F.window("wday_ts", "1 day").alias("w")).agg(
+        F.count(F.lit(1)).alias("active_users_7d")
+    )
+    out = _run_to_memory(agg, "append")
+    return out.select(
+        F.col("w.start").cast("date").alias("window_day"),
+        F.col("active_users_7d").cast("long").alias("active_users_7d"),
+    )

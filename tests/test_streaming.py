@@ -343,3 +343,27 @@ def test_session_journeys_stream_equals_batch_finalized(spark, sf_dir):
     for row in batch - stream:
         assert batch_end[(row[0], row[1])] + gap >= watermark, row
     assert len(stream) > 0
+
+
+def test_rolling_actives_stream_equals_batch_finalized(spark, sf_dir):
+    """Finalized window-days of the dedup→agg chain must equal the
+    batch rolling-7d distinct count exactly; only the watermark tail
+    may be withheld."""
+    import datetime
+
+    from data_engineering_rag_spark.streaming.events import rolling_actives_stream
+
+    stream = {
+        (r.window_day, r.active_users_7d)
+        for r in rolling_actives_stream(spark, sf_dir).collect()
+    }
+    batch_rows = REGISTRY["rolling_7d_active_users"].spark(spark, sf_dir).collect()
+    batch = {(r.window_day, r.active_users_7d) for r in batch_rows}
+    assert stream <= batch and len(stream) > 0
+    # the withheld remainder is exactly the unfinalized tail: a window
+    # day can't finalize until the (shifted) watermark passes its end.
+    # fan-out pushes event time forward by up to 6 days, so the cutoff
+    # sits (delay - 6d) behind the max activity day.
+    max_day = max(d for d, _ in batch)
+    for day, _ in batch - stream:
+        assert day >= max_day - datetime.timedelta(days=7), (day, max_day)
