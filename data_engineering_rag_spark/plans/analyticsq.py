@@ -797,3 +797,147 @@ def length_decile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "corpus_upper",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Spark-4 VARIANT type + grouped-agg pandas UDAF surface
+# --------------------------------------------------------------------------
+
+VARIANT_MAX_ID = 2000
+
+
+@query(
+    "scalar_variant_events",
+    f"""
+    SELECT event_id,
+           cast(json_extract(props, '$.k') as bigint) AS k,
+           cast(NULL as bigint) AS k_missing,
+           cast(json_extract('[' || (cast(json_extract(props, '$.k') as bigint) * 2) || ','
+                             || (cast(json_extract(props, '$.k') as bigint) * 3) || ']',
+                             '$[1]') as bigint) AS nested_pick
+    FROM events WHERE event_id < {VARIANT_MAX_ID}
+    """,
+)
+def scalar_variant_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT surface (§2.9 semi-structured): ``parse_json``
+    into an open-schema VARIANT, typed path extraction with
+    ``variant_get``, absent-path behavior with ``try_variant_get``
+    (NULL, never an error), and extraction from a CONSTRUCTED variant
+    (a JSON array built row-side, picked by index) — the engine-native
+    path for schema-on-read telemetry where get_json_object re-parses
+    the string per access but a variant parses once. The DuckDB oracle
+    speaks json_extract over the same paths — identical typed values.
+
+    Shape: pure per-row projection, codegen end-to-end; the event_id
+    cut only keeps the driver compare small."""
+    ev = load(spark, sf_dir, "events").where(F.col("event_id") < VARIANT_MAX_ID)
+    return ev.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'long')").alias("k"),
+        F.expr("try_variant_get(parse_json(props), '$.absent', 'long')").alias("k_missing"),
+        F.expr(
+            "variant_get(parse_json(concat('[', "
+            "cast(variant_get(parse_json(props), '$.k', 'long') * 2 as string), ',', "
+            "cast(variant_get(parse_json(props), '$.k', 'long') * 3 as string), ']')), "
+            "'$[1]', 'long')"
+        ).alias("nested_pick"),
+    )
+
+
+@query(
+    "pandas_udaf_geomean",
+    """
+    SELECT event_type,
+           cast(count(*) as bigint) AS n,
+           round(cast(sum(cast(round(ln(value), 9) as decimal(28,14))) as double) / count(*), 6)
+             AS mean_log_value
+    FROM events WHERE value > 0
+    GROUP BY event_type
+    """,
+)
+def pandas_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDAF (§2.11): the per-group mean log-value
+    (the log of the geometric mean) computed in an Arrow-batched
+    Python aggregate — the escape hatch for aggregations with no
+    built-in (here deliberately one WITH a SQL spelling, so the DuckDB
+    oracle can hash-check the UDAF byte-for-byte). Determinism inside
+    Python mirrors the engine discipline: per-value ln rounded to 9 dp,
+    summed as exact Decimals (never float-accumulated, so pandas'
+    arrival order can't leak), then one rounded division.
+
+    Scale note: GROUPED_AGG is NOT partial-aggregable — each group's
+    values ship to one task. Safe here (event_type groups stream
+    through Arrow in bounded batches); for a 100 TB general-purpose
+    geomean the decimal-sum SQL spelling in the oracle IS the scale
+    path. That asymmetry is the point of pinning them equal."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: with lazy annotations (PEP 563) the
+    # signature-inference path can't see pd.Series
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def mean_log(v):
+        import math
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q14 = Decimal("0.00000000000001")  # decimal(28,14) grid
+        total = Decimal(0)
+        n = 0
+        for x in v:
+            total += Decimal(repr(round(math.log(x), 9))).quantize(q14, rounding=ROUND_HALF_UP)
+            n += 1
+        return float(total) / n
+
+    ev = load(spark, sf_dir, "events").where(F.col("value") > 0)
+    # a GROUPED_AGG UDF can't mix with built-in aggregates in one agg()
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    logs = ev.groupBy("event_type").agg(
+        F.round(mean_log(F.col("value")), 6).alias("mean_log_value")
+    )
+    return counts.join(logs, "event_type").select("event_type", "n", "mean_log_value")
+
+
+# --------------------------------------------------------------------------
+# Spark-4 Python Data Source API
+# --------------------------------------------------------------------------
+
+PYDS_ROWS = 5000
+PYDS_PARTS = 8
+
+
+@query(
+    "pyds_telemetry_agg",
+    f"""
+    WITH t AS (
+      SELECT i AS reading_id, cast(i % 50 as int) AS sensor_id,
+             ((i * i) % 97) / 7.0 AS reading
+      FROM generate_series(0, {PYDS_ROWS - 1}) s(i))
+    SELECT sensor_id,
+           cast(count(*) as bigint) AS n_readings,
+           round(cast(sum(cast(reading as decimal(18,12))) as double) / count(*), 6)
+             AS avg_reading,
+           round(max(reading), 6) AS max_reading
+    FROM t GROUP BY sensor_id
+    """,
+)
+def pyds_telemetry_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation over a CUSTOM Python Data Source (§2.1, Spark 4
+    ``pyspark.sql.datasource``): the ``synthetic_telemetry`` format in
+    ``sources/pydatasource.py`` streams {PYDS_ROWS} generated rows out
+    of {PYDS_PARTS} range-split InputPartitions (one parallel read()
+    task each), and this query rolls them up per sensor. The DuckDB
+    oracle replays the generator arithmetic with generate_series — so
+    the whole connector path (options → partitions() → read()
+    generators → Arrow batches → groupBy) is hash-checked end-to-end.
+
+    The per-row generator is pure integer math + one double division;
+    the mean accumulates as exact decimals."""
+    from ..sources.pydatasource import read_telemetry
+
+    t = read_telemetry(spark, rows=PYDS_ROWS, partitions=PYDS_PARTS)
+    return t.groupBy("sensor_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_readings"),
+        F.round(
+            F.sum(F.col("reading").cast("decimal(18,12)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_reading"),
+        F.round(F.max("reading"), 6).alias("max_reading"),
+    )

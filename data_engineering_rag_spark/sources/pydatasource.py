@@ -1,0 +1,78 @@
+"""Spark 4 Python Data Source API (§2.1 EXT): a from-scratch batch
+source implemented against ``pyspark.sql.datasource`` — the public
+extension point for reading systems Spark has no built-in connector
+for (internal REST feeds, bespoke binary logs, device telemetry).
+
+The source here emits DETERMINISTIC synthetic telemetry (pure integer
+arithmetic per row id), which makes it oracle-checkable: DuckDB
+replays the same generator with ``generate_series``. The interesting
+part is the plumbing, which is exactly what a real connector needs:
+
+- ``partitions()`` returns N ``InputPartition`` splits → Spark
+  schedules N parallel ``read()`` calls (one per task). Range-split by
+  row id, so reads never overlap and the union is exactly [0, rows).
+- ``read(partition)`` is a generator yielding tuples — rows stream
+  into Arrow batches without materializing a partition in memory.
+- options arrive as strings through the reader constructor (the
+  ``.option()`` channel), schema is declared DDL-style.
+
+At 100 TB the same shape holds: partitions() maps to the remote
+system's natural shards (files, topic partitions, id ranges) and each
+executor pulls only its slice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+TELEMETRY_SCHEMA = "reading_id bigint, sensor_id int, reading double"
+
+
+def _reading(i: int) -> float:
+    # pure integer arithmetic then ONE double division — bit-identical
+    # in any engine that replays it
+    return ((i * i) % 97) / 7.0
+
+
+class SyntheticTelemetryReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.rows = int(options.get("rows", 1000))
+        self.n_parts = int(options.get("partitions", 8))
+
+    def partitions(self):
+        return [InputPartition(p) for p in range(self.n_parts)]
+
+    def read(self, partition: InputPartition):
+        p = partition.value
+        # contiguous range split: partition p owns [lo, hi)
+        base, rem = divmod(self.rows, self.n_parts)
+        lo = p * base + min(p, rem)
+        hi = lo + base + (1 if p < rem else 0)
+        for i in range(lo, hi):
+            yield (i, i % 50, _reading(i))
+
+
+class SyntheticTelemetryDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_telemetry"
+
+    def schema(self) -> str:
+        return TELEMETRY_SCHEMA
+
+    def reader(self, schema) -> SyntheticTelemetryReader:
+        return SyntheticTelemetryReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(SyntheticTelemetryDataSource)
+
+
+def read_telemetry(spark, rows: int = 5000, partitions: int = 8):
+    register(spark)
+    return (
+        spark.read.format("synthetic_telemetry")
+        .option("rows", str(rows))
+        .option("partitions", str(partitions))
+        .load()
+    )

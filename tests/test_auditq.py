@@ -277,3 +277,15 @@ def test_readability_planted_extremes(spark, tmp_path):
     got = {r.doc_id: r.flesch_score for r in
            REGISTRY["text_readability_scores"].spark(spark, str(fix)).collect()}
     assert got[1] > 80 > got[2]
+
+
+def test_pyds_source_partition_parallel_and_exact(spark):
+    """The custom Python data source must split into the requested
+    number of InputPartitions (real parallel read tasks) and emit
+    exactly the declared row range, no dupes, no gaps."""
+    from data_engineering_rag_spark.sources.pydatasource import read_telemetry
+
+    df = read_telemetry(spark, rows=1000, partitions=7)
+    assert df.rdd.getNumPartitions() == 7
+    ids = [r.reading_id for r in df.select("reading_id").collect()]
+    assert sorted(ids) == list(range(1000))

@@ -212,6 +212,7 @@ AUDITQ_ROUND6 = [
     "text_readability_scores", "window_value_functions",
     "weighted_median_price_by_flag", "rolling_7d_active_users",
     "knn_degree_powerlaw", "length_decile_normalize",
+    "scalar_variant_events", "pandas_udaf_geomean", "pyds_telemetry_agg",
 ]
 
 
