@@ -292,3 +292,27 @@ def grouped_prefix_sum(
         .withColumn(out_col, F.col("_gps_local") + F.col("_gps_off"))
         .drop("_gps_pid", "_gps_local", "_gps_off")
     )
+
+
+def observed_filter(
+    df: DataFrame, condition, metrics_name: str = "filter_metrics"
+):
+    """Attach Spark's ``observe()`` accumulation to a filter: returns
+    (filtered_df, Observation) where the observation reports rows seen
+    and rows kept WITHOUT a second pass — the production alternative to
+    `count()`-before-and-after (which scans twice and breaks pipeline
+    fusion). Metrics materialize when the first action runs; reading
+    them is free at any scale because they ride the task results.
+
+    The canonical use: data-quality tripwires on a 100 TB clean step —
+    assert kept/seen stays above a floor, abort the write if not."""
+    from pyspark.sql import Observation
+
+    obs = Observation(metrics_name)
+    cond = condition if not isinstance(condition, str) else F.expr(condition)
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(cond.cast("long")).alias("rows_kept"),
+    )
+    return observed.where(cond), obs
