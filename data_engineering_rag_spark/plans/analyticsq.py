@@ -728,17 +728,23 @@ def _decile_normalize_oracle() -> str:
         f" FROM documents"
         for i in range(1, 11)
     )
+    # rank-arithmetic bucket ((rank-1)*10 // n) + 1, NOT ntile():
+    # the Spark side computes the rank with the grouped kernel, and
+    # this closed form is partitioning-independent on both engines
     return f"""
     WITH ranked AS (
       SELECT source, doc_id, n_chars,
-             ntile(10) OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS src_decile
+             row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rnk,
+             count(*) OVER (PARTITION BY source) AS n_src
       FROM documents),
+    bucketed AS (
+      SELECT source, n_chars, ((rnk - 1) * 10) // n_src + 1 AS src_decile FROM ranked),
     bounds AS ({bounds_union})
     SELECT r.source, cast(r.src_decile as bigint) AS src_decile,
            cast(count(*) as bigint) AS n_docs,
            cast(max(r.n_chars) as bigint) AS src_upper,
            any_value(b.corpus_upper) AS corpus_upper
-    FROM ranked r JOIN bounds b ON b.decile = r.src_decile
+    FROM bucketed r JOIN bounds b ON b.decile = r.src_decile
     GROUP BY r.source, r.src_decile
     """
 
@@ -753,13 +759,26 @@ def length_decile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     row: src_upper far below corpus_upper → that source's decile is
     globally short.
 
-    Shape: the within-source decile is an ntile on the source key
-    (moderate cardinality; the ranked output is consumed aggregated,
-    ≤ sources×10 rows); corpus boundaries are 10 exact percentiles
-    from ONE aggregate pass, broadcast back."""
-    d = load(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
-    ranked = d.select("source", "doc_id", "n_chars", F.ntile(10).over(w).alias("src_decile"))
+    Shape: sources are a LOW-cardinality key, so the within-source
+    rank comes from ``grouped_prefix_sum`` (range-exchange kernel),
+    and the decile is the closed-form ((rank-1)*10)//n + 1 — NOT an
+    ntile window that would funnel all docs into |sources| tasks.
+    Corpus boundaries are 10 exact percentiles from ONE aggregate
+    pass, broadcast back."""
+    from ..operators.scale import grouped_prefix_sum
+
+    d = load(spark, sf_dir, "documents").withColumn("_one", F.lit(1))
+    sizes = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    ranked = (
+        grouped_prefix_sum(d, ["source"], ["n_chars", "doc_id"], "_one", out_col="_pfx")
+        .join(F.broadcast(sizes), "source")
+        .select(
+            "source",
+            "n_chars",
+            # _pfx is the EXCLUSIVE prefix count = rank-1; integer div
+            (F.expr("(_pfx * 10) div n_src") + 1).alias("src_decile"),
+        )
+    )
     deciles = [i / 10.0 for i in range(1, 11)]
     bounds = (
         d.agg(

@@ -239,6 +239,8 @@ def test_grouped_window_rewrites_keep_parallel_shape(spark, sf_dir):
         ("kmv_overlap_matrix", "_gtk_pid"),
         ("contrastive_negatives_sample", "_gtk_pid"),
         ("acctbal_gini_by_nation", "_gps_pid"),
+        ("weighted_median_price_by_flag", "_gps_pid"),
+        ("length_decile_normalize", "_gps_pid"),
     ]:
         plan = _physical_plan(REGISTRY[name].spark(spark, sf_dir))
         assert marker in plan, f"{name}: expected {marker} in plan\n{plan}"
