@@ -632,9 +632,13 @@ def robust_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     a stddev until nothing is an outlier; the median absolute deviation
     doesn't move). Flags |x - med| > 3·1.4826·MAD, the standard
     normal-consistent cut. Shape: two exact-percentile groupBys on the
-    same low-cardinality key with broadcast joins back — no windows, no
-    per-group sort concentration (percentile_cont aggregates
-    per-group, it doesn't single-task the partition)."""
+    same low-cardinality key with broadcast joins back — no windows.
+    Honest scale note: EXACT percentiles buffer each group's values in
+    the aggregation state, so with few event types the medians
+    concentrate; at 100 TB swap percentile_cont for
+    approx_percentile(value, 0.5, eps) (sketch-mergeable, map-side
+    combinable) — the exact spelling here is what the oracle can
+    hash-check."""
     ev = load(spark, sf_dir, "events").select("event_type", "value")
     med = ev.groupBy("event_type").agg(
         F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY value)").alias("med")
