@@ -960,3 +960,204 @@ def pyds_telemetry_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_reading"),
         F.round(F.max("reading"), 6).alias("max_reading"),
     )
+
+
+# --------------------------------------------------------------------------
+# Two-hop reach, repeat-purchase cadence, bounce rate, chi-square
+# --------------------------------------------------------------------------
+
+
+def _two_hop_oracle() -> str:
+    from . import REGISTRY
+
+    edges = REGISTRY["knn_graph_by_label"].oracle
+    return f"""
+    WITH edges AS (SELECT src, dst FROM ({edges}) e),
+    two_hop AS (
+      SELECT DISTINCT a.src, b.dst AS hop2
+      FROM edges a JOIN edges b ON a.dst = b.src
+      WHERE b.dst <> a.src)
+    SELECT src AS vec_id, cast(count(*) as bigint) AS n_two_hop
+    FROM two_hop GROUP BY src
+    """
+
+
+@query("knn_two_hop_reach", _two_hop_oracle())
+def knn_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct 2-HOP reach per vector (friends-of-friends minus self)
+    over the k-NN graph — the neighborhood-expansion factor that sizes
+    a graph-based ANN search (HNSW-style beam search visits ~reach
+    nodes per hop) and flags near-duplicate clumps (reach ≪ k² means
+    neighbors share neighbors). One edge-edge equi-join bounded by
+    k·|E|, then distinct + count — never |V|² anything."""
+    from .vectors import knn_graph_by_label
+
+    edges = knn_graph_by_label(spark, sf_dir).select("src", "dst")
+    two_hop = (
+        edges.select(F.col("src"), F.col("dst").alias("mid"))
+        .join(edges.select(F.col("src").alias("mid"), F.col("dst").alias("hop2")), "mid")
+        .where(F.col("hop2") != F.col("src"))
+        .select("src", "hop2")
+        .distinct()
+    )
+    return two_hop.groupBy(F.col("src").alias("vec_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_two_hop")
+    )
+
+
+@query(
+    "repeat_purchase_intervals",
+    """
+    WITH gaps AS (
+      SELECT o_custkey,
+             date_diff('day',
+                       lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                              ORDER BY o_orderdate, o_orderkey),
+                       o_orderdate) AS gap_d
+      FROM orders)
+    SELECT cast(count(*) as bigint) AS n_intervals,
+           round(quantile_cont(gap_d, 0.5), 6) AS p50_days,
+           round(quantile_cont(gap_d, 0.9), 6) AS p90_days,
+           round(sum(gap_d)::double / count(*), 6) AS avg_days
+    FROM gaps WHERE gap_d IS NOT NULL
+    """,
+)
+def repeat_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase CADENCE: the distribution of day gaps between a
+    customer's consecutive orders (p50/p90/mean) — the reorder-cycle
+    input to inventory and churn models ('overdue' only means
+    something relative to this curve). One lag() window on the
+    HIGH-cardinality custkey, integer day gaps, exact percentiles on
+    the single-row rollup."""
+    from pyspark.sql.window import Window as W
+
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias("gap_d")
+    ).where(F.col("gap_d").isNotNull())
+    return gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.round(F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY gap_d)"), 6).alias("p50_days"),
+        F.round(F.expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY gap_d)"), 6).alias("p90_days"),
+        F.round(F.sum("gap_d").cast("double") / F.count(F.lit(1)), 6).alias("avg_days"),
+    )
+
+
+@query(
+    "sessions_bounce_rate_daily",
+    """
+    WITH seq AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+             event_id
+      FROM events),
+    numbered AS (
+      SELECT user_id, ts,
+             sum(CASE WHEN prev_ts IS NULL
+                       OR date_diff('second', prev_ts, ts) > 600 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM seq),
+    sess AS (
+      SELECT user_id, session_id,
+             date_trunc('day', min(ts))::date AS d, count(*) AS n_events
+      FROM numbered GROUP BY user_id, session_id)
+    SELECT d,
+           cast(count(*) as bigint) AS n_sessions,
+           cast(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) as bigint) AS n_bounces,
+           round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::double / count(*), 6)
+             AS bounce_rate
+    FROM sess GROUP BY d
+    """,
+)
+def sessions_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily BOUNCE rate: fraction of sessions (10-min gap rule, same
+    islands as ``events_sessionize_batch``) containing exactly one
+    event, keyed by session start day — the engagement tripwire that a
+    raw event count hides (traffic can rise while every visit
+    bounces). Reuses the sessionize kernel: one user-keyed window
+    pass, then combinable rollups."""
+    from pyspark.sql.window import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    gap_s = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    numbered = ev.select(
+        "user_id",
+        "ts",
+        F.when(F.lag("ts").over(w).isNull() | (gap_s > 600), 1).otherwise(0).alias("new_s"),
+        "event_id",
+    ).withColumn("session_id", F.sum("new_s").over(wsum))
+    sess = numbered.groupBy("user_id", "session_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("d"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    bounce = (F.col("n_events") == 1).cast("int")
+    return sess.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum(bounce).cast("long").alias("n_bounces"),
+        F.round(F.sum(bounce).cast("double") / F.count(F.lit(1)), 6).alias("bounce_rate"),
+    )
+
+
+@query(
+    "lang_source_chisq",
+    """
+    WITH obs AS (
+      SELECT lang, source, count(*) AS o FROM documents GROUP BY lang, source),
+    margins AS (
+      SELECT lang, sum(o) AS rl FROM obs GROUP BY lang),
+    cmargins AS (
+      SELECT source, sum(o) AS cl FROM obs GROUP BY source),
+    tot AS (SELECT sum(o) AS t FROM obs),
+    cells AS (
+      SELECT o.lang, o.source, o.o,
+             m.rl * c.cl / tot.t::double AS e
+      FROM obs o JOIN margins m USING (lang) JOIN cmargins c USING (source), tot),
+    terms AS (
+      SELECT cast(round((o - e) * (o - e) / e, 9) as decimal(28,14)) AS term FROM cells)
+    SELECT cast((SELECT count(*) FROM cells) as bigint) AS n_cells,
+           round(cast(sum(term) as double), 6) AS chi_square
+    FROM terms
+    """,
+)
+def lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson CHI-SQUARE independence statistic for the lang x source
+    contingency table — 'does language mix depend on source?' asked as
+    one number (compare to the chi2 critical value at
+    (|langs|-1)(|sources|-1) dof). High chi2 = sources are language-
+    skewed, so per-source sampling changes the language mix — the
+    audit to run BEFORE trusting ``stratified_rebalance`` knobs.
+
+    Shape: the contingency table is one combinable groupBy; margins
+    broadcast back; per-cell terms round to 9 dp then accumulate as
+    exact decimals (both engines sum identical grids)."""
+    d = load(spark, sf_dir, "documents")
+    obs = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    margins = obs.groupBy("lang").agg(F.sum("o").alias("rl"))
+    cmargins = obs.groupBy("source").agg(F.sum("o").alias("cl"))
+    tot = obs.agg(F.sum("o").alias("t"))
+    cells = (
+        obs.join(F.broadcast(margins), "lang")
+        .join(F.broadcast(cmargins), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "o",
+            (F.col("rl") * F.col("cl") / F.col("t").cast("double")).alias("e"),
+        )
+    )
+    terms = cells.select(
+        F.round((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e"), 9)
+        .cast("decimal(28,14)")
+        .alias("term")
+    )
+    n_cells = cells.agg(F.count(F.lit(1)).alias("n_cells"))
+    return (
+        terms.agg(F.round(F.sum("term").cast("double"), 6).alias("chi_square"))
+        .crossJoin(F.broadcast(n_cells))
+        .select(F.col("n_cells").cast("long").alias("n_cells"), "chi_square")
+    )

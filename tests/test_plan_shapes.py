@@ -213,6 +213,8 @@ AUDITQ_ROUND6 = [
     "weighted_median_price_by_flag", "rolling_7d_active_users",
     "knn_degree_powerlaw", "length_decile_normalize",
     "scalar_variant_events", "pandas_udaf_geomean", "pyds_telemetry_agg",
+    "knn_two_hop_reach", "repeat_purchase_intervals",
+    "sessions_bounce_rate_daily", "lang_source_chisq",
 ]
 
 
