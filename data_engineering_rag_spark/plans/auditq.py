@@ -233,12 +233,19 @@ def bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: the occupied-bit set and per-key hash positions are pure
     column math; membership = a {len(BF_SALTS)}-way position semi-join
     and a count-match — partial-aggregable throughout."""
+    from pyspark import StorageLevel
+
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
+    # the distinct key sets feed 3 consumers each (positions, truth,
+    # count) — persist them so each side scans its parquet ONCE
     build = (
-        o.where(F.col("o_totalprice") > BF_PRICE_CUT).select(F.col("o_custkey").alias("k")).distinct()
+        o.where(F.col("o_totalprice") > BF_PRICE_CUT)
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    probe = c.select(F.col("c_custkey").alias("pk")).distinct()
+    probe = c.select(F.col("c_custkey").alias("pk")).distinct().persist(StorageLevel.MEMORY_AND_DISK)
     # one scan per side: the k hash positions explode from an array
     # projection instead of k unioned re-scans
     bits = build.select(
