@@ -62,7 +62,16 @@ def basket_pair_lift_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: the pair space stays bounded by co-occurrence (orderkey
     equi-join, canonical part order); per-part counts broadcast back;
     final ranking is TakeOrdered(20), never a global sort."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    from pyspark import StorageLevel
+
+    # the distinct item set feeds the order count, per-part counts, and
+    # both sides of the pair join — materialize it once
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     per = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
@@ -139,9 +148,13 @@ def customer_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     cohorts·offsets rows — tiny), never a window over raw orders.
     Spend accumulates as exact decimals."""
     o = load(spark, sf_dir, "orders")
-    fo = o.groupBy("o_custkey").agg(
-        F.date_trunc("month", F.min("o_orderdate")).cast("date").alias("cohort")
-    )
+    from pyspark import StorageLevel
+
+    fo = (
+        o.groupBy("o_custkey")
+        .agg(F.date_trunc("month", F.min("o_orderdate")).cast("date").alias("cohort"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )  # feeds cohort sizes AND the per-order rejoin
     sz = fo.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_customers"))
     spend = (
         o.join(fo, "o_custkey")
@@ -403,13 +416,15 @@ def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_start")
     ).agg(F.count(F.lit(1)).alias("n"))
+    from pyspark import StorageLevel
+
     keyed = hourly.select(
         "event_type",
         "hour_start",
         "n",
         F.dayofweek("hour_start").alias("dow"),
         F.hour("hour_start").alias("hod"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # feeds baseline AND scoring
     base = (
         keyed.groupBy("event_type", "dow", "hod")
         .agg(
@@ -642,7 +657,13 @@ def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     {ROLLING_DAYS}× the activity table, independent of event volume —
     events dedupe to user-days FIRST), all partial-aggregable."""
     ev = load(spark, sf_dir, "events")
-    act = ev.select("user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d")).distinct()
+    from pyspark import StorageLevel
+
+    act = (
+        ev.select("user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )  # feeds the day list AND the fan-out join
     days = act.select("d").distinct().select(F.col("d").alias("window_day"))
     fan = (
         act.join(
@@ -992,7 +1013,13 @@ def knn_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     k·|E|, then distinct + count — never |V|² anything."""
     from .vectors import knn_graph_by_label
 
-    edges = knn_graph_by_label(spark, sf_dir).select("src", "dst")
+    from pyspark import StorageLevel
+
+    edges = (
+        knn_graph_by_label(spark, sf_dir)
+        .select("src", "dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )  # both sides of the hop join
     two_hop = (
         edges.select(F.col("src"), F.col("dst").alias("mid"))
         .join(edges.select(F.col("src").alias("mid"), F.col("dst").alias("hop2")), "mid")
@@ -1135,7 +1162,13 @@ def lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back; per-cell terms round to 9 dp then accumulate as
     exact decimals (both engines sum identical grids)."""
     d = load(spark, sf_dir, "documents")
-    obs = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    from pyspark import StorageLevel
+
+    obs = (
+        d.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )  # feeds both margins, the total, and the cells
     margins = obs.groupBy("lang").agg(F.sum("o").alias("rl"))
     cmargins = obs.groupBy("source").agg(F.sum("o").alias("cl"))
     tot = obs.agg(F.sum("o").alias("t"))

@@ -373,11 +373,17 @@ def kmv_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelineq import _crossdoc_grams
 
     d = load(spark, sf_dir, "documents")
+    from pyspark import StorageLevel
+
+    # st feeds the sketch build, the per-source counts, AND both sides
+    # of the exact intersection — persist so the shingle explode +
+    # distinct runs once
     st = (
         _crossdoc_grams(spark, sf_dir)
         .join(d.select("doc_id", "source"), "doc_id")
         .select("source", F.col("gram").alias("tok"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     hashed = st.select(
         "source",
@@ -790,12 +796,15 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "split"
         ),
     )
+    from pyspark import StorageLevel
+
     sg = (
         _crossdoc_grams(spark, sf_dir)
         .join(splits, "doc_id")
         .select("split", "gram")
         .distinct()
-    )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )  # feeds per-split counts and both sides of the pair join
     per = sg.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
     shared = (
         sg.select(F.col("split").alias("split_a"), "gram")
@@ -1011,9 +1020,15 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     join); both inputs partial-aggregate first."""
     from .pipelineq import _crossdoc_grams
 
-    g0 = _crossdoc_grams(spark, sf_dir).distinct()
+    from pyspark import StorageLevel
+
+    g0 = _crossdoc_grams(spark, sf_dir).distinct().persist(StorageLevel.MEMORY_AND_DISK)
     df_ = g0.groupBy("gram").agg(F.count(F.lit(1)).alias("nd"))
-    grams = g0.join(df_, "gram").where(F.col("nd") <= CONTAIN_MAX_DF)
+    grams = (
+        g0.join(df_, "gram")
+        .where(F.col("nd") <= CONTAIN_MAX_DF)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )  # feeds per-doc counts and both sides of the collision join
     per = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         grams.where(F.col("nd") >= 2)
@@ -1103,14 +1118,20 @@ def pq_codebook_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .vectors import dot, l2_norm_sq
 
     e = load(spark, sf_dir, "embeddings")
-    comp = e.select(
-        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "val")
-    ).select(
-        "vec_id",
-        (F.col("pos0") / PQ_SUBDIM).cast("long").alias("sub"),
-        (F.col("pos0") % PQ_SUBDIM + 1).cast("long").alias("spos"),
-        "val",
-    )
+    from pyspark import StorageLevel
+
+    comp = (
+        e.select(
+            "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "val")
+        )
+        .select(
+            "vec_id",
+            (F.col("pos0") / PQ_SUBDIM).cast("long").alias("sub"),
+            (F.col("pos0") % PQ_SUBDIM + 1).cast("long").alias("spos"),
+            "val",
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )  # feeds the subvector build AND the refit rejoin
     subv = comp.groupBy("vec_id", "sub").agg(
         F.transform(F.sort_array(F.collect_list(F.struct("spos", "val"))), lambda s: s["val"]).alias(
             "sv"
@@ -1212,9 +1233,17 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregable integer sums — the standard message-passing
     pattern. Edges reuse the ``knn_graph_by_label`` plan (bucketed
     self-join, never |N|²)."""
+    from pyspark import StorageLevel
+
     from .vectors import knn_graph_by_label
 
-    edges = knn_graph_by_label(spark, sf_dir).select("src", "dst")
+    # the k-NN graph build (bucketed self-join + window) feeds two
+    # joins per iteration — materialize it once
+    edges = (
+        knn_graph_by_label(spark, sf_dir)
+        .select("src", "dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     nodes = load(spark, sf_dir, "embeddings").select("vec_id")
     h = nodes.select("vec_id", F.lit(1).cast("long").alias("s"))
     a = None
