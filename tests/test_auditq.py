@@ -303,3 +303,49 @@ def test_observed_filter_reports_exact_counts(spark, sf_dir):
     got = obs.get
     assert got["rows_seen"] == total
     assert got["rows_kept"] == kept > 0
+
+
+def test_two_hop_bounded_by_k_squared(spark, sf_dir):
+    from data_engineering_rag_spark.plans.vectors import KNN_K
+
+    out = REGISTRY["knn_two_hop_reach"].spark(spark, sf_dir)
+    mx = out.agg(F.max("n_two_hop")).collect()[0][0]
+    assert 0 < mx <= KNN_K * KNN_K  # each hop multiplies reach by <= k
+
+
+def test_bounce_sessions_match_sessionize_batch(spark, sf_dir):
+    daily = REGISTRY["sessions_bounce_rate_daily"].spark(spark, sf_dir)
+    n_sessions = daily.agg(F.sum("n_sessions")).collect()[0][0]
+    n_batch = REGISTRY["events_sessionize_batch"].spark(spark, sf_dir).count()
+    assert n_sessions == n_batch  # same gaps-and-islands universe
+    for r in daily.collect():
+        assert 0.0 <= r.bounce_rate <= 1.0 and r.n_bounces <= r.n_sessions
+
+
+def test_chisq_zero_on_planted_independent_table(spark, tmp_path):
+    """lang independent of source (every cell = 5) -> chi2 exactly 0."""
+    import shutil
+
+    src = "/root/testdata/sf0.001"
+    fix = tmp_path / "sfchi"
+    fix.mkdir()
+    for t in "region nation customer supplier part orders lineitem events embeddings".split():
+        shutil.copy(f"{src}/{t}.parquet", fix / f"{t}.parquet")
+    rows = []
+    k = 0
+    for lang in ("en", "de"):
+        for source in ("s1", "s2", "s3"):
+            for _ in range(5):
+                k += 1
+                rows.append((k, f"text {k}", lang, source, 10))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(fix / "documents.parquet"))
+    got = REGISTRY["lang_source_chisq"].spark(spark, str(fix)).collect()[0]
+    assert got.n_cells == 6 and got.chi_square == 0.0
+
+
+def test_repeat_intervals_nonnegative_and_ordered(spark, sf_dir):
+    r = REGISTRY["repeat_purchase_intervals"].spark(spark, sf_dir).collect()[0]
+    assert r.n_intervals > 0
+    assert 0 <= r.p50_days <= r.p90_days
