@@ -65,6 +65,7 @@ from . import cdcq  # noqa: E402,F401
 from . import corpusq  # noqa: E402,F401
 from . import auditq  # noqa: E402,F401
 from . import analyticsq  # noqa: E402,F401
+from . import curationq  # noqa: E402,F401
 
 # The driver's per-round correctness check covers only the first ~50
 # REGISTRY entries, so insertion order decides which queries get

@@ -1,0 +1,498 @@
+"""Model-centric data-curation operators (round-6g EXT family): the
+published LLM-corpus curation techniques beyond rule filters and
+lexical dedup — semantic (embedding-cluster) dedup, importance-
+resampling data selection, and LM-perplexity quality bucketing.
+
+All three are public literature:
+- SemDedup (Abbas et al. 2023): cluster embeddings, drop near-
+  duplicate members within each cluster — catches paraphrase-level
+  duplication MinHash can't see.
+- DSIR (Xie et al. 2023): hashed n-gram importance weights
+  log(p_target/p_raw) select raw documents that look like a
+  high-quality target distribution.
+- CCNet (Wenzek et al. 2019): score every document with an LM trained
+  on a trusted slice; bucket the corpus into head/middle/tail by
+  perplexity terciles.
+
+Scale notes (the 100 TB shapes):
+- SemDedup's all-pairs stage exists ONLY within a cluster — cluster
+  count grows with the corpus so member count stays bounded; the
+  assignment pass is a broadcast-centroid argmax (no shuffle of the
+  vector table).
+- DSIR's model is a B-bucket weight table (B = {DSIR_BUCKETS}) —
+  broadcast to the token stream; the only shuffle is the per-doc
+  decimal sum.
+- The bigram LM's count tables shuffle on token/bigram keys
+  (partial-aggregated); scoring is two equi-joins, never a cross
+  product. Tercile thresholds are two exact percentiles over the
+  per-doc aggregate (swap for approx_percentile at 100 TB).
+
+Cross-engine float discipline (see plans/__init__.py): log/ln values
+are rounded per row, then accumulated as exact decimals; every
+reduction result is rounded explicitly in both dialects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.tfidf import TOKEN_PATTERN
+from .vectors import dot, l2_norm_sq
+from . import load, query
+
+# --------------------------------------------------------------------
+# SemDedup: embedding-cluster near-duplicate pruning
+# --------------------------------------------------------------------
+
+SEMDEDUP_SAMPLE = 1500  # bounds the oracle's all-pairs replay
+# Synthetic embeddings are near-orthogonal (max pair cosine ~0.51 at
+# sf0.01), so the demo threshold sits below the real-corpus ~0.95+
+# operating point; the planted-duplicate unit test pins the drop rule.
+SEMDEDUP_COS = 0.40
+
+
+def _semdedup_sql() -> str:
+    cos = (
+        "round(list_dot_product(a.ev, b.ev) / "
+        "(sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev))), 8)"
+    )
+    return f"""
+    WITH cents AS (
+      SELECT label, cast(pos as bigint) AS pos,
+             round(cast(sum(cast(cast(embedding[cast(pos as int)] as double) as decimal(18,9))) as double)
+                   / count(*), 8) + 0.0 AS c
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(pos)
+      GROUP BY label, pos
+    ),
+    vpos AS (
+      SELECT vec_id, cast(pos as bigint) AS pos,
+             cast(embedding[cast(pos as int)] as double) AS x
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(pos)
+      WHERE vec_id < {SEMDEDUP_SAMPLE}
+    ),
+    vc AS (
+      SELECT vec_id, label,
+             round(sum(x * c) / (sqrt(sum(x * x)) * sqrt(sum(c * c))), 8) AS ccos
+      FROM vpos JOIN cents USING (pos)
+      GROUP BY vec_id, label
+    ),
+    asg AS (
+      SELECT vec_id, label AS cluster_id FROM (
+        SELECT vec_id, label,
+               row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, label) AS rn
+        FROM vc) WHERE rn = 1
+    ),
+    v AS (
+      SELECT a.cluster_id, e.vec_id, e.embedding::DOUBLE[] AS ev
+      FROM embeddings e JOIN asg a USING (vec_id)
+    ),
+    dup AS (
+      SELECT b.vec_id AS vec_id, count(*) AS n, max({cos}) AS mx
+      FROM v a JOIN v b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE {cos} >= {SEMDEDUP_COS}
+      GROUP BY b.vec_id
+    )
+    SELECT s.vec_id, cast(s.cluster_id as bigint) AS cluster_id,
+           cast(coalesce(d.n, 0) as bigint) AS n_dup_lower,
+           d.mx AS max_cos_lower,
+           coalesce(d.n, 0) = 0 AS is_kept
+    FROM asg s LEFT JOIN dup d ON s.vec_id = d.vec_id
+    """
+
+
+@query("semantic_cluster_dedup", _semdedup_sql())
+def semantic_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup (Abbas et al. 2023): assign each vector to its nearest
+    per-label centroid by cosine (the deterministic stand-in for a
+    k-means pass — same broadcast-argmax fold as ``ivf_ann_topk``),
+    then inside each cluster flag any vector whose cosine to a
+    LOWER-id cluster-mate reaches {SEMDEDUP_COS}; the lowest id of a
+    duplicate set survives (first-survivor rule — canonical-doc dedup
+    uses the same convention). Emits the per-vector audit row:
+    cluster, duplicate-neighbor count, max offending cosine, keep flag.
+
+    100 TB shape: the all-pairs stage is bounded BY CONSTRUCTION to a
+    cluster's members (cluster count scales with the corpus, member
+    count stays ~constant); the assignment is a broadcast-centroid
+    cross join + per-row argmax — the vector table never shuffles
+    until the (cluster-keyed, bounded) pair join."""
+    from pyspark import StorageLevel
+
+    e = load(spark, sf_dir, "embeddings")
+    comp = e.select(
+        F.col("label").cast("long").alias("cluster_label"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "val"),
+    )
+    cents = (
+        comp.groupBy("cluster_label", "pos0")
+        .agg(
+            F.round(
+                F.sum(F.col("val").cast("decimal(18,9)")).cast("double") / F.count(F.lit(1)), 8
+            ).alias("cval")
+        )
+        .groupBy("cluster_label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos0", "cval"))), lambda s: s["cval"]
+            ).alias("cv")
+        )
+    )
+    vecs = e.where(F.col("vec_id") < SEMDEDUP_SAMPLE).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ev")
+    )
+    ccos = F.round(
+        dot(F.col("ev"), F.col("cv"))
+        / (F.sqrt(l2_norm_sq(F.col("ev"))) * F.sqrt(l2_norm_sq(F.col("cv")))),
+        8,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), "cluster_label")
+    asg = (
+        vecs.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cluster_label", ccos.alias("ccos"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("cluster_label").alias("cluster_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)  # feeds pair join AND final audit
+    )
+    # both sides of the within-cluster pair join read this frame
+    v = vecs.join(asg, "vec_id").persist(StorageLevel.MEMORY_AND_DISK)
+    a = v.select(
+        F.col("cluster_id").alias("cid"),
+        F.col("vec_id").alias("va"),
+        F.col("ev").alias("eva"),
+    )
+    b = v.select(
+        F.col("cluster_id").alias("cid"),
+        F.col("vec_id").alias("vb"),
+        F.col("ev").alias("evb"),
+    )
+    pcos = F.round(
+        dot(F.col("eva"), F.col("evb"))
+        / (F.sqrt(l2_norm_sq(F.col("eva"))) * F.sqrt(l2_norm_sq(F.col("evb")))),
+        8,
+    )
+    dup = (
+        a.join(b, ["cid"])
+        .where(F.col("va") < F.col("vb"))
+        .select("vb", pcos.alias("cos"))
+        .where(F.col("cos") >= SEMDEDUP_COS)
+        .groupBy("vb")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("cos").alias("mx"))
+    )
+    return (
+        asg.join(dup, asg.vec_id == dup.vb, "left")
+        .select(
+            "vec_id",
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_dup_lower"),
+            F.col("mx").alias("max_cos_lower"),
+            (F.coalesce(F.col("n"), F.lit(0)) == 0).alias("is_kept"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# DSIR: hashed-unigram importance-resampling scores
+# --------------------------------------------------------------------
+
+DSIR_BUCKETS = 512
+_DSIR_SALT = "dsir|"
+DSIR_TARGET_SOURCE = "src0"  # the declared high-quality proxy slice
+
+
+def _dsir_bucket_sql(tok: str) -> str:
+    return (
+        f"cast(concat('0x', substr(md5(concat('{_DSIR_SALT}', {tok})), 1, 15)) as bigint)"
+        f" % {DSIR_BUCKETS}"
+    )
+
+
+def _dsir_bucket_col(tok) -> F.Column:
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(_DSIR_SALT), tok)), 1, 15), 16, 10).cast("long")
+        % DSIR_BUCKETS
+    )
+
+
+@query(
+    "dsir_importance_scores",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             {_dsir_bucket_sql("tok")} AS bucket
+      FROM (SELECT doc_id, source,
+                   unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS tok
+            FROM documents)
+    ),
+    raw AS (SELECT bucket, count(*) AS cr FROM toks GROUP BY bucket),
+    tgt AS (SELECT bucket, count(*) AS ct FROM toks
+            WHERE source = '{DSIR_TARGET_SOURCE}' GROUP BY bucket),
+    tot AS (SELECT cast(count(*) as double) AS nr,
+                   cast(count(*) FILTER (source = '{DSIR_TARGET_SOURCE}') as double) AS nt
+            FROM toks),
+    wts AS (
+      SELECT r.bucket,
+             round(ln(((coalesce(t.ct, 0) + 1.0) / (tot.nt + {DSIR_BUCKETS}))
+                      / ((r.cr + 1.0) / (tot.nr + {DSIR_BUCKETS}))), 8) AS w
+      FROM raw r LEFT JOIN tgt t ON r.bucket = t.bucket CROSS JOIN tot
+    )
+    SELECT k.doc_id, cast(count(*) as bigint) AS n_tokens,
+           floor(cast(sum(cast(w.w as decimal(20,8))) as double) / count(*) * 100000000.0 + 0.5)
+             / 100000000.0 AS dsir_score
+    FROM toks k JOIN wts w ON k.bucket = w.bucket
+    GROUP BY k.doc_id
+    """,
+)
+def dsir_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023) data selection: hash every token into
+    {DSIR_BUCKETS} buckets, estimate the target distribution from the
+    '{DSIR_TARGET_SOURCE}' slice (the declared high-quality proxy) and
+    the raw distribution from the whole corpus (both add-1 smoothed),
+    and score each document by its mean per-token log importance
+    weight ln(p_target/p_raw). High scores → doc looks like the
+    target; resampling by these weights is the published recipe for
+    quality-targeted corpus selection without a trained classifier.
+
+    100 TB shape: the model is the B={DSIR_BUCKETS}-row weight table —
+    built by two combinable token-count aggs, then BROADCAST to the
+    token stream; scoring shuffles only the per-doc decimal sum. The
+    per-bucket weight is rounded to 8 dp before the exact-decimal
+    accumulation (cross-engine ln discipline)."""
+    from pyspark import StorageLevel
+
+    d = load(spark, sf_dir, "documents")
+    # the bucketed token stream feeds raw/target/total counts and the
+    # final scoring join — materialize it once (at 100 TB, trade this
+    # persist for recomputation: the narrow map is cheaper than disk)
+    toks = (
+        d.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0))
+            ).alias("tok"),
+        )
+        .select("doc_id", "source", _dsir_bucket_col(F.col("tok")).alias("bucket"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    raw = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        toks.where(F.col("source") == DSIR_TARGET_SOURCE)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tot = toks.agg(
+        F.count(F.lit(1)).cast("double").alias("nr"),
+        F.count(F.when(F.col("source") == DSIR_TARGET_SOURCE, 1)).cast("double").alias("nt"),
+    )
+    wts = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    ((F.coalesce(F.col("ct"), F.lit(0)) + 1.0) / (F.col("nt") + DSIR_BUCKETS))
+                    / ((F.col("cr") + 1.0) / (F.col("nr") + DSIR_BUCKETS))
+                ),
+                8,
+            ).alias("w"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(wts), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            # floor-based half-up rounding: engine-exact on quotient
+            # ties where round()'s shortest-repr HALF_UP can diverge
+            (
+                F.floor(
+                    F.sum(F.col("w").cast("decimal(20,8)")).cast("double")
+                    / F.count(F.lit(1))
+                    * 100000000.0
+                    + 0.5
+                ).cast("double")
+                / 100000000.0
+            ).alias("dsir_score"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# CCNet-style bigram-LM perplexity buckets
+# --------------------------------------------------------------------
+
+_LM_SALT = "lm7|"
+LM_TRAIN_BUCKETS = 50  # doc-hash bucket < this → LM training slice
+
+
+def _lm_bucket_sql(key: str) -> str:
+    return (
+        f"cast(concat('0x', substr(md5(concat('{_LM_SALT}', cast({key} as varchar))), 1, 15)) "
+        "as bigint) % 100"
+    )
+
+
+def _lm_bucket_col(key) -> F.Column:
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(_LM_SALT), key.cast("string"))), 1, 15), 16, 10
+        ).cast("long")
+        % 100
+    )
+
+
+@query(
+    "bigram_lm_perplexity_buckets",
+    f"""
+    WITH da AS (
+      SELECT doc_id, {_lm_bucket_sql("doc_id")} < {LM_TRAIN_BUCKETS} AS is_train,
+             regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS a
+      FROM documents
+    ),
+    vocab AS (
+      SELECT DISTINCT unnest(a) AS tok FROM da WHERE is_train
+    ),
+    vsize AS (SELECT cast(count(*) + 1 as double) AS v FROM vocab),
+    mapped AS (
+      SELECT t.doc_id, t.is_train, t.i,
+             CASE WHEN vo.tok IS NULL THEN '<unk>' ELSE t.tok END AS tok
+      FROM (SELECT doc_id, is_train, unnest(a) AS tok,
+                   generate_subscripts(a, 1) AS i FROM da) t
+      LEFT JOIN vocab vo ON t.tok = vo.tok
+    ),
+    bg AS (
+      SELECT m1.doc_id, m1.is_train, m1.i, m1.tok AS w1, m2.tok AS w2
+      FROM mapped m1 JOIN mapped m2
+        ON m1.doc_id = m2.doc_id AND m2.i = m1.i + 1
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c FROM bg WHERE is_train GROUP BY w1, w2),
+    c1 AS (SELECT w1, sum(c) AS c FROM c12 GROUP BY w1),
+    scored AS (
+      SELECT b.doc_id,
+             round(-ln((coalesce(p.c, 0) + 1.0) / (coalesce(u.c, 0) + vsize.v)), 8) AS nll
+      FROM bg b
+      LEFT JOIN c12 p ON b.w1 = p.w1 AND b.w2 = p.w2
+      LEFT JOIN c1 u ON b.w1 = u.w1
+      CROSS JOIN vsize
+    ),
+    perdoc AS (
+      SELECT doc_id, cast(count(*) as bigint) AS n_bigrams,
+             floor(cast(sum(cast(nll as decimal(20,8))) as double) / count(*) * 1000000.0 + 0.5)
+               / 1000000.0 AS log_ppl
+      FROM scored GROUP BY doc_id
+    ),
+    th AS (
+      SELECT percentile_cont(1.0/3) WITHIN GROUP (ORDER BY log_ppl) AS t1,
+             percentile_cont(2.0/3) WITHIN GROUP (ORDER BY log_ppl) AS t2
+      FROM perdoc
+    )
+    SELECT p.doc_id, p.n_bigrams, p.log_ppl,
+           CASE WHEN p.log_ppl <= th.t1 THEN 'head'
+                WHEN p.log_ppl <= th.t2 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM perdoc p CROSS JOIN th
+    """,
+)
+def bigram_lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style (Wenzek et al. 2019) perplexity bucketing with an
+    in-engine LM: train an add-1-smoothed bigram model on the
+    hash-selected {LM_TRAIN_BUCKETS}% training slice (out-of-vocab
+    tokens collapse to '<unk>'), score EVERY document by mean bigram
+    negative log-likelihood (log-perplexity — monotone in perplexity,
+    so bucketing on it is equivalent and skips the cross-engine exp),
+    and cut the corpus into head/middle/tail at the exact terciles.
+
+    100 TB shape: the LM is two count tables shuffled on token/bigram
+    keys (partial-aggregated — never a collect); scoring is two
+    equi-joins of the corpus bigram stream against them; the tercile
+    thresholds are one exact-percentile agg over the per-doc result
+    (swap for approx_percentile at scale), broadcast back as a 1-row
+    table. Per-bigram nll is rounded to 8 dp, then decimal-summed
+    (cross-engine ln discipline)."""
+    from pyspark import StorageLevel
+
+    d = load(spark, sf_dir, "documents")
+    da = d.select(
+        "doc_id",
+        (_lm_bucket_col(F.col("doc_id")) < LM_TRAIN_BUCKETS).alias("is_train"),
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0)).alias("a"),
+    )
+    tokpos = da.select(
+        "doc_id", "is_train", F.posexplode("a").alias("pos0", "tok")
+    ).select("doc_id", "is_train", (F.col("pos0") + 1).alias("i"), "tok")
+    # vocab feeds the size scalar and the OOV-mapping join
+    vocab = (
+        tokpos.where("is_train").select("tok").distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    vsize = vocab.agg((F.count(F.lit(1)) + 1).cast("double").alias("v"))
+    # the UNK-mapped positional token stream feeds BOTH sides of the
+    # consecutive-pair self-join
+    mapped = (
+        tokpos.join(vocab.withColumn("_inv", F.lit(1)), "tok", "left")
+        .select(
+            "doc_id",
+            "is_train",
+            "i",
+            F.when(F.col("_inv").isNull(), F.lit("<unk>")).otherwise(F.col("tok")).alias("tok"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    m1 = mapped.select("doc_id", "is_train", "i", F.col("tok").alias("w1"))
+    m2 = mapped.select(F.col("doc_id").alias("doc_id2"), (F.col("i") - 1).alias("i2"), F.col("tok").alias("w2"))
+    # the bigram stream feeds the training counts AND the scoring pass
+    bg = (
+        m1.join(m2, (F.col("doc_id") == F.col("doc_id2")) & (F.col("i") == F.col("i2")))
+        .select("doc_id", "is_train", "w1", "w2")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    c12 = bg.where("is_train").groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    c1 = c12.groupBy("w1").agg(F.sum("c").alias("cu"))
+    nll = F.round(
+        -F.log(
+            (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+            / (F.coalesce(F.col("cu"), F.lit(0)) + F.col("v"))
+        ),
+        8,
+    )
+    scored = (
+        bg.join(c12, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .crossJoin(F.broadcast(vsize))
+        .select("doc_id", nll.alias("nll"))
+    )
+    # per-doc scores feed the tercile agg AND the final bucket join
+    perdoc = (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            # floor-based half-up rounding (see dsir_importance_scores)
+            (
+                F.floor(
+                    F.sum(F.col("nll").cast("decimal(20,8)")).cast("double")
+                    / F.count(F.lit(1))
+                    * 1000000.0
+                    + 0.5
+                ).cast("double")
+                / 1000000.0
+            ).alias("log_ppl"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    th = perdoc.agg(
+        F.expr("percentile_cont(1.0/3) WITHIN GROUP (ORDER BY log_ppl)").alias("t1"),
+        F.expr("percentile_cont(2.0/3) WITHIN GROUP (ORDER BY log_ppl)").alias("t2"),
+    )
+    return perdoc.crossJoin(F.broadcast(th)).select(
+        "doc_id",
+        "n_bigrams",
+        "log_ppl",
+        F.when(F.col("log_ppl") <= F.col("t1"), F.lit("head"))
+        .when(F.col("log_ppl") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )

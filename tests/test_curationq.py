@@ -1,0 +1,126 @@
+"""Planted-fixture pins for the round-6g curation operators (SemDedup /
+DSIR / bigram-LM perplexity): the oracle parity check proves the two
+engines agree; these prove the operators do the RIGHT thing on corpora
+built to trigger their decision rules."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from data_engineering_rag_spark.plans.curationq import (
+    DSIR_TARGET_SOURCE,
+    SEMDEDUP_COS,
+    bigram_lm_perplexity_buckets,
+    dsir_importance_scores,
+    semantic_cluster_dedup,
+)
+
+
+def _write_embeddings(tmp_path, vecs, labels):
+    pd.DataFrame(
+        {
+            "vec_id": range(len(vecs)),
+            "embedding": [[float(x) for x in v] for v in vecs],
+            "label": pd.array(labels, dtype="int32"),
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet", index=False)
+    return str(tmp_path)
+
+
+def _write_docs(tmp_path, rows):
+    """rows: (doc_id, text, source)."""
+    pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": "en",
+            "source": [r[2] for r in rows],
+            "n_chars": [len(r[1]) for r in rows],
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+    return str(tmp_path)
+
+
+def test_semdedup_drops_planted_duplicate_keeps_first(spark, tmp_path):
+    # label 0: v0 and its near-copy v1 (cos ~0.99995 >= threshold);
+    # label 1: v2 and v3 near-orthogonal (cos ~0.01 < threshold).
+    sf = _write_embeddings(
+        tmp_path,
+        [
+            [1.0, 0.0, 0.0, 0.0],
+            [1.0, 0.01, 0.0, 0.0],
+            [0.0, 0.0, 1.0, 0.0],
+            [0.0, 0.0, 0.01, 1.0],
+        ],
+        [0, 0, 1, 1],
+    )
+    rows = {r.vec_id: r for r in semantic_cluster_dedup(spark, sf).collect()}
+    assert len(rows) == 4
+    assert rows[0].is_kept and rows[0].n_dup_lower == 0
+    # the higher id of the duplicate pair is dropped (first-survivor)
+    assert not rows[1].is_kept and rows[1].n_dup_lower == 1
+    assert rows[1].max_cos_lower >= SEMDEDUP_COS
+    # near-orthogonal cluster-mates both survive
+    assert rows[2].is_kept and rows[3].is_kept
+    assert rows[2].cluster_id == rows[3].cluster_id == 1
+
+
+def test_semdedup_keep_flag_consistent_and_min_id_survives(spark, sf_dir):
+    rows = semantic_cluster_dedup(spark, sf_dir).collect()
+    assert rows, "sample produced no vectors"
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        assert r.is_kept == (r.n_dup_lower == 0)
+        assert (r.max_cos_lower is None) == (r.n_dup_lower == 0)
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for members in by_cluster.values():
+        # the lowest id in a cluster has no lower-id mate -> always kept
+        assert min(members, key=lambda r: r.vec_id).is_kept
+
+
+def test_dsir_scores_target_lookalike_above_background(spark, tmp_path):
+    # target vocabulary {alpha..} vs background {delta..}; the scored
+    # docs repeat one vocabulary each -> the target-lookalike must
+    # score strictly higher than the background-lookalike.
+    target_text = "alpha beta gamma alpha beta gamma"
+    background_text = "delta epsilon zeta delta epsilon zeta"
+    rows = [(i, target_text, DSIR_TARGET_SOURCE) for i in range(5)]
+    rows += [(5 + i, background_text, "srcX") for i in range(5)]
+    rows += [(10, target_text, "srcX"), (11, background_text, "srcX")]
+    sf = _write_docs(tmp_path, rows)
+    got = {r.doc_id: r for r in dsir_importance_scores(spark, sf).collect()}
+    assert got[10].dsir_score > got[11].dsir_score
+    # lookalike scores the same as real target docs (same token stream)
+    assert got[10].dsir_score == got[0].dsir_score
+    assert got[10].n_tokens == 6
+
+
+def test_bigram_lm_gibberish_lands_in_tail(spark, tmp_path):
+    # 40 fluent docs share one bigram distribution (about half land in
+    # the hash-train slice - enough mass either way); one OOV doc maps
+    # entirely to <unk> whose bigrams are unseen -> maximal nll.
+    fluent = "the cat sat on the mat and the cat sat"
+    rows = [(i, fluent, "srcA") for i in range(40)]
+    rows.append((40, "qqq www vvv xxx yyy", "srcA"))
+    sf = _write_docs(tmp_path, rows)
+    got = {r.doc_id: r for r in bigram_lm_perplexity_buckets(spark, sf).collect()}
+    assert len(got) == 41
+    worst = max(got.values(), key=lambda r: r.log_ppl)
+    assert worst.doc_id == 40
+    assert got[40].ppl_bucket == "tail"
+    assert got[0].ppl_bucket == "head"
+    assert got[40].log_ppl > got[0].log_ppl
+
+
+def test_bigram_lm_buckets_are_ordered(spark, sf_dir):
+    rows = bigram_lm_perplexity_buckets(spark, sf_dir).collect()
+    by_bucket: dict[str, list[float]] = {"head": [], "middle": [], "tail": []}
+    for r in rows:
+        assert r.n_bigrams >= 1
+        by_bucket[r.ppl_bucket].append(r.log_ppl)
+    assert by_bucket["head"] and by_bucket["tail"]
+    if by_bucket["middle"]:
+        assert max(by_bucket["head"]) <= min(by_bucket["middle"])
+        assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
+    else:
+        assert max(by_bucket["head"]) <= min(by_bucket["tail"])

@@ -215,6 +215,9 @@ AUDITQ_ROUND6 = [
     "scalar_variant_events", "pandas_udaf_geomean", "pyds_telemetry_agg",
     "knn_two_hop_reach", "repeat_purchase_intervals",
     "sessions_bounce_rate_daily", "lang_source_chisq",
+    # curationq (round 6g)
+    "semantic_cluster_dedup", "dsir_importance_scores",
+    "bigram_lm_perplexity_buckets",
 ]
 
 
