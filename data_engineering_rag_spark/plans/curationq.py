@@ -496,3 +496,196 @@ def bigram_lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("tail"))
         .alias("ppl_bucket"),
     )
+
+
+# --------------------------------------------------------------------
+# Multinomial Naive Bayes source classifier (confusion matrix)
+# --------------------------------------------------------------------
+
+_NB_SALT = "nb9|"
+NB_TRAIN_BUCKETS = 70  # doc-hash bucket < this → classifier training
+
+
+def _nb_bucket_sql(key: str) -> str:
+    return (
+        f"cast(concat('0x', substr(md5(concat('{_NB_SALT}', cast({key} as varchar))), 1, 15)) "
+        "as bigint) % 100"
+    )
+
+
+def _nb_bucket_col(key) -> F.Column:
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(_NB_SALT), key.cast("string"))), 1, 15), 16, 10
+        ).cast("long")
+        % 100
+    )
+
+
+@query(
+    "nb_source_confusion",
+    f"""
+    WITH dt AS (
+      SELECT doc_id, source, {_nb_bucket_sql("doc_id")} < {NB_TRAIN_BUCKETS} AS is_train,
+             unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS tok
+      FROM documents
+    ),
+    cls AS (
+      SELECT source, count(*) AS nc FROM dt WHERE is_train GROUP BY source
+    ),
+    vsz AS (SELECT cast(count(DISTINCT tok) as double) AS v FROM dt WHERE is_train),
+    docs_per_class AS (
+      SELECT source, cast(count(DISTINCT doc_id) as double) AS dc
+      FROM dt WHERE is_train GROUP BY source
+    ),
+    total_docs AS (
+      SELECT cast(count(DISTINCT doc_id) as double) AS dt_total FROM dt WHERE is_train
+    ),
+    cstats AS (
+      SELECT c.source,
+             round(ln(d.dc / t.dt_total), 8) AS prior,
+             round(-ln(c.nc + vsz.v), 8) AS wdef
+      FROM cls c JOIN docs_per_class d ON c.source = d.source
+      CROSS JOIN total_docs t CROSS JOIN vsz
+    ),
+    sparse AS (
+      SELECT k.tok, k.source,
+             round(ln(count(*) + 1.0) - ln(c.nc + vsz.v), 8)
+               - s.wdef AS delta
+      FROM dt k JOIN cls c ON k.source = c.source
+      JOIN cstats s ON k.source = s.source
+      CROSS JOIN vsz
+      WHERE k.is_train
+      GROUP BY k.tok, k.source, c.nc, vsz.v, s.wdef
+    ),
+    test_toks AS (SELECT doc_id, source, tok FROM dt WHERE NOT is_train),
+    doc_len AS (
+      SELECT doc_id, source AS true_source, count(*) AS n FROM test_toks GROUP BY doc_id, source
+    ),
+    doc_delta AS (
+      SELECT t.doc_id, s.source AS pred_cand,
+             sum(cast(s.delta as decimal(28,8))) AS dsum
+      FROM test_toks t JOIN sparse s ON t.tok = s.tok
+      GROUP BY t.doc_id, s.source
+    ),
+    scored AS (
+      SELECT dl.doc_id, dl.true_source, cs.source AS pred_cand,
+             cast(cs.prior as decimal(28,8)) + dl.n * cast(cs.wdef as decimal(28,8))
+               + coalesce(dd.dsum, cast(0 as decimal(28,8))) AS score
+      FROM doc_len dl CROSS JOIN cstats cs
+      LEFT JOIN doc_delta dd ON dl.doc_id = dd.doc_id AND cs.source = dd.pred_cand
+    ),
+    pred AS (
+      SELECT doc_id, true_source, pred_cand AS pred_source FROM (
+        SELECT doc_id, true_source, pred_cand,
+               row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, pred_cand) AS rn
+        FROM scored) WHERE rn = 1
+    )
+    SELECT true_source, pred_source, cast(count(*) as bigint) AS n_docs
+    FROM pred GROUP BY true_source, pred_source
+    """,
+)
+def nb_source_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes text classifier (the in-engine stand-in
+    for fastText-style quality/domain classifiers): train add-1-smoothed
+    per-source token models on the hash-selected {NB_TRAIN_BUCKETS}%
+    slice, classify every held-out doc, and emit the
+    (true_source, pred_source) confusion matrix.
+
+    Sparse scalable parameterization: score_c = prior_c + n·wdef_c +
+    Σ_tok delta(tok, c), where wdef_c = -ln(N_c + V) is the zero-count
+    (and OOV) weight and delta exists ONLY for observed (token, class)
+    pairs — the dense V×C table never materializes. Exactness: per-pair
+    deltas/priors are rounded to 8 dp then accumulated as decimals, so
+    the argmax compares EXACT decimal scores (no float reduction ever
+    crosses the engine boundary); ties break to the lexicographically
+    smallest source.
+
+    100 TB shape: model build is one (token, class) combinable count
+    agg; scoring joins the token stream to the sparse weights on the
+    token key (never a cross product), fans out only by classes
+    actually sharing a token, and argmaxes per doc with a
+    high-cardinality window. Class stats (C rows) broadcast."""
+    from pyspark import StorageLevel
+
+    d = load(spark, sf_dir, "documents")
+    # the exploded (doc, source, split, token) stream feeds the class
+    # counts, vocab size, doc counts, sparse weights, and test scoring
+    dt = (
+        d.select(
+            "doc_id",
+            "source",
+            (_nb_bucket_col(F.col("doc_id")) < NB_TRAIN_BUCKETS).alias("is_train"),
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0))
+            ).alias("tok"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    train = dt.where("is_train")
+    cls = train.groupBy("source").agg(F.count(F.lit(1)).alias("nc"))
+    vsz = train.agg(F.countDistinct("tok").cast("double").alias("v"))
+    dpc = train.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("double").alias("dc")
+    )
+    tot = train.agg(F.countDistinct("doc_id").cast("double").alias("dt_total"))
+    cstats = (
+        cls.join(dpc, "source")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(vsz))
+        .select(
+            "source",
+            "nc",
+            "v",
+            F.round(F.log(F.col("dc") / F.col("dt_total")), 8).alias("prior"),
+            F.round(-F.log(F.col("nc") + F.col("v")), 8).alias("wdef"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)  # feeds sparse weights AND scoring
+    )
+    sparse = (
+        train.groupBy("tok", "source")
+        .agg(F.count(F.lit(1)).alias("ctc"))
+        .join(F.broadcast(cstats), "source")
+        .select(
+            "tok",
+            "source",
+            (
+                F.round(F.log(F.col("ctc") + 1.0) - F.log(F.col("nc") + F.col("v")), 8)
+                - F.col("wdef")
+            ).alias("delta"),
+        )
+    )
+    test_toks = dt.where(~F.col("is_train"))
+    doc_len = test_toks.groupBy(
+        "doc_id", F.col("source").alias("true_source")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    doc_delta = (
+        test_toks.join(sparse.select("tok", F.col("source").alias("pred_cand"), "delta"), "tok")
+        .groupBy("doc_id", "pred_cand")
+        .agg(F.sum(F.col("delta").cast("decimal(28,8)")).alias("dsum"))
+    )
+    scored = (
+        doc_len.crossJoin(
+            F.broadcast(cstats.select(F.col("source").alias("pred_cand"), "prior", "wdef"))
+        )
+        .join(doc_delta, ["doc_id", "pred_cand"], "left")
+        .select(
+            "doc_id",
+            "true_source",
+            "pred_cand",
+            (
+                F.col("prior").cast("decimal(28,8)")
+                + F.col("n") * F.col("wdef").cast("decimal(28,8)")
+                + F.coalesce(F.col("dsum"), F.lit(0).cast("decimal(28,8)"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "pred_cand")
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("true_source", F.col("pred_cand").alias("pred_source"))
+    )
+    return pred.groupBy("true_source", "pred_source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )

@@ -112,6 +112,21 @@ def test_bigram_lm_gibberish_lands_in_tail(spark, tmp_path):
     assert got[40].log_ppl > got[0].log_ppl
 
 
+def test_nb_classifier_separates_disjoint_vocabularies(spark, tmp_path):
+    from data_engineering_rag_spark.plans.curationq import nb_source_confusion
+
+    # two sources with disjoint vocabularies: whatever docs the hash
+    # split holds out must classify back to their own source.
+    rows = [(i, "alpha beta alpha gamma beta", "srcA") for i in range(30)]
+    rows += [(30 + i, "delta epsilon delta zeta epsilon", "srcB") for i in range(30)]
+    sf = _write_docs(tmp_path, rows)
+    got = nb_source_confusion(spark, sf).collect()
+    assert got, "hash split left no held-out docs"
+    for r in got:
+        assert r.true_source == r.pred_source, got
+    assert {r.true_source for r in got} == {"srcA", "srcB"}
+
+
 def test_bigram_lm_buckets_are_ordered(spark, sf_dir):
     rows = bigram_lm_perplexity_buckets(spark, sf_dir).collect()
     by_bucket: dict[str, list[float]] = {"head": [], "middle": [], "tail": []}

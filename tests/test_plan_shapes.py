@@ -217,7 +217,7 @@ AUDITQ_ROUND6 = [
     "sessions_bounce_rate_daily", "lang_source_chisq",
     # curationq (round 6g)
     "semantic_cluster_dedup", "dsir_importance_scores",
-    "bigram_lm_perplexity_buckets",
+    "bigram_lm_perplexity_buckets", "nb_source_confusion",
 ]
 
 
