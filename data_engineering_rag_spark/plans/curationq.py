@@ -689,3 +689,195 @@ def nb_source_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("true_source", "pred_source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
+
+
+# --------------------------------------------------------------------
+# Curriculum ordering (scale-safe exact global rank)
+# --------------------------------------------------------------------
+
+
+@query(
+    "curriculum_order_assign",
+    f"""
+    WITH sig AS (
+      SELECT doc_id,
+             cast(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) as bigint) AS n_tokens,
+             CASE WHEN len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) = 0 THEN 0.0
+                  ELSE cast(len(array_to_string(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), '')) as double)
+                       / len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) END AS mean_tok_len
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, mean_tok_len,
+           cast(row_number() OVER (ORDER BY n_tokens, mean_tok_len, doc_id) as bigint)
+             AS curriculum_rank
+    FROM sig
+    """,
+)
+def curriculum_order_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning order: rank the corpus easiest-first by
+    (token count, mean token length, doc_id-tiebreak) — the standard
+    short-and-simple-first schedule for staged pretraining.
+
+    The oracle spells it as the obvious global ``row_number()`` — the
+    Spark side must NOT (an unpartitioned window is the classic 100 TB
+    single-task funnel). It reuses ``with_global_rank``: range exchange
+    on the sort key, per-partition row_number, broadcast prefix counts
+    (exactness pinned in tests/test_scale_helpers.py)."""
+    from ..operators.scale import with_global_rank
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0))
+    sig = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.when(F.size(toks) == 0, F.lit(0.0))
+        .otherwise(
+            F.length(F.array_join(toks, "")).cast("double") / F.size(toks)
+        )
+        .alias("mean_tok_len"),
+    )
+    return with_global_rank(
+        sig, ["n_tokens", "mean_tok_len", "doc_id"], rank_col="curriculum_rank"
+    )
+
+
+# --------------------------------------------------------------------
+# Pipeline retention funnel
+# --------------------------------------------------------------------
+
+FUNNEL_MIN_CHARS = 100
+FUNNEL_MAX_DIGIT_FRAC = 0.3
+FUNNEL_MAX_REP = 0.5  # dup char-{SHINGLE_REP_K}-gram fraction cap
+
+
+@query(
+    "pipeline_retention_funnel",
+    f"""
+    WITH flags AS (
+      SELECT doc_id, text, n_chars,
+             n_chars >= {FUNNEL_MIN_CHARS} AS p1,
+             (CASE WHEN length(text) = 0 THEN 1.0
+                   ELSE cast(len(regexp_extract_all(text, '[0-9]')) as double) / length(text) END)
+               <= {FUNNEL_MAX_DIGIT_FRAC} AS p2,
+             (CASE WHEN length(text) < 5 THEN 0.0
+                   ELSE 1.0 - cast(len(list_distinct(
+                          list_transform(generate_series(1, length(text) - 4),
+                                         i -> substr(text, cast(i as int), 5)))) as double)
+                        / (length(text) - 4) END)
+               <= {FUNNEL_MAX_REP} AS p3
+      FROM documents
+    ),
+    canon AS (
+      SELECT md5(text) AS h, min(doc_id) AS keep_id
+      FROM flags WHERE p1 AND p2 AND p3 GROUP BY md5(text)
+    ),
+    flagged AS (
+      SELECT f.*, (f.p1 AND f.p2 AND f.p3 AND f.doc_id = c.keep_id) AS p4
+      FROM flags f LEFT JOIN canon c ON md5(f.text) = c.h
+    ),
+    agg AS (
+      SELECT count(*) AS n0, cast(sum(n_chars) as bigint) AS c0,
+             count(*) FILTER (p1) AS n1, cast(coalesce(sum(n_chars) FILTER (p1), 0) as bigint) AS c1,
+             count(*) FILTER (p1 AND p2) AS n2, cast(coalesce(sum(n_chars) FILTER (p1 AND p2), 0) as bigint) AS c2,
+             count(*) FILTER (p1 AND p2 AND p3) AS n3, cast(coalesce(sum(n_chars) FILTER (p1 AND p2 AND p3), 0) as bigint) AS c3,
+             count(*) FILTER (coalesce(p4, false)) AS n4, cast(coalesce(sum(n_chars) FILTER (coalesce(p4, false)), 0) as bigint) AS c4
+      FROM flagged
+    ),
+    stages AS (
+      SELECT 'raw' AS stage, 0 AS stage_order, n0 AS n_docs, c0 AS n_chars, n0 FROM agg
+      UNION ALL SELECT 'min_chars', 1, n1, c1, n0 FROM agg
+      UNION ALL SELECT 'digit_frac', 2, n2, c2, n0 FROM agg
+      UNION ALL SELECT 'repetition', 3, n3, c3, n0 FROM agg
+      UNION ALL SELECT 'exact_dedup', 4, n4, c4, n0 FROM agg
+    )
+    SELECT stage, cast(stage_order as int) AS stage_order,
+           cast(n_docs as bigint) AS n_docs, n_chars,
+           floor(cast(n_docs as double) / n0 * 1000000.0 + 0.5) / 1000000.0 AS retention
+    FROM stages
+    """,
+)
+def pipeline_retention_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel audit: how many docs (and chars)
+    survive each cumulative stage — raw → min-length →
+    digit-fraction cap → repetition cap → exact-content dedup
+    (canonical = min doc_id, applied AMONG prior-stage survivors).
+    The per-stage retention table is the first thing a pipeline owner
+    asks for and the driver of every threshold decision above.
+
+    100 TB shape: stage flags are one narrow pass over the payload;
+    dedup adds the 16-byte-hash min-agg + hash-keyed rejoin (payloads
+    shuffle as digests, same kernel as ``dedup_exact_stats``); the
+    funnel itself is ONE combinable conditional agg → a 5-row stack.
+    Retention quotients use the floor-based half-up spelling (int/int
+    quotients DO land on round-tie boundaries)."""
+    from pyspark import StorageLevel
+
+    d = load(spark, sf_dir, "documents")
+    digit_frac = F.when(F.length("text") == 0, F.lit(1.0)).otherwise(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[0-9]"), F.lit(0))).cast("double")
+        / F.length("text")
+    )
+    sh = F.transform(
+        F.sequence(F.lit(1), F.length("text") - 4),
+        lambda i: F.col("text").substr(i, F.lit(5)),
+    )
+    rep_frac = F.when(F.length("text") < 5, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(sh)).cast("double") / (F.length("text") - 4)
+    )
+    flags = d.select(
+        "doc_id",
+        "n_chars",
+        F.md5("text").alias("h"),
+        (F.col("n_chars") >= FUNNEL_MIN_CHARS).alias("p1"),
+        (digit_frac <= FUNNEL_MAX_DIGIT_FRAC).alias("p2"),
+        (rep_frac <= FUNNEL_MAX_REP).alias("p3"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # feeds canon agg AND final agg
+    canon = (
+        flags.where("p1 AND p2 AND p3")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
+    flagged = flags.join(canon, "h", "left").withColumn(
+        "p4",
+        F.col("p1") & F.col("p2") & F.col("p3") & (F.col("doc_id") == F.col("keep_id")),
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum("n_chars").cast("long").alias("c0"),
+        F.count(F.when(F.col("p1"), 1)).alias("n1"),
+        F.coalesce(F.sum(F.when(F.col("p1"), F.col("n_chars"))), F.lit(0)).cast("long").alias("c1"),
+        F.count(F.when(F.col("p1") & F.col("p2"), 1)).alias("n2"),
+        F.coalesce(F.sum(F.when(F.col("p1") & F.col("p2"), F.col("n_chars"))), F.lit(0))
+        .cast("long")
+        .alias("c2"),
+        F.count(F.when(F.col("p1") & F.col("p2") & F.col("p3"), 1)).alias("n3"),
+        F.coalesce(
+            F.sum(F.when(F.col("p1") & F.col("p2") & F.col("p3"), F.col("n_chars"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("c3"),
+        F.count(F.when(F.coalesce(F.col("p4"), F.lit(False)), 1)).alias("n4"),
+        F.coalesce(
+            F.sum(F.when(F.coalesce(F.col("p4"), F.lit(False)), F.col("n_chars"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("c4"),
+    )
+    stacked = agg.select(
+        F.expr(
+            "stack(5, 'raw', 0, n0, c0, 'min_chars', 1, n1, c1, "
+            "'digit_frac', 2, n2, c2, 'repetition', 3, n3, c3, "
+            "'exact_dedup', 4, n4, c4) AS (stage, stage_order, n_docs, n_chars)"
+        ),
+        F.col("n0"),
+    )
+    return stacked.select(
+        "stage",
+        F.col("stage_order").cast("int").alias("stage_order"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "n_chars",
+        (
+            F.floor(F.col("n_docs").cast("double") / F.col("n0") * 1000000.0 + 0.5).cast("double")
+            / 1000000.0
+        ).alias("retention"),
+    )

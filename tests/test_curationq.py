@@ -127,6 +127,46 @@ def test_nb_classifier_separates_disjoint_vocabularies(spark, tmp_path):
     assert {r.true_source for r in got} == {"srcA", "srcB"}
 
 
+def test_funnel_planted_docs_drop_at_their_stage(spark, tmp_path):
+    from data_engineering_rag_spark.plans.curationq import pipeline_retention_funnel
+
+    # >100 chars, no digits, non-repeating (distinct 5-gram shingles)
+    long_pad = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliett "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+    )
+    rows = [
+        (0, long_pad + "unique zero", "srcA"),        # survives everything
+        (1, "short", "srcA"),                          # fails min_chars
+        (2, "1234567890" * 30, "srcA"),                # digits: fails digit_frac
+        (3, "abcde" * 60, "srcA"),                     # fails repetition cap
+        (4, long_pad + "unique four", "srcA"),         # survives everything
+        (5, long_pad + "unique zero", "srcA"),         # exact dup of doc 0 -> dropped at dedup
+    ]
+    sf = _write_docs(tmp_path, rows)
+    got = {r.stage: r for r in pipeline_retention_funnel(spark, sf).collect()}
+    assert got["raw"].n_docs == 6 and got["raw"].retention == 1.0
+    assert got["min_chars"].n_docs == 5
+    assert got["digit_frac"].n_docs == 4
+    assert got["repetition"].n_docs == 3
+    assert got["exact_dedup"].n_docs == 2
+    # monotone non-increasing by construction
+    ordered = sorted(got.values(), key=lambda r: r.stage_order)
+    for a, b in zip(ordered, ordered[1:]):
+        assert a.n_docs >= b.n_docs and a.n_chars >= b.n_chars
+
+
+def test_curriculum_rank_is_permutation_in_signal_order(spark, sf_dir):
+    from data_engineering_rag_spark.plans.curationq import curriculum_order_assign
+
+    rows = curriculum_order_assign(spark, sf_dir).collect()
+    ranks = sorted(r.curriculum_rank for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))
+    by_rank = sorted(rows, key=lambda r: r.curriculum_rank)
+    for a, b in zip(by_rank, by_rank[1:]):
+        assert (a.n_tokens, a.mean_tok_len, a.doc_id) < (b.n_tokens, b.mean_tok_len, b.doc_id)
+
+
 def test_bigram_lm_buckets_are_ordered(spark, sf_dir):
     rows = bigram_lm_perplexity_buckets(spark, sf_dir).collect()
     by_bucket: dict[str, list[float]] = {"head": [], "middle": [], "tail": []}

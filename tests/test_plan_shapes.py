@@ -218,6 +218,7 @@ AUDITQ_ROUND6 = [
     # curationq (round 6g)
     "semantic_cluster_dedup", "dsir_importance_scores",
     "bigram_lm_perplexity_buckets", "nb_source_confusion",
+    "curriculum_order_assign", "pipeline_retention_funnel",
 ]
 
 
