@@ -1646,3 +1646,64 @@ def acctbal_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# --------------------------------------------------------------------------
+# l-diversity (complements k_anonymity_audit: group SIZE is not enough
+# when every member shares the sensitive value)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "l_diversity_audit",
+    f"""
+    WITH grp AS (
+      SELECT c_nationkey, cast(floor(c_acctbal / {KA_BAND}) as bigint) AS bal_band,
+             count(*) AS sz, count(DISTINCT c_mktsegment) AS l
+      FROM customer GROUP BY ALL)
+    SELECT cast(count(*) as bigint) AS n_groups,
+           cast(min(l) as bigint) AS min_l,
+           cast(sum(CASE WHEN l = 1 THEN 1 ELSE 0 END) as bigint) AS n_groups_homogeneous,
+           cast(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) as bigint) AS n_groups_below_l3,
+           cast(sum(CASE WHEN l < 3 THEN sz ELSE 0 END) as bigint) AS n_rows_below_l3,
+           floor(cast(sum(CASE WHEN l < 3 THEN sz ELSE 0 END) as double) / sum(sz)
+                 * 1000000.0 + 0.5) / 1000000.0 AS frac_rows_at_risk
+    FROM grp
+    """,
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-l-diversity audit (Machanavajjhala et al. 2007) over
+    the same quasi-identifier banding as ``k_anonymity_audit``, with
+    ``c_mktsegment`` as the sensitive attribute: a QI group where every
+    member shares one segment (l = 1) leaks it to a linker regardless
+    of the group's k. Reports the group-count / row-count exposure
+    below the l = 3 bar.
+
+    Shape: one combinable groupBy on the QI key (count + distinct-count
+    partial-aggregate), then a driver-sized summary agg — identical
+    scale behavior to ``k_anonymity_audit``. The risk fraction uses the
+    floor-based half-up rounding (int/int quotients land on ties)."""
+    c = load(spark, sf_dir, "customer")
+    grp = c.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / KA_BAND).cast("long").alias("bal_band"),
+    ).agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.countDistinct("c_mktsegment").alias("l"),
+    )
+    return grp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("l").cast("long").alias("min_l"),
+        F.sum(F.when(F.col("l") == 1, 1).otherwise(0)).cast("long").alias("n_groups_homogeneous"),
+        F.sum(F.when(F.col("l") < 3, 1).otherwise(0)).cast("long").alias("n_groups_below_l3"),
+        F.sum(F.when(F.col("l") < 3, F.col("sz")).otherwise(0)).cast("long").alias("n_rows_below_l3"),
+        (
+            F.floor(
+                F.sum(F.when(F.col("l") < 3, F.col("sz")).otherwise(0)).cast("double")
+                / F.sum("sz")
+                * 1000000.0
+                + 0.5
+            ).cast("double")
+            / 1000000.0
+        ).alias("frac_rows_at_risk"),
+    )

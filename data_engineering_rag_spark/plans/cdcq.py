@@ -139,3 +139,102 @@ def scd2_order_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         attr_cols=["o_orderpriority"],
         tiebreak_cols=["o_orderkey"],
     ).drop("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# Lakehouse MERGE (upsert) emulation — conditional
+# matched-update / matched-delete / not-matched-insert over plain
+# parquet, spelled as ONE full-outer hash join (no table format
+# required; Delta/Iceberg MERGE compiles to the same join shape)
+# --------------------------------------------------------------------------
+
+
+def _merge_source(o: DataFrame) -> DataFrame:
+    """Deterministic change feed: every 3rd key, with key%41 rows
+    tombstoned ('X' → WHEN MATCHED ... DELETE) and key%13 prices
+    bumped (exact double addition → engine-identical)."""
+    return o.where(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 41 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("s_status"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + _PRICE_BUMP)
+        .otherwise(F.col("o_totalprice"))
+        .alias("s_price"),
+    )
+
+
+_MERGE_SOURCE_SQL = f"""
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 41 = 0 THEN 'X' ELSE o_orderstatus END AS s_status,
+         CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + {_PRICE_BUMP}
+              ELSE o_totalprice END AS s_price
+  FROM orders WHERE o_orderkey % 3 = 0
+"""
+
+
+@query(
+    "merge_upsert_orders",
+    f"""
+    WITH t AS ({_SNAP_A_SQL}),
+    s AS ({_MERGE_SOURCE_SQL}),
+    merged AS (
+      SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+             CASE
+               WHEN t.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL
+                    AND s.s_status = 'X' THEN 'delete'
+               WHEN t.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL THEN 'update'
+               WHEN t.o_orderkey IS NULL AND s.s_status = 'X' THEN 'skip'
+               WHEN t.o_orderkey IS NULL THEN 'insert'
+               ELSE 'keep'
+             END AS action,
+             CASE WHEN s.o_orderkey IS NOT NULL THEN s.s_status
+                  ELSE t.o_orderstatus END AS o_orderstatus,
+             CASE WHEN s.o_orderkey IS NOT NULL THEN s.s_price
+                  ELSE t.o_totalprice END AS o_totalprice
+      FROM t FULL JOIN s ON t.o_orderkey = s.o_orderkey
+    )
+    SELECT o_orderkey, action, o_orderstatus, o_totalprice
+    FROM merged WHERE action IN ('keep', 'update', 'insert')
+    """,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation on plain parquet: apply a change feed to
+    the snapshot-A target with lakehouse MERGE semantics —
+    WHEN MATCHED AND tombstone THEN DELETE, WHEN MATCHED THEN UPDATE,
+    WHEN NOT MATCHED AND NOT tombstone THEN INSERT, untouched target
+    rows pass through ('keep'). Emits the post-merge table plus the
+    per-row action for audit (deletes and tombstone-only source rows
+    are filtered out, exactly like a real MERGE result).
+
+    100 TB shape: ONE full-outer hash join on the table key — the same
+    physical plan Delta/Iceberg MERGE lowers to (minus their file-level
+    pruning, which partitioned parquet gets from partition filters).
+    Change feeds are small in practice → AQE turns the join broadcast;
+    no windows, no second pass."""
+    o = load(spark, sf_dir, "orders")
+    t = (
+        _snap_a(o)
+        .withColumnRenamed("o_orderstatus", "t_status")
+        .withColumnRenamed("o_totalprice", "t_price")
+        .alias("t")
+    )
+    s = _merge_source(o).alias("s")
+    tk = F.col("t.o_orderkey")
+    sk = F.col("s.o_orderkey")
+    merged = t.join(s, tk == sk, "full_outer").select(
+        F.coalesce(tk, sk).alias("o_orderkey"),
+        F.when(tk.isNotNull() & sk.isNotNull() & (F.col("s_status") == "X"), F.lit("delete"))
+        .when(tk.isNotNull() & sk.isNotNull(), F.lit("update"))
+        .when(tk.isNull() & (F.col("s_status") == "X"), F.lit("skip"))
+        .when(tk.isNull(), F.lit("insert"))
+        .otherwise(F.lit("keep"))
+        .alias("action"),
+        F.when(sk.isNotNull(), F.col("s_status")).otherwise(F.col("t_status")).alias(
+            "o_orderstatus"
+        ),
+        F.when(sk.isNotNull(), F.col("s_price")).otherwise(F.col("t_price")).alias(
+            "o_totalprice"
+        ),
+    )
+    return merged.where(F.col("action").isin("keep", "update", "insert"))

@@ -952,3 +952,189 @@ def dedup_retention_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("retention_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# LSH banding design curve: for every (bands × rows) split of the
+# signature, the S-curve theory P[candidate] = 1-(1-s^r)^b against the
+# banding actually applied to the signatures — the (b, r) decision
+# table behind minhash_lsh_candidate_pairs' operating point.
+# --------------------------------------------------------------------------
+
+LSH_DESIGN_CONFIGS = [(1, 8), (2, 4), (4, 2), (8, 1)]  # b × r = 8 perms
+
+
+def _banding_curve_oracle() -> str:
+    from .textops import _MH_P, MINHASH_PERMS, SHINGLE_K
+
+    mins = ", ".join(
+        f"min(({a} * bh + {b}) % {_MH_P}) AS m{i}" for i, a, b in MINHASH_PERMS
+    )
+    cand_cases = " ".join(
+        "WHEN cfg.b = {b} AND cfg.r = {r} THEN ({expr})".format(
+            b=b,
+            r=r,
+            expr=" OR ".join(
+                "("
+                + " AND ".join(f"p.a{i} = p.b{i}" for i in range(k * r, (k + 1) * r))
+                + ")"
+                for k in range(b)
+            ),
+        )
+        for b, r in LSH_DESIGN_CONFIGS
+    )
+    acols = ", ".join(f"a.m{i} AS a{i}" for i, _, _ in MINHASH_PERMS)
+    bcols = ", ".join(f"b.m{i} AS b{i}" for i, _, _ in MINHASH_PERMS)
+    return f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, substr(text, cast(i as int), {SHINGLE_K}) AS s
+      FROM documents, unnest(generate_series(1, length(text) - {SHINGLE_K} + 1)) AS t(i)
+      WHERE length(text) >= {SHINGLE_K} AND doc_id < {J_CAL_SAMPLE}),
+    sizes AS (SELECT doc_id, cast(count(*) as bigint) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, cast(count(*) as bigint) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    bh AS (
+      SELECT doc_id,
+             cast(concat('0x', substr(md5(substr(text, cast(i as int), {SHINGLE_K})), 1, 15)) as bigint)
+               % {_MH_P} AS bh
+      FROM documents, unnest(generate_series(1, length(text) - {SHINGLE_K} + 1)) AS t(i)
+      WHERE length(text) >= {SHINGLE_K} AND doc_id < {J_CAL_SAMPLE}),
+    mins AS (SELECT doc_id, {mins} FROM bh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {acols}, {bcols}
+      FROM mins a JOIN mins b ON a.doc_id < b.doc_id),
+    pj AS (
+      SELECT p.*,
+             round(cast(coalesce(i.n_inter, 0) as double)
+                   / (sa.n + sb.n - coalesce(i.n_inter, 0)), 8) AS sj
+      FROM pairs p
+      LEFT JOIN inter i ON p.doc_a = i.doc_a AND p.doc_b = i.doc_b
+      JOIN sizes sa ON p.doc_a = sa.doc_id
+      JOIN sizes sb ON p.doc_b = sb.doc_id),
+    percfg AS (
+      SELECT cfg.b, cfg.r,
+             CASE {cand_cases} END AS is_cand,
+             round(1.0 - power(1.0 - power(p.sj, cfg.r), cfg.b), 6) AS theory
+      FROM pj p CROSS JOIN (VALUES {", ".join(f"({b}, {r})" for b, r in LSH_DESIGN_CONFIGS)})
+        AS cfg(b, r))
+    SELECT cast(b as int) AS bands, cast(r as int) AS rows_per_band,
+           cast(count(*) as bigint) AS n_pairs,
+           cast(sum(CASE WHEN is_cand THEN 1 ELSE 0 END) as bigint) AS n_candidates,
+           floor(cast(sum(cast(theory as decimal(18,6))) as double) / count(*)
+                 * 1000000.0 + 0.5) / 1000000.0 AS mean_theory_prob,
+           floor(cast(sum(CASE WHEN is_cand THEN 1 ELSE 0 END) as double) / count(*)
+                 * 1000000.0 + 0.5) / 1000000.0 AS candidate_rate
+    FROM percfg GROUP BY b, r
+    """
+
+
+@query("lsh_banding_design_curve", _banding_curve_oracle())
+def lsh_banding_design_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH design table: for each (bands, rows-per-band) split of
+    the 8-perm MinHash signature, the mean theoretical detection
+    probability 1-(1-s^r)^b over the calibration pairs (s = EXACT
+    shingle Jaccard) next to the banding's measured candidate rate on
+    the very same signatures. Read it row by row to pick the operating
+    point: more bands → higher recall AND more candidate-join traffic.
+
+    Shape: everything is bounded by the {J_CAL_SAMPLE}-doc calibration
+    sample BY CONSTRUCTION (same as ``minhash_jaccard_calibration``);
+    the config fan-out is ×{LSH_DESIGN_CONFIGS}-sized. At 100 TB this
+    query runs unchanged on the same bounded sample — the design
+    decision never needs the full corpus."""
+    from pyspark import StorageLevel
+
+    from .textops import MINHASH_PERMS, SHINGLE_K, _minhash_wide
+
+    d = load(spark, sf_dir, "documents").where(
+        (F.length("text") >= SHINGLE_K) & (F.col("doc_id") < J_CAL_SAMPLE)
+    )
+    sh = (
+        d.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.length("text") - SHINGLE_K + 1)).alias("i"),
+            "text",
+        )
+        .select("doc_id", F.expr(f"substring(text, i, {SHINGLE_K})").alias("s"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)  # feeds sizes AND both join sides
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    inter = (
+        sh.select(F.col("doc_id").alias("doc_a"), "s")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "s"), "s")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    mins = _minhash_wide(spark, sf_dir).where(F.col("doc_id") < J_CAL_SAMPLE)
+    ma = mins.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i, _, _ in MINHASH_PERMS],
+    )
+    mb = mins.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i, _, _ in MINHASH_PERMS],
+    )
+    ni = F.coalesce(F.col("n_inter"), F.lit(0))
+    pj = (
+        ma.crossJoin(mb)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            *[F.col(f"a{i}") for i, _, _ in MINHASH_PERMS],
+            *[F.col(f"b{i}") for i, _, _ in MINHASH_PERMS],
+            F.round(
+                ni.cast("double") / (F.col("sa.n") + F.col("sb.n") - ni), 8
+            ).alias("sj"),
+        )
+    )
+    per_cfg = []
+    for b, r in LSH_DESIGN_CONFIGS:
+        cand = None
+        for k in range(b):
+            band = None
+            for i in range(k * r, (k + 1) * r):
+                eq = F.col(f"a{i}") == F.col(f"b{i}")
+                band = eq if band is None else (band & eq)
+            cand = band if cand is None else (cand | band)
+        theory = F.round(
+            F.lit(1.0) - F.pow(F.lit(1.0) - F.pow(F.col("sj"), F.lit(r)), F.lit(b)), 6
+        )
+        per_cfg.append(
+            pj.select(
+                F.lit(b).alias("bands"),
+                F.lit(r).alias("rows_per_band"),
+                cand.alias("is_cand"),
+                theory.alias("theory"),
+            )
+        )
+    allcfg = per_cfg[0]
+    for extra in per_cfg[1:]:
+        allcfg = allcfg.unionByName(extra)
+    return allcfg.groupBy("bands", "rows_per_band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("is_cand"), 1).otherwise(0)).cast("long").alias("n_candidates"),
+        (
+            F.floor(
+                F.sum(F.col("theory").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+                * 1000000.0
+                + 0.5
+            ).cast("double")
+            / 1000000.0
+        ).alias("mean_theory_prob"),
+        (
+            F.floor(
+                F.sum(F.when(F.col("is_cand"), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+                * 1000000.0
+                + 0.5
+            ).cast("double")
+            / 1000000.0
+        ).alias("candidate_rate"),
+    )

@@ -219,6 +219,8 @@ AUDITQ_ROUND6 = [
     "semantic_cluster_dedup", "dsir_importance_scores",
     "bigram_lm_perplexity_buckets", "nb_source_confusion",
     "curriculum_order_assign", "pipeline_retention_funnel",
+    # round-6h ops
+    "merge_upsert_orders", "l_diversity_audit", "lsh_banding_design_curve",
 ]
 
 
