@@ -1194,3 +1194,76 @@ def lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_cells))
         .select(F.col("n_cells").cast("long").alias("n_cells"), "chi_square")
     )
+
+
+# --------------------------------------------------------------------------
+# ABC (Pareto) inventory classification — the 80/95 revenue-share cut,
+# classified with EXACT decimal comparisons on the scale-safe global
+# prefix-sum kernel
+# --------------------------------------------------------------------------
+
+
+@query(
+    "part_abc_classification",
+    """
+    WITH rev AS (
+      SELECT l_partkey,
+             sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,6))) AS rv
+      FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT sum(rv) AS t FROM rev),
+    c AS (
+      SELECT l_partkey, rv,
+             sum(rv) OVER (ORDER BY rv DESC, l_partkey) AS cum
+      FROM rev)
+    SELECT c.l_partkey, cast(c.rv as double) AS revenue,
+           floor(cast(c.cum as double) / cast(tot.t as double) * 1000000.0 + 0.5)
+             / 1000000.0 AS cum_share,
+           CASE WHEN c.cum * 100 <= 80 * tot.t THEN 'A'
+                WHEN c.cum * 100 <= 95 * tot.t THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c CROSS JOIN tot
+    """,
+)
+def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto inventory classification: rank parts by revenue,
+    class A while the running share is ≤80%, B to 95%, C beyond — the
+    classic stock-priority report. The oracle spells the obvious
+    unpartitioned running sum; the Spark side must NOT (single-task
+    funnel) and instead uses ``grouped_prefix_sum`` with one synthetic
+    group — exactly the low-cardinality case the kernel exists for.
+
+    Exactness: revenue aggregates as decimals; the class boundary
+    compares ``cum·100 ≤ 80·total`` in DECIMAL — integer-scaled, no
+    float ever decides a class. The emitted share uses the floor-based
+    half-up quotient spelling."""
+    from ..operators.scale import grouped_prefix_sum
+
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+        ).alias("rv")
+    )
+    tot = rev.agg(F.sum("rv").alias("t"))
+    # descending order via exact decimal negation (the kernel sorts asc)
+    keyed = rev.select("l_partkey", "rv", (-F.col("rv")).alias("negrv"), F.lit(1).alias("_g"))
+    pre = grouped_prefix_sum(
+        keyed, ["_g"], ["negrv", "l_partkey"], "rv", out_col="_pfx"
+    )
+    cum = F.col("_pfx") + F.col("rv")
+    return (
+        pre.crossJoin(F.broadcast(tot))
+        .select(
+            "l_partkey",
+            F.col("rv").cast("double").alias("revenue"),
+            (
+                F.floor(cum.cast("double") / F.col("t").cast("double") * 1000000.0 + 0.5)
+                .cast("double")
+                / 1000000.0
+            ).alias("cum_share"),
+            F.when(cum * 100 <= F.col("t") * 80, F.lit("A"))
+            .when(cum * 100 <= F.col("t") * 95, F.lit("B"))
+            .otherwise(F.lit("C"))
+            .alias("abc_class"),
+        )
+    )
