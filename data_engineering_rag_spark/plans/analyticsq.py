@@ -1236,13 +1236,20 @@ def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     compares ``cum·100 ≤ 80·total`` in DECIMAL — integer-scaled, no
     float ever decides a class. The emitted share uses the floor-based
     half-up quotient spelling."""
+    from pyspark import StorageLevel
+
     from ..operators.scale import grouped_prefix_sum
 
     li = load(spark, sf_dir, "lineitem")
-    rev = li.groupBy("l_partkey").agg(
-        F.sum(
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
-        ).alias("rv")
+    # per-part revenue feeds the grand total AND the ranked branch
+    rev = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+            ).alias("rv")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     tot = rev.agg(F.sum("rv").alias("t"))
     # descending order via exact decimal negation (the kernel sorts asc)

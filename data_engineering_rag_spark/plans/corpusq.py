@@ -1079,6 +1079,7 @@ def lsh_banding_design_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.col(f"m{i}").alias(f"b{i}") for i, _, _ in MINHASH_PERMS],
     )
     ni = F.coalesce(F.col("n_inter"), F.lit(0))
+    # every (b, r) config arm reads this pair frame — materialize once
     pj = (
         ma.crossJoin(mb)
         .where(F.col("doc_a") < F.col("doc_b"))
@@ -1092,6 +1093,7 @@ def lsh_banding_design_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ni.cast("double") / (F.col("sa.n") + F.col("sb.n") - ni), 8
             ).alias("sj"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     per_cfg = []
     for b, r in LSH_DESIGN_CONFIGS:
