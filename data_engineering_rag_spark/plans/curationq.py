@@ -881,3 +881,115 @@ def pipeline_retention_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("retention"),
     )
+
+
+# --------------------------------------------------------------------
+# ExactSubstr-style duplicate spans (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better"): corpus-wide repeated
+# K-char substrings, merged into per-doc duplicate intervals. The
+# published tool uses suffix arrays; the Spark spelling is the
+# K-shingle-hash equivalent — any duplicated span of length >= K
+# contains a duplicated K-gram, so span detection at K-granularity is
+# identical; only sub-K tails at span edges differ.
+# --------------------------------------------------------------------
+
+DUP_SPAN_K = 50
+
+
+@query(
+    "dup_span_stats",
+    f"""
+    WITH pos AS (
+      SELECT doc_id, cast(i as bigint) AS p, length(text) AS len,
+             md5(substr(text, cast(i as int), {DUP_SPAN_K})) AS h
+      FROM documents, unnest(generate_series(1, length(text) - {DUP_SPAN_K} + 1)) AS t(i)
+      WHERE length(text) >= {DUP_SPAN_K}
+    ),
+    dups AS (SELECT h FROM pos GROUP BY h HAVING count(*) >= 2),
+    hits AS (
+      SELECT pos.doc_id, pos.p, pos.p + {DUP_SPAN_K} AS e, pos.len
+      FROM pos JOIN dups ON pos.h = dups.h
+    ),
+    isl AS (
+      SELECT doc_id, p, e, len,
+             CASE WHEN p > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_isl
+      FROM hits
+    ),
+    grp AS (
+      SELECT doc_id, p, e, len,
+             sum(new_isl) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, isl_id, min(p) AS s, max(e) AS e, min(len) AS len
+      FROM grp GROUP BY doc_id, isl_id
+    )
+    SELECT doc_id,
+           cast(count(*) as bigint) AS n_dup_spans,
+           cast(sum(e - s) as bigint) AS dup_chars,
+           cast(min(len) as bigint) AS n_chars,
+           floor(cast(sum(e - s) as double) / min(len) * 1000000.0 + 0.5)
+             / 1000000.0 AS dup_frac
+    FROM spans GROUP BY doc_id
+    """,
+)
+def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-SPAN statistics per document: every {DUP_SPAN_K}-char
+    substring occurring ≥2 times corpus-wide (self-repeats included,
+    as in the paper) marks an interval; overlapping intervals merge
+    into maximal duplicate spans (gaps-and-islands). Emits, for each
+    affected doc, the span count, duplicated char mass, and duplicated
+    fraction — the decision table for span-level (rather than
+    doc-level) dedup.
+
+    100 TB shape: positions shuffle as 16-byte md5 keys; the duplicate
+    filter is a combinable count + semi-join back on the hash key; the
+    interval merge is a per-doc window (doc_id is high-cardinality).
+    The |chars| position fan-out is the honest cost of substring-level
+    detection (the paper pays it as a suffix array); df-cap the
+    hottest hashes before the join at extreme scale."""
+    d = load(spark, sf_dir, "documents").where(F.length("text") >= DUP_SPAN_K)
+    pos = d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("len"),
+        F.explode(F.sequence(F.lit(1), F.length("text") - DUP_SPAN_K + 1)).alias("i"),
+        "text",
+    ).select(
+        "doc_id",
+        F.col("i").cast("long").alias("p"),
+        "len",
+        F.md5(F.expr(f"substring(text, i, {DUP_SPAN_K})")).alias("h"),
+    )
+    dups = pos.groupBy("h").agg(F.count(F.lit(1)).alias("c")).where("c >= 2").select("h")
+    hits = pos.join(dups, "h").select(
+        "doc_id", "p", (F.col("p") + DUP_SPAN_K).alias("e"), "len"
+    )
+    w = Window.partitionBy("doc_id").orderBy("p")
+    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    isl = hits.withColumn(
+        "new_isl",
+        F.when(F.col("p") > F.coalesce(prev_max_e, F.lit(-1)), 1).otherwise(0),
+    )
+    grp = isl.withColumn(
+        "isl_id", F.sum("new_isl").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    spans = grp.groupBy("doc_id", "isl_id").agg(
+        F.min("p").alias("s"), F.max("e").alias("e"), F.min("len").alias("len")
+    )
+    return spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s")).cast("long").alias("dup_chars"),
+        F.min("len").cast("long").alias("n_chars"),
+        (
+            F.floor(
+                F.sum(F.col("e") - F.col("s")).cast("double")
+                / F.min("len")
+                * 1000000.0
+                + 0.5
+            ).cast("double")
+            / 1000000.0
+        ).alias("dup_frac"),
+    )

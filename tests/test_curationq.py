@@ -167,6 +167,33 @@ def test_curriculum_rank_is_permutation_in_signal_order(spark, sf_dir):
         assert (a.n_tokens, a.mean_tok_len, a.doc_id) < (b.n_tokens, b.mean_tok_len, b.doc_id)
 
 
+def test_dup_span_merges_overlapping_shingles(spark, tmp_path):
+    from data_engineering_rag_spark.plans.curationq import dup_span_stats
+
+    shared = "the quick brown fox jumps over the lazy dog while rain falling"  # 62 chars
+    assert len(shared) == 62
+    uniq_a = "aaaa bbbb cccc dddd eeee ffff gggg hhhh iiii jjjj kkkk llll "
+    uniq_b = "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss rrrr qqqq pppp oooo "
+    rows = [
+        (0, uniq_a + shared, "srcA"),
+        (1, shared + uniq_b, "srcA"),
+        (2, "m" * 200, "srcA"),  # self-repetitive: every 50-gram identical
+        # long but shares no 50-gram with any doc (incl. itself)
+        (3, "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo", "srcA"),
+    ]
+    sf = _write_docs(tmp_path, rows)
+    got = {r.doc_id: r for r in dup_span_stats(spark, sf).collect()}
+    # the 62-char shared block merges its 13 overlapping 50-grams into
+    # ONE maximal span of exactly 62 chars in each doc
+    assert got[0].n_dup_spans == 1 and got[0].dup_chars == 62
+    assert got[1].n_dup_spans == 1 and got[1].dup_chars == 62
+    # the self-repeating doc is one wall-to-wall duplicate span
+    assert got[2].n_dup_spans == 1 and got[2].dup_chars == 200
+    assert got[2].dup_frac == 1.0
+    # no duplicated 50-gram -> absent from the result
+    assert 3 not in got
+
+
 def test_bigram_lm_buckets_are_ordered(spark, sf_dir):
     rows = bigram_lm_perplexity_buckets(spark, sf_dir).collect()
     by_bucket: dict[str, list[float]] = {"head": [], "middle": [], "tail": []}

@@ -221,7 +221,7 @@ AUDITQ_ROUND6 = [
     "curriculum_order_assign", "pipeline_retention_funnel",
     # round-6h ops
     "merge_upsert_orders", "l_diversity_audit", "lsh_banding_design_curve",
-    "part_abc_classification",
+    "part_abc_classification", "dup_span_stats",
 ]
 
 
