@@ -212,3 +212,25 @@ def read_parquet_merged(spark: SparkSession, path: str) -> DataFrame:
     for datasets that actually evolved (at 100 TB, prefer a declared
     catalog schema and backfill)."""
     return spark.read.option("mergeSchema", True).parquet(path)
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    mode: str = "overwrite",
+) -> None:
+    """XML sink (Spark 4 built-in `xml` format — the spark-xml package
+    folded into core): for the B2B/legacy estates that still exchange
+    XML. Row-oriented, no pushdown — use only at the edges, never as
+    the analytic store."""
+    df.write.mode(mode).format("xml").option("rootTag", root_tag).option(
+        "rowTag", row_tag
+    ).save(path)
+
+
+def read_xml(spark: SparkSession, path: str, row_tag: str = "row") -> DataFrame:
+    """XML source (Spark 4 built-in). Schema inference scans the files;
+    pass an explicit schema in production ingest."""
+    return spark.read.format("xml").option("rowTag", row_tag).load(path)

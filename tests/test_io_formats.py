@@ -156,3 +156,20 @@ def test_read_parquet_merged_schema_evolution(spark, tmp_path):
     assert set(df.columns) == {"id", "s", "score"}
     rows = {r.id: r for r in df.collect()}
     assert rows[1].score is None and rows[2].score == 9.5
+
+
+def test_xml_roundtrip(spark, sf_dir, tmp_path):
+    """Spark-4 built-in XML format: values survive the round trip
+    (types re-infer as the XML-representable equivalents)."""
+    from data_engineering_rag_spark.sources.catalog import read_parquet_table
+    from data_engineering_rag_spark.sources.io import read_xml, write_xml
+
+    src = read_parquet_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    path = str(tmp_path / "nation_xml")
+    write_xml(src, path, row_tag="nation", root_tag="nations")
+    back = read_xml(spark, path, row_tag="nation")
+    want = {(r.n_nationkey, r.n_name, r.n_regionkey) for r in src.collect()}
+    got = {(r.n_nationkey, r.n_name, r.n_regionkey) for r in back.collect()}
+    assert got == want
