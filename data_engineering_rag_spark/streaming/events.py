@@ -522,3 +522,63 @@ def rolling_actives_stream(
         F.col("w.start").cast("date").alias("window_day"),
         F.col("active_users_7d").cast("long").alias("active_users_7d"),
     )
+
+
+def cdc_upsert_to_parquet(
+    spark: SparkSession, feed_dir: str, target_dir: str, feed_schema
+) -> None:
+    """Streaming CDC apply — the foreachBatch-upsert pattern every
+    lakehouse runbook ships: a change-feed file stream is applied
+    micro-batch by micro-batch into a parquet "table" with MERGE
+    semantics (tombstone status 'X' → DELETE, matched key → UPDATE,
+    new key → INSERT; same clauses as ``plans/cdcq.py::
+    merge_upsert_orders``). Each batch does read-target → full-outer
+    hash join → write-new → atomic swap, which is exactly what
+    Delta's MERGE does per commit minus the transaction log; replaying
+    a batch whose keys were already applied converges (idempotent on
+    key-disjoint feeds).
+
+    The swap goes through a sibling directory + rename so a reader
+    never sees a half-written table (the poor man's commit protocol —
+    at 100 TB use a real table format; the JOIN SHAPE is identical)."""
+    import os
+    import shutil
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        target = sp.read.parquet(target_dir).alias("t")
+        b = batch_df.alias("s")
+        tk, sk = F.col("t.o_orderkey"), F.col("s.o_orderkey")
+        merged = (
+            target.join(b, tk == sk, "full_outer")
+            .select(
+                F.coalesce(tk, sk).alias("o_orderkey"),
+                F.when(sk.isNotNull(), F.col("s.s_status"))
+                .otherwise(F.col("t.o_orderstatus"))
+                .alias("o_orderstatus"),
+                F.when(sk.isNotNull(), F.col("s.s_price"))
+                .otherwise(F.col("t.o_totalprice"))
+                .alias("o_totalprice"),
+            )
+            .where(F.col("o_orderstatus") != "X")
+        )
+        tmp = target_dir + f"_swap{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = target_dir + f"_old{batch_id}"
+        os.rename(target_dir, old)
+        os.rename(tmp, target_dir)
+        shutil.rmtree(old)
+
+    stream = (
+        spark.readStream.schema(feed_schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(feed_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -367,3 +367,39 @@ def test_rolling_actives_stream_equals_batch_finalized(spark, sf_dir):
     max_day = max(d for d, _ in batch)
     for day, _ in batch - stream:
         assert day >= max_day - datetime.timedelta(days=7), (day, max_day)
+
+
+def test_cdc_upsert_stream_equals_batch_merge(spark, sf_dir, tmp_path):
+    """Streaming foreachBatch CDC apply over a key-disjoint multi-batch
+    feed converges to EXACTLY the batch MERGE result (same clauses) —
+    the streaming-lakehouse upsert pattern, equivalence-pinned."""
+    from data_engineering_rag_spark.plans import REGISTRY, load
+    from data_engineering_rag_spark.plans.cdcq import _merge_source, _snap_a
+    from data_engineering_rag_spark.streaming.events import cdc_upsert_to_parquet
+
+    o = load(spark, sf_dir, "orders")
+    target_dir = str(tmp_path / "target")
+    _snap_a(o).write.parquet(target_dir)
+
+    # split the change feed into 3 key-disjoint parquet FILES so the
+    # maxFilesPerTrigger=1 stream applies 3 separate micro-batches
+    feed = _merge_source(o)
+    feed_dir = tmp_path / "feed"
+    feed_dir.mkdir()
+    pdf_all = feed.toPandas()
+    buckets = (pdf_all["o_orderkey"] // 3) % 3
+    for chunk in range(3):
+        part = pdf_all[buckets == chunk]
+        part.to_parquet(feed_dir / f"chunk{chunk}.parquet", index=False)
+
+    cdc_upsert_to_parquet(spark, str(feed_dir), target_dir, feed.schema)
+
+    got = {
+        (r.o_orderkey, r.o_orderstatus, r.o_totalprice)
+        for r in spark.read.parquet(target_dir).collect()
+    }
+    want = {
+        (r.o_orderkey, r.o_orderstatus, r.o_totalprice)
+        for r in REGISTRY["merge_upsert_orders"].spark(spark, sf_dir).collect()
+    }
+    assert got == want
