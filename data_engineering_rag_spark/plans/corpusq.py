@@ -1069,7 +1069,12 @@ def lsh_banding_design_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
     )
-    mins = _minhash_wide(spark, sf_dir).where(F.col("doc_id") < J_CAL_SAMPLE)
+    # both pair sides read the signature table — one minhash pass
+    mins = (
+        _minhash_wide(spark, sf_dir)
+        .where(F.col("doc_id") < J_CAL_SAMPLE)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     ma = mins.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"m{i}").alias(f"a{i}") for i, _, _ in MINHASH_PERMS],

@@ -422,9 +422,13 @@ def bigram_lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         (_lm_bucket_col(F.col("doc_id")) < LM_TRAIN_BUCKETS).alias("is_train"),
         F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0)).alias("a"),
     )
-    tokpos = da.select(
-        "doc_id", "is_train", F.posexplode("a").alias("pos0", "tok")
-    ).select("doc_id", "is_train", (F.col("pos0") + 1).alias("i"), "tok")
+    # the positional token stream feeds the vocab build AND the
+    # OOV-mapping join
+    tokpos = (
+        da.select("doc_id", "is_train", F.posexplode("a").alias("pos0", "tok"))
+        .select("doc_id", "is_train", (F.col("pos0") + 1).alias("i"), "tok")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # vocab feeds the size scalar and the OOV-mapping join
     vocab = (
         tokpos.where("is_train").select("tok").distinct().persist(StorageLevel.MEMORY_AND_DISK)
@@ -951,17 +955,25 @@ def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     The |chars| position fan-out is the honest cost of substring-level
     detection (the paper pays it as a suffix array); df-cap the
     hottest hashes before the join at extreme scale."""
+    from pyspark import StorageLevel
+
     d = load(spark, sf_dir, "documents").where(F.length("text") >= DUP_SPAN_K)
-    pos = d.select(
-        "doc_id",
-        F.length("text").cast("long").alias("len"),
-        F.explode(F.sequence(F.lit(1), F.length("text") - DUP_SPAN_K + 1)).alias("i"),
-        "text",
-    ).select(
-        "doc_id",
-        F.col("i").cast("long").alias("p"),
-        "len",
-        F.md5(F.expr(f"substring(text, i, {DUP_SPAN_K})")).alias("h"),
+    # the hashed position stream feeds the duplicate filter AND the
+    # semi-join back — materialize the md5 work once
+    pos = (
+        d.select(
+            "doc_id",
+            F.length("text").cast("long").alias("len"),
+            F.explode(F.sequence(F.lit(1), F.length("text") - DUP_SPAN_K + 1)).alias("i"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            F.col("i").cast("long").alias("p"),
+            "len",
+            F.md5(F.expr(f"substring(text, i, {DUP_SPAN_K})")).alias("h"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dups = pos.groupBy("h").agg(F.count(F.lit(1)).alias("c")).where("c >= 2").select("h")
     hits = pos.join(dups, "h").select(
