@@ -206,3 +206,52 @@ def test_bigram_lm_buckets_are_ordered(spark, sf_dir):
         assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
     else:
         assert max(by_bucket["head"]) <= min(by_bucket["tail"])
+
+
+def _dup_spans_reference(texts, k=50):
+    """Brute-force duplicate-span reference: positions of k-grams
+    occurring >=2 times corpus-wide, merged into maximal intervals."""
+    from collections import Counter
+
+    counts = Counter()
+    for t in texts.values():
+        for i in range(len(t) - k + 1):
+            counts[t[i : i + k]] += 1
+    out = {}
+    for doc_id, t in texts.items():
+        hits = [i for i in range(len(t) - k + 1) if counts[t[i : i + k]] >= 2]
+        if not hits:
+            continue
+        spans = []
+        for i in hits:
+            if spans and i <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], i + k)
+            else:
+                spans.append([i, i + k])
+        out[doc_id] = (len(spans), sum(e - s for s, e in spans))
+    return out
+
+
+def test_dup_span_matches_bruteforce_on_random_corpora(spark, tmp_path):
+    """Deterministic pseudo-random 'ab'-alphabet corpora are dense in
+    repeated 50-grams — the Spark pipeline must agree with the
+    brute-force reference on span count and duplicated char mass."""
+    import random
+
+    from data_engineering_rag_spark.plans.curationq import DUP_SPAN_K, dup_span_stats
+
+    rng = random.Random(20260814)
+    for trial in range(3):
+        texts = {
+            i: "".join(rng.choice("ab") for _ in range(rng.randint(55, 130)))
+            for i in range(12)
+        }
+        d = tmp_path / f"trial{trial}"
+        d.mkdir()
+        sf = _write_docs(d, [(i, t, "srcA") for i, t in texts.items()])
+        got = {
+            r.doc_id: (r.n_dup_spans, r.dup_chars)
+            for r in dup_span_stats(spark, sf).collect()
+        }
+        want = _dup_spans_reference(texts, DUP_SPAN_K)
+        assert got == want, f"trial {trial}: {got} != {want}"

@@ -403,3 +403,32 @@ def test_cdc_upsert_stream_equals_batch_merge(spark, sf_dir, tmp_path):
         for r in REGISTRY["merge_upsert_orders"].spark(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_cdc_upsert_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """Replaying the SAME change feed over an already-merged target
+    converges to the same state (updates re-apply identical values,
+    inserts become matched updates, tombstones stay deleted) — the
+    recovery guarantee the foreachBatch pattern docstring claims."""
+    from data_engineering_rag_spark.plans import load
+    from data_engineering_rag_spark.plans.cdcq import _merge_source, _snap_a
+    from data_engineering_rag_spark.streaming.events import cdc_upsert_to_parquet
+
+    o = load(spark, sf_dir, "orders")
+    target_dir = str(tmp_path / "target")
+    _snap_a(o).write.parquet(target_dir)
+    feed = _merge_source(o)
+    feed_dir = tmp_path / "feed"
+    feed_dir.mkdir()
+    feed.toPandas().to_parquet(feed_dir / "all.parquet", index=False)
+
+    def state():
+        return {
+            (r.o_orderkey, r.o_orderstatus, r.o_totalprice)
+            for r in spark.read.parquet(target_dir).collect()
+        }
+
+    cdc_upsert_to_parquet(spark, str(feed_dir), target_dir, feed.schema)
+    first = state()
+    cdc_upsert_to_parquet(spark, str(feed_dir), target_dir, feed.schema)
+    assert state() == first
