@@ -56,7 +56,6 @@ def run_expectations(df: DataFrame, suite: list[Expectation]) -> DataFrame:
     ``(check_name, n_violations, n_rows, passed)``, in suite order by
     name. Row-local checks share ONE aggregation pass; each ``unique``
     adds one key-groupBy pass; each ``foreign_key`` adds one anti join."""
-    spark = df.sparkSession
     results: list[DataFrame] = []
 
     row_local = [e for e in suite if e.kind in ("not_null", "in_set", "between", "matches_regex")]
@@ -97,12 +96,16 @@ def run_expectations(df: DataFrame, suite: list[Expectation]) -> DataFrame:
             ref: DataFrame = e.params["ref"]
             ref_col: str = e.params["ref_column"]
             keys = ref.select(F.col(ref_col).alias(e.column)).distinct()
-            orphans = df.join(F.broadcast(keys), e.column, "left_anti")
-            n_rows = df.count()
-            n_bad = orphans.count()
+            # stay lazy: orphan count as an agg over the anti join, total
+            # as an agg over the table — one plan, no driver-side counts
+            orphans = (
+                df.join(F.broadcast(keys), e.column, "left_anti")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+            )
+            total = df.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
             results.append(
-                spark.createDataFrame(
-                    [(e.name, n_bad, n_rows)], "check_name string, n_violations long, n_rows long"
+                orphans.crossJoin(F.broadcast(total)).select(
+                    F.lit(e.name).alias("check_name"), "n_violations", "n_rows"
                 )
             )
 
