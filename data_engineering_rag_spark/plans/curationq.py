@@ -1,18 +1,25 @@
 """Model-centric data-curation operators (round-6g EXT family): the
 published LLM-corpus curation techniques beyond rule filters and
-lexical dedup — semantic (embedding-cluster) dedup, importance-
-resampling data selection, and LM-perplexity quality bucketing.
+lexical dedup.
 
-All three are public literature:
+All from public literature:
 - SemDedup (Abbas et al. 2023): cluster embeddings, drop near-
   duplicate members within each cluster — catches paraphrase-level
-  duplication MinHash can't see.
+  duplication MinHash can't see (`semantic_cluster_dedup`).
 - DSIR (Xie et al. 2023): hashed n-gram importance weights
   log(p_target/p_raw) select raw documents that look like a
-  high-quality target distribution.
+  high-quality target distribution (`dsir_importance_scores`).
 - CCNet (Wenzek et al. 2019): score every document with an LM trained
   on a trusted slice; bucket the corpus into head/middle/tail by
-  perplexity terciles.
+  perplexity terciles (`bigram_lm_perplexity_buckets`).
+- Multinomial Naive Bayes classification (the fastText-classifier
+  analog) in its sparse parameterization (`nb_source_confusion`).
+- Curriculum ordering — easiest-first global rank on the scale-safe
+  kernel (`curriculum_order_assign`).
+- The cumulative stage-retention funnel every pipeline owner reads
+  first (`pipeline_retention_funnel`).
+- ExactSubstr duplicate spans (Lee et al. 2022) at K-shingle
+  granularity (`dup_span_stats`).
 
 Scale notes (the 100 TB shapes):
 - SemDedup's all-pairs stage exists ONLY within a cluster — cluster
