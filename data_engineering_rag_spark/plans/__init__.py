@@ -211,6 +211,9 @@ LAST_CHANGED: dict[str, int] = {
     # round-6 rewrite: struct-min first-occurrence + empty-doc NULL
     # (plans/pipelineq.py line_dedup_clean) — evidence from r5
     "line_dedup_clean": 6,
+    # round-6 rewrite: per-side vts/pts rename fixing the flaky
+    # right-side column pruning at multi-file SFs — evidence from r4
+    "events_conversion_cogroup": 6,
 }
 
 

@@ -520,19 +520,30 @@ def events_conversion_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     function per key): views and purchases cogrouped per user, pandas
     computes the conversion delay — checked against the declarative
     full-outer-join oracle. Both sides shard by the key; each group
-    pair crosses the Arrow boundary exactly once."""
+    pair crosses the Arrow boundary exactly once.
+
+    The per-side value columns carry DISTINCT names (vts/pts), not a
+    shared "ts": with bit-identical child plans on both cogroup sides,
+    Spark 4.1's pruning/reuse sometimes delivered the right side
+    without its value column at multi-file scale (KeyError 'ts' in the
+    worker, flaky at sf0.1, never at single-file SFs) — distinct
+    schemas keep the two subplans from being unified."""
     import pandas as pd
 
     ev = load(spark, sf_dir, "events")
-    views = ev.where(F.col("event_type") == "view").select("user_id", "ts")
-    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("vts")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
 
     def conv(key, vdf: pd.DataFrame, pdf_: pd.DataFrame) -> pd.DataFrame:
         n_v, n_p = len(vdf), len(pdf_)
         delay = None
         if n_v and n_p:
-            fv = vdf["ts"].min().floor("s")
-            fp = pdf_["ts"].min().floor("s")
+            fv = vdf["vts"].min().floor("s")
+            fp = pdf_["pts"].min().floor("s")
             if fp >= fv:
                 delay = int((fp - fv).total_seconds())
         return pd.DataFrame(
