@@ -1274,3 +1274,113 @@ def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("abc_class"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round 6j — Spark-4 SQL syntax surface: recursive CTEs + pipe syntax
+# --------------------------------------------------------------------------
+
+BFS_SEED_MOD = 97
+BFS_MAX_HOPS = 3
+
+
+def _bfs_oracle() -> str:
+    from . import REGISTRY
+
+    edges = REGISTRY["knn_graph_by_label"].oracle
+    return f"""
+    WITH RECURSIVE edges AS (SELECT src, dst FROM ({edges}) e),
+    reach(vec_id, depth) AS (
+      SELECT DISTINCT src AS vec_id, 0 AS depth FROM edges
+      WHERE src % {BFS_SEED_MOD} = 0
+      UNION ALL
+      SELECT e.dst AS vec_id, r.depth + 1 AS depth
+      FROM reach r JOIN edges e ON e.src = r.vec_id
+      WHERE r.depth < {BFS_MAX_HOPS}
+    )
+    SELECT vec_id, cast(min(depth) as bigint) AS hops,
+           cast(count(*) as bigint) AS n_paths
+    FROM reach GROUP BY vec_id
+    """
+
+
+@query("recursive_cte_bfs_hops", _bfs_oracle())
+def recursive_cte_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop BFS over the k-NN graph via Spark 4's ``WITH
+    RECURSIVE`` (§2.9 SQL surface; SPARK-24497): min-hop distance and
+    path count from a deterministic seed set (vec_id % {BFS_SEED_MOD}
+    == 0), depth-capped at {BFS_MAX_HOPS}. DuckDB runs the SAME
+    recursive SQL, so the whole recursive-execution path (UnionLoop
+    iterations, depth predicate pushin, the final re-aggregation) is
+    hash-checked cross-engine.
+
+    Scale shape: UNION ALL recursion enumerates PATHS, so the row count
+    is seeds x k^depth — bounded here BY CONSTRUCTION (out-degree is
+    exactly KNN_K, depth <= {BFS_MAX_HOPS}, seeds are a ~1% slice). For
+    unbounded-depth or high-fan-out graphs the iterative
+    frontier-dedup twin (``lpa_communities_2iter`` /
+    ``dedup_cluster``'s label propagation) is the 100 TB path: it
+    carries each node ONCE per round, not once per path; Spark's
+    recursion row/level limits guard against the degenerate case, not
+    replace the rewrite."""
+    from .vectors import knn_graph_by_label
+
+    knn_graph_by_label(spark, sf_dir).select("src", "dst").createOrReplaceTempView(
+        "rec_knn_edges"
+    )
+    return spark.sql(
+        f"""
+        WITH RECURSIVE reach(vec_id, depth) AS (
+          SELECT DISTINCT src AS vec_id, 0 AS depth FROM rec_knn_edges
+          WHERE src % {BFS_SEED_MOD} = 0
+          UNION ALL
+          SELECT e.dst AS vec_id, r.depth + 1 AS depth
+          FROM reach r JOIN rec_knn_edges e ON e.src = r.vec_id
+          WHERE r.depth < {BFS_MAX_HOPS}
+        )
+        SELECT vec_id, cast(min(depth) as bigint) AS hops,
+               cast(count(*) as bigint) AS n_paths
+        FROM reach GROUP BY vec_id
+        """
+    )
+
+
+@query(
+    "pipe_syntax_returns_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           cast(count(*) as bigint) AS n_items,
+           round(cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,6)))
+                 as double), 6) AS revenue,
+           round(round(cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,6)))
+                 as double), 6) / cast(count(*) as bigint), 6) AS avg_item_revenue
+    FROM lineitem
+    WHERE l_shipdate >= timestamp '1995-01-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pipe_syntax_returns_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q1-family pricing rollup spelled in Spark 4's SQL PIPE
+    syntax (§2.9; SPARK-49555): ``FROM |> WHERE |> EXTEND |> AGGREGATE
+    ... GROUP BY |> EXTEND`` — each operator applies in reading order,
+    which is the public migration target for dbt-style transform
+    chains. The oracle is the equivalent ANSI spelling, so this pins
+    that the pipe-syntax parser lowers to exactly the classic plan
+    (same filter pushdown, same partial aggregation).
+
+    Determinism: revenue accumulates as exact decimals before ONE
+    rounded cast; the per-item mean divides the already-rounded double
+    by the bigint count identically in both dialects."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("pipe_lineitem")
+    return spark.sql(
+        """
+        FROM pipe_lineitem
+        |> WHERE l_shipdate >= timestamp '1995-01-01'
+        |> EXTEND l_extendedprice * (1 - l_discount) AS disc_price
+        |> AGGREGATE cast(count(*) as bigint) AS n_items,
+                     round(cast(sum(cast(disc_price as decimal(18,6))) as double), 6)
+                       AS revenue
+           GROUP BY l_returnflag, l_linestatus
+        |> EXTEND round(revenue / n_items, 6) AS avg_item_revenue
+        """
+    )

@@ -222,6 +222,8 @@ AUDITQ_ROUND6 = [
     # round-6h ops
     "merge_upsert_orders", "l_diversity_audit", "lsh_banding_design_curve",
     "part_abc_classification", "dup_span_stats",
+    # round-6j Spark-4 SQL syntax surface
+    "recursive_cte_bfs_hops", "pipe_syntax_returns_summary",
 ]
 
 
