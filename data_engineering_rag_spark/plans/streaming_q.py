@@ -1311,3 +1311,28 @@ def stream_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import rolling_actives_stream
 
     return rolling_actives_stream(spark, sf_dir)
+
+
+@query(
+    "stream_state_introspection",
+    """
+    SELECT user_id, cast(count(*) as bigint) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_state_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming STATE as a table (§2.10 ops surface, Spark 4
+    ``statestore`` reader): drain the per-user count aggregate with
+    availableNow, then read the checkpoint's raw state back. An
+    unwatermarked aggregate never evicts, so the state snapshot must
+    equal the batch ``GROUP BY user_id`` — giving the state-reader
+    path a full cross-engine oracle instead of the usual rows-only
+    streaming check. The debugging workflow this enables at scale
+    (state cardinality / skew audits over a live query's checkpoint)
+    needs no changes to the running job."""
+    import tempfile
+
+    from ..streaming.events import user_totals_state_snapshot
+
+    ckpt = tempfile.mkdtemp(prefix="state_introspect_")
+    return user_totals_state_snapshot(spark, sf_dir, ckpt)

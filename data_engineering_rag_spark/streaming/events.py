@@ -582,3 +582,47 @@ def cdc_upsert_to_parquet(
         .start()
     )
     q.awaitTermination()
+
+
+def user_totals_state_snapshot(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Run the per-user event-count aggregation as a stream, then read
+    the query's RAW STATE back as a DataFrame via Spark 4's
+    ``statestore`` data source (SPARK-45511) — the ops surface for
+    debugging stateful queries at scale: state cardinality, skewed
+    keys, and orphaned entries become a queryable table instead of a
+    black box inside the checkpoint.
+
+    For an unwatermarked streaming aggregate drained with availableNow,
+    the state IS the full per-key aggregate (nothing ever evicts), so
+    the snapshot equals the batch ``groupBy(user_id).count()`` exactly
+    — which is what makes this oracle-checkable, not just smoke-
+    testable. The value column's field name is provider-internal, so
+    it is resolved from the state schema rather than hard-coded."""
+    ev = _event_stream(spark, sf_dir)
+    agg = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = spark.read.format("statestore").load(checkpoint_dir)
+    value_field = state.schema["value"].dataType.fieldNames()[0]
+    return state.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value").getField(value_field).cast("long").alias("n_events"),
+    )
+
+
+def state_metadata(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
+    """Operator-level state metadata for a checkpoint (Spark 4
+    ``state-metadata`` source): operator/store names, partition counts,
+    min/max retained batch ids — the first table to consult when a
+    production stateful query misbehaves."""
+    return spark.read.format("state-metadata").load(checkpoint_dir)

@@ -432,3 +432,30 @@ def test_cdc_upsert_replay_is_idempotent(spark, sf_dir, tmp_path):
     first = state()
     cdc_upsert_to_parquet(spark, str(feed_dir), target_dir, feed.schema)
     assert state() == first
+
+
+def test_state_snapshot_equals_batch_counts(spark, sf_dir, tmp_path):
+    """Spark-4 statestore reader: the drained unwatermarked aggregate's
+    raw state must equal the batch per-user counts, and state-metadata
+    must describe exactly one aggregation operator over that
+    checkpoint."""
+    from data_engineering_rag_spark.streaming.events import (
+        state_metadata,
+        user_totals_state_snapshot,
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+    state = sorted(
+        (r.user_id, r.n_events)
+        for r in user_totals_state_snapshot(spark, sf_dir, ckpt).collect()
+    )
+    batch = sorted(
+        (r.user_id, r.n)
+        for r in load(spark, sf_dir, "events").groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    assert state == batch
+
+    meta = state_metadata(spark, ckpt).collect()
+    assert len(meta) == 1
+    assert meta[0].operatorName == "stateStoreSave"
+    assert meta[0].numPartitions == spark.sparkContext.defaultParallelism or meta[0].numPartitions > 0
