@@ -1384,3 +1384,59 @@ def pipe_syntax_returns_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> EXTEND round(revenue / n_items, 6) AS avg_item_revenue
         """
     )
+
+
+@query(
+    "pyds_stream_telemetry_agg",
+    f"""
+    WITH t AS (
+      SELECT i AS reading_id, cast(i % 50 as int) AS sensor_id,
+             ((i * i) % 97) / 7.0 AS reading
+      FROM generate_series(0, {PYDS_ROWS - 1}) s(i))
+    SELECT sensor_id,
+           cast(count(*) as bigint) AS n_readings,
+           round(cast(sum(cast(reading as decimal(18,12))) as double) / count(*), 6)
+             AS avg_reading,
+           round(max(reading), 6) AS max_reading
+    FROM t GROUP BY sensor_id
+    """,
+)
+def pyds_stream_telemetry_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING half of the Python Data Source surface (§2.1 /
+    §2.10, Spark 4 ``DataSourceStreamReader``): the same telemetry
+    generator exposed as a micro-batch stream — row-position offsets,
+    ``latestOffset`` advancing {PYDS_ROWS // 5} rows per trigger,
+    per-batch range-split partitions — drained to a memory sink and
+    rolled up per sensor. Matching the batch oracle pins the
+    connector's exactly-once offset contract end-to-end: the union of
+    all micro-batch reads is exactly [0, rows) — no duplicated, no
+    dropped offsets across the 5 triggers."""
+    import uuid as _uuid
+
+    from ..sources.pydatasource import read_telemetry_stream
+
+    stream = read_telemetry_stream(
+        spark, rows=PYDS_ROWS, batch_rows=PYDS_ROWS // 5, partitions=4
+    )
+    name = f"pyds_mem_{_uuid.uuid4().hex[:12]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return (
+        spark.table(name)
+        .groupBy("sensor_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_readings"),
+            F.round(
+                F.sum(F.col("reading").cast("decimal(18,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_reading"),
+            F.round(F.max("reading"), 6).alias("max_reading"),
+        )
+    )

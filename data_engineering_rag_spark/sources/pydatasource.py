@@ -23,7 +23,12 @@ executor pulls only its slice.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 TELEMETRY_SCHEMA = "reading_id bigint, sensor_id int, reading double"
 
@@ -73,6 +78,79 @@ def read_telemetry(spark, rows: int = 5000, partitions: int = 8):
     return (
         spark.read.format("synthetic_telemetry")
         .option("rows", str(rows))
+        .option("partitions", str(partitions))
+        .load()
+    )
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, lo: int, hi: int):
+        self.lo, self.hi = lo, hi
+
+
+class SyntheticTelemetryStreamReader(DataSourceStreamReader):
+    """Micro-batch STREAM reader for the same telemetry generator
+    (Spark 4 ``DataSourceStreamReader``): offsets are row positions,
+    ``latestOffset`` advances one ``batch_rows`` micro-batch per
+    trigger (self-capped at ``rows``), and ``partitions(start, end)``
+    range-splits each batch so executors read slices in parallel —
+    the same offset/partition contract a Kafka-style connector keeps.
+
+    Offsets are JSON dicts; a restarted query replays from the last
+    committed offset via ``partitions(start, end)``, which only ever
+    depends on the offset range — so recovery is deterministic."""
+
+    def __init__(self, options: dict):
+        self.rows = int(options.get("rows", 1000))
+        self.batch_rows = int(options.get("batch_rows", 250))
+        self.n_parts = int(options.get("partitions", 4))
+        self._pos = 0
+
+    def initialOffset(self):
+        return {"i": 0}
+
+    def latestOffset(self):
+        self._pos = min(self._pos + self.batch_rows, self.rows)
+        return {"i": self._pos}
+
+    def partitions(self, start, end):
+        lo, hi = start["i"], end["i"]
+        n = max(1, min(self.n_parts, hi - lo))
+        base, rem = divmod(hi - lo, n)
+        parts = []
+        cur = lo
+        for p in range(n):
+            size = base + (1 if p < rem else 0)
+            parts.append(_RangePartition(cur, cur + size))
+            cur += size
+        return parts
+
+    def read(self, partition: _RangePartition):
+        for i in range(partition.lo, partition.hi):
+            yield (i, i % 50, _reading(i))
+
+    def commit(self, end):
+        pass
+
+
+class SyntheticTelemetryStreamSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_telemetry_stream"
+
+    def schema(self) -> str:
+        return TELEMETRY_SCHEMA
+
+    def streamReader(self, schema) -> SyntheticTelemetryStreamReader:
+        return SyntheticTelemetryStreamReader(self.options)
+
+
+def read_telemetry_stream(spark, rows: int = 5000, batch_rows: int = 1000, partitions: int = 4):
+    spark.dataSource.register(SyntheticTelemetryStreamSource)
+    return (
+        spark.readStream.format("synthetic_telemetry_stream")
+        .option("rows", str(rows))
+        .option("batch_rows", str(batch_rows))
         .option("partitions", str(partitions))
         .load()
     )

@@ -349,3 +349,23 @@ def test_repeat_intervals_nonnegative_and_ordered(spark, sf_dir):
     r = REGISTRY["repeat_purchase_intervals"].spark(spark, sf_dir).collect()[0]
     assert r.n_intervals > 0
     assert 0 <= r.p50_days <= r.p90_days
+
+
+def test_pyds_stream_source_multibatch_exact(spark):
+    """The streaming Python data source must deliver EXACTLY the
+    declared row range across MULTIPLE micro-batches (offset contract:
+    union of batches = [0, rows), no dupes/gaps), and the batch count
+    must match rows/batch_rows."""
+    import uuid
+
+    from data_engineering_rag_spark.sources.pydatasource import read_telemetry_stream
+
+    stream = read_telemetry_stream(spark, rows=600, batch_rows=150, partitions=3)
+    name = f"pyds_test_{uuid.uuid4().hex[:8]}"
+    q = stream.writeStream.format("memory").queryName(name).outputMode("append").start()
+    q.processAllAvailable()
+    n_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+    q.stop()
+    ids = [r.reading_id for r in spark.table(name).select("reading_id").collect()]
+    assert sorted(ids) == list(range(600))
+    assert n_batches == 4
