@@ -91,3 +91,45 @@ def test_durable_checkpoint_reliable_dir(spark, sf_dir, tmp_path):
     import os
 
     assert any(os.scandir(d)), "checkpoint dir is empty"
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Runtime skew handling: with AQE skew-join on and thresholds
+    sized to the fixture, a hot join key must be SPLIT at runtime
+    (the executed adaptive plan marks the sort-merge join side
+    skew=true) — the engine-level safety net behind the explicit
+    salted_join, exercised end-to-end rather than assumed from conf."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.join.preferSortMergeJoin": "true",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # hot key 0 carries 200k rows (~several MB post-shuffle);
+        # 50 cold keys carry one row each
+        left = (
+            spark.range(0, 200_000)
+            .select(F.lit(0).cast("long").alias("k"), F.col("id").alias("v"))
+            .union(spark.range(1, 51).select(F.col("id").alias("k"), F.col("id").alias("v")))
+        )
+        right = spark.range(0, 51).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+        joined = left.join(right, "k")
+        # collect() executes THIS dataframe's plan (count() would build
+        # its own), so the adaptive plan below is the final one
+        assert len(joined.collect()) == 200_000 + 50
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
