@@ -487,3 +487,87 @@ def load_tfidf(spark: SparkSession, path: str, persist: bool = False) -> TfidfMo
         text_fields=list(meta["text_fields"]),
         token_mode=meta["token_mode"],
     )
+
+
+def shard_tf_fragment(
+    df: DataFrame, key_cols: list[str], field: str, token_mode: str = "ascii"
+) -> tuple[DataFrame, DataFrame]:
+    """One shard's POSTING FRAGMENT for a distributed index build:
+    the (doc, term, tf) table plus the shard's doc count. Tokenization
+    — the expensive pass at 100 TB — runs exactly once per shard; the
+    fragments are what shard jobs persist (tiny vs the text) and what
+    ``merge_tf_fragments`` later combines into the global index."""
+    pattern = token_pattern_for(token_mode)
+    tf = _term_frequencies(df, key_cols, field, pattern)
+    n = df.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
+    return tf, n
+
+
+def merge_tf_fragments(
+    fragments: list[tuple[DataFrame, DataFrame]],
+    key_cols: list[str],
+    field: str,
+    token_mode: str = "ascii",
+    min_df: int = 1,
+    max_df: float = 1.0,
+) -> TfidfModel:
+    """EXACT merge of doc-disjoint shard fragments into one global
+    TF-IDF model — the build-shards-independently / merge-once pattern
+    of every distributed inverted-index system (each shard tokenizes
+    its slice; the merge never touches text again).
+
+    Correctness requires recomputing vocabulary statistics GLOBALLY,
+    not unioning per-shard models: df(term) = Σ shard dfs (doc-disjoint
+    shards), idf from the merged df and total N, and min_df/max_df
+    pruning against the GLOBAL df — a term that is hapax in every
+    shard but common across them must survive (pinned in
+    tests/test_tfidf.py). Downstream arithmetic deliberately mirrors
+    ``build_tfidf`` term-for-term so merged == direct to float
+    precision; the equality test keeps the two spellings from
+    drifting.
+
+    Scale shape: the merge is two combinable aggregations (df per
+    term, L2 norm per doc) plus one broadcast idf join over the
+    unioned fragment rows — |distinct (doc, term)| wire bytes, no
+    retokenization, no text movement."""
+    if min_df < 1:
+        raise ValueError("min_df must be >= 1 (absolute document count)")
+    if not (0.0 < max_df <= 1.0):
+        raise ValueError("max_df must be in (0, 1] (proportion of docs)")
+    tf = fragments[0][0]
+    for other, _ in fragments[1:]:
+        tf = tf.unionByName(other)
+    counts = fragments[0][1]
+    for _, other in fragments[1:]:
+        counts = counts.unionByName(other)
+    n_docs = counts.groupBy().agg(F.sum("n_docs").alias("n_docs"))
+
+    tf = tf.repartition(*[F.col(c) for c in key_cols])
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dfreq = (
+        dfreq.crossJoin(F.broadcast(n_docs))
+        .where((F.col("df") >= min_df) & (F.col("df") <= max_df * F.col("n_docs")))
+        .drop("n_docs")
+    )
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        F.lit(field).alias("field"),
+        "term",
+        (F.log((F.lit(1) + F.col("n_docs")) / (F.lit(1) + F.col("df"))) + F.lit(1)).alias("idf"),
+    )
+    w = tf.join(F.broadcast(idf.drop("field")), "term").select(
+        *key_cols, "term", (F.col("tf") * F.col("idf")).alias("w_raw")
+    )
+    doc_w = Window.partitionBy(*key_cols)
+    weights = w.select(
+        F.lit(field).alias("field"),
+        *key_cols,
+        "term",
+        (F.col("w_raw") / F.sqrt(F.sum(F.col("w_raw") * F.col("w_raw")).over(doc_w))).alias("w"),
+    )
+    return TfidfModel(
+        weights=weights,
+        idf=idf,
+        key_cols=key_cols,
+        text_fields=[field],
+        token_mode=token_mode,
+    )

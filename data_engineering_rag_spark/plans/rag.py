@@ -1347,3 +1347,36 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in out[1:]:
         res = res.unionByName(o)
     return res.select("step", "doc_id", "start", "rel", "mmr")
+
+
+@query("tfidf_sharded_merge_search", _search_oracle(SEARCH_QUERY, SEARCH_K))
+def tfidf_sharded_merge_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed INDEX-BUILD lifecycle (§2.4 X1 at fleet scale):
+    chunk the corpus, split it into two doc-disjoint shards, tokenize
+    each shard independently into a posting fragment
+    (``shard_tf_fragment``), then merge the fragments into ONE exact
+    global index (``merge_tf_fragments``) and serve the flagship
+    query from it. The oracle is the SAME single-build search SQL —
+    passing pins that shard-then-merge is indistinguishable from
+    building on the full corpus, which is the property that lets 100 TB
+    index builds run as independent per-shard jobs (tokenize once,
+    merge cheap fragments) instead of one monolithic pass."""
+    from ..operators.tfidf import merge_tf_fragments, shard_tf_fragment
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
+    chunks = chunk_documents(docs, text_col="content", size=CHUNK_SIZE, step=CHUNK_STEP)
+    frags = [
+        shard_tf_fragment(
+            chunks.where(F.pmod(F.col("doc_id"), F.lit(2)) == i),
+            ["doc_id", "start"],
+            "content",
+        )
+        for i in (0, 1)
+    ]
+    model = merge_tf_fragments(frags, ["doc_id", "start"], "content")
+    hits = search_topk(spark, model, SEARCH_QUERY, k=SEARCH_K)
+    return hits.select(
+        "doc_id",
+        F.col("start").cast("long").alias("start"),
+        F.round("score", 8).alias("score"),
+    )

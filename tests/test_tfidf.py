@@ -6,6 +6,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from data_engineering_rag_spark.operators.tfidf import (
     build_tfidf,
@@ -298,3 +299,61 @@ def test_term_frequencies_match_groupby_reference(spark):
             .count()
         )
         assert diff == 0, mode
+
+
+def test_merged_fragments_equal_direct_build(spark):
+    """Shard-then-merge must be indistinguishable from one build:
+    identical vocab/idf, weights equal to float precision."""
+    from data_engineering_rag_spark.operators.tfidf import (
+        build_tfidf,
+        merge_tf_fragments,
+        shard_tf_fragment,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffles data across the cluster"),
+            (2, "the cluster runs spark jobs"),
+            (3, "duckdb runs on one node"),
+            (4, "one node is enough for small data"),
+        ],
+        "doc_id long, content string",
+    )
+    direct = build_tfidf(docs, ["doc_id"], ["content"])
+    frags = [
+        shard_tf_fragment(docs.where(F.col("doc_id") % 2 == i), ["doc_id"], "content")
+        for i in (0, 1)
+    ]
+    merged = merge_tf_fragments(frags, ["doc_id"], "content")
+
+    d_idf = {(r.term): r.idf for r in direct.idf.collect()}
+    m_idf = {(r.term): r.idf for r in merged.idf.collect()}
+    assert d_idf == m_idf  # integer df/N inputs -> bit-identical idf
+
+    d_w = {(r.doc_id, r.term): r.w for r in direct.weights.collect()}
+    m_w = {(r.doc_id, r.term): r.w for r in merged.weights.collect()}
+    assert d_w.keys() == m_w.keys()
+    assert all(abs(d_w[k] - m_w[k]) < 1e-12 for k in d_w)
+
+
+def test_merge_prunes_on_global_df_not_shard_df(spark):
+    """A term hapax in EVERY shard but present across shards has
+    global df=2 — min_df=2 must keep it after the merge (per-shard
+    pruning would have dropped it; that's why fragments carry tf, not
+    pruned models)."""
+    from data_engineering_rag_spark.operators.tfidf import (
+        merge_tf_fragments,
+        shard_tf_fragment,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "zebra alpha alpha"), (2, "zebra beta beta")],
+        "doc_id long, content string",
+    )
+    frags = [
+        shard_tf_fragment(docs.where(F.col("doc_id") == i), ["doc_id"], "content")
+        for i in (1, 2)
+    ]
+    merged = merge_tf_fragments(frags, ["doc_id"], "content", min_df=2)
+    vocab = {r.term for r in merged.idf.collect()}
+    assert vocab == {"zebra"}  # alpha/beta are global hapax; zebra survives
