@@ -1012,3 +1012,85 @@ def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("dup_frac"),
     )
+
+
+NEYMAN_BUDGET = 1000
+
+
+@query(
+    "neyman_budget_allocation",
+    f"""
+    WITH s AS (
+      SELECT lang, cast(count(*) as bigint) AS n_docs,
+             cast(sum(n_chars) as bigint) AS sy,
+             cast(sum(n_chars * n_chars) as bigint) AS syy
+      FROM documents GROUP BY lang),
+    st AS (
+      SELECT lang, n_docs,
+             sqrt((cast(syy as double)
+                   - cast(sy as double) * cast(sy as double) / cast(n_docs as double))
+                  / cast(n_docs - 1 as double)) AS sd
+      FROM s WHERE n_docs > 1),
+    terms AS (
+      SELECT lang, n_docs, sd,
+             cast(round(cast(n_docs as double) * sd, 6) as decimal(27,6)) AS nhsh
+      FROM st),
+    tot AS (SELECT cast(sum(nhsh) as double) AS t, cast(sum(n_docs) as bigint) AS nt
+            FROM terms)
+    SELECT lang, n_docs,
+           round(sd, 6) AS char_sd,
+           cast(floor({NEYMAN_BUDGET}.0 * cast(nhsh as double) / t + 0.5) as bigint)
+             AS neyman_n,
+           cast(floor({NEYMAN_BUDGET}.0 * cast(n_docs as double) / cast(nt as double) + 0.5)
+                as bigint) AS proportional_n
+    FROM terms CROSS JOIN tot
+    """,
+)
+def neyman_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-optimal budget allocation (Neyman 1934) for a fixed
+    annotation/eval budget of {NEYMAN_BUDGET} docs across language
+    strata: n_h ∝ N_h·S_h (stratum size × within-stratum char-length
+    stddev), side-by-side with naive proportional allocation — the
+    high-variance strata get oversampled, which is what minimizes the
+    estimator variance when human-labeling a corpus slice or sizing
+    per-language eval sets.
+
+    Determinism: S_h comes from exact integer sufficient statistics
+    (Σy, Σy²) with the SAME double spelling in both dialects; each
+    N_h·S_h term is rounded then accumulated as exact decimal (the
+    5-term float sum would be order-dependent); allocations use the
+    floor-half-up spelling. Shape: ONE combinable groupBy over
+    documents + a broadcast 1-row total — nothing else touches the
+    corpus."""
+    d = load(spark, sf_dir, "documents")
+    s = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sy"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("syy"),
+    )
+    sd = F.sqrt(
+        (
+            F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy").cast("double") / F.col("n_docs").cast("double")
+        )
+        / (F.col("n_docs") - 1).cast("double")
+    )
+    terms = s.where(F.col("n_docs") > 1).select(
+        "lang",
+        "n_docs",
+        sd.alias("sd"),
+        F.round(F.col("n_docs").cast("double") * sd, 6).cast("decimal(27,6)").alias("nhsh"),
+    )
+    tot = terms.agg(
+        F.sum("nhsh").cast("double").alias("t"), F.sum("n_docs").cast("long").alias("nt")
+    )
+    b = float(NEYMAN_BUDGET)
+    return terms.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.round("sd", 6).alias("char_sd"),
+        F.floor(b * F.col("nhsh").cast("double") / F.col("t") + 0.5).cast("long").alias("neyman_n"),
+        F.floor(b * F.col("n_docs").cast("double") / F.col("nt").cast("double") + 0.5)
+        .cast("long")
+        .alias("proportional_n"),
+    )

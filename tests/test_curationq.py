@@ -255,3 +255,30 @@ def test_dup_span_matches_bruteforce_on_random_corpora(spark, tmp_path):
         }
         want = _dup_spans_reference(texts, DUP_SPAN_K)
         assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_neyman_allocation_oversamples_high_variance_stratum(spark, tmp_path):
+    """Planted two-stratum fixture: equal sizes, one stratum with 10×
+    the length spread — Neyman must shift budget to it while
+    proportional stays 50/50; totals stay within rounding of the
+    budget."""
+    import pandas as pd
+
+    from data_engineering_rag_spark.plans.curationq import (
+        NEYMAN_BUDGET,
+        neyman_budget_allocation,
+    )
+
+    rows = []
+    # 'wide': lengths alternate 100/10000 (huge sd); 'tight': 5000±1
+    for i in range(40):
+        rows.append((i, "x", "wide", "w", 100 if i % 2 else 10_000))
+    for i in range(40, 80):
+        rows.append((i, "x", "tight", "w", 5_000 + (i % 2)))
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"]).to_parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {r.lang: r for r in neyman_budget_allocation(spark, str(tmp_path)).collect()}
+    assert got["wide"].proportional_n == got["tight"].proportional_n == NEYMAN_BUDGET // 2
+    assert got["wide"].neyman_n > 0.99 * NEYMAN_BUDGET  # ~all budget to the wide stratum
+    assert abs(got["wide"].neyman_n + got["tight"].neyman_n - NEYMAN_BUDGET) <= 1
