@@ -1449,3 +1449,144 @@ def pyds_stream_telemetry_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("reading"), 6).alias("max_reading"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Poisson bootstrap: resampling-based uncertainty at data scale
+# --------------------------------------------------------------------------
+
+BOOT_B = 100
+BOOT_SALT = "boot1|"
+_BOOT_TWO_POW_60 = 1152921504606846976
+# P(Poisson(1) <= k), k = 0..6 — shared literal thresholds; u beyond the
+# last takes k=7 (truncation mass ~1e-5, documented)
+_POIS_CUM = [
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238462",
+    "0.9963401531726563",
+    "0.9994058151824183",
+    "0.9999167588507119",
+]
+
+
+def _boot_case_sql(u: str) -> str:
+    clauses = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS_CUM)
+    )
+    return f"(CASE {clauses} ELSE 7 END)"
+
+
+def _boot_oracle() -> str:
+    u = (
+        f"(cast(concat('0x', substr(md5(concat('{BOOT_SALT}', cast(o_orderkey as varchar), "
+        f"'|', cast(b as varchar))), 1, 15)) as bigint) + 1) "
+        f"/ cast({_BOOT_TWO_POW_60} as double)"
+    )
+    return f"""
+    WITH fan AS (
+      SELECT o_orderkey, o_totalprice, b,
+             {_boot_case_sql(u)} AS k
+      FROM orders CROSS JOIN generate_series(1, {BOOT_B}) s(b)),
+    reps AS (
+      SELECT b,
+             floor(cast(sum(cast(o_totalprice as decimal(18,2)) * k) as double)
+                   / sum(k) * 100000000.0 + 0.5) / 100000000.0 AS m
+      FROM fan GROUP BY b HAVING sum(k) > 0),
+    ranked AS (
+      SELECT m, row_number() OVER (ORDER BY m) AS rn, count(*) OVER () AS nb FROM reps),
+    full_mean AS (
+      SELECT floor(cast(sum(cast(o_totalprice as decimal(18,2))) as double)
+                   / count(*) * 100000000.0 + 0.5) / 100000000.0 AS fm
+      FROM orders)
+    SELECT cast(nb as bigint) AS n_replicates, fm AS mean_totalprice,
+           min(CASE WHEN rn = cast(ceil(0.025 * nb) as bigint) THEN m END) AS ci_lo,
+           min(CASE WHEN rn = cast(ceil(0.975 * nb) as bigint) THEN m END) AS ci_hi
+    FROM ranked CROSS JOIN full_mean
+    GROUP BY nb, fm
+    """
+
+
+@query("bootstrap_mean_ci_poisson", _boot_oracle())
+def bootstrap_mean_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (Chamandy et al., "Estimating Uncertainty for
+    Massive Data Streams", Google 2012) 95% CI for mean order value:
+    classic with-replacement resampling needs N draws per replicate
+    from one coordinated RNG — unshardable; the Poisson trick gives
+    every (row, replicate) an INDEPENDENT Poisson(1) multiplicity, so
+    a replicate is just a weighted aggregate and all {BOOT_B}
+    replicates ride ONE combinable groupBy over a ×{BOOT_B} narrow
+    fan-out. No RNG: multiplicities come from salted-md5 uniforms
+    through literal inverse-CDF thresholds (k capped at 7, truncated
+    mass ~1e-5 — documented, shared by both engines).
+
+    Exactness: replicate means accumulate decimal(18,2)·k exactly and
+    round with the floor-half-up spelling; the CI picks nearest-rank
+    order statistics over the {BOOT_B}-row replicate table (bounded —
+    the rank window is fine), never interpolated percentiles whose
+    arithmetic differs across engines."""
+    o = load(spark, sf_dir, "orders")
+    fan = o.select("o_orderkey", "o_totalprice").crossJoin(
+        spark.range(1, BOOT_B + 1).select(F.col("id").alias("b"))
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(BOOT_SALT),
+                        F.col("o_orderkey").cast("string"),
+                        F.lit("|"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ).cast("double") / F.lit(float(_BOOT_TWO_POW_60))
+    k = F.expr(_boot_case_sql("_u"))
+    reps = (
+        fan.withColumn("_u", u)
+        .withColumn("k", k)
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)") * F.col("k")).alias("s"),
+            F.sum("k").alias("n"),
+        )
+        .where(F.col("n") > 0)
+        .select(
+            (F.floor(F.col("s").cast("double") / F.col("n") * 100000000.0 + 0.5) / 100000000.0).alias("m")
+        )
+        # no-op bound (<= BOOT_B rows exist): makes the pool's
+        # boundedness visible to the global-window plan gate
+        .limit(BOOT_B)
+    )
+    ranked = reps.select(
+        "m",
+        F.row_number().over(Window.orderBy("m")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nb"),
+    )
+    full_mean = o.agg(
+        (
+            F.floor(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+                * 100000000.0
+                + 0.5
+            )
+            / 100000000.0
+        ).alias("fm")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(full_mean))
+        .groupBy(F.col("nb").cast("long").alias("n_replicates"), F.col("fm").alias("mean_totalprice"))
+        .agg(
+            F.min(F.when(F.col("rn") == F.ceil(0.025 * F.col("nb")).cast("long"), F.col("m"))).alias("ci_lo"),
+            F.min(F.when(F.col("rn") == F.ceil(0.975 * F.col("nb")).cast("long"), F.col("m"))).alias("ci_hi"),
+        )
+    )

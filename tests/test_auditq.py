@@ -369,3 +369,15 @@ def test_pyds_stream_source_multibatch_exact(spark):
     ids = [r.reading_id for r in spark.table(name).select("reading_id").collect()]
     assert sorted(ids) == list(range(600))
     assert n_batches == 4
+
+
+def test_bootstrap_ci_brackets_the_mean(spark, sf_dir):
+    """Poisson-bootstrap invariants: ~B replicates survive, the CI is
+    ordered, and the 95% interval brackets the full-sample mean (a
+    15k-row mean is far inside its own bootstrap CI)."""
+    from data_engineering_rag_spark.plans.analyticsq import BOOT_B
+
+    row = REGISTRY["bootstrap_mean_ci_poisson"].spark(spark, sf_dir).collect()[0]
+    assert row.n_replicates == BOOT_B
+    assert row.ci_lo < row.ci_hi
+    assert row.ci_lo <= row.mean_totalprice <= row.ci_hi

@@ -224,6 +224,8 @@ AUDITQ_ROUND6 = [
     "part_abc_classification", "dup_span_stats",
     # round-6j Spark-4 SQL syntax surface
     "recursive_cte_bfs_hops", "pipe_syntax_returns_summary",
+    # round-6k stats/sampling
+    "neyman_budget_allocation", "bootstrap_mean_ci_poisson",
 ]
 
 
