@@ -238,3 +238,60 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return merged.where(F.col("action").isin("keep", "update", "insert"))
+
+
+@query(
+    "ivm_join_delta_merge",
+    """
+    SELECT n_name,
+           cast(count(*) as bigint) AS n_orders,
+           round(cast(sum(cast(o_totalprice as decimal(18,2))) as double), 2) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def ivm_join_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view (the materialized-view
+    delta rule ΔV = ΔA ⋈ B for an insert batch): the per-nation revenue
+    view is built from the PRE-EXISTING orders (o_orderkey % 10 != 0),
+    the "newly arrived" batch (% 10 == 0) is joined and aggregated ON
+    ITS OWN, and the two partial-aggregate tables merge by union +
+    re-aggregation — sums of counts and exact decimal sums are
+    mergeable by construction. The oracle computes the view directly
+    on the full table, so a pass pins the delta-propagation algebra:
+    maintaining the view touches |Δ| rows, never the base fact table.
+
+    Deletes/updates extend the same algebra with signed multiplicities
+    (counts and decimal sums subtract exactly) — the reason the
+    partials are counts + decimal sums, never averages. At 100 TB the
+    base partial table is |nations| rows; each batch costs one
+    Δ-join + one tiny merge."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    def view_partial(orders: DataFrame) -> DataFrame:
+        return (
+            orders.join(c, F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("cnt"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+            )
+        )
+
+    base = view_partial(o.where(F.col("o_orderkey") % 10 != 0))
+    delta = view_partial(o.where(F.col("o_orderkey") % 10 == 0))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("n_name")
+        .agg(F.sum("cnt").alias("cnt"), F.sum("rev").alias("rev"))
+    )
+    return merged.select(
+        "n_name",
+        F.col("cnt").cast("long").alias("n_orders"),
+        F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+    )

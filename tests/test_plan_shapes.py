@@ -224,8 +224,9 @@ AUDITQ_ROUND6 = [
     "part_abc_classification", "dup_span_stats",
     # round-6j Spark-4 SQL syntax surface
     "recursive_cte_bfs_hops", "pipe_syntax_returns_summary",
-    # round-6k stats/sampling
+    # round-6k stats/sampling + IVM
     "neyman_budget_allocation", "bootstrap_mean_ci_poisson",
+    "ivm_join_delta_merge",
 ]
 
 
