@@ -240,6 +240,22 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.where(F.col("action").isin("keep", "update", "insert"))
 
 
+def nation_view_partial(orders: DataFrame, c: DataFrame, n: DataFrame) -> DataFrame:
+    """Mergeable partial of the per-nation revenue view (count + exact
+    decimal sum) — the representation both the insert delta and the
+    signed-delete delta (negated partials, see tests/test_cdc.py) fold
+    into with plain union + re-aggregation."""
+    return (
+        orders.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+        )
+    )
+
+
 @query(
     "ivm_join_delta_merge",
     """
@@ -271,20 +287,8 @@ def ivm_join_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-
-    def view_partial(orders: DataFrame) -> DataFrame:
-        return (
-            orders.join(c, F.col("o_custkey") == F.col("c_custkey"))
-            .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
-            .groupBy("n_name")
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("cnt"),
-                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
-            )
-        )
-
-    base = view_partial(o.where(F.col("o_orderkey") % 10 != 0))
-    delta = view_partial(o.where(F.col("o_orderkey") % 10 == 0))
+    base = nation_view_partial(o.where(F.col("o_orderkey") % 10 != 0), c, n)
+    delta = nation_view_partial(o.where(F.col("o_orderkey") % 10 == 0), c, n)
     merged = (
         base.unionByName(delta)
         .groupBy("n_name")

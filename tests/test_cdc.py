@@ -107,3 +107,34 @@ def test_scd2_intervals_partition_timeline(spark):
         for a, b in zip(ivs, ivs[1:]):
             assert a.effective_to == b.effective_from
             assert a.st != b.st  # consecutive dedup collapsed no-ops
+
+
+def test_ivm_signed_delete_delta_equals_recompute(spark, sf_dir):
+    """The IVM partials must also absorb DELETES: negate the deleted
+    batch's partial (cnt → -cnt, rev → -rev), merge with the full
+    view's partials, and the result must EXACTLY equal recomputing the
+    view without the deleted rows — counts and decimal sums subtract
+    exactly (the reason the partials are never averages)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_rag_spark.plans import load
+    from data_engineering_rag_spark.plans.cdcq import nation_view_partial
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    full = nation_view_partial(o, c, n)
+    deleted = nation_view_partial(o.where(F.col("o_orderkey") % 7 == 0), c, n)
+    neg = deleted.select("n_name", (-F.col("cnt")).alias("cnt"), (-F.col("rev")).alias("rev"))
+    maintained = (
+        full.unionByName(neg)
+        .groupBy("n_name")
+        .agg(F.sum("cnt").alias("cnt"), F.sum("rev").alias("rev"))
+        .where(F.col("cnt") > 0)
+    )
+    recomputed = nation_view_partial(o.where(F.col("o_orderkey") % 7 != 0), c, n)
+
+    got = {r.n_name: (r.cnt, r.rev) for r in maintained.collect()}
+    want = {r.n_name: (r.cnt, r.rev) for r in recomputed.collect()}
+    assert got == want  # exact: integer counts, decimal sums
