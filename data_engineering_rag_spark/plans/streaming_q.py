@@ -1336,3 +1336,32 @@ def stream_state_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ckpt = tempfile.mkdtemp(prefix="state_introspect_")
     return user_totals_state_snapshot(spark, sf_dir, ckpt)
+
+
+@query("hll_sketch_partition_merge", None)
+def hll_sketch_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count SKETCHES (Spark 3.5+/4 DataSketches
+    functions, §2.6 sketch family): per-event-type HLL sketches of the
+    user set (``hll_sketch_agg``) unioned into a global sketch
+    (``hll_union_agg``) — the partial-aggregate algebra that lets 100 TB
+    distinct counts maintain incrementally (per-partition/per-day
+    sketches persist; every rollup is a cheap union, the raw data is
+    never rescanned; lossless union unlike bounded KMV). Rows-only: the
+    sketch binary is engine-internal — the error-bound test pins both
+    the per-type and unioned estimates within HLL tolerance of exact,
+    and union-vs-flat-sketch identity."""
+    ev = load(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    merged = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        F.lit("ALL").alias("event_type"),
+    ).select("event_type", F.round("est", 2).alias("est_users"), F.lit(None).cast("long").alias("exact_users"))
+    per = per_type.select(
+        "event_type",
+        F.round(F.hll_sketch_estimate("sk"), 2).alias("est_users"),
+        F.col("exact_users").cast("long").alias("exact_users"),
+    )
+    return per.unionByName(merged)

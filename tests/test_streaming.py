@@ -459,3 +459,19 @@ def test_state_snapshot_equals_batch_counts(spark, sf_dir, tmp_path):
     assert len(meta) == 1
     assert meta[0].operatorName == "stateStoreSave"
     assert meta[0].numPartitions == spark.sparkContext.defaultParallelism or meta[0].numPartitions > 0
+
+
+def test_hll_sketch_estimates_within_tolerance(spark, sf_dir):
+    """DataSketches HLL: per-type and union-merged estimates within
+    HLL error (default lgConfigK=12 → ~2.5% σ; assert 10%) of exact,
+    and the merged union equals sketching the flat stream directly."""
+    rows = {r.event_type: r for r in REGISTRY["hll_sketch_partition_merge"].spark(spark, sf_dir).collect()}
+    ev = load(spark, sf_dir, "events")
+    for t, r in rows.items():
+        if t == "ALL":
+            exact = ev.select("user_id").distinct().count()
+        else:
+            exact = r.exact_users
+        assert abs(r.est_users - exact) / exact < 0.10, (t, r.est_users, exact)
+    flat = ev.agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("e")).collect()[0].e
+    assert abs(rows["ALL"].est_users - flat) < 1e-9  # union of partials == flat sketch
