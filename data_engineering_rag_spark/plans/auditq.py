@@ -1707,3 +1707,69 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("frac_rows_at_risk"),
     )
+
+
+@query(
+    "events_attribution_linear",
+    f"""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'),
+    cand AS (
+      SELECT p.purchase_id, e.event_type
+      FROM p JOIN events e
+        ON e.user_id = p.user_id AND e.event_type <> 'purchase'
+       AND e.ts < p.p_ts AND e.ts >= p.p_ts - INTERVAL {ATTR_WINDOW_MIN} MINUTE),
+    sized AS (
+      SELECT purchase_id, event_type,
+             count(*) OVER (PARTITION BY purchase_id) AS n_touches
+      FROM cand),
+    credited AS (
+      SELECT event_type,
+             cast(round(1.0 / n_touches, 9) as decimal(18,9)) AS credit
+      FROM sized)
+    SELECT event_type,
+           cast(count(*) as bigint) AS n_touches,
+           round(cast(sum(credit) as double), 6) AS credit_total
+    FROM credited GROUP BY event_type
+    """,
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch attribution beside the last-touch spelling:
+    every non-purchase event in the {ATTR_WINDOW_MIN}-minute lookback
+    shares the purchase's credit equally (1/n per touch) — the model
+    marketers reach for when last-touch over-credits the final
+    retargeting ping. Purchases with no touches carry no credit here
+    (the 'direct' bucket is last-touch's concern).
+
+    Exactness: per-touch credit 1/n is rounded to 9 dp then
+    accumulated as exact decimal — a float Σ(1/n) over millions of
+    touches would be order-dependent. Shape: same time-bounded
+    per-user join as last-touch; the per-purchase touch count is a
+    count window on the high-cardinality purchase key; one combinable
+    decimal agg per channel."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    cand = p.join(
+        ev.select("user_id", "event_type", "ts"),
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("event_type") != "purchase")
+        & (F.col("ts") < F.col("p_ts"))
+        & (F.col("ts") >= F.col("p_ts") - F.expr(f"INTERVAL {ATTR_WINDOW_MIN} MINUTES")),
+    ).select("purchase_id", "event_type")
+    sized = cand.withColumn(
+        "n_touches", F.count(F.lit(1)).over(Window.partitionBy("purchase_id"))
+    )
+    credited = sized.select(
+        "event_type",
+        F.round(F.lit(1.0) / F.col("n_touches"), 9).cast("decimal(18,9)").alias("credit"),
+    )
+    return credited.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.round(F.sum("credit").cast("double"), 6).alias("credit_total"),
+    )

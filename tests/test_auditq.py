@@ -381,3 +381,34 @@ def test_bootstrap_ci_brackets_the_mean(spark, sf_dir):
     assert row.n_replicates == BOOT_B
     assert row.ci_lo < row.ci_hi
     assert row.ci_lo <= row.mean_totalprice <= row.ci_hi
+
+
+def test_linear_attribution_credit_conserved(spark, sf_dir):
+    """Linear multi-touch credit must conserve mass: total credit ==
+    number of purchases WITH at least one lookback touch (each such
+    purchase distributes exactly 1.0, up to the 9-dp per-touch
+    rounding), and every channel's credit is positive."""
+    import datetime
+
+    rows = REGISTRY["events_attribution_linear"].spark(spark, sf_dir).collect()
+    total_credit = sum(r.credit_total for r in rows)
+    assert all(r.credit_total > 0 for r in rows)
+
+    ev = load(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    touched = (
+        p.join(
+            ev.select("user_id", "event_type", "ts"),
+            (F.col("user_id") == F.col("pu"))
+            & (F.col("event_type") != "purchase")
+            & (F.col("ts") < F.col("pts"))
+            & (F.col("ts") >= F.col("pts") - F.expr("INTERVAL 30 MINUTES")),
+        )
+        .select("pid")
+        .distinct()
+        .count()
+    )
+    # 9-dp per-touch rounding drifts at most ~5e-10 per touch
+    assert abs(total_credit - touched) < 1e-3
