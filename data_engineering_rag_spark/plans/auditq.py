@@ -1773,3 +1773,55 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_touches"),
         F.round(F.sum("credit").cast("double"), 6).alias("credit_total"),
     )
+
+
+_FK_EDGES = [
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _ref_integrity_oracle() -> str:
+    arms = []
+    for child, fk, parent, pk in _FK_EDGES:
+        arms.append(f"""
+        SELECT '{child}.{fk}' AS fk_edge,
+               (SELECT cast(count(*) as bigint) FROM {child}) AS n_child_rows,
+               cast(count(*) as bigint) AS n_orphans
+        FROM {child} c LEFT JOIN {parent} p ON c.{fk} = p.{pk}
+        WHERE p.{pk} IS NULL""")
+    return " UNION ALL ".join(arms)
+
+
+@query("referential_integrity_audit", _ref_integrity_oracle())
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-schema FK pre-flight: orphan counts for every foreign-key
+    edge in the star schema in ONE audit table — the first validation
+    a warehouse load runs (and the generalization of the single
+    ``foreign_key`` expectation in ``operators/expectations.py``).
+
+    Shape: each edge is a LEFT ANTI join (child shuffles on its FK,
+    parent's KEY COLUMN only — never parent payloads) + a combinable
+    count; dimension parents broadcast. Arms are independent —
+    Spark runs them as one unioned job, scanning each child table
+    once per edge with only the FK column read (column pruning)."""
+    arms = []
+    for child, fk, parent, pk in _FK_EDGES:
+        c = load(spark, sf_dir, child).select(F.col(fk).alias("fk_val"))
+        p = load(spark, sf_dir, parent).select(F.col(pk).alias("pk_val"))
+        orphans = c.join(p, F.col("fk_val") == F.col("pk_val"), "left_anti")
+        arm = c.agg(F.count(F.lit(1)).cast("long").alias("n_child_rows")).crossJoin(
+            orphans.agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+        ).select(
+            F.lit(f"{child}.{fk}").alias("fk_edge"), "n_child_rows", "n_orphans"
+        )
+        arms.append(arm)
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out

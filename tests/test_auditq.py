@@ -412,3 +412,44 @@ def test_linear_attribution_credit_conserved(spark, sf_dir):
     )
     # 9-dp per-touch rounding drifts at most ~5e-10 per touch
     assert abs(total_credit - touched) < 1e-3
+
+
+def test_referential_integrity_planted_orphans(spark, tmp_path):
+    """Planted broken FK: two orders pointing at missing customers must
+    surface as exactly 2 orphans on orders.o_custkey; intact edges
+    report 0."""
+    import pandas as pd
+
+    fix = tmp_path
+    pd.DataFrame(
+        {"o_orderkey": [1, 2, 3, 4], "o_custkey": [10, 10, 99, 98],
+         "o_orderstatus": ["F"] * 4, "o_totalprice": [1.0] * 4,
+         "o_orderdate": pd.to_datetime(["2024-01-01"] * 4),
+         "o_orderpriority": ["1-URGENT"] * 4}
+    ).to_parquet(str(fix / "orders.parquet"))
+    pd.DataFrame(
+        {"c_custkey": [10], "c_name": ["a"], "c_nationkey": [1],
+         "c_acctbal": [0.0], "c_mktsegment": ["B"]}
+    ).to_parquet(str(fix / "customer.parquet"))
+    pd.DataFrame({"n_nationkey": [1], "n_name": ["x"], "n_regionkey": [1]}).to_parquet(
+        str(fix / "nation.parquet")
+    )
+    pd.DataFrame({"r_regionkey": [1], "r_name": ["R"]}).to_parquet(str(fix / "region.parquet"))
+    pd.DataFrame(
+        {"l_orderkey": [1], "l_partkey": [5], "l_suppkey": [7], "l_linenumber": [1],
+         "l_quantity": [1.0], "l_extendedprice": [1.0], "l_discount": [0.0],
+         "l_tax": [0.0], "l_returnflag": ["N"], "l_linestatus": ["O"],
+         "l_shipdate": pd.to_datetime(["2024-01-02"])}
+    ).to_parquet(str(fix / "lineitem.parquet"))
+    pd.DataFrame(
+        {"p_partkey": [5], "p_name": ["p"], "p_brand": ["b"], "p_type": ["t"],
+         "p_size": [1], "p_retailprice": [1.0]}
+    ).to_parquet(str(fix / "part.parquet"))
+    pd.DataFrame(
+        {"s_suppkey": [7], "s_name": ["s"], "s_nationkey": [1], "s_acctbal": [0.0]}
+    ).to_parquet(str(fix / "supplier.parquet"))
+
+    got = {r.fk_edge: r.n_orphans for r in
+           REGISTRY["referential_integrity_audit"].spark(spark, str(fix)).collect()}
+    assert got["orders.o_custkey"] == 2
+    assert all(v == 0 for k, v in got.items() if k != "orders.o_custkey")
