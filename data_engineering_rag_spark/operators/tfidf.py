@@ -530,10 +530,15 @@ def merge_tf_fragments(
     term, L2 norm per doc) plus one broadcast idf join over the
     unioned fragment rows — |distinct (doc, term)| wire bytes, no
     retokenization, no text movement."""
+    if not fragments:
+        raise ValueError("fragments must be non-empty")
     if min_df < 1:
         raise ValueError("min_df must be >= 1 (absolute document count)")
     if not (0.0 < max_df <= 1.0):
         raise ValueError("max_df must be in (0, 1] (proportion of docs)")
+    # PRECONDITION (caller-enforced, cannot be checked without a join):
+    # shards must be DOC-DISJOINT — an overlapping doc double-counts
+    # its df contributions and inflates n_docs.
     tf = fragments[0][0]
     for other, _ in fragments[1:]:
         tf = tf.unionByName(other)

@@ -185,6 +185,32 @@ _DRIVER_VERIFIED_BY_ROUND[5] = frozenset(
     }
 )
 
+_DRIVER_VERIFIED_BY_ROUND[6] = frozenset(
+    {
+        "bloom_prefilter_audit", "bm25_search_topk", "bpe_apply_symbol_stats",
+        "code_detect_heuristic", "context_length_buckets",
+        "contrastive_negatives_sample", "dedup_retention_by_source",
+        "doc_prefix_dedup", "embedding_centroid_shift",
+        "embedding_decontaminate", "events_attribution_last_touch",
+        "events_conversion_cogroup", "events_journey_patterns",
+        "events_winsorized_values", "funnel_time_to_convert",
+        "good_turing_counts", "hits_hub_authority", "hybrid_rrf_related_docs",
+        "k_anonymity_audit", "kmv_overlap_matrix", "line_dedup_clean",
+        "lsh_banding_design_curve", "markov_stationary_power",
+        "markup_residue_audit", "minhash_jaccard_calibration",
+        "partition_file_planner", "phrase_search_positions",
+        "pq_codebook_train", "quality_decile_tiers", "retrieval_eval_metrics",
+        "robust_outlier_audit", "script_mix_audit", "sequence_pack_greedy",
+        "session_gap_survival", "shingle_containment_pairs",
+        "source_term_drift_kl", "split_leakage_audit", "temporal_split_audit",
+        "term_cooccur_pmi_topk", "tfidf_doc_weights", "tfidf_keywords_per_doc",
+        "tfidf_multiquery_topk", "tfidf_search_filtered",
+        "tfidf_search_rocchio", "tfidf_search_topk", "time_weighted_user_value",
+        "truncation_loss_audit", "vocab_coverage_curve", "vocab_oov_stats",
+        "zorder_layout_audit",
+    }
+)
+
 #: Latest driver-green round per query (derived from the per-round sets).
 DRIVER_EVIDENCE_ROUND: dict[str, int] = {}
 for _rnd, _names in sorted(_DRIVER_VERIFIED_BY_ROUND.items()):
@@ -223,9 +249,11 @@ def _is_stale(name: str) -> bool:
 
 
 _MODULE_PRIORITY = {
-    # round-6 window: ~16 stale rewrites lead, then the new round-6
-    # oracle queries (module order below); verified-fresh queries
-    # rotate to the back.
+    # round-7 window: zero stale rewrites remain (every r6 rewrite
+    # earned a driver row), so the 40 never-driver-checked round-6
+    # oracle queries lead (module order below), the 10 remaining slots
+    # fall to rows-only entries, and verified-fresh queries rotate to
+    # the back.
     "auditq": 0, "analyticsq": 0, "corpusq": 0, "pipelineq": 0, "textops": 1, "vectors": 2, "relational": 3,
     "tpch_extra": 4, "rag": 5, "mediaq": 6, "streaming_q": 7,
     "cdcq": 8, "ingestq": 9, "logsq": 10,

@@ -1526,33 +1526,72 @@ def bootstrap_mean_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     order statistics over the {BOOT_B}-row replicate table (bounded —
     the rank window is fine), never interpolated percentiles whose
     arithmetic differs across engines."""
+    return _bootstrap_mean_ci(spark, sf_dir, hash_mode="md5")
+
+
+@query("bootstrap_mean_ci_poisson_xxh", None)
+def bootstrap_mean_ci_poisson_xxh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of ``bootstrap_mean_ci_poisson``: identical
+    shardable-resampling plan with the |orders|×B md5→hex→conv uniform
+    replaced by ``xxhash64`` pmod 2⁶⁰ — pure JVM integer path, no hex
+    string materialized (2⁶⁴ is an exact multiple of 2⁶⁰, so the pmod
+    is exactly uniform). Rows-only: DuckDB has no xxhash64; the check
+    is tests/test_analytics_extra.py pinning the Poisson(1)
+    multiplicity distribution (mean/variance/pmf) against the md5
+    spelling and the Poisson pmf itself."""
+    return _bootstrap_mean_ci(spark, sf_dir, hash_mode="xxhash64")
+
+
+def _boot_uniform(hash_mode: str):
+    """(0,1]-uniform per (o_orderkey, b) — md5 is the oracle spelling,
+    xxhash64 the production one (~|orders|×B fewer hex conversions)."""
+    if hash_mode == "md5":
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(BOOT_SALT),
+                            F.col("o_orderkey").cast("string"),
+                            F.lit("|"),
+                            F.col("b").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            + 1
+        ).cast("double") / F.lit(float(_BOOT_TWO_POW_60))
+    if hash_mode == "xxhash64":
+        return (
+            F.pmod(
+                F.xxhash64(F.lit(BOOT_SALT), F.col("o_orderkey"), F.col("b")),
+                F.lit(_BOOT_TWO_POW_60),
+            )
+            + 1
+        ).cast("double") / F.lit(float(_BOOT_TWO_POW_60))
+    raise ValueError(f"hash_mode must be 'md5' or 'xxhash64', got {hash_mode!r}")
+
+
+def _boot_multiplicities(spark: SparkSession, sf_dir: str, hash_mode: str) -> DataFrame:
+    """The (o_orderkey, b, k) fan-out stage, exposed so tests can pin
+    the multiplicity distribution of both hash modes."""
     o = load(spark, sf_dir, "orders")
     fan = o.select("o_orderkey", "o_totalprice").crossJoin(
         spark.range(1, BOOT_B + 1).select(F.col("id").alias("b"))
     )
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit(BOOT_SALT),
-                        F.col("o_orderkey").cast("string"),
-                        F.lit("|"),
-                        F.col("b").cast("string"),
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
-        + 1
-    ).cast("double") / F.lit(float(_BOOT_TWO_POW_60))
-    k = F.expr(_boot_case_sql("_u"))
+    return fan.withColumn("_u", _boot_uniform(hash_mode)).withColumn(
+        "k", F.expr(_boot_case_sql("_u"))
+    )
+
+
+def _bootstrap_mean_ci(spark: SparkSession, sf_dir: str, hash_mode: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
     reps = (
-        fan.withColumn("_u", u)
-        .withColumn("k", k)
+        _boot_multiplicities(spark, sf_dir, hash_mode)
         .groupBy("b")
         .agg(
             F.sum(F.col("o_totalprice").cast("decimal(18,2)") * F.col("k")).alias("s"),

@@ -644,24 +644,48 @@ def robust_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     alternative to mean/stddev z-scores (one fat-tailed burst inflates
     a stddev until nothing is an outlier; the median absolute deviation
     doesn't move). Flags |x - med| > 3·1.4826·MAD, the standard
-    normal-consistent cut. Shape: two exact-percentile groupBys on the
-    same low-cardinality key with broadcast joins back — no windows.
-    Honest scale note: EXACT percentiles buffer each group's values in
-    the aggregation state, so with few event types the medians
-    concentrate; at 100 TB swap percentile_cont for
-    approx_percentile(value, 0.5, eps) (sketch-mergeable, map-side
-    combinable) — the exact spelling here is what the oracle can
-    hash-check."""
+    normal-consistent cut. Shape: two percentile groupBys on the same
+    low-cardinality key with broadcast joins back — no windows. EXACT
+    percentiles buffer each group's values in the aggregation state, so
+    this spelling exists for the oracle hash-check; the production
+    spelling is ``robust_outlier_audit_approx`` (sketch-mergeable
+    approx_percentile, map-side combinable, bound-tested)."""
+    return _robust_outlier_audit(spark, sf_dir, mode="exact")
+
+
+@query("robust_outlier_audit_approx", None)
+def robust_outlier_audit_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of ``robust_outlier_audit``: identical plan with
+    ``approx_percentile`` (Greenwald–Khanna sketch, accuracy 10⁴ →
+    rank error ≤ 1e-4·n) replacing the buffering ``percentile_cont``.
+    The sketch is mergeable, so each percentile is a map-side-combinable
+    partial agg that never concentrates a group's raw values in one
+    task — the shape that survives 100 TB with a handful of event
+    types. Rows-only by design: DuckDB has no GK sketch, so the check
+    is tests/test_scale_helpers.py's closeness bound against the exact
+    spelling (medians/MADs within rank tolerance, identical row set)."""
+    return _robust_outlier_audit(spark, sf_dir, mode="approx")
+
+
+#: Greenwald–Khanna accuracy for the approx twin: rank error ≤ n/1e4.
+ROBUST_APPROX_ACCURACY = 10_000
+
+
+def _robust_outlier_audit(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
+    if mode == "exact":
+        med_expr = "percentile_cont(0.5) WITHIN GROUP (ORDER BY value)"
+        mad_expr = "percentile_cont(0.5) WITHIN GROUP (ORDER BY adev)"
+    elif mode == "approx":
+        med_expr = f"approx_percentile(value, 0.5, {ROBUST_APPROX_ACCURACY})"
+        mad_expr = f"approx_percentile(adev, 0.5, {ROBUST_APPROX_ACCURACY})"
+    else:
+        raise ValueError(f"mode must be 'exact' or 'approx', got {mode!r}")
     ev = load(spark, sf_dir, "events").select("event_type", "value")
-    med = ev.groupBy("event_type").agg(
-        F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY value)").alias("med")
-    )
+    med = ev.groupBy("event_type").agg(F.expr(med_expr).cast("double").alias("med"))
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "adev", F.abs(F.col("value") - F.col("med"))
     )
-    mad = dev.groupBy("event_type").agg(
-        F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY adev)").alias("mad")
-    )
+    mad = dev.groupBy("event_type").agg(F.expr(mad_expr).cast("double").alias("mad"))
     d = dev.join(F.broadcast(mad), "event_type")
     out_flag = (F.col("adev") > F.lit(MAD_CUT) * F.col("mad")).cast("int")
     return d.groupBy("event_type").agg(

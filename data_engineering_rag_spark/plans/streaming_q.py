@@ -1330,12 +1330,19 @@ def stream_state_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming check. The debugging workflow this enables at scale
     (state cardinality / skew audits over a live query's checkpoint)
     needs no changes to the running job."""
+    import shutil
     import tempfile
 
     from ..streaming.events import user_totals_state_snapshot
 
     ckpt = tempfile.mkdtemp(prefix="state_introspect_")
-    return user_totals_state_snapshot(spark, sf_dir, ckpt)
+    try:
+        # eager localCheckpoint materializes the snapshot into block
+        # storage so the checkpoint dir (state-store files included)
+        # can be removed instead of leaking one dir per invocation
+        return user_totals_state_snapshot(spark, sf_dir, ckpt).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 @query("hll_sketch_partition_merge", None)

@@ -96,9 +96,16 @@ class SyntheticTelemetryStreamReader(DataSourceStreamReader):
     range-splits each batch so executors read slices in parallel —
     the same offset/partition contract a Kafka-style connector keeps.
 
-    Offsets are JSON dicts; a restarted query replays from the last
-    committed offset via ``partitions(start, end)``, which only ever
-    depends on the offset range — so recovery is deterministic."""
+    Offsets are JSON dicts. ``partitions(start, end)`` depends only on
+    the offset range, so any committed range re-reads identically —
+    but ``_pos`` (the latestOffset cursor) is in-memory DRIVER state:
+    this source is single-run-only. A restarted query's checkpoint may
+    hold a committed offset ahead of the fresh ``_pos = 0``; the
+    cursor fast-forwards to any ``start`` Spark passes (and
+    ``commit`` keeps it ≥ every committed end) so no inverted
+    ``end < start`` range is ever produced, but rows before the
+    checkpointed offset are simply not replayed. A durable connector
+    would persist the generator's high-water mark with the offsets."""
 
     def __init__(self, options: dict):
         self.rows = int(options.get("rows", 1000))
@@ -115,6 +122,12 @@ class SyntheticTelemetryStreamReader(DataSourceStreamReader):
 
     def partitions(self, start, end):
         lo, hi = start["i"], end["i"]
+        # fast-forward the in-memory cursor past any offset Spark has
+        # already committed (restart-with-checkpoint case) so the next
+        # latestOffset() can never step backwards below `start`.
+        self._pos = max(self._pos, hi)
+        if hi <= lo:
+            return []
         n = max(1, min(self.n_parts, hi - lo))
         base, rem = divmod(hi - lo, n)
         parts = []
@@ -130,7 +143,7 @@ class SyntheticTelemetryStreamReader(DataSourceStreamReader):
             yield (i, i % 50, _reading(i))
 
     def commit(self, end):
-        pass
+        self._pos = max(self._pos, end["i"])
 
 
 class SyntheticTelemetryStreamSource(DataSource):

@@ -453,3 +453,57 @@ def test_referential_integrity_planted_orphans(spark, tmp_path):
            REGISTRY["referential_integrity_audit"].spark(spark, str(fix)).collect()}
     assert got["orders.o_custkey"] == 2
     assert all(v == 0 for k, v in got.items() if k != "orders.o_custkey")
+
+
+def test_bootstrap_xxh_multiplicity_distribution_matches_md5(spark, sf_dir):
+    """The xxhash64 production twin draws its Poisson(1) multiplicities
+    through the same inverse-CDF thresholds as the md5 oracle spelling
+    — so both k-distributions must match the Poisson pmf and each
+    other (mean≈1, var≈1, per-k pmf within sampling error over
+    |orders|×B draws), and the xxh CI must agree with the md5 CI to
+    within bootstrap sampling noise."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from data_engineering_rag_spark.plans import REGISTRY
+    from data_engineering_rag_spark.plans.analyticsq import _boot_multiplicities
+
+    dists = {}
+    for mode in ("md5", "xxhash64"):
+        stats = (
+            _boot_multiplicities(spark, sf_dir, mode)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.avg("k").alias("mean"),
+                F.var_pop("k").alias("var"),
+            )
+            .first()
+        )
+        pmf = {
+            r.k: r.cnt / stats.n
+            for r in _boot_multiplicities(spark, sf_dir, mode)
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        dists[mode] = (stats, pmf)
+        se = 1.0 / math.sqrt(stats.n)
+        assert abs(stats.mean - 1.0) < 6 * se, (mode, stats)
+        assert abs(stats.var - 1.0) < 10 * se, (mode, stats)
+        for k in range(4):  # pmf head: e^-1 / k!
+            expected = math.exp(-1) / math.factorial(k)
+            assert abs(pmf.get(k, 0.0) - expected) < 6 * se + 1e-3, (mode, k, pmf)
+    (m_stats, m_pmf), (x_stats, x_pmf) = dists["md5"], dists["xxhash64"]
+    assert m_stats.n == x_stats.n
+    for k in set(m_pmf) | set(x_pmf):
+        assert abs(m_pmf.get(k, 0.0) - x_pmf.get(k, 0.0)) < 0.01, (k, m_pmf, x_pmf)
+
+    md5_row = REGISTRY["bootstrap_mean_ci_poisson"].spark(spark, sf_dir).collect()[0]
+    xxh_row = REGISTRY["bootstrap_mean_ci_poisson_xxh"].spark(spark, sf_dir).collect()[0]
+    assert xxh_row.n_replicates == md5_row.n_replicates
+    assert xxh_row.mean_totalprice == md5_row.mean_totalprice
+    width = md5_row.ci_hi - md5_row.ci_lo
+    assert abs(xxh_row.ci_lo - md5_row.ci_lo) < width, (md5_row, xxh_row)
+    assert abs(xxh_row.ci_hi - md5_row.ci_hi) < width, (md5_row, xxh_row)
+    assert xxh_row.ci_lo < md5_row.mean_totalprice < xxh_row.ci_hi

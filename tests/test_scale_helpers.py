@@ -218,3 +218,27 @@ def test_kernels_exact_without_exchange_reuse(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_robust_outlier_approx_twin_close_to_exact(spark, sf_dir):
+    """The production spelling of robust_outlier_audit (mergeable
+    approx_percentile, no per-group value buffering) must agree with
+    the exact oracle spelling: same event types and counts, median/MAD
+    within 2% of the per-type MAD scale, and the outlier rate within
+    an absolute 0.005 (the flags differ only for points within the
+    sketch tolerance of the cut)."""
+    from data_engineering_rag_spark.plans import REGISTRY
+
+    exact = {r.event_type: r for r in REGISTRY["robust_outlier_audit"].spark(spark, sf_dir).collect()}
+    approx = {
+        r.event_type: r
+        for r in REGISTRY["robust_outlier_audit_approx"].spark(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx) and exact
+    for et, e in exact.items():
+        a = approx[et]
+        assert a.n == e.n
+        scale = abs(e.mad_value) or 1.0
+        assert abs(a.median_value - e.median_value) / scale < 0.02, (et, e, a)
+        assert abs(a.mad_value - e.mad_value) / scale < 0.02, (et, e, a)
+        assert abs(a.outlier_rate - e.outlier_rate) < 0.005, (et, e, a)

@@ -458,7 +458,9 @@ def test_state_snapshot_equals_batch_counts(spark, sf_dir, tmp_path):
     meta = state_metadata(spark, ckpt).collect()
     assert len(meta) == 1
     assert meta[0].operatorName == "stateStoreSave"
-    assert meta[0].numPartitions == spark.sparkContext.defaultParallelism or meta[0].numPartitions > 0
+    # state-store partition count is pinned at first run to the
+    # session's shuffle-partition setting
+    assert meta[0].numPartitions == int(spark.conf.get("spark.sql.shuffle.partitions"))
 
 
 def test_hll_sketch_estimates_within_tolerance(spark, sf_dir):
