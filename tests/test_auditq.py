@@ -507,3 +507,21 @@ def test_bootstrap_xxh_multiplicity_distribution_matches_md5(spark, sf_dir):
     assert abs(xxh_row.ci_lo - md5_row.ci_lo) < width, (md5_row, xxh_row)
     assert abs(xxh_row.ci_hi - md5_row.ci_hi) < width, (md5_row, xxh_row)
     assert xxh_row.ci_lo < md5_row.mean_totalprice < xxh_row.ci_hi
+
+
+def test_pyds_stream_agg_equals_batch_oracle_twin(spark, sf_dir):
+    """Finalized-prefix equivalence for the Python-DataSource STREAM
+    path (the stream self-caps at PYDS_ROWS and the registry query
+    drains it fully, so the finalized prefix is the whole offset range):
+    the micro-batched union aggregated per sensor must equal the batch
+    connector twin `pyds_telemetry_agg` row-for-row — same contract the
+    session-journey stream twin pins against its batch oracle."""
+    from data_engineering_rag_spark.plans import REGISTRY
+
+    batch = sorted(
+        map(tuple, REGISTRY["pyds_telemetry_agg"].spark(spark, sf_dir).collect())
+    )
+    stream = sorted(
+        map(tuple, REGISTRY["pyds_stream_telemetry_agg"].spark(spark, sf_dir).collect())
+    )
+    assert stream == batch
