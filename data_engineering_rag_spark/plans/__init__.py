@@ -66,6 +66,7 @@ from . import corpusq  # noqa: E402,F401
 from . import auditq  # noqa: E402,F401
 from . import analyticsq  # noqa: E402,F401
 from . import curationq  # noqa: E402,F401
+from . import round7q  # noqa: E402,F401
 
 # The driver's per-round correctness check covers only the first ~50
 # REGISTRY entries, so insertion order decides which queries get
@@ -240,6 +241,16 @@ LAST_CHANGED: dict[str, int] = {
     # round-6 rewrite: per-side vts/pts rename fixing the flaky
     # right-side column pruning at multi-file SFs — evidence from r4
     "events_conversion_cogroup": 6,
+    # round-7 refactor: body moved into the shared exact/approx kernel
+    # (_robust_outlier_audit) with explicit double casts — result-
+    # identical by construction, but the conservative call is a driver
+    # re-check — evidence from r6
+    "robust_outlier_audit": 7,
+    # round-7 rewrite: absolute f <= 10 cut replaced with the 10
+    # smallest observed frequency classes (the absolute cut was
+    # vacuously empty on the closed-vocabulary corpus) — evidence
+    # from r6 predates the fix
+    "good_turing_counts": 7,
 }
 
 
@@ -257,6 +268,9 @@ _MODULE_PRIORITY = {
     "auditq": 0, "analyticsq": 0, "corpusq": 0, "pipelineq": 0, "textops": 1, "vectors": 2, "relational": 3,
     "tpch_extra": 4, "rag": 5, "mediaq": 6, "streaming_q": 7,
     "cdcq": 8, "ingestq": 9, "logsq": 10,
+    # round-7 additions queue BEHIND every round-6 never-checked query
+    # so they cannot displace the r6 backlog from the r7 window
+    "round7q": 11,
 }
 
 

@@ -1570,18 +1570,24 @@ GT_MAX_F = 10
            cast(coalesce(b.n_f, 0) as bigint) AS n_f_plus_1,
            round((a.f + 1) * coalesce(b.n_f, 0)::double / a.n_f, 6) AS gt_adjusted_count
     FROM foff a LEFT JOIN foff b ON b.f = a.f + 1
-    WHERE a.f <= {GT_MAX_F}
+    ORDER BY a.f LIMIT {GT_MAX_F}
     """,
 )
 def good_turing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GOOD-TURING frequency-of-frequencies: N_f for f ≤ {GT_MAX_F} and
-    the smoothed count f* = (f+1)·N_(f+1)/N_f — the classical
-    adjustment for how much probability mass the unseen/rare tail
-    deserves (the input every Katz-backoff LM and the 'how much tail
-    vocabulary does one more shard buy' estimate needs). Two nested
-    partial-aggregable groupBys (token counts, then count-of-counts —
-    the second input is at most |distinct frequencies| rows) and a
-    self-join on f+1."""
+    """GOOD-TURING frequency-of-frequencies: N_f for the {GT_MAX_F}
+    SMALLEST observed frequency classes and the smoothed count
+    f* = (f+1)·N_(f+1)/N_f — the classical adjustment for how much
+    probability mass the unseen/rare tail deserves (the input every
+    Katz-backoff LM and the 'how much tail vocabulary does one more
+    shard buy' estimate needs). The head is rank-selected, not an
+    absolute f ≤ {GT_MAX_F} cut: the synthetic corpus has a closed
+    vocabulary whose minimum frequency exceeds any fixed literal, which
+    made the absolute spelling VACUOUSLY empty at every SF (0 = 0
+    oracle matches carry no signal — caught in the round-7 soak).
+    Two nested partial-aggregable groupBys (token counts, then
+    count-of-counts — at most |distinct frequencies| rows), a
+    self-join on f+1, and a TakeOrdered head over that bounded frame;
+    f is unique in the frequency table so the LIMIT is deterministic."""
     d = load(spark, sf_dir, "documents")
     tf = (
         d.select(
@@ -1597,7 +1603,8 @@ def good_turing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = foff.select((F.col("f") - 1).alias("f"), F.col("n_f").alias("n_f1"))
     return (
         a.join(b, "f", "left")
-        .where(F.col("f") <= GT_MAX_F)
+        .orderBy("f")
+        .limit(GT_MAX_F)
         .select(
             "f",
             F.col("n_f").cast("long").alias("n_f"),

@@ -258,3 +258,57 @@ def test_grouped_window_rewrites_keep_parallel_shape(spark, sf_dir):
     ]:
         plan = _physical_plan(REGISTRY[name].spark(spark, sf_dir))
         assert marker in plan, f"{name}: expected {marker} in plan\n{plan}"
+
+
+ROUND7_QUERIES = [
+    "lateral_topn_customers", "trigram_blocked_fuzzy_join",
+    "logreg_gradient_step", "join_cardinality_estimate",
+    "conformal_interval_coverage", "dp_noised_counts_audit",
+    "parquet_encoding_planner", "orders_drift_ks_binned",
+    # batch 2
+    "feature_hashing_collision_audit", "target_encoding_loo",
+    "decision_stump_train", "kfold_cv_mean_predictor",
+    "logreg_calibration_bins", "pit_feature_join_purchases",
+    "bitmap_rolling_actives",
+]
+
+
+def test_round7_no_unbounded_global_windows(spark, sf_dir):
+    """Round-7 additions: the only single-partition window is the
+    drift test's CDF pass over the limit-bounded ≤200-bin aggregate
+    (exempted by the detector's limit rule, like the bootstrap
+    replicate table)."""
+    for name in ROUND7_QUERIES:
+        plan = _physical_plan(REGISTRY[name].spark(spark, sf_dir))
+        n = _unbounded_single_partition_windows(plan)
+        assert n == 0, f"{name}: {n} unbounded single-partition window(s)\n{plan}"
+
+
+def test_round7_join_shapes_are_equi(spark, sf_dir):
+    """The join-bearing round-7 plans must stay hash/sort-merge
+    equi-joins: the blocked fuzzy join (block_key / trigram equi-joins,
+    never all-pairs over the dictionary), the decorrelated LATERAL
+    top-N, and conformal's broadcast per-group predictor joins.
+    (logreg / drift_ks legitimately broadcast-cross a ONE-ROW scalar
+    aggregate — same exemption as build_tfidf's n_docs — so they are
+    asserted separately via the scalar-side row bound.)"""
+    for name in (
+        "trigram_blocked_fuzzy_join",
+        "lateral_topn_customers",
+        "conformal_interval_coverage",
+        "join_cardinality_estimate",
+        "kfold_cv_mean_predictor",
+        "pit_feature_join_purchases",
+        "feature_hashing_collision_audit",
+    ):
+        plan = _physical_plan(REGISTRY[name].spark(spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name}\n{plan}"
+        assert "CartesianProduct" not in plan, f"{name}\n{plan}"
+    # scalar-broadcast queries: the cross side must be an Aggregate
+    # with no grouping keys (exactly one row), which is the safe shape
+    for name in ("logreg_gradient_step", "orders_drift_ks_binned",
+                 "target_encoding_loo", "logreg_calibration_bins"):
+        df = REGISTRY[name].spark(spark, sf_dir)
+        plan = _physical_plan(df)
+        assert "CartesianProduct" not in plan, f"{name}\n{plan}"
+        assert len(df.collect()) >= 1
