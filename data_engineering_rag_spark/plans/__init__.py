@@ -251,6 +251,14 @@ LAST_CHANGED: dict[str, int] = {
     # vacuously empty on the closed-vocabulary corpus) — evidence
     # from r6 predates the fix
     "good_turing_counts": 7,
+    # round-7 signal-audit fixes: each of these held a driver-green row
+    # earned on a VACUOUS 0 = 0 match (the query returned zero rows at
+    # every SF). Retuned to emit real rows — the old evidence certifies
+    # nothing, so they lead the window again.
+    "q11_important_parts": 7,          # fixed fraction -> 1.5x-average gate
+    "tfidf_search_pruned": 7,          # query terms all pruned -> PRUNED_QUERY
+    "embedding_near_dup_pairs": 7,     # cos 0.62 > max(0.513) -> 0.40
+    "embedding_near_dup_via_ivf": 7,   # same threshold fix
 }
 
 

@@ -1028,11 +1028,19 @@ def chunk_tokens_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PRUNE_MIN_DF = 2  # drop hapax terms
 PRUNE_MAX_DF = 0.5  # drop terms in more than half the chunks
+# The pruned search needs a query with at least one SURVIVING term:
+# every term of the shared SEARCH_QUERY is stop-like on the synthetic
+# closed vocabulary (df > max_df·n for all four), which made this
+# query vacuously return 0 rows at every SF (round-7 signal audit).
+# 'dup' is the corpus's one genuinely rare content word — the pruned
+# index drops the common terms and matches on it, which is exactly
+# the pruning semantics worth demonstrating.
+PRUNED_QUERY = "dup hash join"
 
 
 @query(
     "tfidf_search_pruned",
-    _search_oracle(SEARCH_QUERY, SEARCH_K, min_df=PRUNE_MIN_DF, max_df=PRUNE_MAX_DF),
+    _search_oracle(PRUNED_QUERY, SEARCH_K, min_df=PRUNE_MIN_DF, max_df=PRUNE_MAX_DF),
 )
 def tfidf_search_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k search over a min_df/max_df-pruned vocabulary — sklearn
@@ -1041,7 +1049,8 @@ def tfidf_search_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms). Hapax terms ~halve the index; stop-like terms are the
     hottest join keys — pruning both is the standard scale lever for
     a lexical index, and this query pins that it doesn't change
-    semantics beyond the documented vocabulary cut."""
+    semantics beyond the documented vocabulary cut: the query's common
+    terms prune away and the rare term drives the ranking."""
     docs = load(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
     chunks = chunk_documents(docs, text_col="content", size=CHUNK_SIZE, step=CHUNK_STEP)
     model = build_tfidf(
@@ -1051,7 +1060,7 @@ def tfidf_search_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_df=PRUNE_MIN_DF,
         max_df=PRUNE_MAX_DF,
     )
-    hits = search_topk(spark, model, SEARCH_QUERY, k=SEARCH_K)
+    hits = search_topk(spark, model, PRUNED_QUERY, k=SEARCH_K)
     return hits.select(
         "doc_id",
         F.col("start").cast("long").alias("start"),

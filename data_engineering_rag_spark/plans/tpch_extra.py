@@ -362,31 +362,39 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
              round(cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,6))) as double), 6) AS part_value
       FROM lineitem GROUP BY l_partkey),
     total AS (
-      SELECT round(cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,6))) as double), 6) AS total_value
-      FROM lineitem)
+      SELECT cast(sum(cast(part_value as decimal(18,6))) as double) AS total_value,
+             cast(count(*) as bigint) AS n_parts
+      FROM part_value)
     SELECT l_partkey, part_value
     FROM part_value, total
-    WHERE part_value > 0.001 * total_value
+    WHERE part_value > 1.5 * total_value / n_parts
     """,
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q11 shape (adapted: no partsupp table in the testdata, so
-    'value' is shipped revenue per part instead of supplycost×availqty;
-    fraction gate 0.001 sized to the synthetic part count). Completes
-    the q1-q22 sweep.
+    'value' is shipped revenue per part instead of supplycost×availqty).
+    Completes the q1-q22 sweep. The gate follows TPC-H's own rule that
+    the fraction must SCALE (spec: 0.0001/SF): a fixed 0.001·total cut
+    was vacuously empty at sf ≥ 0.01 (per-part share shrinks as 1/|parts|,
+    so no part ever crossed it — caught by the round-7 signal audit);
+    the scale-invariant spelling keeps parts carrying > 1.5× the
+    AVERAGE per-part revenue (29 parts at sf0.01, 252 at sf0.1).
 
     Plan shape: one groupBy(partkey) partial-aggregated scan for the
-    per-part values; the global total is a second scan reduced to ONE
-    row and broadcast into the HAVING-style filter — never a window
-    over all parts, never a self-join on partkey. Both sides of the
-    threshold compare are decimal-accumulated then rounded, so the
-    strict `>` resolves identically in both engines at any scale."""
+    per-part values; the (total, n_parts) scalar reduces the part-value
+    relation to ONE row and broadcasts into the HAVING-style filter —
+    never a window over all parts, never a self-join on partkey. The
+    total sums the already-rounded part values as exact decimals, so
+    the strict `>` resolves identically in both engines at any scale."""
     li = load(spark, sf_dir, "lineitem")
     value = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     part_value = li.groupBy("l_partkey").agg(_dsum(value, 6).alias("part_value"))
-    total = li.agg(_dsum(value, 6).alias("total_value"))
+    total = part_value.agg(
+        F.sum(F.col("part_value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+    )
     return (
         part_value.join(F.broadcast(total))
-        .where(F.col("part_value") > 0.001 * F.col("total_value"))
+        .where(F.col("part_value") > 1.5 * F.col("total_value") / F.col("n_parts"))
         .select("l_partkey", "part_value")
     )

@@ -251,8 +251,11 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-NEAR_DUP_COS = 0.62  # synthetic vectors are near-orthogonal; this
-# threshold yields a small non-empty pair set so the check has teeth.
+NEAR_DUP_COS = 0.40  # synthetic vectors are near-orthogonal: the max
+# pairwise cosine at sf0.01 is 0.513, so the previous 0.62 cut returned
+# ZERO pairs at every SF (vacuous 0=0 oracle matches — round-7 signal
+# audit). 0.40 yields a small non-empty pair set at sf0.001/0.01/0.1
+# (24/19/24 sampled pairs; 5/5/86 within-bucket) so the check has teeth.
 NEAR_DUP_SAMPLE = 300  # all-pairs ground truth is bounded BY CONSTRUCTION
 # to vec_id < this (≤ 300² / 2 pairs at any SF) — the unbounded pair set
 # comes from the bucketed path below, never from a full cross join.

@@ -80,4 +80,4 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> tuple[bool, s
     for i, (a, b) in enumerate(zip(s_canon, d_canon)):
         if a != b:
             return False, f"first row diff at sorted idx {i}:\n  spark : {a}\n  duckdb: {b}"
-    return True, "ok"
+    return True, f"ok:{len(s_rows)}"

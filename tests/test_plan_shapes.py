@@ -270,6 +270,9 @@ ROUND7_QUERIES = [
     "decision_stump_train", "kfold_cv_mean_predictor",
     "logreg_calibration_bins", "pit_feature_join_purchases",
     "bitmap_rolling_actives",
+    # batch 3
+    "cuped_ab_test", "postings_compression_audit", "km_user_churn",
+    "changepoint_daily_events", "pinball_quantile_grid",
 ]
 
 
@@ -307,7 +310,8 @@ def test_round7_join_shapes_are_equi(spark, sf_dir):
     # scalar-broadcast queries: the cross side must be an Aggregate
     # with no grouping keys (exactly one row), which is the safe shape
     for name in ("logreg_gradient_step", "orders_drift_ks_binned",
-                 "target_encoding_loo", "logreg_calibration_bins"):
+                 "target_encoding_loo", "logreg_calibration_bins",
+                 "cuped_ab_test", "km_user_churn", "pinball_quantile_grid"):
         df = REGISTRY[name].spark(spark, sf_dir)
         plan = _physical_plan(df)
         assert "CartesianProduct" not in plan, f"{name}\n{plan}"

@@ -162,3 +162,113 @@ def test_target_encoding_excludes_own_label(spark, sf_dir):
     gm = o.agg((F.sum("o_totalprice") / F.count(F.lit(1))).alias("m")).collect()[0].m
     expect = (g.s - row.o_totalprice + TE_SMOOTH_M * round(gm, 6)) / (g.n - 1 + TE_SMOOTH_M)
     assert abs(r0.te_loo - expect) < 1e-4
+
+
+def test_km_survival_matches_bruteforce(spark, sf_dir):
+    """KM curve pinned against a plain-Python recompute from per-user
+    last days, including the censoring rule (horizon survivors never
+    count as deaths), and monotone non-increasing."""
+    import math
+
+    rows = sorted(
+        REGISTRY["km_user_churn"].spark(spark, sf_dir).collect(), key=lambda r: r.day
+    )
+    last = {
+        r.user_id: r.d
+        for r in load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.max(F.date_trunc("day", "ts")).cast("date").alias("d"))
+        .collect()
+    }
+    horizon = max(last.values())
+    surv, prev = 1.0, None
+    for r in rows:
+        at_risk = sum(1 for d in last.values() if d >= r.day)
+        deaths = sum(1 for d in last.values() if d == r.day and d < horizon)
+        assert (r.at_risk, r.deaths) == (at_risk, deaths), r
+        if deaths:
+            surv *= 1.0 - deaths / at_risk
+        assert abs(r.km_survival - surv) < 1e-4, (r.day, r.km_survival, surv)
+        assert prev is None or r.km_survival <= prev + 1e-9
+        prev = r.km_survival
+    assert math.isclose(rows[-1].km_survival, surv, abs_tol=1e-4)
+
+
+def test_pinball_fit_brackets_true_quantile(spark, sf_dir):
+    """The grid argmin must land within one bin width of the exact
+    τ=0.9 quantile (pinball loss is convex in q; on a boundary grid
+    the minimizer is the boundary bracketing the true quantile)."""
+    from data_engineering_rag_spark.plans.round7q import PINBALL_TAU, STUMP_BIN_W
+
+    got = REGISTRY["pinball_quantile_grid"].spark(spark, sf_dir).collect()[0]
+    true_q = (
+        load(spark, sf_dir, "orders")
+        .agg(F.expr(f"percentile_cont({PINBALL_TAU}) WITHIN GROUP (ORDER BY o_totalprice)"))
+        .collect()[0][0]
+    )
+    assert abs(got.q_fit - true_q) <= STUMP_BIN_W, (got.q_fit, true_q)
+
+
+def test_changepoint_matches_bruteforce(spark, sf_dir):
+    """Exhaustive split scan in plain Python over the daily counts must
+    agree with the window-based SSE argmin."""
+    got = REGISTRY["changepoint_daily_events"].spark(spark, sf_dir).collect()[0]
+    daily = sorted(
+        (r.day, r.c)
+        for r in load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    cs = [c for _, c in daily]
+    best = None
+    for k in range(1, len(cs)):
+        left, right = cs[:k], cs[k:]
+        sse = (
+            sum(x * x for x in left) - sum(left) ** 2 / len(left)
+            + sum(x * x for x in right) - sum(right) ** 2 / len(right)
+        )
+        cand = (round(sse, 6), daily[k - 1][0])
+        best = cand if best is None or cand < best else best
+    assert got.split_day == best[1]
+    assert abs(got.sse_split - best[0]) < 1e-2
+
+
+def test_cuped_reduces_variance_keeps_estimate(spark, sf_dir):
+    """CUPED must be variance-REDUCING (θ from pooled covariance ⇒
+    var(y') ≤ var(y), so the reported reduction is non-negative) and
+    leave the treatment estimate statistically intact (here: same sign
+    region / same order of magnitude as naive — both are near-zero
+    under the null hash split, so bound their absolute gap by the
+    naive scale)."""
+    r = REGISTRY["cuped_ab_test"].spark(spark, sf_dir).collect()[0]
+    assert r.n_users == r.n_treat + (r.n_users - r.n_treat)
+    assert 0.0 <= r.var_reduction <= 1.0, r
+    scale = max(abs(r.naive_diff), 1.0)
+    assert abs(r.cuped_diff - r.naive_diff) <= 5 * scale, r
+
+
+def test_postings_varint_bytes_exact(spark, sf_dir):
+    """Varint byte accounting recomputed in plain Python from the
+    posting lists for every term."""
+    got = {r.term: (r.n_docs, r.varint_bytes) for r in REGISTRY["postings_compression_audit"].spark(spark, sf_dir).collect()}
+    from collections import defaultdict
+
+    from data_engineering_rag_spark.operators.tfidf import TOKEN_PATTERN
+
+    postings = defaultdict(set)
+    for r in (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0))).alias("t"))
+        .distinct()
+        .collect()
+    ):
+        postings[r.t].add(r.doc_id)
+
+    def vbytes(g):
+        return 1 if g < 128 else 2 if g < 16384 else 3 if g < 2097152 else 4 if g < 268435456 else 5
+
+    for term, docs in postings.items():
+        ds = sorted(docs)
+        gaps = [ds[0] + 1] + [b - a for a, b in zip(ds, ds[1:])]
+        assert got[term] == (len(ds), sum(vbytes(g) for g in gaps)), term
