@@ -21,18 +21,30 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _table_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """File-stream source over one testdata table, layout-aware. The
+    file stream source wants a directory; two layouts exist: the
+    driver testdata ships ``<table>.parquet`` as a single FILE (point
+    the source at sf_dir and glob-filter down to it), while any
+    Spark-written table is a DIRECTORY of part files (load it directly
+    — a glob for the table name filtered the part-*.parquet files out,
+    so the stream silently saw ZERO files and every stream query
+    returned empty; caught by the round-7 sf1 soak)."""
+    import os
+
+    table_path = f"{sf_dir}/{table}.parquet"
+    raw_schema = spark.read.parquet(table_path).schema
+    reader = spark.readStream.schema(raw_schema).format("parquet").option(
+        "maxFilesPerTrigger", 1
+    )
+    if os.path.isdir(table_path):
+        return reader.load(table_path)
+    return reader.option("pathGlobFilter", f"{table}.parquet").load(sf_dir)
+
+
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # The file stream source wants a directory; point it at the scale-
-    # factor dir and glob-filter down to the events table.
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    stream = _table_stream(spark, sf_dir, "events")
     ts_type = dict(stream.dtypes).get("ts")
     if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -171,7 +183,12 @@ def user_totals_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     def update(key, pdfs, state: "GroupState"):
         import pandas as pd
 
-        n, total = state.get() if state.exists else (0, 0.0)
+        # GroupState.get is a PROPERTY (raises when absent), not a
+        # method — calling it returned the tuple then crashed on the
+        # second micro-batch's call. Latent until the round-7 sf1 soak:
+        # single-file sources produce exactly one batch, so
+        # state.exists was never True in any smaller run.
+        n, total = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf["value"].sum())
@@ -264,16 +281,9 @@ def replay_filtered_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _document_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-stream over the documents table (same glob pattern as
-    ``_event_stream``): the shape of a landing-zone text ingest."""
-    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    return (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "documents.parquet")
-        .load(sf_dir)
-    )
+    """File-stream over the documents table (same layout-aware source
+    as ``_event_stream``): the shape of a landing-zone text ingest."""
+    return _table_stream(spark, sf_dir, "documents")
 
 
 def doc_dedup_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -273,6 +273,9 @@ ROUND7_QUERIES = [
     # batch 3
     "cuped_ab_test", "postings_compression_audit", "km_user_churn",
     "changepoint_daily_events", "pinball_quantile_grid",
+    # batch 4
+    "spearman_acctbal_orders", "feature_mi_ranking",
+    "levene_variance_test", "theil_sen_daily_trend",
 ]
 
 

@@ -272,3 +272,119 @@ def test_postings_varint_bytes_exact(spark, sf_dir):
         ds = sorted(docs)
         gaps = [ds[0] + 1] + [b - a for a, b in zip(ds, ds[1:])]
         assert got[term] == (len(ds), sum(vbytes(g) for g in gaps)), term
+
+
+def test_spearman_matches_bruteforce_midranks(spark, sf_dir):
+    """Spearman with ties recomputed in plain Python (midranks +
+    Pearson) from the per-customer (acctbal, order count) pairs."""
+    import math
+
+    got = REGISTRY["spearman_acctbal_orders"].spark(spark, sf_dir).collect()[0]
+    c = {r.c_custkey: r.c_acctbal for r in load(spark, sf_dir, "customer").collect()}
+    oc = {
+        r.o_custkey: r.n
+        for r in load(spark, sf_dir, "orders").groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    xs = [c[k] for k in sorted(c)]
+    ys = [float(oc.get(k, 0)) for k in sorted(c)]
+
+    def midranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and vals[order[j + 1]] == vals[order[i]]:
+                j += 1
+            mid = (i + j) / 2.0 + 1.0
+            for k in range(i, j + 1):
+                ranks[order[k]] = mid
+            i = j + 1
+        return ranks
+
+    rx, ry = midranks(xs), midranks(ys)
+    n = len(rx)
+    sx, sy = sum(rx), sum(ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    sxx = sum(a * a for a in rx)
+    syy = sum(b * b for b in ry)
+    rho = (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert got.n_customers == n
+    assert abs(got.spearman_rho - rho) < 1e-6, (got.spearman_rho, rho)
+
+
+def test_mi_matches_bruteforce(spark, sf_dir):
+    """MI non-negative for every pair and equal to a plain-Python
+    recount of the contingency table (the priority_vs_price pair)."""
+    import math
+    from collections import Counter
+
+    rows = {r.feature_pair: r.mi_nats for r in REGISTRY["feature_mi_ranking"].spark(spark, sf_dir).collect()}
+    assert set(rows) == {
+        "priority_vs_price", "status_vs_price", "status_vs_priority", "status_vs_year"
+    }
+    assert all(v >= 0.0 for v in rows.values()), rows
+    from data_engineering_rag_spark.plans.round7q import MI_PRICE_BINS, MI_PRICE_BIN_W
+
+    data = [
+        (r.o_orderpriority, min(int(r.o_totalprice // MI_PRICE_BIN_W), MI_PRICE_BINS - 1))
+        for r in load(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice").collect()
+    ]
+    nt = len(data)
+    nxy, nx, ny = Counter(data), Counter(x for x, _ in data), Counter(y for _, y in data)
+    mi = sum(
+        (c / nt) * math.log((c / nt) / ((nx[x] / nt) * (ny[y] / nt)))
+        for (x, y), c in nxy.items()
+    )
+    assert abs(rows["priority_vs_price"] - mi) < 1e-6, (rows["priority_vs_price"], mi)
+
+
+def test_theil_sen_matches_bruteforce(spark, sf_dir):
+    """Median-of-pairwise-slopes recomputed in plain Python."""
+    got = REGISTRY["theil_sen_daily_trend"].spark(spark, sf_dir).collect()[0]
+    daily = sorted(
+        (r.x, r.y)
+        for r in load(spark, sf_dir, "events")
+        .groupBy(
+            F.datediff(F.date_trunc("day", "ts").cast("date"), F.lit("1990-01-01").cast("date")).alias("x")
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+        .collect()
+    )
+    slopes = sorted(
+        (y2 - y1) / (x2 - x1)
+        for i, (x1, y1) in enumerate(daily)
+        for (x2, y2) in daily[i + 1 :]
+    )
+    m = len(slopes)
+    med = slopes[m // 2] if m % 2 else (slopes[m // 2 - 1] + slopes[m // 2]) / 2.0
+    assert got.n_days == len(daily)
+    assert abs(got.ts_slope - med) < 1e-6, (got.ts_slope, med)
+
+
+def test_levene_matches_bruteforce(spark, sf_dir):
+    """Brown–Forsythe W recomputed in plain Python (medians via the
+    same linear-interpolation rule as percentile_cont)."""
+    got = REGISTRY["levene_variance_test"].spark(spark, sf_dir).collect()[0]
+    rows = load(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice").collect()
+    groups = {}
+    for r in rows:
+        groups.setdefault(r.o_orderpriority, []).append(r.o_totalprice)
+
+    def pct_cont(vals, q):
+        vs = sorted(vals)
+        pos = (len(vs) - 1) * q
+        lo = int(pos)
+        frac = pos - lo
+        return vs[lo] if frac == 0 else vs[lo] * (1 - frac) + vs[lo + 1] * frac
+
+    z = {g: [abs(x - pct_cont(v, 0.5)) for x in v] for g, v in groups.items()}
+    zbar_g = {g: round(sum(v) / len(v), 9) for g, v in z.items()}
+    n = sum(len(v) for v in z.values())
+    k = len(z)
+    zbar = round(sum(zbar_g[g] * len(z[g]) for g in z) / n, 9)
+    ssb = sum(len(z[g]) * (zbar_g[g] - zbar) ** 2 for g in z)
+    ssw = sum((x - zbar_g[g]) ** 2 for g, v in z.items() for x in v)
+    w = ((n - k) * ssb) / ((k - 1) * ssw)
+    assert (got.n, got.k) == (n, k)
+    assert abs(got.levene_w - w) < 1e-4, (got.levene_w, w)

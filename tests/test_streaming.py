@@ -477,3 +477,35 @@ def test_hll_sketch_estimates_within_tolerance(spark, sf_dir):
         assert abs(r.est_users - exact) / exact < 0.10, (t, r.est_users, exact)
     flat = ev.agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("e")).collect()[0].e
     assert abs(rows["ALL"].est_users - flat) < 1e-9  # union of partials == flat sketch
+
+
+def test_stateful_stream_survives_multiple_microbatches(spark, sf_dir, tmp_path):
+    """Multi-batch regression for the state-property bug the sf1 soak
+    caught: a single-file source yields exactly ONE micro-batch, so
+    `state.exists` never goes True and any bug in the state-read path
+    is invisible. Re-write the events table as a multi-file directory
+    (maxFilesPerTrigger=1 → one batch per file), run the stateful
+    per-user totals, and pin the FINAL update per user against the
+    batch groupBy."""
+    from data_engineering_rag_spark.plans import load
+    from data_engineering_rag_spark.streaming.events import user_totals_stateful_stream
+
+    multi = str(tmp_path / "multi")
+    ev = load(spark, sf_dir, "events")
+    ev.repartition(4).write.parquet(f"{multi}/events.parquet")
+    got = user_totals_stateful_stream(spark, multi)
+    # update-mode memory sink keeps one row per (user, micro-batch);
+    # the final state is the max n_events per user
+    final = got.groupBy("user_id").agg(
+        F.max("n_events").alias("n"), F.max("total_value").alias("tv")
+    )
+    batch = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("bn"),
+        F.round(F.sum("value"), 4).alias("btv"),
+    )
+    j = final.join(batch, "user_id")
+    assert j.count() == batch.count()
+    assert j.where("n <> bn").count() == 0
+    assert j.where("abs(tv - btv) > 0.01").count() == 0
+    # and the stream genuinely ran more than one batch
+    assert got.count() > final.count()
