@@ -2102,3 +2102,201 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_days"),
     )
     return ts_fit.crossJoin(F.broadcast(ols)).select("n_days", "ts_slope", "ols_slope")
+
+
+# ==========================================================================
+# Round-7 batch 5: modern SQL surface + robust means + optimizer stats
+# ==========================================================================
+
+
+@query(
+    "sql_sugar_group_by_all",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           cast(count(*) as bigint) AS n_orders,
+           round(cast(sum(cast(o_totalprice as decimal(18,2))) as double), 2) AS revenue
+    FROM (SELECT * EXCLUDE (o_orderkey, o_custkey, o_orderdate) FROM orders) t
+    GROUP BY ALL
+    """,
+)
+def sql_sugar_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern SQL sugar end-to-end (§2.9 surface): ``SELECT * EXCEPT``
+    projection (DuckDB spells it EXCLUDE) feeding ``GROUP BY ALL`` —
+    the infer-the-grouping-keys shorthand dbt-style models lean on.
+    Pins that Spark's sugar lowers to exactly the classic plan (same
+    partial aggregation over the pruned projection; EXCEPT is just
+    column pruning, which Catalyst pushes to the scan either way)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("r7_orders_sugar")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               cast(count(*) as bigint) AS n_orders,
+               round(cast(sum(cast(o_totalprice as decimal(18,2))) as double), 2) AS revenue
+        FROM (SELECT * EXCEPT (o_orderkey, o_custkey, o_orderdate) FROM r7_orders_sugar) t
+        GROUP BY ALL
+        """
+    )
+
+
+PARAM_PRICE_THR = 400000.0
+PARAM_YEAR_MIN = 1996
+
+
+@query(
+    "parameterized_sql_orders",
+    f"""
+    SELECT o_orderstatus,
+           cast(count(*) as bigint) AS n_big,
+           round(cast(sum(cast(o_totalprice as decimal(18,2))) as double)
+                 / count(*), 6) AS avg_price
+    FROM orders
+    WHERE o_totalprice > {PARAM_PRICE_THR} AND year(o_orderdate) >= {PARAM_YEAR_MIN}
+    GROUP BY o_orderstatus
+    """,
+)
+def parameterized_sql_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAMETERIZED SQL (§2.9, SPARK-41271): named parameter markers
+    bound server-side via ``spark.sql(query, args=...)`` — the
+    injection-safe spelling for templated analytics (the values arrive
+    as typed literals in the plan, so constant folding and predicate
+    pushdown see them exactly like hand-inlined constants; the oracle
+    IS the hand-inlined twin, which pins that equivalence)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("r7_orders_param")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               cast(count(*) as bigint) AS n_big,
+               round(cast(sum(cast(o_totalprice as decimal(18,2))) as double)
+                     / count(*), 6) AS avg_price
+        FROM r7_orders_param
+        WHERE o_totalprice > :thr AND year(o_orderdate) >= :ymin
+        GROUP BY o_orderstatus
+        """,
+        args={"thr": PARAM_PRICE_THR, "ymin": PARAM_YEAR_MIN},
+    )
+
+
+HUBER_C = 1.345  # 95%-efficiency tuning constant
+MAD_K = 1.4826
+
+
+@query(
+    "huber_mean_value_by_type",
+    f"""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS m0
+      FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, e.value, m.m0, abs(e.value - m.m0) AS adev
+      FROM events e JOIN med m USING (event_type)),
+    scale AS (
+      SELECT event_type, round({MAD_K} * quantile_cont(adev, 0.5), 9) AS s
+      FROM dev GROUP BY event_type),
+    weighted AS (
+      SELECT d.event_type, d.m0, sc.s,
+             CASE WHEN d.adev <= {HUBER_C} * sc.s THEN 1.0
+                  ELSE {HUBER_C} * sc.s / d.adev END AS w,
+             d.value
+      FROM dev d JOIN scale sc USING (event_type))
+    SELECT event_type,
+           cast(count(*) as bigint) AS n,
+           round(any_value(m0), 6) AS median_value,
+           round(cast(sum(cast(w * value as decimal(28,9))) as double)
+                 / cast(sum(cast(w as decimal(18,9))) as double), 6) AS huber_mean,
+           round(cast(sum(cast(value as decimal(18,6))) as double) / count(*), 6)
+             AS plain_mean
+    FROM weighted GROUP BY event_type
+    """,
+)
+def huber_mean_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HUBER M-ESTIMATOR of per-type mean value (one IRLS step from the
+    median, scale = normalized MAD, c = {HUBER_C} — the 95%-efficiency
+    robust location estimate): between the median (throws away
+    magnitude) and the mean (one fat-tailed burst owns it), the Huber
+    mean downweights only the tail. Completes the robust-statistics
+    shelf next to winsorize/MAD-outliers/Theil–Sen. Shape: two
+    low-cardinality percentile groupBys (same approx_percentile scale
+    caveat as robust_outlier_audit), then ONE weighted combinable
+    aggregate with exact-decimal numerator/denominator; weights are
+    per-row doubles from 9 dp-rounded scales, identical in both
+    engines."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY value)").alias("m0")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("m0"))
+    )
+    scale = dev.groupBy("event_type").agg(
+        F.round(
+            F.lit(MAD_K) * F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY adev)"), 9
+        ).alias("s")
+    )
+    weighted = dev.join(F.broadcast(scale), "event_type").withColumn(
+        "w",
+        F.when(F.col("adev") <= HUBER_C * F.col("s"), F.lit(1.0)).otherwise(
+            F.lit(HUBER_C) * F.col("s") / F.col("adev")
+        ),
+    )
+    return weighted.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.any_value("m0"), 6).alias("median_value"),
+        F.round(
+            F.sum((F.col("w") * F.col("value")).cast("decimal(28,9)")).cast("double")
+            / F.sum(F.col("w").cast("decimal(18,9)")).cast("double"),
+            6,
+        ).alias("huber_mean"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("plain_mean"),
+    )
+
+
+EQD_BUCKETS = 10
+
+
+@query(
+    "equidepth_histogram_totalprice",
+    f"""
+    WITH cuts AS (
+      SELECT {", ".join(f"round(quantile_cont(o_totalprice, {i / EQD_BUCKETS}), 6) AS c{i}" for i in range(1, EQD_BUCKETS))}
+      FROM orders),
+    bucketed AS (
+      SELECT {" + ".join(f"(CASE WHEN o.o_totalprice > c.c{i} THEN 1 ELSE 0 END)" for i in range(1, EQD_BUCKETS))} AS bucket
+      FROM orders o CROSS JOIN cuts c)
+    SELECT bucket, cast(count(*) as bigint) AS n_rows
+    FROM bucketed GROUP BY bucket
+    """,
+)
+def equidepth_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH histogram of order value — the optimizer statistic
+    behind selectivity estimation (CBO histograms are exactly this:
+    {EQD_BUCKETS} buckets with ~equal row counts, so range-predicate
+    selectivity reads off bucket fractions; pairs with
+    `join_cardinality_estimate` in the stats family). The bucket
+    boundaries are one exact-percentile aggregate broadcast back as a
+    1-row scalar, the assignment is a branch-free sum of comparisons,
+    and the counts are one combinable groupBy — the equal-depth
+    property itself (each count ≈ n/{EQD_BUCKETS}) is the correctness
+    readout, pinned in tests. Exact percentile carries the documented
+    approx_percentile swap at 100 TB."""
+    o = load(spark, sf_dir, "orders")
+    cuts = o.agg(
+        *[
+            F.round(
+                F.expr(f"percentile_cont({i / EQD_BUCKETS}) WITHIN GROUP (ORDER BY o_totalprice)"),
+                6,
+            ).alias(f"c{i}")
+            for i in range(1, EQD_BUCKETS)
+        ]
+    )
+    bucket = None
+    for i in range(1, EQD_BUCKETS):
+        term = (F.col("o_totalprice") > F.col(f"c{i}")).cast("int")
+        bucket = term if bucket is None else bucket + term
+    return (
+        o.crossJoin(F.broadcast(cuts))
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )

@@ -276,6 +276,9 @@ ROUND7_QUERIES = [
     # batch 4
     "spearman_acctbal_orders", "feature_mi_ranking",
     "levene_variance_test", "theil_sen_daily_trend",
+    # batch 5
+    "sql_sugar_group_by_all", "parameterized_sql_orders",
+    "huber_mean_value_by_type", "equidepth_histogram_totalprice",
 ]
 
 

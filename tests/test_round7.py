@@ -388,3 +388,46 @@ def test_levene_matches_bruteforce(spark, sf_dir):
     w = ((n - k) * ssb) / ((k - 1) * ssw)
     assert (got.n, got.k) == (n, k)
     assert abs(got.levene_w - w) < 1e-4, (got.levene_w, w)
+
+
+def test_equidepth_buckets_are_balanced(spark, sf_dir):
+    """Equal-depth property: every bucket within 2% of n/B (exact
+    percentile boundaries on a near-continuous column)."""
+    from data_engineering_rag_spark.plans.round7q import EQD_BUCKETS
+
+    rows = REGISTRY["equidepth_histogram_totalprice"].spark(spark, sf_dir).collect()
+    n = sum(r.n_rows for r in rows)
+    assert len(rows) == EQD_BUCKETS
+    assert sorted(r.bucket for r in rows) == list(range(EQD_BUCKETS))
+    for r in rows:
+        assert abs(r.n_rows - n / EQD_BUCKETS) <= max(2, 0.02 * n / EQD_BUCKETS), r
+
+
+def test_huber_mean_between_median_and_mean_and_bruteforce(spark, sf_dir):
+    """Huber one-step recomputed in plain Python; the estimate must
+    also land between min and max of (median, plain mean) extended by
+    a small tolerance (robust location can't leave the data's core)."""
+    rows = REGISTRY["huber_mean_value_by_type"].spark(spark, sf_dir).collect()
+    assert rows
+    from data_engineering_rag_spark.plans.round7q import HUBER_C, MAD_K
+
+    data = {}
+    for r in load(spark, sf_dir, "events").select("event_type", "value").collect():
+        data.setdefault(r.event_type, []).append(r.value)
+
+    def pct(vals, q):
+        vs = sorted(vals)
+        pos = (len(vs) - 1) * q
+        lo = int(pos)
+        frac = pos - lo
+        return vs[lo] if frac == 0 else vs[lo] * (1 - frac) + vs[lo + 1] * frac
+
+    for r in rows:
+        vals = data[r.event_type]
+        m0 = pct(vals, 0.5)
+        s = round(MAD_K * pct([abs(v - m0) for v in vals], 0.5), 9)
+        ws = [1.0 if abs(v - m0) <= HUBER_C * s else HUBER_C * s / abs(v - m0) for v in vals]
+        hub = sum(w * v for w, v in zip(ws, vals)) / sum(ws)
+        assert abs(r.huber_mean - hub) < 1e-4, (r.event_type, r.huber_mean, hub)
+        lo, hi = min(m0, r.plain_mean), max(m0, r.plain_mean)
+        assert lo - 1.0 <= r.huber_mean <= hi + 1.0, r
