@@ -212,6 +212,35 @@ _DRIVER_VERIFIED_BY_ROUND[6] = frozenset(
     }
 )
 
+_DRIVER_VERIFIED_BY_ROUND[7] = frozenset(
+    {
+        "acctbal_gini_by_nation", "basket_pair_lift_top20",
+        "bigram_lm_perplexity_buckets", "bootstrap_mean_ci_poisson",
+        "curriculum_order_assign", "customer_ltv_cohort",
+        "dsir_importance_scores", "dup_span_stats",
+        "embedding_near_dup_pairs", "embedding_near_dup_via_ivf",
+        "events_attribution_linear", "events_hourly_anomaly",
+        "ewma_user_value", "good_turing_counts", "ivm_join_delta_merge",
+        "join_cardinality_estimate", "knn_degree_powerlaw",
+        "knn_two_hop_reach", "l_diversity_audit", "lang_source_chisq",
+        "lateral_topn_customers", "length_decile_normalize",
+        "logreg_gradient_step", "merge_upsert_orders",
+        "nb_source_confusion", "neyman_budget_allocation",
+        "orders_status_trend_ols", "pandas_udaf_geomean",
+        "part_abc_classification", "pipe_syntax_returns_summary",
+        "pipeline_retention_funnel", "pyds_stream_telemetry_agg",
+        "pyds_telemetry_agg", "q11_important_parts",
+        "recursive_cte_bfs_hops", "referential_integrity_audit",
+        "repeat_purchase_intervals", "robust_outlier_audit",
+        "rolling_7d_active_users", "scalar_variant_events",
+        "semantic_cluster_dedup", "sessions_bounce_rate_daily",
+        "stream_state_introspection", "supplier_scorecard",
+        "text_readability_scores", "tfidf_search_pruned",
+        "tfidf_sharded_merge_search", "trigram_blocked_fuzzy_join",
+        "weighted_median_price_by_flag", "window_value_functions",
+    }
+)
+
 #: Latest driver-green round per query (derived from the per-round sets).
 DRIVER_EVIDENCE_ROUND: dict[str, int] = {}
 for _rnd, _names in sorted(_DRIVER_VERIFIED_BY_ROUND.items()):
@@ -259,6 +288,11 @@ LAST_CHANGED: dict[str, int] = {
     "tfidf_search_pruned": 7,          # query terms all pruned -> PRUNED_QUERY
     "embedding_near_dup_pairs": 7,     # cos 0.62 > max(0.513) -> 0.40
     "embedding_near_dup_via_ivf": 7,   # same threshold fix
+    # round-8 ADVICE fix: length>=3 guard before the trigram explode
+    # (descending F.sequence on 2-char names) + oracle's 200-position
+    # cap removed — result-identical on current data, but the body
+    # changed, so the r7 row is conservatively stale.
+    "trigram_blocked_fuzzy_join": 8,
 }
 
 

@@ -75,10 +75,12 @@ BLOCK_DF_CAP = 10  # trigrams appearing in ≤ this many names are block keys
 def _name_trigrams_sql(src: str) -> str:
     """DuckDB: distinct (name, tri) over character trigrams."""
     return f"""
-      SELECT DISTINCT p_name AS name, substr(p_name, i, 3) AS tri
-      FROM (SELECT DISTINCT p_name FROM {src}) names
-      CROSS JOIN generate_series(1, 200) s(i)
-      WHERE i <= length(p_name) - 2
+      SELECT DISTINCT name, substr(name, i, 3) AS tri
+      FROM (
+        SELECT p_name AS name,
+               unnest(range(1, length(p_name) - 1)) AS i
+        FROM (SELECT DISTINCT p_name FROM {src} WHERE length(p_name) >= 3)
+      )
     """
 
 
@@ -128,7 +130,16 @@ def trigram_blocked_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared trigram is ubiquitous (df > cap) — quantified, not silent.
     The verify join is an equi-join on (candidate, shared trigram),
     never an all-pairs scan."""
-    names = load(spark, sf_dir, "part").select("p_name").distinct()
+    # length >= 3 guard BEFORE the explode: F.sequence(1, length-2)
+    # generates a DESCENDING [1, 0] for 2-char names (Spark sequences
+    # auto-negate the step), which would emit bogus substring(name, 0, 3)
+    # "trigrams" the oracle never produces.
+    names = (
+        load(spark, sf_dir, "part")
+        .select("p_name")
+        .where(F.length("p_name") >= 3)
+        .distinct()
+    )
     tri = (
         names.select(
             F.col("p_name").alias("name"),
@@ -2075,7 +2086,6 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("x")
         )
         .agg(F.count(F.lit(1)).cast("long").alias("y"))
-        .limit(36600)  # calendar-bounded pool marker
     )
     a = daily.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
     b = daily.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
@@ -2101,6 +2111,18 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ols_slope"),
         F.count(F.lit(1)).cast("long").alias("n_days"),
     )
+    # Loud calendar-cap guard (replaces a silent limit(36600) pool
+    # marker): the pairwise-slope space is |days|², safe only because
+    # a daily rollup is calendar-bounded. If the rollup ever exceeds
+    # ~100 years of days, fail the job instead of computing a
+    # truncated median.
+    ols = ols.withColumn(
+        "_cap_chk",
+        F.assert_true(
+            F.col("n_days") <= F.lit(36600),
+            F.lit("theil_sen_daily_trend: daily rollup exceeds the 36600-day calendar cap"),
+        ),
+    ).drop("_cap_chk")
     return ts_fit.crossJoin(F.broadcast(ols)).select("n_days", "ts_slope", "ols_slope")
 
 

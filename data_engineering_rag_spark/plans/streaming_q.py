@@ -1329,7 +1329,16 @@ def stream_state_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
     path a full cross-engine oracle instead of the usual rows-only
     streaming check. The debugging workflow this enables at scale
     (state cardinality / skew audits over a live query's checkpoint)
-    needs no changes to the running job."""
+    needs no changes to the running job.
+
+    Cleanup caveat (local-harness trade-off): the returned DataFrame is
+    pinned by an EAGER ``localCheckpoint`` whose blocks live
+    MEMORY_AND_DISK on executors — non-reliable storage. On a real
+    cluster an executor loss after the ``rmtree`` below would make any
+    later action unrecoverable (the state-store files are gone). If
+    this query ever runs outside the single-JVM harness, defer the
+    checkpoint-dir cleanup (or collect to rows / use a reliable
+    checkpoint) instead."""
     import shutil
     import tempfile
 

@@ -127,7 +127,11 @@ class SyntheticTelemetryStreamReader(DataSourceStreamReader):
         # latestOffset() can never step backwards below `start`.
         self._pos = max(self._pos, hi)
         if hi <= lo:
-            return []
+            # Never return zero partitions: some Spark versions reject
+            # an empty partition list once a batch has been planned.
+            # A single empty-range partition makes read() yield nothing
+            # while the planner always sees >= 1 input split.
+            return [_RangePartition(lo, lo)]
         n = max(1, min(self.n_parts, hi - lo))
         base, rem = divmod(hi - lo, n)
         parts = []

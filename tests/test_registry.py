@@ -19,6 +19,31 @@ def test_registry_shapes():
         assert len(params) == 2, f"{name}: callable must take (spark, sf_dir)"
 
 
+def test_coverage_md_counts():
+    """COVERAGE.md's headline registry counts must match the live
+    REGISTRY — the r7 verdict caught this sentence drifting (321/296
+    while the registry imported at 325/300)."""
+    import pathlib
+    import re
+
+    text = pathlib.Path(__file__).resolve().parents[1].joinpath("COVERAGE.md").read_text()
+    m = re.search(r"\*\*(\d+) queries / (\d+)\s*\noracles\*\*", text) or re.search(
+        r"\*\*(\d+) queries / (\d+) oracles\*\*", text
+    )
+    assert m, "COVERAGE.md must state '**N queries / M oracles**'"
+    # Count what the DRIVER sees: a plain import without the conftest
+    # protobuf bootstrap. `stream_first_type_occurrence` is env-gated
+    # (registers only where transformWithStateInPandas's protobuf
+    # works — pytest's conftest repairs it, the driver env may not).
+    env_gated = {"stream_first_type_occurrence"}
+    names = set(REGISTRY) - env_gated
+    n_oracle = sum(1 for n in names if REGISTRY[n].oracle is not None)
+    assert (int(m.group(1)), int(m.group(2))) == (len(names), n_oracle), (
+        f"COVERAGE.md says {m.group(1)}/{m.group(2)}, registry (minus "
+        f"env-gated) is {len(names)}/{n_oracle} — update COVERAGE.md"
+    )
+
+
 def test_all_oracles_explain(sf_dir):
     con = duckdb_conn(sf_dir)
     try:
