@@ -293,6 +293,12 @@ LAST_CHANGED: dict[str, int] = {
     # cap removed — result-identical on current data, but the body
     # changed, so the r7 row is conservatively stale.
     "trigram_blocked_fuzzy_join": 8,
+    # round-8 kernel rewrite: 60-way bit explode -> 60 wide combinable
+    # sums (one shuffle), shared hash_mode kernel. Identical exact
+    # integer sums by construction, but a material body change —
+    # evidence from r3 predates it; near_dup_pairs consumes the kernel.
+    "simhash_signatures": 8,
+    "simhash_near_dup_pairs": 8,
 }
 
 

@@ -464,15 +464,14 @@ def _simhash_oracle() -> str:
     """
 
 
-@query("simhash_signatures", _simhash_oracle())
-def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash (Charikar) document fingerprints: per token, a 60-bit
-    md5-derived hash votes ±tf on each bit; the signature's bit b is the
-    vote sign. Near-dup distance = hamming(simhash_a, simhash_b).
-
-    Shape at scale: tokens → (doc, term, tf) groupBy, then a 60-way bit
-    fan-out that partial-aggregates back to |docs| rows — no pairwise
-    work, no Python."""
+def _simhash_signatures(spark: SparkSession, sf_dir: str, hash_mode: str = "md5") -> DataFrame:
+    """Shared SimHash kernel, parameterized on the base term hash:
+    ``md5`` (hex→int, portable to the DuckDB oracle) or ``xxhash64``
+    (Spark-native JVM integer path, no hex string materialized — the
+    production mode; masked to the low 60 bits so both modes vote on
+    the same bit width)."""
+    if hash_mode not in ("md5", "xxhash64"):
+        raise ValueError(f"hash_mode must be 'md5' or 'xxhash64', got {hash_mode!r}")
     d = load(spark, sf_dir, "documents")
     tok = (
         d.select(
@@ -484,34 +483,55 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    th = tok.select(
-        "doc_id",
-        "tf",
-        F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("long").alias("h"),
-    )
-    bits = (
-        th.select(
-            "doc_id",
-            "tf",
-            "h",
-            F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
-        )
-        .groupBy("doc_id", "bit")
-        .agg(
+    if hash_mode == "md5":
+        h = F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64("term").bitwiseAND(F.lit((1 << SIMHASH_BITS) - 1))
+    th = tok.select("doc_id", "tf", h.alias("h"))
+    # Wide formulation: 60 combinable conditional sums in ONE groupBy
+    # (a single shuffle on doc_id) instead of the previous 60-way
+    # explode → shuffle-on-(doc, bit) → re-group — identical integer
+    # sums (exact associative long arithmetic), 60× fewer shuffled
+    # rows. This was the worst sf1 scaler (4.6× wall at 10× rows) in
+    # the r7 soak; the fan-out was the cost.
+    weights = th.groupBy("doc_id").agg(
+        *[
             F.sum(
-                F.when(F.expr("(shiftright(h, cast(bit as int)) & 1) = 1"), F.col("tf"))
-                .otherwise(-F.col("tf"))
-            ).alias("weight")
-        )
+                F.when(F.expr(f"(shiftright(h, {b}) & 1) = 1"), F.col("tf")).otherwise(
+                    -F.col("tf")
+                )
+            ).alias(f"w{b}")
+            for b in range(SIMHASH_BITS)
+        ]
     )
-    return bits.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("weight") > 0, F.expr("shiftleft(1L, cast(bit as int))"))
-            .otherwise(F.lit(0).cast("long"))
-        )
-        .cast("long")
-        .alias("simhash")
+    sig_expr = " + ".join(
+        f"IF(w{b} > 0, {1 << b}L, 0L)" for b in range(SIMHASH_BITS)
     )
+    return weights.select("doc_id", F.expr(sig_expr).cast("long").alias("simhash"))
+
+
+@query("simhash_signatures", _simhash_oracle())
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (Charikar) document fingerprints: per token, a 60-bit
+    md5-derived hash votes ±tf on each bit; the signature's bit b is the
+    vote sign. Near-dup distance = hamming(simhash_a, simhash_b).
+
+    Shape at scale: tokens → (doc, term, tf) groupBy, then 60 wide
+    combinable vote sums in one shuffle — no pairwise work, no Python,
+    no per-bit row fan-out."""
+    return _simhash_signatures(spark, sf_dir, hash_mode="md5")
+
+
+@query("simhash_signatures_xxh", None)
+def simhash_signatures_xxh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-hash SimHash twin: identical vote pipeline with the
+    term hash switched from portable hex-md5 to Spark-native
+    ``xxhash64`` (pure JVM integer path — no hex string, no base-16
+    conversion; the same substitution that bought MinHash ~1.7× at
+    sf1). Rows-only: DuckDB has no xxhash64, so the md5 twin carries
+    the oracle; tests/test_textops_modes.py pins that both modes flag
+    the SAME near-dup pairs on planted duplicates."""
+    return _simhash_signatures(spark, sf_dir, hash_mode="xxhash64")
 
 
 @query(
@@ -711,11 +731,13 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: signature table is |docs| rows materialized once (durable
     checkpoint); the band join's key space is |docs|×4 and collisions
     are the candidates — same 100 TB shape as MinHash-LSH banding."""
+    return _simhash_near_dup_pairs(spark, sf_dir, hash_mode="md5")
+
+
+def _simhash_near_dup_pairs(spark: SparkSession, sf_dir: str, hash_mode: str) -> DataFrame:
     from ..operators.scale import durable_checkpoint
 
-    from . import REGISTRY as _R
-
-    sig = durable_checkpoint(_R["simhash_signatures"].spark(spark, sf_dir))
+    sig = durable_checkpoint(_simhash_signatures(spark, sf_dir, hash_mode=hash_mode))
     mask = (1 << SIMHASH_BAND_BITS) - 1
     band_rows = ", ".join(
         f"cast({b} as bigint), shiftright(simhash, {b * SIMHASH_BAND_BITS}) & {mask}L"

@@ -509,3 +509,55 @@ def test_stateful_stream_survives_multiple_microbatches(spark, sf_dir, tmp_path)
     assert j.where("abs(tv - btv) > 0.01").count() == 0
     # and the stream genuinely ran more than one batch
     assert got.count() > final.count()
+
+
+def test_pyds_stream_restart_with_checkpoint_exactly_once(spark, tmp_path):
+    """Restart contract for the Python streaming data source
+    (sources/pydatasource.py): stop a query after a committed prefix,
+    restart a NEW reader (in-memory cursor reset to 0) against the same
+    checkpoint, and require (a) the sink holds EXACTLY [0, rows) — no
+    duplicated, no lost offsets at the committed boundary — and (b) the
+    checkpoint's offset log is strictly monotonic across the restart
+    (the fresh reader's low latestOffset must never be planned as a
+    backward batch)."""
+    import glob
+    import json
+
+    from data_engineering_rag_spark.sources.pydatasource import read_telemetry_stream
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run(rows_cap):
+        s = read_telemetry_stream(spark, rows=rows_cap, batch_rows=250, partitions=3)
+        q = (
+            s.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    # first run stops "mid-stream": the generator caps at 600 of the
+    # eventual 1000 rows (3 committed micro-batches: 250/250/100)
+    run(600)
+    assert spark.read.parquet(out).count() == 600
+    # restart with the full range; reader restarts with _pos = 0
+    run(1000)
+
+    ids = [r.reading_id for r in spark.read.parquet(out).collect()]
+    assert len(ids) == 1000
+    assert len(set(ids)) == 1000, "duplicate offsets replayed across restart"
+    assert set(ids) == set(range(1000)), "offsets lost across restart"
+
+    # offset log strictly monotonic across the restart boundary
+    ends = []
+    for f in sorted(
+        glob.glob(f"{ckpt}/offsets/*"), key=lambda p: int(p.rsplit("/", 1)[1])
+    ):
+        last = [ln for ln in open(f).read().splitlines() if ln.strip()][-1]
+        ends.append(json.loads(last)["i"])
+    assert ends == sorted(ends), f"offset log regressed: {ends}"
+    assert ends[-1] == 1000

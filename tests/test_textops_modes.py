@@ -10,8 +10,14 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
-from data_engineering_rag_spark.plans.textops import _lsh_candidate_pairs, _minhash_wide
+from data_engineering_rag_spark.plans.textops import (
+    _lsh_candidate_pairs,
+    _minhash_wide,
+    _simhash_near_dup_pairs,
+    _simhash_signatures,
+)
 
 
 @pytest.fixture(scope="module")
@@ -77,6 +83,43 @@ def test_minhash_wide_modes_same_shape(spark, dup_corpus_dir):
 def test_bad_hash_mode_raises(spark, dup_corpus_dir):
     with pytest.raises(ValueError, match="hash_mode"):
         _minhash_wide(spark, dup_corpus_dir, hash_mode="sha1").collect()
+
+
+def test_simhash_pairs_mode_parity(spark, dup_corpus_dir):
+    """The xxhash64 SimHash twin must flag the SAME near-dup pairs as
+    the md5 (oracle) mode on planted duplicates: the vote pipeline is
+    hash-agnostic for any uniform 60-bit hash, so high-overlap pairs
+    land within the hamming radius under both."""
+    def pairs(mode):
+        return {
+            (r.doc_a, r.doc_b)
+            for r in _simhash_near_dup_pairs(spark, dup_corpus_dir, hash_mode=mode).collect()
+        }
+
+    md5_pairs = pairs("md5")
+    xxh_pairs = pairs("xxhash64")
+    # non-vacuous: the planted near-dup groups must be caught
+    assert md5_pairs >= {(0, 1), (2, 3), (4, 5)}
+    assert md5_pairs == xxh_pairs
+    flagged = {d for p in md5_pairs for d in p}
+    assert flagged <= {0, 1, 2, 3, 4, 5}
+
+
+def test_simhash_signature_modes_same_shape(spark, dup_corpus_dir):
+    md5_sig = _simhash_signatures(spark, dup_corpus_dir, hash_mode="md5")
+    xxh_sig = _simhash_signatures(spark, dup_corpus_dir, hash_mode="xxhash64")
+    assert md5_sig.columns == xxh_sig.columns == ["doc_id", "simhash"]
+    assert md5_sig.count() == xxh_sig.count() == 16
+    # every signature must fit the declared 60-bit budget (non-negative
+    # long) in BOTH modes — pins the xxhash64 sign-mask
+    for df in (md5_sig, xxh_sig):
+        lo, hi = df.agg(F.min("simhash"), F.max("simhash")).first()
+        assert lo >= 0 and hi < (1 << 60)
+
+
+def test_bad_simhash_mode_raises(spark, dup_corpus_dir):
+    with pytest.raises(ValueError, match="hash_mode"):
+        _simhash_signatures(spark, dup_corpus_dir, hash_mode="sha1")
 
 
 def test_token_sort_fingerprint_catches_reordered_docs(spark):
