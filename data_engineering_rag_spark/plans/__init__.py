@@ -67,6 +67,7 @@ from . import auditq  # noqa: E402,F401
 from . import analyticsq  # noqa: E402,F401
 from . import curationq  # noqa: E402,F401
 from . import round7q  # noqa: E402,F401
+from . import round8q  # noqa: E402,F401
 
 # The driver's per-round correctness check covers only the first ~50
 # REGISTRY entries, so insertion order decides which queries get
@@ -319,6 +320,9 @@ _MODULE_PRIORITY = {
     # round-7 additions queue BEHIND every round-6 never-checked query
     # so they cannot displace the r6 backlog from the r7 window
     "round7q": 11,
+    # round-8 additions queue BEHIND the 24 never-checked round-7
+    # queries that own the round-8 window
+    "round8q": 12,
 }
 
 
