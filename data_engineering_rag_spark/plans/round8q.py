@@ -1088,3 +1088,332 @@ def kendall_tau_acctbal_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tau_b"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Spark-4 SQL surface, continued: SQL UDFs, collation, listagg,
+# mode/median aggregates
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sql_udf_net_revenue",
+    """
+    SELECT l_returnflag,
+           cast(count(*) as bigint) AS n_items,
+           round(cast(sum(cast(l_extendedprice * (1.0 - l_discount)
+                               as decimal(18,4))) as double), 4) AS net_revenue
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def sql_udf_net_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-language UDF (Spark 4 ``CREATE FUNCTION ... RETURN expr``,
+    §2.9 surface): the net-price formula is declared ONCE as a catalog
+    function and reused — and because the body is SQL, Catalyst INLINES
+    it into the plan (whole-stage codegen, pushdown-friendly), unlike
+    any Python UDF. The oracle is the hand-inlined twin, pinning that
+    the UDF path is semantically transparent."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("r8_lineitem")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION r8_net_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1.0 - d)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               cast(count(*) as bigint) AS n_items,
+               round(cast(sum(cast(r8_net_price(l_extendedprice, l_discount)
+                                   as decimal(18,4))) as double), 4) AS net_revenue
+        FROM r8_lineitem GROUP BY l_returnflag
+        """
+    )
+
+
+@query(
+    "collated_source_rollup",
+    """
+    WITH d AS (
+      SELECT CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END
+               AS source_mixed,
+             n_chars
+      FROM documents)
+    SELECT lower(source_mixed) AS source_ci,
+           cast(count(*) as bigint) AS n_docs,
+           cast(sum(n_chars) as bigint) AS total_chars
+    FROM d GROUP BY lower(source_mixed)
+    """,
+)
+def collated_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRING COLLATION (Spark 4 ``COLLATE UTF8_LCASE``, §2.9 surface):
+    grouping on a case-insensitively collated column — the engine-level
+    spelling of case-insensitive semantics that keeps comparisons,
+    joins, and GROUP BY collation-aware WITHOUT wrapping every
+    reference in lower() (at 100 TB, collation-aware grouping avoids
+    materializing a second lowercased column through the shuffle). The
+    query plants mixed-case variants (even doc_ids upper-cased), groups
+    on the collated value, and emits lower() of the representative so
+    the output is engine-independent; the oracle is the lower()-twin."""
+    d = load(spark, sf_dir, "documents").selectExpr(
+        "CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END AS source_mixed",
+        "n_chars",
+    )
+    d.createOrReplaceTempView("r8_docs_mixed")
+    return spark.sql(
+        """
+        SELECT lower(k) AS source_ci,
+               cast(count(*) as bigint) AS n_docs,
+               cast(sum(n_chars) as bigint) AS total_chars
+        FROM (SELECT source_mixed COLLATE UTF8_LCASE AS k, n_chars
+              FROM r8_docs_mixed)
+        GROUP BY lower(k)
+        """
+    )
+
+
+@query(
+    "listagg_sources_by_lang",
+    """
+    SELECT lang,
+           cast(count(*) as bigint) AS n_docs,
+           string_agg(DISTINCT source, ',' ORDER BY source) AS sources_csv
+    FROM documents GROUP BY lang
+    """,
+)
+def listagg_sources_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED STRING AGGREGATION (Spark 4 ``listagg(...) WITHIN GROUP
+    (ORDER BY ...)``; DuckDB spells it string_agg ... ORDER BY): the
+    deterministic CSV rollup — an explicit WITHIN GROUP order is the
+    only way a string aggregate can be stable on a distributed engine,
+    where partition arrival order is nondeterministic by design. DISTINCT
+    + ORDER BY makes the result a pure function of the group's set."""
+    d = load(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("r8_docs_listagg")
+    return spark.sql(
+        """
+        SELECT lang,
+               cast(count(*) as bigint) AS n_docs,
+               listagg(DISTINCT source, ',') WITHIN GROUP (ORDER BY source)
+                 AS sources_csv
+        FROM r8_docs_listagg GROUP BY lang
+        """
+    )
+
+
+@query(
+    "mode_median_lineitem_stats",
+    """
+    SELECT l_returnflag,
+           mode(l_linestatus) AS status_mode,
+           round(median(l_quantity), 4) AS qty_median,
+           round(median(l_extendedprice), 4) AS price_median,
+           cast(count(*) as bigint) AS n_items
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def mode_median_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct ``mode()`` / ``median()`` aggregates (Spark 3.4+/4, §2.6
+    aggregate surface) — the ergonomic spellings of argmax-by-count and
+    percentile_cont(0.5). mode() is well-defined here because the
+    (returnflag, linestatus) contingency is never tied by construction
+    of the TPC-H status semantics (R/A flags pair with F status, N with
+    O) — a tie would be caught by the cross-engine gate, since the two
+    engines break mode ties independently. median() interpolates the
+    middle pair identically ((a+b)/2) in both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.mode("l_linestatus").alias("status_mode"),
+        F.round(F.median("l_quantity"), 4).alias("qty_median"),
+        F.round(F.median("l_extendedprice"), 4).alias("price_median"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequential drift detection: Page-Hinkley over the daily event series
+# (the ONLINE complement of the retrospective changepoint query)
+# --------------------------------------------------------------------------
+
+PH_DELTA = 5.0  # magnitude tolerance: drifts smaller than this are noise
+PH_LAMBDA_SIGMAS = 2.0  # alarm when PH exceeds this many global stddevs
+
+
+@query(
+    "page_hinkley_daily_drift",
+    f"""
+    WITH daily AS (
+      SELECT cast(date_trunc('day', ts) as date) AS day,
+             cast(count(*) as bigint) AS x
+      FROM events GROUP BY day),
+    gsd AS (
+      SELECT sqrt(cast(sum(x * x) as double) / count(*)
+                  - (cast(sum(x) as double) / count(*))
+                    * (cast(sum(x) as double) / count(*))) AS sd
+      FROM daily),
+    pref AS (
+      SELECT day, x,
+             cast(sum(x) OVER w as double)
+               / cast(count(*) OVER w as double) AS mu
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    m AS (
+      SELECT day, x, mu,
+             sum(x - mu - {PH_DELTA}) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mt
+      FROM pref),
+    ph AS (
+      SELECT day, x, mu, mt,
+             mt - min(mt) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph
+      FROM m)
+    SELECT p.day, p.x AS n_events, round(p.mu, 6) AS prefix_mean,
+           round(p.ph, 6) AS ph_stat,
+           p.ph > {PH_LAMBDA_SIGMAS} * g.sd AS drift_alarm
+    FROM ph p CROSS JOIN gsd g
+    """,
+)
+def page_hinkley_daily_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAGE-HINKLEY sequential drift detection over the daily event
+    volume — the streaming-monitor complement to the retrospective
+    ``changepoint_daily_events`` (binary segmentation): PH_t = m_t −
+    min_{{s≤t}} m_s with m_t = Σ(x_s − μ_s − δ), alarming when the
+    cumulative positive drift exceeds λ = {PH_LAMBDA_SIGMAS}σ. Every
+    term is a prefix-window expression over the CALENDAR-BOUNDED daily
+    rollup (same |days| bound as theil_sen), and the float chain is
+    identical ordered arithmetic in both engines — prefix sums fix the
+    addition order by construction."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    glob = daily.agg(
+        F.sqrt(
+            F.sum(F.col("x") * F.col("x")).cast("double") / F.count(F.lit(1))
+            - (F.sum("x").cast("double") / F.count(F.lit(1)))
+            * (F.sum("x").cast("double") / F.count(F.lit(1)))
+        ).alias("sd")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pref = daily.select(
+        "day",
+        "x",
+        (F.sum("x").over(w).cast("double") / F.count(F.lit(1)).over(w).cast("double")).alias("mu"),
+    )
+    m = pref.withColumn(
+        "mt", F.sum(F.col("x") - F.col("mu") - PH_DELTA).over(w)
+    )
+    ph = m.withColumn("ph", F.col("mt") - F.min("mt").over(w))
+    return ph.crossJoin(F.broadcast(glob)).select(
+        "day",
+        F.col("x").alias("n_events"),
+        F.round("mu", 6).alias("prefix_mean"),
+        F.round("ph", 6).alias("ph_stat"),
+        (F.col("ph") > PH_LAMBDA_SIGMAS * F.col("sd")).alias("drift_alarm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Association rules, completed: directed confidence + conviction
+# --------------------------------------------------------------------------
+
+RULE_MIN_SUPPORT = 3
+RULE_TOPK = 20
+
+
+@query(
+    "association_rules_conviction_topk",
+    f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT cast(count(DISTINCT l_orderkey) as bigint) AS n_orders FROM items),
+    per AS (SELECT l_partkey, cast(count(*) as bigint) AS cnt
+            FROM items GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             cast(count(*) as bigint) AS support
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY pa, pb
+      HAVING count(*) >= {RULE_MIN_SUPPORT}),
+    rules AS (
+      SELECT pa AS antecedent, pb AS consequent, support FROM pairs
+      UNION ALL
+      SELECT pb AS antecedent, pa AS consequent, support FROM pairs),
+    scored AS (
+      SELECT r.antecedent, r.consequent, r.support,
+             cast(r.support as double) / ca.cnt AS confidence,
+             (1.0 - cast(cb.cnt as double) / n.n_orders)
+               / (1.0 - cast(r.support as double) / ca.cnt) AS conviction
+      FROM rules r
+      JOIN per ca ON ca.l_partkey = r.antecedent
+      JOIN per cb ON cb.l_partkey = r.consequent
+      CROSS JOIN n
+      WHERE r.support < ca.cnt)
+    SELECT antecedent, consequent, support,
+           round(confidence, 6) AS confidence,
+           round(conviction, 6) AS conviction
+    FROM scored
+    ORDER BY conviction DESC, antecedent, consequent
+    LIMIT {RULE_TOPK}
+    """,
+)
+def association_rules_conviction_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED association rules ranked by CONVICTION
+    (1−supp(B))/(1−conf(A→B)) — completing the apriori metric set
+    (support in ``basket_part_pairs``, lift/confidence in
+    ``basket_pair_lift``): conviction measures how much more often A
+    appears WITHOUT B than expected if independent, and unlike lift it
+    is directional. conf = 1 rules (division by zero) are excluded via
+    support < cnt(A). Same bounded pair-space shape as the basket
+    family; the final ranking is TakeOrdered({RULE_TOPK}) with a full
+    deterministic tie-break."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    from ..operators.scale import durable_checkpoint
+
+    items = durable_checkpoint(li)
+    n = items.agg(F.countDistinct("l_orderkey").cast("long").alias("n_orders"))
+    per = items.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .where(F.col("support") >= RULE_MIN_SUPPORT)
+    )
+    rules = pairs.select(
+        F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"), "support"
+    ).unionByName(
+        pairs.select(
+            F.col("pb").alias("antecedent"), F.col("pa").alias("consequent"), "support"
+        )
+    )
+    ca = per.select(F.col("l_partkey").alias("antecedent"), F.col("cnt").alias("ca"))
+    cb = per.select(F.col("l_partkey").alias("consequent"), F.col("cnt").alias("cb"))
+    scored = (
+        rules.join(F.broadcast(ca), "antecedent")
+        .join(F.broadcast(cb), "consequent")
+        .crossJoin(F.broadcast(n))
+        .where(F.col("support") < F.col("ca"))
+        .select(
+            "antecedent",
+            "consequent",
+            "support",
+            (F.col("support").cast("double") / F.col("ca")).alias("confidence"),
+            (
+                (1.0 - F.col("cb").cast("double") / F.col("n_orders"))
+                / (1.0 - F.col("support").cast("double") / F.col("ca"))
+            ).alias("conviction"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("conviction").desc(), "antecedent", "consequent")
+        .limit(RULE_TOPK)
+        .select(
+            "antecedent",
+            "consequent",
+            "support",
+            F.round("confidence", 6).alias("confidence"),
+            F.round("conviction", 6).alias("conviction"),
+        )
+    )

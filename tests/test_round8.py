@@ -299,3 +299,132 @@ def test_arrow_byte_stats_ascii_and_multibyte(spark, tmp_path):
     assert rows["fr"].total_chars == len("naïve café — ünïcodé")
     assert rows["fr"].total_bytes == len("naïve café — ünïcodé".encode("utf-8"))
     assert rows["fr"].total_bytes > rows["fr"].total_chars
+
+
+def test_sql_udf_inlines_no_python(spark, sf_dir):
+    """The SQL UDF must inline into the JVM plan: no Python evaluation
+    node, and the result equals the hand-inlined aggregation."""
+    df = REGISTRY["sql_udf_net_revenue"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    got = {r.l_returnflag: (r.n_items, r.net_revenue) for r in df.collect()}
+    direct = {
+        r.l_returnflag: (r.n, r.rev)
+        for r in load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ).cast("double"),
+                4,
+            ).alias("rev"),
+        )
+        .collect()
+    }
+    assert got == direct
+
+
+def test_collation_merges_case_variants(spark, sf_dir):
+    rows = REGISTRY["collated_source_rollup"].spark(spark, sf_dir).collect()
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    lowers = {r.s for r in docs.select(F.lower("source").alias("s")).distinct().collect()}
+    assert {r.source_ci for r in rows} == lowers
+    assert sum(r.n_docs for r in rows) == n_docs
+    # every group key is already lowercase (representative normalized)
+    assert all(r.source_ci == r.source_ci.lower() for r in rows)
+
+
+def test_listagg_sorted_and_distinct(spark, sf_dir):
+    for r in REGISTRY["listagg_sources_by_lang"].spark(spark, sf_dir).collect():
+        parts = r.sources_csv.split(",")
+        assert parts == sorted(parts)
+        assert len(parts) == len(set(parts))
+
+
+def test_mode_median_bruteforce(spark, sf_dir):
+    import statistics
+    from collections import Counter
+
+    got = {
+        r.l_returnflag: r
+        for r in REGISTRY["mode_median_lineitem_stats"].spark(spark, sf_dir).collect()
+    }
+    rows = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"
+    ).collect()
+    from collections import defaultdict
+
+    by_flag = defaultdict(list)
+    for r in rows:
+        by_flag[r.l_returnflag].append(r)
+    assert set(got) == set(by_flag)
+    for flag, rs in by_flag.items():
+        cnt = Counter(r.l_linestatus for r in rs)
+        (top_status, top_n), *rest = cnt.most_common()
+        if rest:  # mode must be untied for the query to be well-defined
+            assert top_n > rest[0][1], f"tied mode for {flag}"
+        assert got[flag].status_mode == top_status
+        assert abs(got[flag].qty_median - statistics.median(float(r.l_quantity) for r in rs)) < 1e-4
+        assert got[flag].n_items == len(rs)
+
+
+def test_page_hinkley_bruteforce(spark, sf_dir):
+    from data_engineering_rag_spark.plans.round8q import PH_DELTA
+
+    rows = sorted(
+        REGISTRY["page_hinkley_daily_drift"].spark(spark, sf_dir).collect(),
+        key=lambda r: r.day,
+    )
+    xs = [r.n_events for r in rows]
+    cum = mt = 0
+    mn = float("inf")
+    for i, r in enumerate(rows):
+        cum += xs[i]
+        mu = cum / (i + 1)
+        mt += xs[i] - mu - PH_DELTA
+        mn = min(mn, mt)
+        ph = mt - mn
+        assert abs(r.prefix_mean - mu) < 1e-4
+        assert abs(r.ph_stat - ph) < 1e-4
+        assert ph >= 0
+
+
+def test_conviction_bruteforce(spark, sf_dir):
+    from collections import Counter, defaultdict
+
+    from data_engineering_rag_spark.plans.round8q import RULE_MIN_SUPPORT, RULE_TOPK
+
+    got = REGISTRY["association_rules_conviction_topk"].spark(spark, sf_dir).collect()
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct().collect()
+    baskets = defaultdict(set)
+    for r in li:
+        baskets[r.l_orderkey].add(r.l_partkey)
+    n_orders = len(baskets)
+    deg = Counter(p for ps in baskets.values() for p in ps)
+    co = Counter()
+    for ps in baskets.values():
+        ps = sorted(ps)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1:]:
+                co[(a, b)] += 1
+    rules = []
+    for (a, b), s in co.items():
+        if s < RULE_MIN_SUPPORT:
+            continue
+        for ant, con in ((a, b), (b, a)):
+            if s < deg[ant]:  # conf < 1
+                conf = s / deg[ant]
+                conv = (1 - deg[con] / n_orders) / (1 - conf)
+                rules.append((-conv, ant, con, s, conf))
+    rules.sort()
+    want = rules[:RULE_TOPK]
+    assert len(got) == min(RULE_TOPK, len(rules))
+    for g, w in zip(got, want):
+        assert (g.antecedent, g.consequent, g.support) == (w[1], w[2], w[3])
+        assert abs(g.conviction - (-w[0])) < 2e-6
+        assert abs(g.confidence - w[4]) < 2e-6
