@@ -1417,3 +1417,1210 @@ def association_rules_conviction_topk(spark: SparkSession, sf_dir: str) -> DataF
             F.round("conviction", 6).alias("conviction"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Batch 3: record linkage (Fellegi-Sunter), Kneser-Ney bigram LM,
+# two-proportion z-test, ridge regularization path, O'Brien-Fleming
+# sequential monitoring, overdispersion audit, isotonic (PAVA)
+# calibration
+# --------------------------------------------------------------------------
+
+#: Fellegi-Sunter assumed m-probabilities (P[field agrees | same
+#: entity]) — fixed model constants; the u-probabilities (P[agrees |
+#: different entities]) are ESTIMATED from the data's own value
+#: frequencies, the classic FS estimation shortcut.
+FS_M_BAND = 0.9
+FS_M_SIGN = 0.98
+FS_TOPK = 20
+
+
+@query(
+    "fellegi_sunter_linkage",
+    f"""
+    WITH m AS (SELECT cast(count(*) as bigint) AS n FROM customer),
+    band AS (
+      SELECT cast(floor(c_acctbal / 100.0) as bigint) AS b,
+             cast(count(*) as bigint) AS c
+      FROM customer GROUP BY 1),
+    ub AS (SELECT cast(sum(c * (c - 1)) as bigint) AS agree_pairs FROM band),
+    sgn AS (
+      SELECT (c_acctbal >= 0) AS s, cast(count(*) as bigint) AS c
+      FROM customer GROUP BY 1),
+    us AS (SELECT cast(sum(c * (c - 1)) as bigint) AS agree_pairs FROM sgn),
+    u AS (
+      SELECT cast(ub.agree_pairs as double) / (m.n * (m.n - 1.0)) AS u_band,
+             cast(us.agree_pairs as double) / (m.n * (m.n - 1.0)) AS u_sign
+      FROM ub CROSS JOIN us CROSS JOIN m),
+    pairs AS (
+      SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+             (floor(a.c_acctbal / 100.0) = floor(b.c_acctbal / 100.0))
+               AS band_agree,
+             ((a.c_acctbal >= 0) = (b.c_acctbal >= 0)) AS sign_agree
+      FROM customer a JOIN customer b
+        ON a.c_nationkey = b.c_nationkey
+       AND a.c_mktsegment = b.c_mktsegment
+       AND a.c_custkey < b.c_custkey),
+    scored AS (
+      SELECT custkey_a, custkey_b, band_agree, sign_agree,
+             round((CASE WHEN band_agree THEN ln({FS_M_BAND} / u_band)
+                         ELSE ln({1.0 - FS_M_BAND} / (1.0 - u_band)) END)
+                 + (CASE WHEN sign_agree THEN ln({FS_M_SIGN} / u_sign)
+                         ELSE ln({round(1.0 - FS_M_SIGN, 2)} / (1.0 - u_sign)) END),
+                   6) AS fs_score
+      FROM pairs CROSS JOIN u)
+    SELECT custkey_a, custkey_b, band_agree, sign_agree, fs_score
+    FROM scored ORDER BY fs_score DESC, custkey_a, custkey_b
+    LIMIT {FS_TOPK}
+    """,
+)
+def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FELLEGI-SUNTER probabilistic record linkage over the customer
+    table: candidate pairs come from a BLOCKED equi-join on
+    (nation, mktsegment) — never all-pairs — and each pair is scored
+    with log-likelihood match weights ln(m/u) / ln((1-m)/(1-u)) summed
+    over two comparison fields (account-balance $100 band, balance
+    sign). m are fixed model constants; u are estimated exactly from
+    the table's own value-frequency marginals (sum c*(c-1) over
+    N*(N-1)), the standard FS estimation shortcut. Top-{FS_TOPK} pairs
+    by weight, deterministic key tiebreak. Scale: the u tables are
+    tiny single-row broadcasts; the pair generation is an equi-join
+    whose fan-out is bounded by block sizes (AQE-splittable); weights
+    are one identical float expression per pair in both engines —
+    integer pair counts stay exact bigint. Extends the reference's
+    exact-match dedup (minsearch `Index.filter`-style equality) to the
+    probabilistic-linkage regime a 100 TB entity-resolution pass
+    needs."""
+    c = load(spark, sf_dir, "customer")
+    m = c.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    band = c.groupBy(
+        F.floor(F.col("c_acctbal") / 100.0).cast("long").alias("b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ub = band.agg(
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("agree_pairs")
+    )
+    sgn = c.groupBy((F.col("c_acctbal") >= 0).alias("s")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    us = sgn.agg(
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("agree_pairs")
+    )
+    u = (
+        ub.crossJoin(us.withColumnRenamed("agree_pairs", "agree_pairs_s"))
+        .crossJoin(m)
+        .select(
+            (F.col("agree_pairs").cast("double") / (F.col("n") * (F.col("n") - 1.0))).alias("u_band"),
+            (F.col("agree_pairs_s").cast("double") / (F.col("n") * (F.col("n") - 1.0))).alias("u_sign"),
+        )
+    )
+    a = c.select(
+        F.col("c_custkey").alias("custkey_a"),
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("c_acctbal").alias("bal_a"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("custkey_b"),
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("c_acctbal").alias("bal_b"),
+    )
+    pairs = a.join(b, ["c_nationkey", "c_mktsegment"]).where(
+        F.col("custkey_a") < F.col("custkey_b")
+    ).select(
+        "custkey_a",
+        "custkey_b",
+        (F.floor(F.col("bal_a") / 100.0) == F.floor(F.col("bal_b") / 100.0)).alias("band_agree"),
+        ((F.col("bal_a") >= 0) == (F.col("bal_b") >= 0)).alias("sign_agree"),
+    )
+    scored = pairs.crossJoin(F.broadcast(u)).select(
+        "custkey_a",
+        "custkey_b",
+        "band_agree",
+        "sign_agree",
+        F.round(
+            F.when(F.col("band_agree"), F.log(FS_M_BAND / F.col("u_band"))).otherwise(
+                F.log((1.0 - FS_M_BAND) / (1.0 - F.col("u_band")))
+            )
+            + F.when(F.col("sign_agree"), F.log(FS_M_SIGN / F.col("u_sign"))).otherwise(
+                F.log(round(1.0 - FS_M_SIGN, 2) / (1.0 - F.col("u_sign")))
+            ),
+            6,
+        ).alias("fs_score"),
+    )
+    return scored.orderBy(
+        F.col("fs_score").desc(), "custkey_a", "custkey_b"
+    ).limit(FS_TOPK)
+
+
+#: Kneser-Ney absolute discount (the canonical 0.75) and output size.
+KN_DISCOUNT = 0.75
+KN_TOPK = 15
+
+from ..operators.tfidf import TOKEN_PATTERN  # noqa: E402  (module-level reuse)
+
+
+@query(
+    "kneser_ney_bigram_topk",
+    f"""
+    WITH toks AS (
+      SELECT regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS a
+      FROM documents),
+    bg AS (
+      SELECT unnest(list_transform(generate_series(1, len(a) - 1),
+                                   i -> concat(a[i], ' ', a[i + 1]))) AS bgr
+      FROM toks WHERE len(a) >= 2),
+    bc AS (
+      SELECT split_part(bgr, ' ', 1) AS w1, split_part(bgr, ' ', 2) AS w2,
+             cast(count(*) as bigint) AS c
+      FROM bg GROUP BY 1, 2),
+    ctx AS (
+      SELECT w1, cast(sum(c) as bigint) AS cw1,
+             cast(count(*) as bigint) AS n1p_fwd
+      FROM bc GROUP BY w1),
+    cont AS (
+      SELECT w2, cast(count(*) as bigint) AS n1p_rev FROM bc GROUP BY w2),
+    tot AS (SELECT cast(count(*) as bigint) AS t FROM bc),
+    top_ctx AS (
+      SELECT w1, cw1, n1p_fwd FROM ctx ORDER BY cw1 DESC, w1 LIMIT 1),
+    scored AS (
+      SELECT bc.w1, bc.w2, bc.c,
+             round((cast(bc.c as double) - {KN_DISCOUNT}) / tc.cw1
+                   + ({KN_DISCOUNT} * tc.n1p_fwd / tc.cw1)
+                     * (cast(cont.n1p_rev as double) / tot.t), 8) AS p_kn
+      FROM bc
+        JOIN top_ctx tc ON bc.w1 = tc.w1
+        JOIN cont ON bc.w2 = cont.w2
+        CROSS JOIN tot)
+    SELECT w1, w2, c AS c_bigram, p_kn
+    FROM scored ORDER BY p_kn DESC, w2 LIMIT {KN_TOPK}
+    """,
+)
+def kneser_ney_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated KNESER-NEY bigram probabilities (absolute discount
+    D={KN_DISCOUNT}) — the smoothing every n-gram LM quality scorer
+    ends up needing (`bigram_lm_perplexity_buckets` uses add-k; KN's
+    continuation probability fixes the "San Francisco" pathology where
+    a word frequent only inside one collocation gets overweighted as a
+    unigram fallback). P_KN(w2|w1) = (c(w1w2)-D)/c(w1·) +
+    D·N1+(w1·)/c(w1·) · N1+(·w2)/|bigram types|, emitted for the
+    highest-volume context w1 (deterministic tiebreak), top-{KN_TOPK}
+    continuations. Scale: every term is a combinable groupBy count
+    (bigram/context/continuation tables); the single-context filter is
+    a broadcast of a 1-row limit; all counts exact bigint, one
+    identical float expression at the end. Extends the reference's
+    unigram minsearch weighting (minsearch `Index.fit` TF tables) to
+    the LM-smoothing regime."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0)).alias("a")
+    )
+    bigrams = (
+        toks.where(F.size("a") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("a") - 2),
+                    lambda i: F.struct(
+                        F.col("a")[i].alias("w1"), F.col("a")[i + 1].alias("w2")
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    bc = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    from ..operators.scale import durable_checkpoint
+
+    bc = durable_checkpoint(bc)  # three downstream consumers
+    ctx = bc.groupBy("w1").agg(
+        F.sum("c").cast("long").alias("cw1"),
+        F.count(F.lit(1)).cast("long").alias("n1p_fwd"),
+    )
+    cont = bc.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("n1p_rev"))
+    tot = bc.agg(F.count(F.lit(1)).cast("long").alias("t"))
+    top_ctx = ctx.orderBy(F.col("cw1").desc(), "w1").limit(1)
+    scored = (
+        bc.join(F.broadcast(top_ctx), "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c",
+            F.round(
+                (F.col("c").cast("double") - KN_DISCOUNT) / F.col("cw1")
+                + (KN_DISCOUNT * F.col("n1p_fwd") / F.col("cw1"))
+                * (F.col("n1p_rev").cast("double") / F.col("t")),
+                8,
+            ).alias("p_kn"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("p_kn").desc(), "w2")
+        .limit(KN_TOPK)
+        .select("w1", "w2", F.col("c").alias("c_bigram"), "p_kn")
+    )
+
+
+@query(
+    "two_proportion_ztest_weekend",
+    f"""
+    WITH g AS (
+      SELECT (datediff('day', DATE '1970-01-01', cast(ts as date)) % 7)
+               IN (2, 3) AS is_weekend,
+             cast(count(*) as bigint) AS n,
+             cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  as bigint) AS x
+      FROM events GROUP BY 1),
+    w AS (SELECT n AS n1, x AS x1 FROM g WHERE is_weekend),
+    d AS (SELECT n AS n2, x AS x2 FROM g WHERE NOT is_weekend),
+    z AS (
+      SELECT n1, x1, n2, x2,
+             (cast(x1 as double) / n1 - cast(x2 as double) / n2)
+             / sqrt((cast(x1 + x2 as double) / (n1 + n2))
+                    * (1.0 - cast(x1 + x2 as double) / (n1 + n2))
+                    * (1.0 / n1 + 1.0 / n2)) AS zs
+      FROM w CROSS JOIN d),
+    az AS (SELECT n1, x1, n2, x2, zs, abs(zs) AS a FROM z)
+    SELECT n1 AS n_weekend, x1 AS purchases_weekend,
+           n2 AS n_weekday, x2 AS purchases_weekday,
+           round(zs, 6) AS z_stat,
+           round(2.0 * (1.0 - {{phi}}), 8) AS p_value
+    FROM az
+    """.replace("{phi}", _phi_sql("a")),
+)
+def two_proportion_ztest_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-PROPORTION pooled z-test: weekend vs weekday purchase
+    conversion — the missing member of the round-8 classical battery
+    (Mann-Whitney/Kruskal-Wallis/ANOVA cover means and ranks; this is
+    the binomial-rate comparison every A/B readout starts with). The
+    weekend flag is the engine-portable epoch-day mod 7 (1970-01-01
+    was a Thursday → 2,3 = Sat,Sun), NOT dayofweek() whose origin
+    differs per engine. Counts are exact bigints from one groupBy; the
+    pooled z and the Abramowitz-Stegun Φ p-value are single identical
+    float expressions. Scale: one map-side-combinable aggregate over
+    events, two 1-row broadcasts."""
+    e = load(spark, sf_dir, "events")
+    g = e.groupBy(
+        (
+            F.datediff(F.col("ts").cast("date"), F.to_date(F.lit("1970-01-01"))) % 7
+        ).isin(2, 3).alias("is_weekend")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+    )
+    w = g.where("is_weekend").select(F.col("n").alias("n1"), F.col("x").alias("x1"))
+    d = g.where("NOT is_weekend").select(F.col("n").alias("n2"), F.col("x").alias("x2"))
+    pooled = F.col("x1") + F.col("x2")
+    ntot = F.col("n1") + F.col("n2")
+    zs = (
+        F.col("x1").cast("double") / F.col("n1")
+        - F.col("x2").cast("double") / F.col("n2")
+    ) / F.sqrt(
+        (pooled.cast("double") / ntot)
+        * (1.0 - pooled.cast("double") / ntot)
+        * (1.0 / F.col("n1") + 1.0 / F.col("n2"))
+    )
+    az = w.crossJoin(d).select("n1", "x1", "n2", "x2", zs.alias("zs"), F.abs(zs).alias("a"))
+    return az.select(
+        F.col("n1").alias("n_weekend"),
+        F.col("x1").alias("purchases_weekend"),
+        F.col("n2").alias("n_weekday"),
+        F.col("x2").alias("purchases_weekday"),
+        F.round("zs", 6).alias("z_stat"),
+        F.round(F.expr(f"2.0 * (1.0 - {_phi_sql('a')})"), 8).alias("p_value"),
+    )
+
+
+#: Ridge penalty grid. The per-sample spelling lam*n keeps the
+#: regularization strength scale-invariant across SFs.
+RIDGE_LAMBDAS = (0.0, 0.1, 1.0, 10.0)
+
+
+@query(
+    "ridge_path_price_qty_discount",
+    f"""
+    WITH s AS (
+      SELECT cast(count(*) as bigint) AS n,
+             cast(sum(cast(l_quantity as decimal(18,2))) as double) AS s1,
+             cast(sum(cast(l_discount as decimal(18,2))) as double) AS s2,
+             cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sy,
+             cast(sum(cast(l_quantity * l_quantity as decimal(38,4))) as double) AS s11,
+             cast(sum(cast(l_quantity * l_discount as decimal(38,4))) as double) AS s12,
+             cast(sum(cast(l_discount * l_discount as decimal(38,4))) as double) AS s22,
+             cast(sum(cast(l_quantity * l_extendedprice as decimal(38,4))) as double) AS s1y,
+             cast(sum(cast(l_discount * l_extendedprice as decimal(38,4))) as double) AS s2y,
+             cast(sum(cast(l_extendedprice * l_extendedprice as decimal(38,4))) as double) AS syy
+      FROM lineitem),
+    c AS (
+      SELECT n,
+             s11 - s1 * s1 / n AS cx1, s22 - s2 * s2 / n AS cx2,
+             s12 - s1 * s2 / n AS cx12,
+             s1y - s1 * sy / n AS cx1y, s2y - s2 * sy / n AS cx2y,
+             syy - sy * sy / n AS cyy, s1, s2, sy
+      FROM s),
+    l AS (
+      SELECT cast(v.lam as double) AS lam
+      FROM (VALUES {", ".join(f"({x})" for x in RIDGE_LAMBDAS)}) v(lam)),
+    b AS (
+      SELECT l.lam, c.n, c.s1, c.s2, c.sy, c.cx1y, c.cx2y, c.cyy,
+             c.cx1, c.cx2, c.cx12,
+             (c.cx1y * (c.cx2 + l.lam * c.n) - c.cx2y * c.cx12)
+               / ((c.cx1 + l.lam * c.n) * (c.cx2 + l.lam * c.n)
+                  - c.cx12 * c.cx12) AS b1,
+             (c.cx2y * (c.cx1 + l.lam * c.n) - c.cx1y * c.cx12)
+               / ((c.cx1 + l.lam * c.n) * (c.cx2 + l.lam * c.n)
+                  - c.cx12 * c.cx12) AS b2
+      FROM l CROSS JOIN c)
+    SELECT lam, n,
+           round((sy - b1 * s1 - b2 * s2) / n, 6) AS beta0,
+           round(b1, 6) AS beta_qty,
+           round(b2, 6) AS beta_discount,
+           round(1.0 - (cyy - 2.0 * (b1 * cx1y + b2 * cx2y)
+                        + b1 * b1 * cx1 + 2.0 * b1 * b2 * cx12
+                        + b2 * b2 * cx2) / cyy, 6) AS r2
+    FROM b ORDER BY lam
+    """,
+)
+def ridge_path_price_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIDGE REGULARIZATION PATH for extendedprice ~ quantity +
+    discount: the same ten combinable moment sums as
+    `ols_price_qty_discount` (exact decimals → one double cast), then
+    the closed-form 2x2 solve (Cxx + lam*n*I)b = Cxy evaluated at
+    {len(RIDGE_LAMBDAS)} penalties in one pass — lam=0 reproduces OLS,
+    the grid shows the coefficient-shrinkage/R2 trade every feature
+    audit wants. Scale: the data is touched ONCE (one aggregate); the
+    path is a {len(RIDGE_LAMBDAS)}-row lateral over the 1-row moment
+    table, so extending the grid costs nothing. All per-lam arithmetic
+    is identical float expressions in both dialects."""
+    li = load(spark, sf_dir, "lineitem")
+
+    def dsum(col, dec):
+        return F.sum(F.expr(f"cast({col} as decimal({dec}))")).cast("double")
+
+    s = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dsum("l_quantity", "18,2").alias("s1"),
+        dsum("l_discount", "18,2").alias("s2"),
+        dsum("l_extendedprice", "18,2").alias("sy"),
+        dsum("l_quantity * l_quantity", "38,4").alias("s11"),
+        dsum("l_quantity * l_discount", "38,4").alias("s12"),
+        dsum("l_discount * l_discount", "38,4").alias("s22"),
+        dsum("l_quantity * l_extendedprice", "38,4").alias("s1y"),
+        dsum("l_discount * l_extendedprice", "38,4").alias("s2y"),
+        dsum("l_extendedprice * l_extendedprice", "38,4").alias("syy"),
+    )
+    c = s.select(
+        "n", "s1", "s2", "sy",
+        (F.col("s11") - F.col("s1") * F.col("s1") / F.col("n")).alias("cx1"),
+        (F.col("s22") - F.col("s2") * F.col("s2") / F.col("n")).alias("cx2"),
+        (F.col("s12") - F.col("s1") * F.col("s2") / F.col("n")).alias("cx12"),
+        (F.col("s1y") - F.col("s1") * F.col("sy") / F.col("n")).alias("cx1y"),
+        (F.col("s2y") - F.col("s2") * F.col("sy") / F.col("n")).alias("cx2y"),
+        (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")).alias("cyy"),
+    )
+    lams = spark.range(1).select(
+        F.explode(F.array(*[F.lit(float(x)) for x in RIDGE_LAMBDAS])).alias("lam")
+    )
+    lam_n = F.col("lam") * F.col("n")
+    det = (F.col("cx1") + lam_n) * (F.col("cx2") + lam_n) - F.col("cx12") * F.col("cx12")
+    b1 = (F.col("cx1y") * (F.col("cx2") + lam_n) - F.col("cx2y") * F.col("cx12")) / det
+    b2 = (F.col("cx2y") * (F.col("cx1") + lam_n) - F.col("cx1y") * F.col("cx12")) / det
+    b = lams.crossJoin(F.broadcast(c)).select(
+        "lam", "n", "s1", "s2", "sy", "cx1y", "cx2y", "cyy", "cx1", "cx2", "cx12",
+        b1.alias("b1"), b2.alias("b2"),
+    )
+    sse = (
+        F.col("cyy")
+        - 2.0 * (F.col("b1") * F.col("cx1y") + F.col("b2") * F.col("cx2y"))
+        + F.col("b1") * F.col("b1") * F.col("cx1")
+        + 2.0 * F.col("b1") * F.col("b2") * F.col("cx12")
+        + F.col("b2") * F.col("b2") * F.col("cx2")
+    )
+    return b.select(
+        "lam", "n",
+        F.round((F.col("sy") - F.col("b1") * F.col("s1") - F.col("b2") * F.col("s2")) / F.col("n"), 6).alias("beta0"),
+        F.round("b1", 6).alias("beta_qty"),
+        F.round("b2", 6).alias("beta_discount"),
+        F.round(1.0 - sse / F.col("cyy"), 6).alias("r2"),
+    ).orderBy("lam")
+
+
+#: O'Brien-Fleming-shaped sequential boundary, normalized so the final
+#: look (information fraction 1) sits just above z_{0.025}=1.96 —
+#: boundary(t) = OBF_FINAL_Z / sqrt(t).
+OBF_FINAL_Z = 1.969
+
+
+@query(
+    "obrien_fleming_sequential_ab",
+    f"""
+    WITH base AS (
+      SELECT cast(ts as date) AS day, (user_id % 2 = 0) AS grp_a,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+      FROM events),
+    daily AS (
+      SELECT day, grp_a, cast(count(*) as bigint) AS n,
+             cast(sum(conv) as bigint) AS x
+      FROM base GROUP BY day, grp_a),
+    days AS (SELECT DISTINCT day FROM daily),
+    grid AS (
+      SELECT d.day, g.grp_a,
+             coalesce(dl.n, 0) AS n, coalesce(dl.x, 0) AS x
+      FROM days d
+        CROSS JOIN (SELECT true AS grp_a UNION ALL SELECT false) g
+        LEFT JOIN daily dl ON dl.day = d.day AND dl.grp_a = g.grp_a),
+    cum AS (
+      SELECT day, grp_a,
+             cast(sum(n) OVER (PARTITION BY grp_a ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS cn,
+             cast(sum(x) OVER (PARTITION BY grp_a ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS cx
+      FROM grid),
+    wide AS (
+      SELECT a.day, a.cn AS cn_a, a.cx AS cx_a, b.cn AS cn_b, b.cx AS cx_b
+      FROM cum a JOIN cum b ON a.day = b.day AND a.grp_a AND NOT b.grp_a),
+    tot AS (
+      SELECT max(cn_a) + max(cn_b) AS n_total FROM wide),
+    z AS (
+      SELECT w.day, w.cn_a, w.cx_a, w.cn_b, w.cx_b,
+             cast(w.cn_a + w.cn_b as double) / t.n_total AS info_frac,
+             (cast(w.cx_a as double) / w.cn_a - cast(w.cx_b as double) / w.cn_b)
+             / sqrt((cast(w.cx_a + w.cx_b as double) / (w.cn_a + w.cn_b))
+                    * (1.0 - cast(w.cx_a + w.cx_b as double) / (w.cn_a + w.cn_b))
+                    * (1.0 / w.cn_a + 1.0 / w.cn_b)) AS zs
+      FROM wide w CROSS JOIN tot t)
+    SELECT day, cn_a, cx_a, cn_b, cx_b,
+           round(info_frac, 8) AS info_frac,
+           round(zs, 6) AS z_stat,
+           round({OBF_FINAL_Z} / sqrt(info_frac), 6) AS z_bound,
+           abs(zs) > {OBF_FINAL_Z} / sqrt(info_frac) AS crossed
+    FROM z ORDER BY day
+    """,
+)
+def obrien_fleming_sequential_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-SEQUENTIAL A/B MONITORING with an O'Brien-Fleming-shaped
+    boundary: the deterministic even/odd user_id split is monitored
+    daily on purchase conversion; each look recomputes the pooled
+    two-proportion z on CUMULATIVE counts and compares |z| against
+    boundary(t) = {OBF_FINAL_Z}/sqrt(t) (t = information fraction), the
+    OBF shape that spends almost no alpha early and ~0.05 overall at
+    the final look. This is the peeking-safe readout an
+    experimentation platform runs every morning — naive daily
+    fixed-horizon tests inflate false positives 3-5x. Exactness:
+    cumulative counts are integer prefix sums over the day x group
+    grid (missing cells coalesced to 0), so every z input is exact
+    bigint; z/bound/crossed are identical float expressions. Scale:
+    one groupBy(day, grp), windows over |days| rows, 1-row total
+    broadcast."""
+    e = load(spark, sf_dir, "events")
+    base = e.select(
+        F.col("ts").cast("date").alias("day"),
+        (F.col("user_id") % 2 == 0).alias("grp_a"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("conv"),
+    )
+    daily = base.groupBy("day", "grp_a").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("conv").cast("long").alias("x"),
+    )
+    days = daily.select("day").distinct()
+    groups = spark.range(1).select(
+        F.explode(F.array(F.lit(True), F.lit(False))).alias("grp_a")
+    )
+    grid = (
+        days.crossJoin(F.broadcast(groups))
+        .join(daily, ["day", "grp_a"], "left")
+        .select(
+            "day",
+            "grp_a",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            F.coalesce("x", F.lit(0)).cast("long").alias("x"),
+        )
+    )
+    wcum = (
+        Window.partitionBy("grp_a")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        "day",
+        "grp_a",
+        F.sum("n").over(wcum).cast("long").alias("cn"),
+        F.sum("x").over(wcum).cast("long").alias("cx"),
+    )
+    a = cum.where("grp_a").select(
+        "day", F.col("cn").alias("cn_a"), F.col("cx").alias("cx_a")
+    )
+    bside = cum.where("NOT grp_a").select(
+        "day", F.col("cn").alias("cn_b"), F.col("cx").alias("cx_b")
+    )
+    wide = a.join(bside, "day")
+    tot = wide.agg((F.max("cn_a") + F.max("cn_b")).alias("n_total"))
+    info = (F.col("cn_a") + F.col("cn_b")).cast("double") / F.col("n_total")
+    pooled = (F.col("cx_a") + F.col("cx_b")).cast("double") / (F.col("cn_a") + F.col("cn_b"))
+    zs = (
+        F.col("cx_a").cast("double") / F.col("cn_a")
+        - F.col("cx_b").cast("double") / F.col("cn_b")
+    ) / F.sqrt(pooled * (1.0 - pooled) * (1.0 / F.col("cn_a") + 1.0 / F.col("cn_b")))
+    z = wide.crossJoin(F.broadcast(tot)).select(
+        "day", "cn_a", "cx_a", "cn_b", "cx_b",
+        info.alias("info_frac"), zs.alias("zs"),
+    )
+    return z.select(
+        "day", "cn_a", "cx_a", "cn_b", "cx_b",
+        F.round("info_frac", 8).alias("info_frac"),
+        F.round("zs", 6).alias("z_stat"),
+        F.round(OBF_FINAL_Z / F.sqrt(F.col("info_frac")), 6).alias("z_bound"),
+        (F.abs(F.col("zs")) > OBF_FINAL_Z / F.sqrt(F.col("info_frac"))).alias("crossed"),
+    ).orderBy("day")
+
+
+@query(
+    "overdispersion_daily_counts",
+    """
+    WITH d AS (
+      SELECT event_type, cast(ts as date) AS day,
+             cast(count(*) as bigint) AS c
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT event_type, cast(count(*) as bigint) AS n_days,
+             cast(sum(c) as bigint) AS sc,
+             cast(sum(c * c) as bigint) AS scc
+      FROM d GROUP BY 1)
+    SELECT event_type, n_days, sc AS total_events,
+           round(cast(sc as double) / n_days, 6) AS mean_daily,
+           round((scc - cast(sc as double) * sc / n_days) / (n_days - 1.0), 6)
+             AS var_daily,
+           round(((scc - cast(sc as double) * sc / n_days) / (n_days - 1.0))
+                 / (cast(sc as double) / n_days), 6) AS vmr,
+           round((((scc - cast(sc as double) * sc / n_days) / (n_days - 1.0))
+                  / (cast(sc as double) / n_days) - 1.0)
+                 * sqrt((n_days - 1.0) / 2.0), 6) AS z_dispersion
+    FROM s ORDER BY event_type
+    """,
+)
+def overdispersion_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OVERDISPERSION AUDIT on daily event counts per type: the
+    variance-to-mean ratio (VMR; Poisson => 1) plus the normal
+    approximation z = (VMR-1)*sqrt((d-1)/2) of the dispersion test —
+    the first question before fitting any count model (Poisson vs
+    negative binomial) or alerting on volume anomalies. Exactness:
+    daily counts and their squares are exact bigints (two combinable
+    groupBys); the moment ratios are identical float expressions
+    rounded once. Scale: groupBy(type, day) then groupBy(type) — both
+    map-side combinable, output |types| rows."""
+    e = load(spark, sf_dir, "events")
+    d = e.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    s = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("c").cast("long").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("scc"),
+    )
+    mean = F.col("sc").cast("double") / F.col("n_days")
+    var = (F.col("scc") - F.col("sc").cast("double") * F.col("sc") / F.col("n_days")) / (
+        F.col("n_days") - 1.0
+    )
+    vmr = var / mean
+    return s.select(
+        "event_type", "n_days", F.col("sc").alias("total_events"),
+        F.round(mean, 6).alias("mean_daily"),
+        F.round(var, 6).alias("var_daily"),
+        F.round(vmr, 6).alias("vmr"),
+        F.round((vmr - 1.0) * F.sqrt((F.col("n_days") - 1.0) / 2.0), 6).alias("z_dispersion"),
+    ).orderBy("event_type")
+
+
+#: Isotonic calibration bin count (quantile bins of the score).
+PAVA_BINS = 20
+
+
+@query("isotonic_pava_calibration", None)  # rows-only: PAVA is iterative
+def isotonic_pava_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISOTONIC REGRESSION (pool-adjacent-violators) calibration of the
+    purchase rate against the event value score: events are cut into
+    {PAVA_BINS} exact quantile bins by (value, event_id) — via the
+    range-exchange `with_global_ntile` kernel, never a single-partition
+    ntile — then PAVA pools adjacent bins until the calibrated rate is
+    nondecreasing in the score, the standard monotone recalibration
+    for ML scores (sklearn IsotonicRegression semantics, weights =
+    bin counts). The PAVA pass itself runs in ONE `applyInPandas` call
+    over the {PAVA_BINS}-row bin table — bounded driver-independent
+    state, not a .collect() — because PAVA is inherently sequential;
+    at 100 TB the billions of rows reduce to the same {PAVA_BINS} bins
+    before the sequential step, so the non-distributed part is O(bins).
+    Rows-only by design (no SQL oracle for the iterative pooling);
+    tests/test_round8_batch3.py pins PAVA output against a brute-force
+    numpy implementation plus the monotonicity + weighted-mean-
+    preservation invariants."""
+    import pandas as pd
+
+    from ..operators.scale import with_global_ntile
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("conv"),
+    ).where(F.col("value").isNotNull())
+    binned = with_global_ntile(e, PAVA_BINS, ["value", "event_id"], bucket_col="bin")
+    bins = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_value"),
+        F.sum("conv").cast("long").alias("n_pos"),
+    )
+
+    schema = (
+        "bin int, n bigint, mean_value double, raw_rate double, iso_rate double"
+    )
+
+    def pava(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bin").reset_index(drop=True)
+        rates = (pdf["n_pos"] / pdf["n"]).tolist()
+        weights = pdf["n"].tolist()
+        # Pool-adjacent-violators: maintain a stack of (rate, weight)
+        # blocks; merge while the tail violates monotonicity.
+        blocks: list[list[float]] = []  # [sum_w*r, w, span]
+        for r, w in zip(rates, weights):
+            blocks.append([r * w, float(w), 1])
+            while len(blocks) > 1 and (
+                blocks[-2][0] / blocks[-2][1] > blocks[-1][0] / blocks[-1][1]
+            ):
+                s, w2, c = blocks.pop()
+                blocks[-1][0] += s
+                blocks[-1][1] += w2
+                blocks[-1][2] += c
+        iso: list[float] = []
+        for s, w2, c in blocks:
+            iso.extend([s / w2] * c)
+        return pd.DataFrame(
+            {
+                "bin": pdf["bin"],
+                "n": pdf["n"],
+                "mean_value": pdf["mean_value"],
+                "raw_rate": [round(r, 6) for r in rates],
+                "iso_rate": [round(r, 6) for r in iso],
+            }
+        )
+
+    return (
+        bins.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(pava, schema)
+        .orderBy("bin")
+    )
+
+
+# --------------------------------------------------------------------------
+# Batch 4: causal/experimentation (DiD), robust two-sample (Yuen),
+# extreme-value tail audit (Gumbel MoM), time-series dependence (ACF),
+# and a commutative data-integrity checksum manifest
+# --------------------------------------------------------------------------
+
+
+@query(
+    "did_estimator_purchases",
+    """
+    WITH bounds AS (
+      SELECT min(cast(ts as date)) AS d0 FROM events),
+    base AS (
+      SELECT (user_id % 2 = 0) AS treated,
+             datediff('day', b.d0, cast(ts as date)) >= 15 AS post,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+      FROM events CROSS JOIN bounds b),
+    cells AS (
+      SELECT treated, post, cast(count(*) as bigint) AS n,
+             cast(sum(conv) as bigint) AS x
+      FROM base GROUP BY treated, post),
+    wide AS (
+      SELECT
+        max(CASE WHEN treated AND post THEN n END) AS n_tp,
+        max(CASE WHEN treated AND post THEN x END) AS x_tp,
+        max(CASE WHEN treated AND NOT post THEN n END) AS n_t0,
+        max(CASE WHEN treated AND NOT post THEN x END) AS x_t0,
+        max(CASE WHEN NOT treated AND post THEN n END) AS n_cp,
+        max(CASE WHEN NOT treated AND post THEN x END) AS x_cp,
+        max(CASE WHEN NOT treated AND NOT post THEN n END) AS n_c0,
+        max(CASE WHEN NOT treated AND NOT post THEN x END) AS x_c0
+      FROM cells),
+    est AS (
+      SELECT n_tp, x_tp, n_t0, x_t0, n_cp, x_cp, n_c0, x_c0,
+        (cast(x_tp as double) / n_tp - cast(x_t0 as double) / n_t0)
+        - (cast(x_cp as double) / n_cp - cast(x_c0 as double) / n_c0) AS did,
+        sqrt((cast(x_tp as double) / n_tp) * (1.0 - cast(x_tp as double) / n_tp) / n_tp
+           + (cast(x_t0 as double) / n_t0) * (1.0 - cast(x_t0 as double) / n_t0) / n_t0
+           + (cast(x_cp as double) / n_cp) * (1.0 - cast(x_cp as double) / n_cp) / n_cp
+           + (cast(x_c0 as double) / n_c0) * (1.0 - cast(x_c0 as double) / n_c0) / n_c0)
+          AS se
+      FROM wide),
+    z AS (SELECT *, abs(did / se) AS a FROM est)
+    SELECT n_tp, x_tp, n_t0, x_t0, n_cp, x_cp, n_c0, x_c0,
+           round(did, 8) AS did_estimate,
+           round(se, 8) AS std_error,
+           round(did / se, 6) AS z_stat,
+           round(2.0 * (1.0 - {phi}), 8) AS p_value
+    FROM z
+    """.replace("{phi}", _phi_sql("a")),
+)
+def did_estimator_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES on purchase conversion: deterministic
+    even/odd user_id treatment split x data-driven pre/post split (day
+    15 from the observed start, so the query is SF-portable), the
+    2x2-cell estimator every quasi-experimental readout starts from.
+    DiD = (T_post - T_pre) - (C_post - C_pre); SE pools the four
+    binomial cell variances; p-value via the shared Abramowitz-Stegun
+    Φ. Exactness: the four cells are exact bigint counts from ONE
+    groupBy (conditional-max pivot to a single row); all floats are
+    identical expressions. Scale: one combinable aggregate over
+    events + a 1-row broadcast of the min-date."""
+    e = load(spark, sf_dir, "events")
+    bounds = e.agg(F.min(F.col("ts").cast("date")).alias("d0"))
+    base = e.crossJoin(F.broadcast(bounds)).select(
+        (F.col("user_id") % 2 == 0).alias("treated"),
+        (F.datediff(F.col("ts").cast("date"), F.col("d0")) >= 15).alias("post"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("conv"),
+    )
+    cells = base.groupBy("treated", "post").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("conv").cast("long").alias("x"),
+    )
+
+    def cell(col, t, p):
+        cond = (F.col("treated") == t) & (F.col("post") == p)
+        return F.max(F.when(cond, F.col(col)))
+
+    wide = cells.agg(
+        cell("n", True, True).alias("n_tp"), cell("x", True, True).alias("x_tp"),
+        cell("n", True, False).alias("n_t0"), cell("x", True, False).alias("x_t0"),
+        cell("n", False, True).alias("n_cp"), cell("x", False, True).alias("x_cp"),
+        cell("n", False, False).alias("n_c0"), cell("x", False, False).alias("x_c0"),
+    )
+
+    def rate(x, n):
+        return F.col(x).cast("double") / F.col(n)
+
+    did = (rate("x_tp", "n_tp") - rate("x_t0", "n_t0")) - (
+        rate("x_cp", "n_cp") - rate("x_c0", "n_c0")
+    )
+    se = F.sqrt(
+        rate("x_tp", "n_tp") * (1.0 - rate("x_tp", "n_tp")) / F.col("n_tp")
+        + rate("x_t0", "n_t0") * (1.0 - rate("x_t0", "n_t0")) / F.col("n_t0")
+        + rate("x_cp", "n_cp") * (1.0 - rate("x_cp", "n_cp")) / F.col("n_cp")
+        + rate("x_c0", "n_c0") * (1.0 - rate("x_c0", "n_c0")) / F.col("n_c0")
+    )
+    z = wide.select(
+        "n_tp", "x_tp", "n_t0", "x_t0", "n_cp", "x_cp", "n_c0", "x_c0",
+        did.alias("did"), se.alias("se"), F.abs(did / se).alias("a"),
+    )
+    return z.select(
+        "n_tp", "x_tp", "n_t0", "x_t0", "n_cp", "x_cp", "n_c0", "x_c0",
+        F.round("did", 8).alias("did_estimate"),
+        F.round("se", 8).alias("std_error"),
+        F.round(F.col("did") / F.col("se"), 6).alias("z_stat"),
+        F.round(F.expr(f"2.0 * (1.0 - {_phi_sql('a')})"), 8).alias("p_value"),
+    )
+
+
+#: Euler-Mascheroni constant and Gumbel return period, spelled once.
+EULER_GAMMA = 0.5772156649015329
+GUMBEL_RETURN_T = 100
+
+
+@query(
+    "gumbel_block_maxima_fit",
+    f"""
+    WITH mx AS (
+      SELECT event_type, cast(ts as date) AS day, max(value) AS m
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    s AS (
+      SELECT event_type, cast(count(*) as bigint) AS n_blocks,
+             cast(sum(cast(m as decimal(18,2))) as double) AS sm,
+             cast(sum(cast(m * m as decimal(38,4))) as double) AS smm
+      FROM mx GROUP BY event_type),
+    fit AS (
+      SELECT event_type, n_blocks,
+             sm / n_blocks AS mean_max,
+             sqrt((smm - sm * sm / n_blocks) / (n_blocks - 1.0)) AS sd_max
+      FROM s),
+    p AS (
+      SELECT event_type, n_blocks, mean_max, sd_max,
+             sd_max * sqrt(6.0) / pi() AS beta
+      FROM fit)
+    SELECT event_type, n_blocks,
+           round(mean_max, 6) AS mean_max,
+           round(sd_max, 6) AS sd_max,
+           round(beta, 6) AS gumbel_beta,
+           round(mean_max - {EULER_GAMMA} * beta, 6) AS gumbel_mu,
+           round((mean_max - {EULER_GAMMA} * beta)
+                 - beta * ln(-ln(1.0 - 1.0 / {GUMBEL_RETURN_T})), 6)
+             AS return_level_{GUMBEL_RETURN_T}
+    FROM p ORDER BY event_type
+    """,
+)
+def gumbel_block_maxima_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTREME-VALUE TAIL AUDIT: daily block maxima of the event value
+    per type, fitted to a Gumbel distribution by method of moments
+    (beta = s*sqrt(6)/pi, mu = mean - gamma*beta) with the
+    {GUMBEL_RETURN_T}-day return level mu - beta*ln(-ln(1-1/T)) — the
+    capacity-planning question ("what daily spike do we see once per
+    {GUMBEL_RETURN_T} days?") that mean/variance monitoring cannot
+    answer. Exactness: block maxima of doubles are order-independent
+    (max is exact); their 2-decimal values sum exactly as decimals;
+    pi() and the Euler-Mascheroni literal are the same doubles in both
+    engines; every derived float is one identical expression. Scale:
+    groupBy(type, day) then groupBy(type), both combinable."""
+    e = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    mx = e.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.max("value").alias("m")
+    )
+    s = mx.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum(F.col("m").cast("decimal(18,2)")).cast("double").alias("sm"),
+        F.sum((F.col("m") * F.col("m")).cast("decimal(38,4)")).cast("double").alias("smm"),
+    )
+    mean_max = F.col("sm") / F.col("n_blocks")
+    sd_max = F.sqrt(
+        (F.col("smm") - F.col("sm") * F.col("sm") / F.col("n_blocks"))
+        / (F.col("n_blocks") - 1.0)
+    )
+    import math
+
+    beta = sd_max * math.sqrt(6.0) / math.pi
+    mu = mean_max - EULER_GAMMA * beta
+    return s.select(
+        "event_type", "n_blocks",
+        F.round(mean_max, 6).alias("mean_max"),
+        F.round(sd_max, 6).alias("sd_max"),
+        F.round(beta, 6).alias("gumbel_beta"),
+        F.round(mu, 6).alias("gumbel_mu"),
+        F.round(
+            mu - beta * math.log(-math.log(1.0 - 1.0 / GUMBEL_RETURN_T)), 6
+        ).alias(f"return_level_{GUMBEL_RETURN_T}"),
+    ).orderBy("event_type")
+
+
+#: Yuen trimmed t-test: symmetric trim fraction per tail.
+YUEN_TRIM = 0.2
+
+
+@query(
+    "yuen_trimmed_ttest",
+    f"""
+    WITH e AS (
+      SELECT event_id, value,
+             (event_type = 'purchase') AS grp
+      FROM events WHERE value IS NOT NULL),
+    r AS (
+      SELECT grp, value,
+             row_number() OVER (PARTITION BY grp ORDER BY value, event_id)
+               AS rk,
+             count(*) OVER (PARTITION BY grp) AS n
+      FROM e),
+    lim AS (
+      SELECT grp, n, cast(floor({YUEN_TRIM} * n) as bigint) AS g
+      FROM (SELECT DISTINCT grp, n FROM r) q),
+    cuts AS (
+      SELECT r.grp,
+             max(CASE WHEN r.rk = l.g + 1 THEN r.value END) AS lo,
+             max(CASE WHEN r.rk = l.n - l.g THEN r.value END) AS hi
+      FROM r JOIN lim l ON r.grp = l.grp
+      GROUP BY r.grp),
+    stats AS (
+      SELECT r.grp, any_value(l.n) AS n, any_value(l.g) AS g,
+             cast(sum(CASE WHEN r.rk > l.g AND r.rk <= l.n - l.g
+                           THEN cast(r.value as decimal(18,2)) END) as double)
+               AS trim_sum,
+             cast(sum(cast(
+                 (CASE WHEN r.rk <= l.g THEN c.lo
+                       WHEN r.rk > l.n - l.g THEN c.hi
+                       ELSE r.value END) as decimal(18,2))) as double) AS w_sum,
+             cast(sum(cast(
+                 (CASE WHEN r.rk <= l.g THEN c.lo
+                       WHEN r.rk > l.n - l.g THEN c.hi
+                       ELSE r.value END)
+                 * (CASE WHEN r.rk <= l.g THEN c.lo
+                         WHEN r.rk > l.n - l.g THEN c.hi
+                         ELSE r.value END) as decimal(38,4))) as double)
+               AS w_sumsq
+      FROM r JOIN lim l ON r.grp = l.grp
+             JOIN cuts c ON r.grp = c.grp
+      GROUP BY r.grp),
+    per AS (
+      SELECT grp, n, g, n - 2 * g AS h,
+             trim_sum / (n - 2 * g) AS mt,
+             (w_sumsq - w_sum * w_sum / n) / (n - 1.0) AS swsq
+      FROM stats),
+    wide AS (
+      SELECT
+        max(CASE WHEN grp THEN n END) AS n1,
+        max(CASE WHEN grp THEN h END) AS h1,
+        max(CASE WHEN grp THEN mt END) AS mt1,
+        max(CASE WHEN grp THEN swsq END) AS swsq1,
+        max(CASE WHEN NOT grp THEN n END) AS n2,
+        max(CASE WHEN NOT grp THEN h END) AS h2,
+        max(CASE WHEN NOT grp THEN mt END) AS mt2,
+        max(CASE WHEN NOT grp THEN swsq END) AS swsq2
+      FROM per)
+    SELECT n1, h1, n2, h2,
+           round(mt1, 6) AS trimmed_mean_purchase,
+           round(mt2, 6) AS trimmed_mean_rest,
+           round((mt1 - mt2)
+                 / sqrt((n1 - 1.0) * swsq1 / (h1 * (h1 - 1.0))
+                        + (n2 - 1.0) * swsq2 / (h2 * (h2 - 1.0))), 6)
+             AS yuen_t
+    FROM wide
+    """,
+)
+def yuen_trimmed_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YUEN'S TRIMMED-MEAN t-TEST (purchase vs rest on event value,
+    {YUEN_TRIM:.0%} trim per tail): the robust two-sample location test
+    that survives the heavy tails Mann-Whitney only ranks away —
+    trimmed means stay in the original units. Winsorized variance
+    feeds the denominator (Yuen 1974): d_i = (n_i-1)s²_wi/(h_i(h_i-1)).
+    Exactness: per-group ranks are exact integers — Spark side computes
+    them with the scale-safe grouped prefix-count kernel
+    (`grouped_prefix_sum` range exchange, NEVER a 2-task
+    partitionBy(grp) window); 2-decimal values and their winsorized
+    clamps sum exactly as decimals; the t is one identical float
+    expression. The lo/hi clamp values are exact data values joined
+    from the g+1 / n-g rank rows."""
+    from ..operators.scale import durable_checkpoint, grouped_prefix_sum
+
+    e = load(spark, sf_dir, "events").where(F.col("value").isNotNull()).select(
+        "event_id", "value", (F.col("event_type") == "purchase").alias("grp")
+    )
+    # rank = exclusive running count + 1, per group, via range exchange
+    r = grouped_prefix_sum(
+        e.withColumn("one", F.lit(1).cast("long")),
+        ["grp"],
+        ["value", "event_id"],
+        "one",
+        out_col="rk0",
+    ).select("grp", "value", (F.col("rk0") + 1).cast("long").alias("rk"))
+    r = durable_checkpoint(r)  # three consumers below
+    lim = r.groupBy("grp").agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+        "grp", "n", F.floor(YUEN_TRIM * F.col("n")).cast("long").alias("g")
+    )
+    rl = r.join(F.broadcast(lim), "grp")
+    cuts = rl.groupBy("grp").agg(
+        F.max(F.when(F.col("rk") == F.col("g") + 1, F.col("value"))).alias("lo"),
+        F.max(F.when(F.col("rk") == F.col("n") - F.col("g"), F.col("value"))).alias("hi"),
+    )
+    rc = rl.join(F.broadcast(cuts), "grp")
+    wv = (
+        F.when(F.col("rk") <= F.col("g"), F.col("lo"))
+        .when(F.col("rk") > F.col("n") - F.col("g"), F.col("hi"))
+        .otherwise(F.col("value"))
+    )
+    stats = rc.groupBy("grp").agg(
+        F.any_value(F.col("n")).alias("n"),
+        F.any_value(F.col("g")).alias("g"),
+        F.sum(
+            F.when(
+                (F.col("rk") > F.col("g")) & (F.col("rk") <= F.col("n") - F.col("g")),
+                F.col("value").cast("decimal(18,2)"),
+            )
+        ).cast("double").alias("trim_sum"),
+        F.sum(wv.cast("decimal(18,2)")).cast("double").alias("w_sum"),
+        F.sum((wv * wv).cast("decimal(38,4)")).cast("double").alias("w_sumsq"),
+    )
+    per = stats.select(
+        "grp", "n", "g",
+        (F.col("n") - 2 * F.col("g")).alias("h"),
+        (F.col("trim_sum") / (F.col("n") - 2 * F.col("g"))).alias("mt"),
+        ((F.col("w_sumsq") - F.col("w_sum") * F.col("w_sum") / F.col("n")) / (F.col("n") - 1.0)).alias("swsq"),
+    )
+
+    def cell(col, t):
+        return F.max(F.when(F.col("grp") == t, F.col(col)))
+
+    wide = per.agg(
+        cell("n", True).alias("n1"), cell("h", True).alias("h1"),
+        cell("mt", True).alias("mt1"), cell("swsq", True).alias("swsq1"),
+        cell("n", False).alias("n2"), cell("h", False).alias("h2"),
+        cell("mt", False).alias("mt2"), cell("swsq", False).alias("swsq2"),
+    )
+    denom = F.sqrt(
+        (F.col("n1") - 1.0) * F.col("swsq1") / (F.col("h1") * (F.col("h1") - 1.0))
+        + (F.col("n2") - 1.0) * F.col("swsq2") / (F.col("h2") * (F.col("h2") - 1.0))
+    )
+    return wide.select(
+        "n1", "h1", "n2", "h2",
+        F.round("mt1", 6).alias("trimmed_mean_purchase"),
+        F.round("mt2", 6).alias("trimmed_mean_rest"),
+        F.round((F.col("mt1") - F.col("mt2")) / denom, 6).alias("yuen_t"),
+    )
+
+
+#: ACF maximum lag (days).
+ACF_MAX_LAG = 7
+
+
+@query(
+    "daily_count_acf",
+    f"""
+    WITH d AS (
+      SELECT event_type,
+             datediff('day', DATE '1970-01-01', cast(ts as date)) AS di,
+             cast(count(*) as bigint) AS c
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT event_type, cast(count(*) as bigint) AS n,
+             cast(sum(c) as bigint) AS sc,
+             cast(sum(c * c) as bigint) AS scc
+      FROM d GROUP BY 1),
+    lags AS (SELECT unnest(generate_series(1, {ACF_MAX_LAG})) AS k),
+    prod AS (
+      SELECT a.event_type, l.k,
+             cast(count(*) as bigint) AS npairs,
+             cast(sum(a.c * b.c) as bigint) AS sxy,
+             cast(sum(a.c) as bigint) AS sh,
+             cast(sum(b.c) as bigint) AS st
+      FROM d a
+        CROSS JOIN lags l
+        JOIN d b ON b.event_type = a.event_type AND b.di = a.di + l.k
+      GROUP BY a.event_type, l.k)
+    SELECT p.event_type, cast(p.k as bigint) AS lag, p.npairs,
+           round((p.sxy - (cast(s.sc as double) / s.n) * (p.sh + p.st)
+                  + p.npairs * (cast(s.sc as double) / s.n)
+                    * (cast(s.sc as double) / s.n))
+                 / (s.scc - cast(s.sc as double) * s.sc / s.n), 8) AS acf
+    FROM prod p JOIN s ON p.event_type = s.event_type
+    ORDER BY p.event_type, lag
+    """,
+)
+def daily_count_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTOCORRELATION FUNCTION of daily event counts per type, lags
+    1..{ACF_MAX_LAG} — the dependence diagnostic behind seasonality
+    detection and anomaly-threshold tuning (lag-1 = AR(1) persistence,
+    lag-7 = weekly cycle). Uses the centered-product identity
+    acf_k = (Σx_t·x_(t+k) - m(Σhead+Σtail) + n_k·m²) / Σ(x-m)² so every
+    data-dependent sum is an exact bigint (counts and their products);
+    the mean enters once as an identical double expression. Scale: the
+    daily rollup is |types|x|days| rows; the lag join is an equi-join
+    on (type, day+k) over that tiny table — the raw events are touched
+    once."""
+    e = load(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.to_date(F.lit("1970-01-01"))).alias("di"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    from ..operators.scale import durable_checkpoint
+
+    d = durable_checkpoint(d)  # consumed by s and both sides of the lag join
+    s = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("scc"),
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").cast("int").alias("k"))
+    a = d.select("event_type", "di", F.col("c").alias("ca"))
+    b = d.select(
+        F.col("event_type").alias("event_type_b"),
+        F.col("di").alias("dib"),
+        F.col("c").alias("cb"),
+    )
+    prod = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("event_type_b") == F.col("event_type"))
+            & (F.col("dib") == F.col("di") + F.col("k")),
+        )
+        .groupBy("event_type", "k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("npairs"),
+            F.sum(F.col("ca") * F.col("cb")).cast("long").alias("sxy"),
+            F.sum("ca").cast("long").alias("sh"),
+            F.sum("cb").cast("long").alias("st"),
+        )
+    )
+    m = F.col("sc").cast("double") / F.col("n")
+    return (
+        prod.join(s, "event_type")
+        .select(
+            "event_type",
+            F.col("k").cast("long").alias("lag"),
+            "npairs",
+            F.round(
+                (F.col("sxy") - m * (F.col("sh") + F.col("st")) + F.col("npairs") * m * m)
+                / (F.col("scc") - F.col("sc").cast("double") * F.col("sc") / F.col("n")),
+                8,
+            ).alias("acf"),
+        )
+        .orderBy("event_type", "lag")
+    )
+
+
+#: Checksum manifest: fixed bucket count (the "partition" grain an
+#: integrity sync would reconcile at).
+CKSUM_BUCKETS = 32
+
+
+@query(
+    "partition_checksum_manifest",
+    f"""
+    WITH rows_h AS (
+      SELECT o_orderkey % {CKSUM_BUCKETS} AS bucket,
+             o_orderkey,
+             cast(concat('0x', substr(md5(concat_ws(',',
+                    cast(o_orderkey as varchar),
+                    cast(o_custkey as varchar),
+                    o_orderstatus,
+                    o_orderpriority,
+                    cast(cast(o_orderdate as date) as varchar))), 1, 10))
+                  as bigint) AS h
+      FROM orders)
+    SELECT cast(bucket as bigint) AS bucket,
+           cast(count(*) as bigint) AS n_rows,
+           cast(min(o_orderkey) as bigint) AS min_key,
+           cast(max(o_orderkey) as bigint) AS max_key,
+           cast(sum(h) as bigint) AS checksum
+    FROM rows_h GROUP BY bucket ORDER BY bucket
+    """,
+)
+def partition_checksum_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-INTEGRITY CHECKSUM MANIFEST over orders: each key bucket
+    (orderkey mod {CKSUM_BUCKETS}) rolls up a COMMUTATIVE checksum —
+    the SUM of a 40-bit md5-prefix hash of each row's canonical string
+    form — plus row count and key range. Sum (not concat-then-hash) is
+    the 100 TB design: it is order- and partition-independent, so the
+    manifest is reproducible under any shuffle layout and two sides of
+    a replication/sync can diff manifests bucket-by-bucket without
+    moving data (the rsync/Merkle pattern; 40-bit values keep the
+    bigint sum overflow-safe to ~10^7 rows per bucket — widen the
+    bucket count, not the hash, beyond that). Canonical form uses only
+    integer/string/date fields rendered identically by both engines.
+    One narrow map + one combinable groupBy."""
+    o = load(spark, sf_dir, "orders")
+    repr_ = F.concat_ws(
+        ",",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+        F.col("o_orderdate").cast("date").cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(repr_), 1, 10), 16, 10).cast("long")
+    return (
+        o.select((F.col("o_orderkey") % CKSUM_BUCKETS).alias("bucket"), F.col("o_orderkey"), h.alias("h"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("o_orderkey").cast("long").alias("min_key"),
+            F.max("o_orderkey").cast("long").alias("max_key"),
+            F.sum("h").cast("long").alias("checksum"),
+        )
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "n_rows", "min_key", "max_key", "checksum",
+        )
+        .orderBy("bucket")
+    )
