@@ -2624,3 +2624,398 @@ def partition_checksum_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# Batch 5: Markov-chain attribution (removal effect) + nonparametric
+# time-series diagnostics (Mann-Kendall, McNemar, runs test)
+# --------------------------------------------------------------------------
+
+
+@query("markov_removal_effect", None)  # rows-only: absorbing-chain solve
+def markov_removal_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKOV-CHAIN ATTRIBUTION by removal effect: user journeys
+    (events ordered by ts per user, START prepended, END appended)
+    aggregate into a first-order transition-count matrix; conversion
+    probability = P(absorb in PURCHASE before END) from the absorbing-
+    chain solve; a channel's removal effect = 1 - P(conv | channel's
+    rows/cols deleted)/P(conv), normalized into attribution shares —
+    the data-driven alternative to last-touch/linear attribution
+    (`events_attribution_*`). Scale: the raw events collapse to a
+    |states|² count matrix (= 7x7 here) via one lag window per user
+    partition (user_id is high-cardinality, so the window
+    parallelizes) and one groupBy; the linear solves run on that tiny
+    matrix in a single bounded `applyInPandas` (numpy), never on rows.
+    Rows-only: the absorbing-chain inverse is not SQL-expressible;
+    tests/test_round8_batch5.py re-derives conversion probabilities by
+    power iteration and pins shares."""
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = e.withColumn("next_type", F.lead("event_type").over(w)).withColumn(
+        "prev_type", F.lag("event_type").over(w)
+    )
+    # interior transitions + START->first + last->END, one pass
+    trans = (
+        nxt.select(
+            F.col("event_type").alias("src"),
+            F.coalesce("next_type", F.lit("END")).alias("dst"),
+        )
+        .unionByName(
+            nxt.where(F.col("prev_type").isNull()).select(
+                F.lit("START").alias("src"), F.col("event_type").alias("dst")
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+    schema = "channel string, removal_effect double, attribution_share double, base_conversion double"
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        states = sorted(set(pdf["src"]) | set(pdf["dst"]))
+        idx = {s: i for i, s in enumerate(states)}
+        n = len(states)
+        counts = np.zeros((n, n))
+        for r in pdf.itertuples():
+            counts[idx[r.src], idx[r.dst]] = r.c
+        absorbing = {"purchase", "END"}
+
+        def conv_prob(removed: str | None) -> float:
+            if "purchase" not in idx:
+                return 0.0
+            # Removing a channel deletes its state; the probability mass
+            # of transitions INTO it is redirected to END (the visitor
+            # leaves), the standard removal-effect convention.
+            keep = [s for s in states if s != removed]
+            k = {s: i for i, s in enumerate(keep)}
+            P = np.zeros((len(keep), len(keep)))
+            for s in keep:
+                if s in absorbing:
+                    P[k[s], k[s]] = 1.0
+                    continue
+                row = counts[idx[s], :]
+                tot = row.sum()
+                if tot == 0:
+                    P[k[s], k["END"]] = 1.0
+                    continue
+                for dst in keep:
+                    P[k[s], k[dst]] = row[idx[dst]] / tot
+                if removed is not None:
+                    P[k[s], k["END"]] += row[idx[removed]] / tot
+            trans_states = [s for s in keep if s not in absorbing]
+            Q = np.array([[P[k[s], k[t]] for t in trans_states] for s in trans_states])
+            R = np.array([[P[k[s], k[a]] for a in ("purchase", "END")] for s in trans_states])
+            B = np.linalg.solve(np.eye(len(Q)) - Q, R)
+            return float(B[trans_states.index("START"), 0])
+
+        base = conv_prob(None)
+        channels = [
+            s for s in states if s not in absorbing | {"START", "END"}
+        ]
+        effects = {}
+        for ch in channels:
+            pc = conv_prob(ch)
+            effects[ch] = 1.0 - (pc / base if base > 0 else 0.0)
+        tot_eff = sum(max(v, 0.0) for v in effects.values())
+        rows = [
+            (
+                ch,
+                round(effects[ch], 8),
+                round(max(effects[ch], 0.0) / tot_eff, 8) if tot_eff > 0 else 0.0,
+                round(base, 8),
+            )
+            for ch in sorted(channels)
+        ]
+        return pd.DataFrame(
+            rows,
+            columns=["channel", "removal_effect", "attribution_share", "base_conversion"],
+        )
+
+    return (
+        trans.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(solve, schema)
+        .orderBy("channel")
+    )
+
+
+@query(
+    "mann_kendall_trend",
+    """
+    WITH d AS (
+      SELECT event_type,
+             datediff('day', DATE '1970-01-01', cast(ts as date)) AS di,
+             cast(count(*) as bigint) AS c
+      FROM events GROUP BY 1, 2),
+    pairs AS (
+      SELECT a.event_type,
+             cast(sum(CASE WHEN b.c > a.c THEN 1
+                           WHEN b.c < a.c THEN -1 ELSE 0 END) as bigint) AS s
+      FROM d a JOIN d b ON b.event_type = a.event_type AND b.di > a.di
+      GROUP BY a.event_type),
+    nn AS (
+      SELECT event_type, cast(count(*) as bigint) AS n FROM d GROUP BY 1),
+    ties AS (
+      SELECT event_type,
+             cast(sum(t * (t - 1) * (2 * t + 5)) as bigint) AS tie_term
+      FROM (
+        SELECT event_type, c, cast(count(*) as bigint) AS t
+        FROM d GROUP BY event_type, c) q
+      GROUP BY event_type),
+    v AS (
+      SELECT p.event_type, p.s, nn.n,
+             (cast(nn.n as double) * (nn.n - 1) * (2 * nn.n + 5)
+              - ties.tie_term) / 18.0 AS var_s
+      FROM pairs p JOIN nn ON p.event_type = nn.event_type
+                   JOIN ties ON p.event_type = ties.event_type)
+    SELECT event_type, s AS mk_s, n AS n_days,
+           round(CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+                      WHEN s < 0 THEN (s + 1) / sqrt(var_s)
+                      ELSE 0.0 END, 6) AS z_stat
+    FROM v ORDER BY event_type
+    """,
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-KENDALL TREND TEST on daily event counts per type: S =
+    Σ sign(x_j - x_i) over ordered day pairs, tie-corrected variance,
+    continuity-corrected z — the standard nonparametric monotone-trend
+    detector that pairs with `theil_sen_daily_trend`'s slope (MK gives
+    the significance, Theil-Sen the magnitude). Exactness: S and the
+    tie term are exact bigints; z is one identical float expression.
+    Scale: the pair join runs on the |types|x|days| ROLLUP (calendar-
+    bounded, like Theil-Sen's documented cap), never on raw events —
+    events are touched once by the combinable daily groupBy."""
+    e = load(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.to_date(F.lit("1970-01-01"))).alias("di"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    from ..operators.scale import durable_checkpoint
+
+    d = durable_checkpoint(d)
+    a = d.select("event_type", "di", F.col("c").alias("ca"))
+    b = d.select(
+        F.col("event_type").alias("event_type_b"),
+        F.col("di").alias("dib"),
+        F.col("c").alias("cb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("event_type_b") == F.col("event_type"))
+            & (F.col("dib") > F.col("di")),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("cb") > F.col("ca"), 1)
+                .when(F.col("cb") < F.col("ca"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s")
+        )
+    )
+    nn = d.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ties = (
+        d.groupBy("event_type", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    v = (
+        pairs.join(nn, "event_type")
+        .join(ties, "event_type")
+        .select(
+            "event_type", "s", "n",
+            (
+                (
+                    F.col("n").cast("double") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                    - F.col("tie_term")
+                )
+                / 18.0
+            ).alias("var_s"),
+        )
+    )
+    return v.select(
+        "event_type",
+        F.col("s").alias("mk_s"),
+        F.col("n").alias("n_days"),
+        F.round(
+            F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt(F.col("var_s")))
+            .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt(F.col("var_s")))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("z_stat"),
+    ).orderBy("event_type")
+
+
+@query(
+    "mcnemar_purchase_halves",
+    """
+    WITH bounds AS (SELECT min(cast(ts as date)) AS d0 FROM events),
+    per_pair AS (
+      SELECT user_id,
+             datediff('day', b.d0, cast(ts as date)) % 15 AS slot,
+             max(CASE WHEN event_type = 'purchase'
+                       AND datediff('day', b.d0, cast(ts as date)) < 15
+                      THEN 1 ELSE 0 END) AS p1,
+             max(CASE WHEN event_type = 'purchase'
+                       AND datediff('day', b.d0, cast(ts as date)) >= 15
+                      THEN 1 ELSE 0 END) AS p2
+      FROM events CROSS JOIN bounds b
+      GROUP BY user_id, slot),
+    cells AS (
+      SELECT cast(sum(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END) as bigint) AS b,
+             cast(sum(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END) as bigint) AS c,
+             cast(sum(CASE WHEN p1 = 1 AND p2 = 1 THEN 1 ELSE 0 END) as bigint) AS both_halves,
+             cast(count(*) as bigint) AS n_pairs
+      FROM per_pair)
+    SELECT n_pairs, both_halves, b AS only_first_half, c AS only_second_half,
+           round((abs(cast(b - c as double)) - 1.0)
+                 * (abs(cast(b - c as double)) - 1.0) / (b + c), 6)
+             AS mcnemar_chi2
+    FROM cells
+    """,
+)
+def mcnemar_purchase_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNEMAR'S PAIRED TEST on purchase incidence: each (user, day
+    slot d in 0..14) cell pairs day d of the first half-window with
+    day d+15 of the second — same user, same relative timing, so only
+    the DISCORDANT cells (purchased in exactly one half) carry signal;
+    chi² = (|b-c|-1)²/(b+c) with continuity correction — the paired
+    complement to the unpaired two-proportion z (pairing eliminates
+    between-user and day-of-cycle variance). The user-level pairing is
+    degenerate on this dense synthetic corpus (every user purchases in
+    both halves), which is exactly why the paired design drops to the
+    finer grain. Exactness: indicators are exact max aggregates; the
+    cells are exact bigints; chi² is one identical float expression.
+    Scale: one groupBy(user_id, slot) + a 1-row reduce, min-date
+    broadcast."""
+    e = load(spark, sf_dir, "events")
+    bounds = e.agg(F.min(F.col("ts").cast("date")).alias("d0"))
+    half = F.datediff(F.col("ts").cast("date"), F.col("d0"))
+    per_user = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id", (half % 15).alias("slot"))
+        .agg(
+            F.max(
+                F.when((F.col("event_type") == "purchase") & (half < 15), 1).otherwise(0)
+            ).alias("p1"),
+            F.max(
+                F.when((F.col("event_type") == "purchase") & (half >= 15), 1).otherwise(0)
+            ).alias("p2"),
+        )
+    )
+    cells = per_user.agg(
+        F.sum(F.when((F.col("p1") == 1) & (F.col("p2") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when((F.col("p1") == 0) & (F.col("p2") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+        F.sum(F.when((F.col("p1") == 1) & (F.col("p2") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("both_halves"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    diff = F.abs((F.col("b") - F.col("c")).cast("double"))
+    return cells.select(
+        "n_pairs", "both_halves",
+        F.col("b").alias("only_first_half"),
+        F.col("c").alias("only_second_half"),
+        F.round((diff - 1.0) * (diff - 1.0) / (F.col("b") + F.col("c")), 6).alias(
+            "mcnemar_chi2"
+        ),
+    )
+
+
+@query(
+    "runs_test_daily_counts",
+    """
+    WITH d AS (
+      SELECT datediff('day', DATE '1970-01-01', cast(ts as date)) AS di,
+             cast(count(*) as bigint) AS c
+      FROM events GROUP BY 1),
+    m AS (
+      SELECT cast(sum(c) as double) / count(*) AS mean_c FROM d),
+    flags AS (
+      SELECT d.di, (d.c > m.mean_c) AS above,
+             lag((d.c > m.mean_c)) OVER (ORDER BY d.di) AS prev_above
+      FROM d CROSS JOIN m),
+    runs AS (
+      SELECT cast(count(*) as bigint) AS n,
+             cast(sum(CASE WHEN above THEN 1 ELSE 0 END) as bigint) AS n1,
+             cast(sum(CASE WHEN prev_above IS NULL
+                            OR above <> prev_above THEN 1 ELSE 0 END) as bigint)
+               AS r
+      FROM flags),
+    stat AS (
+      SELECT n, n1, n - n1 AS n2, r,
+             2.0 * n1 * (n - n1) / n + 1.0 AS er,
+             sqrt((2.0 * n1 * (n - n1))
+                  * (2.0 * n1 * (n - n1) - n)
+                  / (cast(n as double) * n * (n - 1.0))) AS sr
+      FROM runs)
+    SELECT n AS n_days, n1 AS n_above, n2 AS n_below, r AS n_runs,
+           round(er, 6) AS expected_runs,
+           round((r - er) / sr, 6) AS z_stat
+    FROM stat
+    """,
+)
+def runs_test_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WALD-WOLFOWITZ RUNS TEST on the daily event-volume series: code
+    each day above/below the series mean, count runs of consecutive
+    equal codes, and compare against the exact randomness expectation
+    E[R] = 2·n1·n2/n + 1 — too FEW runs exposes clustering/trend, too
+    MANY exposes oscillation; the sanity check behind "is this metric
+    drifting or just noisy". Exactness: day counts, n1/n2 and the run
+    count are exact integers (the run count is a lag-compare prefix
+    structure over the |days| rollup); E[R]/Var[R]/z are identical
+    float expressions. Scale: events → one combinable daily groupBy;
+    the window runs over |days| rows."""
+    e = load(spark, sf_dir, "events")
+    d = e.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.to_date(F.lit("1970-01-01"))).alias("di")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    m = d.agg((F.sum("c").cast("double") / F.count(F.lit(1))).alias("mean_c"))
+    w = Window.orderBy("di")
+    flags = d.crossJoin(F.broadcast(m)).select(
+        "di",
+        (F.col("c") > F.col("mean_c")).alias("above"),
+    ).withColumn("prev_above", F.lag("above").over(w))
+    runs = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("above"), 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(
+            F.when(
+                F.col("prev_above").isNull() | (F.col("above") != F.col("prev_above")), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("r"),
+    )
+    n, n1, r = F.col("n"), F.col("n1"), F.col("r")
+    er = 2.0 * n1 * (n - n1) / n + 1.0
+    sr = F.sqrt(
+        (2.0 * n1 * (n - n1))
+        * (2.0 * n1 * (n - n1) - n)
+        / (n.cast("double") * n * (n - 1.0))
+    )
+    return runs.select(
+        n.alias("n_days"),
+        n1.alias("n_above"),
+        (n - n1).alias("n_below"),
+        r.alias("n_runs"),
+        F.round(er, 6).alias("expected_runs"),
+        F.round((r - er) / sr, 6).alias("z_stat"),
+    )
