@@ -322,3 +322,55 @@ def test_round7_join_shapes_are_equi(spark, sf_dir):
         plan = _physical_plan(df)
         assert "CartesianProduct" not in plan, f"{name}\n{plan}"
         assert len(df.collect()) >= 1
+
+
+ROUND8_QUERIES = [
+    n for n, s in REGISTRY.items()
+    if s.spark.__module__.endswith("round8q")
+]
+
+#: Round-8 queries whose plans legitimately contain single-partition
+#: windows: each rides a PROVABLY BOUNDED aggregate, never raw rows —
+#: the distinct-value rank tables are domain-bounded (2-decimal values
+#: in [0, ~1000] → ≤ ~100k rows), per-nation tables are ≤ 25 rows, and
+#: daily rollups are calendar-bounded (≤ 36 600 rows for a century).
+#: The count pins the exact number so a regression that moves a window
+#: onto raw rows (or adds one) fails loudly.
+ROUND8_BOUNDED_GLOBAL_WINDOWS = {
+    "mann_whitney_purchase_vs_rest": 1,   # rank cumsum over distinct values
+    "kruskal_wallis_value_by_type": 1,    # same rank table
+    "anova_f_price_by_status": 1,         # ordered prefix sum over ≤3 groups
+    "bh_fdr_nation_acctbal": 2,           # p-value rank + count over ≤25 nations
+    "page_hinkley_daily_drift": 1,        # PH recursion over the daily rollup
+    "runs_test_daily_counts": 1,          # lag compare over the daily rollup
+}
+
+
+def test_round8_no_unbounded_global_windows(spark, sf_dir):
+    """Round-8 additions: any single-partition window must be one of
+    the documented bounded-aggregate cases above, at its pinned count;
+    everything else must have zero."""
+    for name in ROUND8_QUERIES:
+        plan = _physical_plan(REGISTRY[name].spark(spark, sf_dir))
+        n = _unbounded_single_partition_windows(plan)
+        allowed = ROUND8_BOUNDED_GLOBAL_WINDOWS.get(name, 0)
+        assert n == allowed, (
+            f"{name}: {n} single-partition window(s), {allowed} allowed\n{plan}"
+        )
+
+
+def test_round8_join_shapes_are_equi(spark, sf_dir):
+    """Join-bearing round-8 plans stay equi (hash/sort-merge/broadcast)
+    — the FS linkage blocked pair join, the KN continuation joins, the
+    ACF/Mann-Kendall lag self-joins, and the Yuen cut-table joins must
+    never degrade to a nested-loop over data rows. Broadcast
+    nested-loop joins ARE expected where a 1-row scalar aggregate
+    crosses the data (the canonical broadcast-scalar pattern), so only
+    non-broadcast cartesian products fail."""
+    for name in [
+        "fellegi_sunter_linkage", "kneser_ney_bigram_topk",
+        "daily_count_acf", "mann_kendall_trend", "yuen_trimmed_ttest",
+        "item_cosine_similarity_topk", "association_rules_conviction_topk",
+    ]:
+        plan = _physical_plan(REGISTRY[name].spark(spark, sf_dir))
+        assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
