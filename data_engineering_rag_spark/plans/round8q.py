@@ -3019,3 +3019,175 @@ def runs_test_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(er, 6).alias("expected_runs"),
         F.round((r - er) / sr, 6).alias("z_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# Batch 6: engine maintenance ops — groupBy incremental view
+# maintenance under signed deltas, and Misra-Gries heavy hitters with
+# an exact-guarantee verification pass
+# --------------------------------------------------------------------------
+
+#: IVM scenario split: base = days < IVM_SPLIT_DAY, inserts arrive
+#: after, deletes retract a deterministic subset of the base.
+IVM_SPLIT_DAY = 25
+IVM_DELETE_MOD = 97
+
+
+@query(
+    "ivm_agg_delta_merge",
+    f"""
+    WITH bounds AS (SELECT min(cast(ts as date)) AS d0 FROM events),
+    tagged AS (
+      SELECT event_type, value,
+             datediff('day', b.d0, cast(ts as date)) < {IVM_SPLIT_DAY} AS is_base,
+             event_id % {IVM_DELETE_MOD} = 0 AS is_del
+      FROM events CROSS JOIN bounds b
+      WHERE value IS NOT NULL),
+    -- the ORACLE recomputes from scratch over base \\ deletes + inserts
+    effective AS (
+      SELECT event_type, value FROM tagged
+      WHERE (is_base AND NOT is_del) OR NOT is_base)
+    SELECT event_type,
+           cast(count(*) as bigint) AS n_events,
+           round(cast(sum(cast(value as decimal(18,6))) as double), 6)
+             AS total_value
+    FROM effective GROUP BY event_type ORDER BY event_type
+    """,
+)
+def ivm_agg_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE for an aggregate view: the per-type
+    (count, sum) rollup is maintained as mergeable partials — state
+    from the base window, PLUS an insert-delta rollup, MINUS a signed
+    delete-delta rollup (retractions of base rows) — and the merged
+    state is returned WITHOUT ever rescanning base ∪ delta together.
+    The DuckDB oracle recomputes the view from scratch over
+    (base \\ deletes) ∪ inserts, so the hash equality IS the IVM
+    invariant: merge(state, +Δ, -Δ) ≡ recompute — checked cross-engine.
+    This is the groupBy companion of `ivm_join_delta_merge`
+    (plans/cdcq.py): count/decimal-sum partials absorb inserts AND
+    deletes because both are abelian-group ops; avg derives at read
+    time. Scale: three combinable rollups over disjoint slices (each
+    |types| rows), one tiny merge — the 100 TB pattern where the base
+    scan happened LAST month and only deltas are touched today."""
+    e = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    bounds = e.agg(F.min(F.col("ts").cast("date")).alias("d0"))
+    tagged = e.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        "value",
+        (F.datediff(F.col("ts").cast("date"), F.col("d0")) < IVM_SPLIT_DAY).alias("is_base"),
+        (F.col("event_id") % IVM_DELETE_MOD == 0).alias("is_del"),
+    )
+
+    def rollup(df, sign: int):
+        return df.groupBy("event_type").agg(
+            (F.lit(sign) * F.count(F.lit(1))).cast("long").alias("pn"),
+            (F.lit(sign) * F.sum(F.col("value").cast("decimal(18,6)"))).alias("ps"),
+        )
+
+    state = rollup(tagged.where("is_base"), 1)              # last month's state
+    ins = rollup(tagged.where("NOT is_base"), 1)            # +Δ inserts
+    dels = rollup(tagged.where("is_base AND is_del"), -1)   # -Δ retractions
+    merged = (
+        state.unionByName(ins)
+        .unionByName(dels)
+        .groupBy("event_type")
+        .agg(F.sum("pn").cast("long").alias("n_events"), F.sum("ps").alias("ts_sum"))
+    )
+    return merged.select(
+        "event_type",
+        "n_events",
+        F.round(F.col("ts_sum").cast("double"), 6).alias("total_value"),
+    ).orderBy("event_type")
+
+
+#: Misra-Gries sketch size; the guarantee verified below is "every
+#: token with frequency > n/MG_K appears in the sketch output".
+MG_K = 56
+
+
+def mg_fold(counters, batch_counts, k: int):
+    """Fold one batch's exact value_counts into a k-counter MG summary:
+    add, then apply the standard batch decrement — subtract the
+    (k+1)-th largest counter from every counter and drop non-positive
+    ones. This is the MERGE of Agarwal et al. 2012 (Mergeable
+    Summaries) with the batch treated as a zero-error summary; total
+    undercount after any fold sequence is < n/ (k+1), which implies the
+    heavy-hitter guarantee: an item with true frequency > n/k survives
+    with positive count. Module-level so tests can drive it with
+    adversarial streams directly."""
+    counters = counters.add(batch_counts, fill_value=0)
+    if len(counters) > k:
+        cut = counters.nlargest(k + 1).iloc[-1]
+        counters = counters - cut
+        counters = counters[counters > 0]
+    return counters
+
+
+@query(
+    "misra_gries_heavy_tokens",
+    f"""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+      FROM documents),
+    tot AS (SELECT cast(count(*) as bigint) AS n FROM toks),
+    freq AS (
+      SELECT term, cast(count(*) as bigint) AS exact_count
+      FROM toks GROUP BY term)
+    SELECT f.term, f.exact_count
+    FROM freq f CROSS JOIN tot t
+    WHERE f.exact_count * {{MG_K}} > t.n
+    ORDER BY f.exact_count DESC, f.term
+    """.replace("{MG_K}", str(MG_K)),
+)
+def misra_gries_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MISRA-GRIES HEAVY HITTERS over corpus tokens, with the guarantee
+    made checkable: each partition folds its token stream into a
+    k={MG_K}-counter MG summary (vectorized per Arrow batch: add the
+    batch's value_counts, then apply the standard batch decrement —
+    subtract the (k+1)-th largest counter from all and drop the
+    non-positive — the mergeable-summaries merge of Agarwal et al.
+    2012); partition summaries merge by counter addition; a second
+    pass joins EXACT counts for the surviving candidates only. The
+    emitted rows are candidates whose exact frequency exceeds n/k, and
+    the MG guarantee (an item with true frequency > n/k cannot be
+    decremented to zero in every summary) makes this equal the TRUE
+    heavy-hitter set — exactly what the DuckDB oracle computes with a
+    full GROUP BY ... HAVING. The sketch is the 100 TB mechanism (the
+    full term dictionary may not fit a reducer; {MG_K} counters per
+    partition always do); the oracle proves the guarantee held.
+    Integer multiply (count*k > n) avoids float thresholds."""
+    import pandas as pd
+
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0))
+            ).alias("term")
+        )
+    )
+
+    def mg_sketch(batches):
+        counters = pd.Series(dtype="int64")
+        for pdf in batches:
+            counters = mg_fold(counters, pdf["term"].value_counts(), MG_K)
+        yield pd.DataFrame({"term": counters.index, "cnt": counters.to_numpy("int64")})
+
+    candidates = (
+        toks.mapInPandas(mg_sketch, "term string, cnt bigint")
+        .groupBy("term")
+        .agg(F.sum("cnt").alias("_mg"))
+        .select("term")
+    )
+    tot = toks.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    exact = (
+        toks.join(F.broadcast(candidates), "term")  # exact pass, candidates only
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(tot))
+        .where(F.col("exact_count") * MG_K > F.col("n"))
+        .select("term", "exact_count")
+        .orderBy(F.col("exact_count").desc(), "term")
+    )
