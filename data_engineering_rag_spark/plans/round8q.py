@@ -3191,3 +3191,381 @@ def misra_gries_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("term", "exact_count")
         .orderBy(F.col("exact_count").desc(), "term")
     )
+
+
+# ==========================================================================
+# Round-8 batch 7: time-series decomposition/forecast, density outliers,
+# first-digit data audit
+# ==========================================================================
+
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.3
+CALENDAR_CAP_DAYS = 36600  # ~100 years of daily rows — the bounded-series guard
+
+
+@query(
+    "holt_linear_daily_forecast",
+    f"""
+    WITH RECURSIVE daily AS (
+      SELECT cast(date_trunc('day', o_orderdate) as date) AS d,
+             cast(count(*) as bigint) AS y
+      FROM orders GROUP BY 1),
+    arr AS (SELECT list(y ORDER BY d) AS a, cast(count(*) as bigint) AS n FROM daily),
+    rec(t, l, b) AS (
+      SELECT cast(1 as bigint),
+             cast(a[1] as double),
+             cast(a[2] as double) - cast(a[1] as double)
+      FROM arr
+      UNION ALL
+      SELECT r.t + 1,
+             {HOLT_ALPHA} * cast(a[r.t + 1] as double) + {1 - HOLT_ALPHA} * (r.l + r.b),
+             {HOLT_BETA} * (({HOLT_ALPHA} * cast(a[r.t + 1] as double)
+                             + {1 - HOLT_ALPHA} * (r.l + r.b)) - r.l)
+               + {1 - HOLT_BETA} * r.b
+      FROM rec r, arr WHERE r.t < arr.n),
+    fin AS (SELECT r.l, r.b FROM rec r, arr WHERE r.t = arr.n)
+    SELECT arr.n AS n_days,
+           round(fin.l, 6) AS level,
+           round(fin.b, 6) AS trend,
+           round(fin.l + 1 * fin.b, 6) AS fc_1,
+           round(fin.l + 7 * fin.b, 6) AS fc_7,
+           round(fin.l + 28 * fin.b, 6) AS fc_28
+    FROM fin CROSS JOIN arr
+    """,
+)
+def holt_linear_daily_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT LINEAR-TREND FORECAST (double exponential smoothing,
+    alpha={HOLT_ALPHA} beta={HOLT_BETA}) of daily order volume with
+    1/7/28-day-ahead forecasts — the capacity-planning estimator one
+    rung above the EWMA level tracker (``ewma_user_value``): it carries
+    an explicit trend state, so a steadily growing ingest rate
+    extrapolates instead of lagging. Classic init l1=y1, b1=y2-y1
+    (Hyndman & Athanasopoulos, FPP3 §8.2).
+
+    Distributed shape: the 100 TB fact table reduces to a daily rollup
+    via one combinable count (map-side partials), and the inherently
+    sequential recursion runs over that CALENDAR-BOUNDED series (loud
+    {CALENDAR_CAP_DAYS}-day cap, same contract as
+    ``theil_sen_daily_trend``) inside a single applyInPandas task —
+    per-series recursion over a bounded aggregate, never over raw
+    rows; with per-tenant series this becomes one group per key,
+    embarrassingly parallel. Cross-engine: the recursion is pure
+    per-step double arithmetic written identically here and in the
+    recursive-CTE oracle (no float reductions), so the states match
+    bitwise and round once at the end."""
+    import pandas as pd
+
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        n = len(pdf)
+        if n > CALENDAR_CAP_DAYS:
+            raise ValueError(
+                "holt_linear_daily_forecast: daily rollup exceeds the "
+                f"{CALENDAR_CAP_DAYS}-day calendar cap"
+            )
+        if n < 2:
+            raise ValueError("holt_linear_daily_forecast: need >= 2 days to init trend")
+        y = pdf["y"].to_numpy(dtype="float64")
+        lvl = y[0]
+        tr = y[1] - y[0]
+        for t in range(1, n):
+            lvl_new = HOLT_ALPHA * y[t] + (1 - HOLT_ALPHA) * (lvl + tr)
+            tr = HOLT_BETA * (lvl_new - lvl) + (1 - HOLT_BETA) * tr
+            lvl = lvl_new
+        return pd.DataFrame({"n_days": [n], "l_raw": [lvl], "b_raw": [tr]})
+
+    fit = (
+        daily.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(
+            lambda _, pdf: holt(pdf.drop(columns=["g"])),
+            "n_days bigint, l_raw double, b_raw double",
+        )
+    )
+    return fit.select(
+        "n_days",
+        F.round("l_raw", 6).alias("level"),
+        F.round("b_raw", 6).alias("trend"),
+        F.round(F.col("l_raw") + 1 * F.col("b_raw"), 6).alias("fc_1"),
+        F.round(F.col("l_raw") + 7 * F.col("b_raw"), 6).alias("fc_7"),
+        F.round(F.col("l_raw") + 28 * F.col("b_raw"), 6).alias("fc_28"),
+    )
+
+
+LOF_K = 3
+LOF_TOP = 20
+
+
+@query(
+    "lof_embedding_outliers",
+    f"""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             round(sqrt(greatest(
+               round(list_dot_product(a.ev, a.ev) - 2 * list_dot_product(a.ev, b.ev)
+                     + list_dot_product(b.ev, b.ev), 8), 0.0)), 8) AS d
+      FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id),
+    knn AS (
+      SELECT src, dst, d FROM (
+        SELECT src, dst, d,
+               row_number() OVER (PARTITION BY src ORDER BY d, dst) AS rn
+        FROM pairs) WHERE rn <= {LOF_K}),
+    kdist AS (SELECT src, max(d) AS kd FROM knn GROUP BY src),
+    reach AS (
+      SELECT k.src, k.dst, greatest(o.kd, k.d) AS rd
+      FROM knn k JOIN kdist o ON k.dst = o.src),
+    lrd AS (
+      SELECT src,
+             round(count(*) / cast(sum(cast(rd as decimal(18,8))) as double), 8) AS lrd
+      FROM reach GROUP BY src),
+    lofs AS (
+      SELECT k.src,
+             round(cast(sum(cast(n.lrd as decimal(18,8))) as double)
+                   / (count(*) * p.lrd), 6) AS lof
+      FROM knn k
+        JOIN lrd n ON k.dst = n.src
+        JOIN lrd p ON k.src = p.src
+      GROUP BY k.src, p.lrd)
+    SELECT f.src AS vec_id, v.label, kd.kd AS k_dist, l.lrd AS lrd, f.lof AS lof
+    FROM lofs f
+      JOIN lrd l ON f.src = l.src
+      JOIN kdist kd ON f.src = kd.src
+      JOIN v ON f.src = v.vec_id
+    ORDER BY f.lof DESC, f.src
+    LIMIT {LOF_TOP}
+    """,
+)
+def lof_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL OUTLIER FACTOR (Breunig et al. 2000, k={LOF_K}) over the
+    embedding table — density-based outlier scoring, the capability the
+    robust-zscore audits can't provide: a point is anomalous relative
+    to the LOCAL density of its neighborhood, so a sparse-but-valid
+    cluster doesn't drown a genuinely isolated vector. Emits the
+    top-{LOF_TOP} scores (measured top-K, never a fixed threshold that
+    could go vacuous at small SF). Pipeline: k-NN within label buckets
+    (the IVF-bucket candidate shape of ``knn_graph_by_label`` — pair
+    space is sum-of-bucket-squares, co-partitioned self-join at scale,
+    never |N|^2) -> k-distance -> reachability distance
+    max(kd(o), d(p,o)) -> local reachability density (1/mean reach)
+    -> LOF = mean neighbor-lrd / own lrd. After the k-NN stage every
+    join is a tiny equi-join on vec_id keyed tables (k rows per
+    vector). Cross-engine float discipline: distances rounded 8 dp,
+    the two k-sized float reductions (reach sum, neighbor-lrd sum) go
+    through exact decimal(18,8) partials, each division written
+    identically in both dialects, final LOF rounded 6 dp."""
+    from .vectors import dot, l2_norm_sq
+
+    e = load(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("ev"))
+    a = v.select(F.col("vec_id").alias("src"), F.col("label").alias("la"), F.col("ev").alias("ea"))
+    b = v.select(F.col("vec_id").alias("dst"), F.col("label").alias("lb"), F.col("ev").alias("eb"))
+    d2 = F.round(
+        l2_norm_sq(F.col("ea")) - 2 * dot(F.col("ea"), F.col("eb")) + l2_norm_sq(F.col("eb")), 8
+    )
+    d = F.round(F.sqrt(F.greatest(d2, F.lit(0.0))), 8)
+    pairs = (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("src") != F.col("dst")))
+        .select("src", "dst", d.alias("d"))
+    )
+    w = Window.partitionBy("src").orderBy(F.col("d"), F.col("dst"))
+    knn = pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= LOF_K).drop("rn")
+    kdist = knn.groupBy("src").agg(F.max("d").alias("kd"))
+    reach = knn.join(
+        kdist.select(F.col("src").alias("dst"), F.col("kd").alias("kd_o")), "dst"
+    ).select("src", "dst", F.greatest(F.col("kd_o"), F.col("d")).alias("rd"))
+    lrd = reach.groupBy("src").agg(
+        F.round(
+            F.count(F.lit(1)) / F.sum(F.col("rd").cast("decimal(18,8)")).cast("double"), 8
+        ).alias("lrd")
+    )
+    lofs = (
+        knn.join(lrd.select(F.col("src").alias("dst"), F.col("lrd").alias("lrd_n")), "dst")
+        .join(lrd.select(F.col("src"), F.col("lrd").alias("lrd_p")), "src")
+        .groupBy("src", "lrd_p")
+        .agg(
+            F.round(
+                F.sum(F.col("lrd_n").cast("decimal(18,8)")).cast("double")
+                / (F.count(F.lit(1)) * F.col("lrd_p")),
+                6,
+            ).alias("lof")
+        )
+    )
+    return (
+        lofs.join(lrd, "src")
+        .join(kdist, "src")
+        .join(v.select(F.col("vec_id").alias("src"), "label"), "src")
+        .select(
+            F.col("src").alias("vec_id"),
+            "label",
+            F.col("kd").alias("k_dist"),
+            "lrd",
+            "lof",
+        )
+        .orderBy(F.col("lof").desc(), F.col("vec_id"))
+        .limit(LOF_TOP)
+    )
+
+
+@query(
+    "stl_weekly_decompose_events",
+    """
+    WITH daily AS (
+      SELECT cast(date_trunc('day', ts) as date) AS d,
+             cast(count(*) as bigint) AS y
+      FROM events GROUP BY 1),
+    tr AS (
+      SELECT d, y,
+             cast(isodow(d) as bigint) AS dow,
+             sum(y) OVER w AS s7, count(*) OVER w AS c7
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    full7 AS (
+      SELECT d, y, dow, round(s7 / 7.0, 6) AS trend
+      FROM tr WHERE c7 = 7),
+    seas AS (
+      SELECT d, y, dow, trend,
+             round(cast(sum(cast(round(y - trend, 6) as decimal(18,6)))
+                          OVER (PARTITION BY dow) as double)
+                   / count(*) OVER (PARTITION BY dow), 6) AS seasonal
+      FROM full7)
+    SELECT d AS day, y AS n_events, dow, trend, seasonal,
+           round(y - trend - seasonal, 6) AS remainder
+    FROM seas
+    """,
+)
+def stl_weekly_decompose_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-LITE SEASONAL DECOMPOSITION of daily event volume into
+    trend + weekly seasonal + remainder (classical additive
+    decomposition, the moving-average core of STL without the loess
+    refinement): trend = centered 7-day moving average (full windows
+    only), weekly seasonal = per-ISO-weekday mean of the detrended
+    series, remainder = what neither explains — the decomposition that
+    separates "traffic is growing" from "it's just Saturday" before
+    any anomaly rule fires (``events_hourly_anomaly`` consumes exactly
+    such residuals). Distributed shape: the raw stream reduces via one
+    combinable daily count; the single-partition moving-average window
+    rides the CALENDAR-BOUNDED rollup (<= 36 600 rows/century — the
+    documented bounded-global-window class, pinned in
+    test_plan_shapes), and the seasonal mean is a dow-PARTITIONED
+    window over the same rollup (7 partitions, no self-join — a
+    join-on-dow variant would recompute the whole subtree per branch
+    and scan the fact table twice). Cross-engine: the 7-day sum is
+    exact bigint, /7.0 is one
+    identical double op, detrended values round to 6 dp then sum as
+    exact decimals, and the remainder is per-row double arithmetic on
+    already-identical inputs."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "d",
+        "y",
+        (((F.dayofweek("d") + 5) % 7) + 1).cast("long").alias("dow"),
+        F.sum("y").over(w7).alias("s7"),
+        F.count(F.lit(1)).over(w7).alias("c7"),
+    )
+    full7 = tr.where(F.col("c7") == 7).select(
+        "d", "y", "dow", F.round(F.col("s7") / 7.0, 6).alias("trend")
+    )
+    wd = Window.partitionBy("dow")
+    seas = full7.withColumn(
+        "seasonal",
+        F.round(
+            F.sum(F.round(F.col("y") - F.col("trend"), 6).cast("decimal(18,6)"))
+            .over(wd)
+            .cast("double")
+            / F.count(F.lit(1)).over(wd),
+            6,
+        ),
+    )
+    return seas.select(
+        F.col("d").alias("day"),
+        F.col("y").alias("n_events"),
+        "dow",
+        "trend",
+        "seasonal",
+        F.round(F.col("y") - F.col("trend") - F.col("seasonal"), 6).alias("remainder"),
+    )
+
+
+# Benford expected first-digit shares log10(1 + 1/d), precomputed ONCE
+# in Python and embedded as identical decimal literals in both dialects
+# (cross-engine log10 may differ in the last ulp; a shared literal
+# cannot).
+import math as _math  # noqa: E402
+
+BENFORD_P = {d: float(f"{_math.log10(1.0 + 1.0 / d):.17g}") for d in range(1, 10)}
+_BENFORD_VALUES_SQL = ", ".join(
+    f"('{d}', cast({BENFORD_P[d]:.17g} as double))" for d in range(1, 10)
+)
+
+
+@query(
+    "benford_totalprice_audit",
+    f"""
+    WITH digits AS (
+      SELECT substr(cast(cast(floor(o_totalprice) as bigint) as varchar), 1, 1) AS digit
+      FROM orders WHERE o_totalprice >= 1),
+    tot AS (SELECT cast(count(*) as bigint) AS n_tot FROM digits),
+    obs AS (SELECT digit, cast(count(*) as bigint) AS n_obs FROM digits GROUP BY digit),
+    expected AS (SELECT * FROM (VALUES {_BENFORD_VALUES_SQL}) AS t(digit, p))
+    SELECT o.digit, o.n_obs,
+           round(e.p, 8) AS exp_share,
+           round(o.n_obs / cast(t.n_tot as double), 6) AS obs_share,
+           round((o.n_obs - t.n_tot * e.p) * (o.n_obs - t.n_tot * e.p)
+                 / (t.n_tot * e.p), 6) AS chi2_term
+    FROM obs o JOIN expected e ON o.digit = e.digit CROSS JOIN tot t
+    """,
+)
+def benford_totalprice_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD'S-LAW FIRST-DIGIT AUDIT of order totals — the classic
+    fabricated-data / broken-generator screen for any multiplicative
+    monetary column: natural price-like distributions put ~30.1 % of
+    first significant digits at 1 (share log10(1+1/d)); a synthetic or
+    truncated feed shows up as a flat or spiked digit histogram long
+    before any row-level rule fires. Emits per-digit observed counts,
+    observed vs expected share, and the chi-squared contribution (the
+    per-digit decomposition an auditor reads; no 9-term float reduction
+    needed, so no decimal gymnastics). Scale: one combinable 9-group
+    count over the fact table, a broadcast of a 9-row constant table,
+    and a broadcast scalar total — nothing shuffles but 9 cells.
+    Cross-engine: the first digit comes from floor()+bigint+string
+    (never log10 of data, whose last-ulp may differ per engine, and
+    never double->int casts, which truncate in Spark but round in
+    DuckDB); expected shares are Python-precomputed literals identical
+    in both dialects."""
+    orders = load(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    digits = orders.select(
+        F.substring(F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1).alias("digit")
+    )
+    tot = digits.agg(F.count(F.lit(1)).cast("long").alias("n_tot"))
+    obs = digits.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    expected = digits.sparkSession.createDataFrame(
+        [(str(d), BENFORD_P[d]) for d in range(1, 10)], "digit string, p double"
+    )
+    return (
+        obs.join(F.broadcast(expected), "digit")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            F.round("p", 8).alias("exp_share"),
+            F.round(F.col("n_obs") / F.col("n_tot").cast("double"), 6).alias("obs_share"),
+            F.round(
+                (F.col("n_obs") - F.col("n_tot") * F.col("p"))
+                * (F.col("n_obs") - F.col("n_tot") * F.col("p"))
+                / (F.col("n_tot") * F.col("p")),
+                6,
+            ).alias("chi2_term"),
+        )
+    )

@@ -343,6 +343,7 @@ ROUND8_BOUNDED_GLOBAL_WINDOWS = {
     "bh_fdr_nation_acctbal": 2,           # p-value rank + count over ≤25 nations
     "page_hinkley_daily_drift": 1,        # PH recursion over the daily rollup
     "runs_test_daily_counts": 1,          # lag compare over the daily rollup
+    "stl_weekly_decompose_events": 1,     # 7-day moving avg over the daily rollup
 }
 
 
