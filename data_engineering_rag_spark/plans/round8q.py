@@ -3569,3 +3569,155 @@ def benford_totalprice_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2_term"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q-digest: deterministic mergeable quantile sketch (Shrivastava et al.
+# 2004) — the quantile member of the mergeable-summaries family next to
+# HLL (distinct), KMV (overlap), CMS/Misra-Gries (frequency)
+# --------------------------------------------------------------------------
+
+QD_BITS = 26          # universe = [0, 2^26) cents — covers prices to $671k
+QD_K = 2000           # compression factor: rank error <= QD_BITS/QD_K * n
+QD_QUANTILES = (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+QD_MERGED_CAP = 500_000  # loud bound on the merged node table
+
+
+def qdigest_compress(nodes, n: int, k: int, bits: int):
+    """Bottom-up q-digest compression over a {(level, idx): count} node
+    dict: a node whose (count + sibling + parent) fits under n/k folds
+    into its parent. Works for fresh leaf dicts AND for merged digests
+    (recompression against a new global n). Mutates and returns
+    ``nodes``; node (level, idx) covers [idx*2^level, (idx+1)*2^level),
+    level 0 = leaves."""
+    thr = n / k
+    for level in range(bits):
+        for lv, idx in sorted(nodes):
+            if lv != level:
+                continue
+            c = nodes.get((level, idx))
+            if c is None:
+                continue
+            sib = nodes.get((level, idx ^ 1), 0)
+            par = nodes.get((level + 1, idx >> 1), 0)
+            if c + sib + par <= thr:
+                nodes[(level + 1, idx >> 1)] = c + sib + par
+                nodes.pop((level, idx), None)
+                nodes.pop((level, idx ^ 1), None)
+    return nodes
+
+
+def qdigest_build(value_counts, n: int, k: int, bits: int):
+    """Leaf counts {value: count} -> compressed q-digest node dict."""
+    return qdigest_compress(
+        {(0, int(v)): int(c) for v, c in value_counts.items()}, n, k, bits
+    )
+
+
+def qdigest_quantile(nodes, n: int, q: float, bits: int) -> int:
+    """Rank query: scan nodes in increasing upper-bound order (smaller
+    ranges first on ties) accumulating counts; the node that crosses
+    ceil(q*n) answers with its upper bound. True rank of the answer is
+    within (bits/k)*n of q*n — the q-digest guarantee."""
+    target = max(1, -(-int(q * n * 1_000_000) // 1_000_000))  # ceil without floats
+    acc = 0
+    for ub, lv, cnt in sorted(
+        ((idx + 1) * (1 << lv) - 1, lv, c) for (lv, idx), c in nodes.items()
+    ):
+        acc += cnt
+        if acc >= target:
+            return min(ub, (1 << bits) - 1)
+    return (1 << bits) - 1
+
+
+@query("qdigest_price_quantiles", None)
+def qdigest_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-DIGEST QUANTILES of order totals — the deterministic MERGEABLE
+    quantile sketch (Shrivastava et al. 2004): every partition folds
+    its rows into <= O(k log U) dyadic-interval counters, counters add
+    nodewise across partitions (a plain groupBy-sum — the abelian merge
+    all sketch families here share), and one bounded recompress +
+    rank-scan answers every quantile with rank error <= (log2 U / k)·n
+    = {QD_BITS}/{QD_K}·n ≈ 1.3 %. This is the 100 TB quantile path when
+    even the value DOMAIN is too wide for an exact
+    distinct-value rollup and percentile_approx's internal sketch
+    can't be persisted/merged across jobs: q-digest state is plain
+    (level, idx, count) rows — storable, unionable, incrementally
+    maintainable like the HLL/KMV/MG registers. Rows-only by design
+    (sketch internals are engine-specific); the guarantee is verified
+    against exact DuckDB ranks in tests/test_round8_batch7.py, the
+    same error-bound contract as `agg_approx_distinct` and
+    `misra_gries_heavy_tokens`."""
+    import pandas as pd
+
+    orders = load(spark, sf_dir, "orders")
+    cents = orders.select(
+        F.least(
+            F.greatest(F.round(F.col("o_totalprice") * 100).cast("long"), F.lit(0)),
+            F.lit((1 << QD_BITS) - 1),
+        ).alias("v")
+    )
+
+    def sketch_partition(batches):
+        counts: dict[int, int] = {}
+        n = 0
+        for pdf in batches:
+            vc = pdf["v"].value_counts()
+            n += int(vc.sum())
+            for v, c in vc.items():
+                counts[int(v)] = counts.get(int(v), 0) + int(c)
+        if not counts:
+            return
+        nodes = qdigest_build(counts, n, QD_K, QD_BITS)
+        yield pd.DataFrame(
+            {
+                "level": [lv for lv, _ in nodes],
+                "idx": [ix for _, ix in nodes],
+                "cnt": [int(c) for c in nodes.values()],
+            }
+        )
+
+    merged = (
+        cents.mapInPandas(sketch_partition, "level int, idx long, cnt long")
+        .groupBy("level", "idx")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+    def finalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > QD_MERGED_CAP:
+            raise ValueError(
+                f"qdigest_price_quantiles: merged node table {len(pdf)} rows "
+                f"exceeds the {QD_MERGED_CAP} cap"
+            )
+        nodes = {
+            (int(lv), int(ix)): int(c)
+            for lv, ix, c in zip(pdf["level"], pdf["idx"], pdf["cnt"])
+        }
+        n = sum(nodes.values())
+        # recompress against the GLOBAL n/k threshold (the per-partition
+        # passes compressed against their local n)
+        thr_nodes = qdigest_compress(nodes, n, QD_K, QD_BITS)
+        rows = []
+        for q in QD_QUANTILES:
+            est = qdigest_quantile(thr_nodes, n, q, QD_BITS)
+            rows.append(
+                {
+                    "q": q,
+                    "est_cents": est,
+                    "est_price": est / 100.0,
+                    "n": n,
+                    "n_nodes": len(thr_nodes),
+                    "rank_bound": int(QD_BITS / QD_K * n) + 1,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return (
+        merged.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(
+            lambda _, pdf: finalize(pdf.drop(columns=["g"])),
+            "q double, est_cents bigint, est_price double, n bigint, "
+            "n_nodes bigint, rank_bound bigint",
+        )
+    )

@@ -170,3 +170,120 @@ def test_benford_matches_counter_and_shares_sum_to_one(spark):
         assert r["chi2_term"] == pytest.approx(
             (counts[d] - n * p) ** 2 / (n * p), abs=1e-4
         )
+
+
+# --------------------------------------------------------------------------
+# q-digest guarantee pins
+# --------------------------------------------------------------------------
+
+from data_engineering_rag_spark.plans.round8q import (  # noqa: E402
+    QD_BITS,
+    QD_K,
+    QD_QUANTILES,
+    qdigest_build,
+    qdigest_compress,
+    qdigest_quantile,
+)
+
+
+def test_qdigest_guarantee_vs_exact_ranks(spark):
+    """Each estimated quantile's TRUE rank (exact count over the data)
+    must sit within the advertised (log2 U / k)*n bound of the target
+    rank — the q-digest guarantee, verified end-to-end through the
+    mapInPandas -> groupBy-merge -> recompress pipeline."""
+    got = REGISTRY["qdigest_price_quantiles"].spark(spark, SF).collect()
+    assert len(got) == len(QD_QUANTILES)
+    con = duckdb.connect()
+    cents = [
+        v
+        for (v,) in con.execute(
+            f"""SELECT least(greatest(cast(round(o_totalprice * 100) as bigint), 0),
+                             {(1 << QD_BITS) - 1})
+                FROM '{SF}/orders.parquet'"""
+        ).fetchall()
+    ]
+    con.close()
+    cents.sort()
+    n = len(cents)
+    import bisect
+
+    for r in got:
+        assert r["n"] == n
+        target = math.ceil(r["q"] * n)
+        # with duplicated values the reported value covers the rank
+        # INTERVAL [bisect_left, bisect_right]; the guarantee is that
+        # this interval comes within rank_bound of the target
+        lo = bisect.bisect_left(cents, r["est_cents"])
+        hi = bisect.bisect_right(cents, r["est_cents"])
+        assert lo - r["rank_bound"] <= target <= hi + r["rank_bound"], (
+            r["q"], lo, hi, target, r["rank_bound"]
+        )
+        assert r["est_price"] == pytest.approx(r["est_cents"] / 100.0)
+    # sanity: estimates are monotone in q
+    ests = [r["est_cents"] for r in sorted(got, key=lambda r: r["q"])]
+    assert ests == sorted(ests)
+
+
+@pytest.mark.parametrize("dist", ["uniform", "skewed", "two_point", "constant"])
+def test_qdigest_fold_guarantee_adversarial(dist):
+    """Build per-'partition' digests over crafted streams, merge
+    nodewise, recompress with the global n, and assert every decile's
+    true-rank error stays under (bits/k)*n — including distributions
+    that stress the dyadic structure (point masses, heavy skew)."""
+    import bisect
+
+    bits, k = 16, 64
+    if dist == "uniform":
+        vals = [(i * 2654435761) % (1 << bits) for i in range(5000)]
+    elif dist == "skewed":
+        vals = [min(int(1.0007 ** i), (1 << bits) - 1) for i in range(20000)]
+    elif dist == "two_point":
+        vals = [7] * 9000 + [(1 << bits) - 2] * 1000
+    else:
+        vals = [12345] * 4096
+    # three unequal "partitions", each built with its LOCAL n
+    cuts = [0, len(vals) // 5, len(vals) // 2, len(vals)]
+    merged: dict = {}
+    for a, b in zip(cuts, cuts[1:]):
+        part = vals[a:b]
+        counts: dict = {}
+        for v in part:
+            counts[v] = counts.get(v, 0) + 1
+        for node, c in qdigest_build(counts, len(part), k, bits).items():
+            merged[node] = merged.get(node, 0) + c
+    n = len(vals)
+    digest = qdigest_compress(merged, n, k, bits)
+    assert sum(digest.values()) == n
+    svals = sorted(vals)
+    bound = bits / k * n
+    for q in (0.1, 0.25, 0.5, 0.75, 0.9, 0.99):
+        est = qdigest_quantile(digest, n, q, bits)
+        target = math.ceil(q * n)
+        lo = bisect.bisect_left(svals, est)
+        hi = bisect.bisect_right(svals, est)
+        assert lo - bound <= target <= hi + bound, (dist, q, lo, hi, target)
+
+
+def test_qdigest_merge_is_order_independent():
+    """Nodewise merge is abelian: any partition order yields the same
+    digest (the property that makes the groupBy-sum merge correct)."""
+    bits, k = 12, 32
+    parts = [
+        [i % 97 for i in range(1000)],
+        [4000 - i for i in range(1500)],
+        [42] * 800,
+    ]
+    def build(part):
+        counts: dict = {}
+        for v in part:
+            counts[v] = counts.get(v, 0) + 1
+        return qdigest_build(counts, len(part), k, bits)
+
+    def merge(order):
+        merged: dict = {}
+        for i in order:
+            for node, c in build(parts[i]).items():
+                merged[node] = merged.get(node, 0) + c
+        return qdigest_compress(merged, sum(len(parts[i]) for i in order), k, bits)
+
+    assert merge([0, 1, 2]) == merge([2, 0, 1]) == merge([1, 2, 0])
