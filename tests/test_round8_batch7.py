@@ -111,7 +111,6 @@ def test_lof_matches_numpy_bruteforce(spark):
         for o in ids:
             if o == p or labels[o] != labels[p]:
                 continue
-            diff = vecs[p] - vecs[o]
             # mirror the query's rounding ladder so ranks agree exactly
             d2 = round(
                 float(vecs[p] @ vecs[p]) - 2 * float(vecs[p] @ vecs[o]) + float(vecs[o] @ vecs[o]),
@@ -287,3 +286,50 @@ def test_qdigest_merge_is_order_independent():
         return qdigest_compress(merged, sum(len(parts[i]) for i in order), k, bits)
 
     assert merge([0, 1, 2]) == merge([2, 0, 1]) == merge([1, 2, 0])
+
+
+# --------------------------------------------------------------------------
+# q-digest property test: guarantee holds for ARBITRARY streams and
+# partition splits (hypothesis drives values, duplication, and split
+# points)
+# --------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    data=st.lists(
+        st.integers(min_value=0, max_value=(1 << 12) - 1), min_size=1, max_size=2000
+    ),
+    split=st.integers(min_value=0, max_value=2000),
+    q=st.sampled_from([0.05, 0.25, 0.5, 0.75, 0.95]),
+)
+def test_qdigest_property_guarantee(data, split, q):
+    """For any value stream, any two-way partition split, and any
+    quantile: count is conserved exactly and the answered value's rank
+    interval reaches within (bits/k)*n of the target rank."""
+    import bisect
+
+    bits, k = 12, 16
+    split = min(split, len(data))
+    merged: dict = {}
+    for part in (data[:split], data[split:]):
+        if not part:
+            continue
+        counts: dict = {}
+        for v in part:
+            counts[v] = counts.get(v, 0) + 1
+        for node, c in qdigest_build(counts, len(part), k, bits).items():
+            merged[node] = merged.get(node, 0) + c
+    n = len(data)
+    digest = qdigest_compress(merged, n, k, bits)
+    assert sum(digest.values()) == n  # exact count conservation
+    svals = sorted(data)
+    est = qdigest_quantile(digest, n, q, bits)
+    target = math.ceil(q * n)
+    lo = bisect.bisect_left(svals, est)
+    hi = bisect.bisect_right(svals, est)
+    bound = bits / k * n
+    assert lo - bound <= target <= hi + bound
