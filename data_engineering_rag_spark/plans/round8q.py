@@ -3498,79 +3498,6 @@ def stl_weekly_decompose_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Benford expected first-digit shares log10(1 + 1/d), precomputed ONCE
-# in Python and embedded as identical decimal literals in both dialects
-# (cross-engine log10 may differ in the last ulp; a shared literal
-# cannot).
-import math as _math  # noqa: E402
-
-BENFORD_P = {d: float(f"{_math.log10(1.0 + 1.0 / d):.17g}") for d in range(1, 10)}
-_BENFORD_VALUES_SQL = ", ".join(
-    f"('{d}', cast({BENFORD_P[d]:.17g} as double))" for d in range(1, 10)
-)
-
-
-@query(
-    "benford_totalprice_audit",
-    f"""
-    WITH digits AS (
-      SELECT substr(cast(cast(floor(o_totalprice) as bigint) as varchar), 1, 1) AS digit
-      FROM orders WHERE o_totalprice >= 1),
-    tot AS (SELECT cast(count(*) as bigint) AS n_tot FROM digits),
-    obs AS (SELECT digit, cast(count(*) as bigint) AS n_obs FROM digits GROUP BY digit),
-    expected AS (SELECT * FROM (VALUES {_BENFORD_VALUES_SQL}) AS t(digit, p))
-    SELECT o.digit, o.n_obs,
-           round(e.p, 8) AS exp_share,
-           round(o.n_obs / cast(t.n_tot as double), 6) AS obs_share,
-           round((o.n_obs - t.n_tot * e.p) * (o.n_obs - t.n_tot * e.p)
-                 / (t.n_tot * e.p), 6) AS chi2_term
-    FROM obs o JOIN expected e ON o.digit = e.digit CROSS JOIN tot t
-    """,
-)
-def benford_totalprice_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BENFORD'S-LAW FIRST-DIGIT AUDIT of order totals — the classic
-    fabricated-data / broken-generator screen for any multiplicative
-    monetary column: natural price-like distributions put ~30.1 % of
-    first significant digits at 1 (share log10(1+1/d)); a synthetic or
-    truncated feed shows up as a flat or spiked digit histogram long
-    before any row-level rule fires. Emits per-digit observed counts,
-    observed vs expected share, and the chi-squared contribution (the
-    per-digit decomposition an auditor reads; no 9-term float reduction
-    needed, so no decimal gymnastics). Scale: one combinable 9-group
-    count over the fact table, a broadcast of a 9-row constant table,
-    and a broadcast scalar total — nothing shuffles but 9 cells.
-    Cross-engine: the first digit comes from floor()+bigint+string
-    (never log10 of data, whose last-ulp may differ per engine, and
-    never double->int casts, which truncate in Spark but round in
-    DuckDB); expected shares are Python-precomputed literals identical
-    in both dialects."""
-    orders = load(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
-    digits = orders.select(
-        F.substring(F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1).alias("digit")
-    )
-    tot = digits.agg(F.count(F.lit(1)).cast("long").alias("n_tot"))
-    obs = digits.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
-    expected = digits.sparkSession.createDataFrame(
-        [(str(d), BENFORD_P[d]) for d in range(1, 10)], "digit string, p double"
-    )
-    return (
-        obs.join(F.broadcast(expected), "digit")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "digit",
-            "n_obs",
-            F.round("p", 8).alias("exp_share"),
-            F.round(F.col("n_obs") / F.col("n_tot").cast("double"), 6).alias("obs_share"),
-            F.round(
-                (F.col("n_obs") - F.col("n_tot") * F.col("p"))
-                * (F.col("n_obs") - F.col("n_tot") * F.col("p"))
-                / (F.col("n_tot") * F.col("p")),
-                6,
-            ).alias("chi2_term"),
-        )
-    )
-
-
 # --------------------------------------------------------------------------
 # q-digest: deterministic mergeable quantile sketch (Shrivastava et al.
 # 2004) — the quantile member of the mergeable-summaries family next to

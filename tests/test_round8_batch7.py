@@ -1,5 +1,5 @@
 """Round-8 batch-7 pins: independent recomputes for the Holt recursion,
-the STL-lite decomposition, LOF, and the Benford audit (the cross-engine
+the STL-lite decomposition, and LOF (the cross-engine
 oracle equality runs in test_oracle_parity.py — these pins are the
 second, engine-independent derivation of each statistic)."""
 
@@ -13,7 +13,6 @@ import pytest
 
 from data_engineering_rag_spark.plans import REGISTRY
 from data_engineering_rag_spark.plans.round8q import (
-    BENFORD_P,
     HOLT_ALPHA,
     HOLT_BETA,
     LOF_K,
@@ -139,36 +138,6 @@ def test_lof_matches_numpy_bruteforce(spark):
         assert row["lrd"] == pytest.approx(lrd[p], abs=1e-9)
     # LOF ~ 1 means inlier; the reported set must be the anomalous tail
     assert got[0]["lof"] >= got[-1]["lof"] >= 1.0
-
-
-def test_benford_matches_counter_and_shares_sum_to_one(spark):
-    """Observed digit counts equal a pure-Python Counter over the
-    DuckDB scan; expected shares are the exact log10(1+1/d) table and
-    sum to 1."""
-    from collections import Counter
-
-    assert sum(BENFORD_P.values()) == pytest.approx(1.0, abs=1e-12)
-    con = duckdb.connect()
-    vals = [
-        v
-        for (v,) in con.execute(
-            f"SELECT o_totalprice FROM '{SF}/orders.parquet' WHERE o_totalprice >= 1"
-        ).fetchall()
-    ]
-    con.close()
-    counts = Counter(str(int(math.floor(v)))[0] for v in vals)
-    got = REGISTRY["benford_totalprice_audit"].spark(spark, SF).collect()
-    assert {r["digit"] for r in got} == set(counts)
-    n = sum(counts.values())
-    for r in got:
-        d = r["digit"]
-        assert r["n_obs"] == counts[d]
-        p = BENFORD_P[int(d)]
-        assert r["exp_share"] == pytest.approx(p, abs=1e-8)
-        assert r["obs_share"] == pytest.approx(counts[d] / n, abs=1e-6)
-        assert r["chi2_term"] == pytest.approx(
-            (counts[d] - n * p) ** 2 / (n * p), abs=1e-4
-        )
 
 
 # --------------------------------------------------------------------------
