@@ -3648,3 +3648,121 @@ def qdigest_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_nodes bigint, rank_bound bigint",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Exact set-similarity join via prefix filtering (AllPairs/PPJoin family)
+# --------------------------------------------------------------------------
+
+# tau = 3/5, kept as EXACT INTEGERS end-to-end: the prefix length uses
+# integer ceil ((3*sz + 4) div 5) and the threshold test is 5*i >= 3*u
+# — a float ceil(0.6*sz) can overshoot by one ulp-rounding and silently
+# DROP a boundary pair, which the brute-force oracle would catch.
+PPJ_TAU_NUM = 3
+PPJ_TAU_DEN = 5
+
+
+@query(
+    "jaccard_prefix_filter_pairs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{{TOKEN_PATTERN}}') AS a
+      FROM documents),
+    tris AS (
+      SELECT DISTINCT doc_id,
+             cast(concat('0x', substr(md5(concat(a[i], ' ', a[i+1], ' ', a[i+2])), 1, 15))
+                  as bigint) AS h
+      FROM toks, unnest(generate_series(1, len(a) - 2)) AS t(i)
+      WHERE len(a) >= 3),
+    sizes AS (SELECT doc_id, cast(count(*) as bigint) AS sz FROM tris GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, cast(count(*) as bigint) AS n_i
+      FROM tris a JOIN tris b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, n_i AS n_inter, sa.sz + sb.sz - n_i AS n_union,
+           round(n_i / cast(sa.sz + sb.sz - n_i as double), 6) AS jaccard
+    FROM inter
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE {PPJ_TAU_DEN} * n_i >= {PPJ_TAU_NUM} * (sa.sz + sb.sz - n_i)
+    """.replace("{TOKEN_PATTERN}", TOKEN_PATTERN),
+)
+def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join via PREFIX FILTERING (AllPairs/PPJoin
+    family — Bayardo et al. WWW'07, Xiao et al. WWW'08): all document
+    pairs whose word-trigram sets have Jaccard >= {PPJ_TAU_NUM}/{PPJ_TAU_DEN},
+    with zero false negatives — the exact counterpart to the MinHash-LSH
+    APPROXIMATE candidate join. The filter: order every doc's shingles
+    by ascending global document frequency (one total (df, h) order
+    shared by all docs), keep only each doc's |S| - ceil(tau*|S|) + 1
+    RAREST shingles as its prefix; any pair meeting tau must collide in
+    those prefixes, so the candidate join touches the rare end of the
+    df distribution and stopword-grade shingles never generate pairs.
+    Verification then computes exact intersections for candidates only.
+
+    The ORACLE runs the brute-force share-any-shingle join with no
+    prefix — oracle equality is therefore a cross-engine PROOF that the
+    prefix filter lost nothing on this data, not just a port check.
+
+    Scale shape: df is a combinable count; the per-doc (df, h) ordering
+    is a doc-partitioned window; the candidate join is an equi-join on
+    prefix shingle hashes (Σ prefix-df² pair space — df-ascending
+    ordering makes these the rarest keys); verification joins ride the
+    small candidate set (broadcast). Everything shuffles 8-byte md5
+    hashes, never shingle text. Integer tau arithmetic end-to-end (see
+    PPJ_TAU_* comment); the single float division rounds once."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0)).alias("a"),
+    ).where(F.size("a") >= 3)
+    tri = F.expr("concat(element_at(a, i), ' ', element_at(a, i + 1), ' ', element_at(a, i + 2))")
+    h = F.conv(F.substring(F.md5(tri), 1, 15), 16, 10).cast("long")
+    tris = (
+        toks.select(
+            "doc_id", F.explode(F.sequence(F.lit(1), F.size("a") - 2)).alias("i"), "a"
+        )
+        .select("doc_id", h.alias("h"))
+        .distinct()
+    )
+    df_tbl = tris.groupBy("h").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    wdoc = Window.partitionBy("doc_id")
+    ordered = (
+        tris.join(df_tbl, "h")
+        .withColumn("pos", F.row_number().over(wdoc.orderBy(F.col("df"), F.col("h"))))
+        .withColumn("sz", F.count(F.lit(1)).over(wdoc))
+    )
+    prefix = ordered.where(
+        F.col("pos")
+        <= F.col("sz")
+        - F.expr(f"({PPJ_TAU_NUM} * sz + {PPJ_TAU_DEN} - 1) div {PPJ_TAU_DEN}")
+        + 1
+    ).select("doc_id", "h")
+    cand = (
+        prefix.select(F.col("doc_id").alias("doc_a"), "h")
+        .join(prefix.select(F.col("doc_id").alias("doc_b"), "h"), "h")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sizes = tris.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    inter = (
+        tris.select(F.col("doc_id").alias("doc_a"), "h")
+        .join(F.broadcast(cand), "doc_a")
+        .join(tris.select(F.col("doc_id").alias("doc_b"), "h"), ["h", "doc_b"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb")), "doc_b")
+        .withColumn("n_union", F.col("sza") + F.col("szb") - F.col("n_inter"))
+        .where(PPJ_TAU_DEN * F.col("n_inter") >= PPJ_TAU_NUM * F.col("n_union"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            "n_union",
+            F.round(F.col("n_inter") / F.col("n_union").cast("double"), 6).alias("jaccard"),
+        )
+    )
