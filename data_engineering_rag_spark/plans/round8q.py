@@ -3766,3 +3766,92 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_inter") / F.col("n_union").cast("double"), 6).alias("jaccard"),
         )
     )
+
+
+@query(
+    "holt_forecast_by_event_type",
+    f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, cast(date_trunc('day', ts) as date) AS d,
+             cast(count(*) as bigint) AS y
+      FROM events GROUP BY 1, 2),
+    arr AS (
+      SELECT event_type, list(y ORDER BY d) AS a, cast(count(*) as bigint) AS n
+      FROM daily GROUP BY 1),
+    rec(event_type, t, l, b) AS (
+      SELECT event_type, cast(1 as bigint),
+             cast(a[1] as double),
+             cast(a[2] as double) - cast(a[1] as double)
+      FROM arr WHERE n >= 2
+      UNION ALL
+      SELECT r.event_type, r.t + 1,
+             {HOLT_ALPHA} * cast(a[r.t + 1] as double) + {1 - HOLT_ALPHA} * (r.l + r.b),
+             {HOLT_BETA} * (({HOLT_ALPHA} * cast(a[r.t + 1] as double)
+                             + {1 - HOLT_ALPHA} * (r.l + r.b)) - r.l)
+               + {1 - HOLT_BETA} * r.b
+      FROM rec r JOIN arr USING (event_type) WHERE r.t < arr.n)
+    SELECT r.event_type, arr.n AS n_days,
+           round(r.l, 6) AS level,
+           round(r.b, 6) AS trend,
+           round(r.l + 7 * r.b, 6) AS fc_7
+    FROM rec r JOIN arr USING (event_type)
+    WHERE r.t = arr.n
+    """,
+)
+def holt_forecast_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED Holt forecasts — one independent level+trend recursion
+    PER EVENT TYPE, realizing the per-tenant/per-series scale claim of
+    ``holt_linear_daily_forecast`` concretely: the fact table reduces
+    to |types| x |days| calendar-bounded rollups in one combinable
+    pass, then applyInPandas runs each series' recursion as its own
+    task — thousands of tenants forecast in parallel with zero
+    cross-series coordination. The oracle steps ALL series in lockstep
+    inside one recursive CTE (groups terminate at their own n via the
+    t < n guard), pinning every per-series state bitwise."""
+    import pandas as pd
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("d"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+
+    def holt_one(key, pdf):
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        n = len(pdf)
+        if n > CALENDAR_CAP_DAYS:
+            raise ValueError(
+                "holt_forecast_by_event_type: daily rollup exceeds the "
+                f"{CALENDAR_CAP_DAYS}-day calendar cap"
+            )
+        if n < 2:
+            return pd.DataFrame(
+                {"event_type": pd.Series(dtype="object"),
+                 "n_days": pd.Series(dtype="int64"),
+                 "l_raw": pd.Series(dtype="float64"),
+                 "b_raw": pd.Series(dtype="float64")}
+            )
+        y = pdf["y"].to_numpy(dtype="float64")
+        lvl = y[0]
+        tr = y[1] - y[0]
+        for t in range(1, n):
+            lvl_new = HOLT_ALPHA * y[t] + (1 - HOLT_ALPHA) * (lvl + tr)
+            tr = HOLT_BETA * (lvl_new - lvl) + (1 - HOLT_BETA) * tr
+            lvl = lvl_new
+        return pd.DataFrame(
+            {"event_type": [key[0]], "n_days": [n], "l_raw": [lvl], "b_raw": [tr]}
+        )
+
+    fit = daily.groupBy("event_type").applyInPandas(
+        holt_one, "event_type string, n_days bigint, l_raw double, b_raw double"
+    )
+    return fit.select(
+        "event_type",
+        "n_days",
+        F.round("l_raw", 6).alias("level"),
+        F.round("b_raw", 6).alias("trend"),
+        F.round(F.col("l_raw") + 7 * F.col("b_raw"), 6).alias("fc_7"),
+    )

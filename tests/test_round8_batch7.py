@@ -302,3 +302,36 @@ def test_qdigest_property_guarantee(data, split, q):
     hi = bisect.bisect_right(svals, est)
     bound = bits / k * n
     assert lo - bound <= target <= hi + bound
+
+
+def test_holt_by_type_matches_per_series_python(spark):
+    """Every event type's level/trend equals an independent plain-Python
+    recursion over that type's own DuckDB daily rollup — the grouped
+    query is exactly |types| independent single-series fits."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT event_type, cast(date_trunc('day', ts) as date) AS d, count(*) AS y
+            FROM '{SF}/events.parquet' GROUP BY 1, 2 ORDER BY event_type, d"""
+    ).fetchall()
+    con.close()
+    series: dict[str, list[float]] = {}
+    for et, _, c in rows:
+        series.setdefault(et, []).append(float(c))
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["holt_forecast_by_event_type"].spark(spark, SF).collect()
+    }
+    assert set(got) == {et for et, y in series.items() if len(y) >= 2}
+    for et, y in series.items():
+        if len(y) < 2:
+            continue
+        lvl, tr = y[0], y[1] - y[0]
+        for t in range(1, len(y)):
+            lvl_new = HOLT_ALPHA * y[t] + (1 - HOLT_ALPHA) * (lvl + tr)
+            tr = HOLT_BETA * (lvl_new - lvl) + (1 - HOLT_BETA) * tr
+            lvl = lvl_new
+        r = got[et]
+        assert r["n_days"] == len(y)
+        assert r["level"] == pytest.approx(lvl, abs=1e-6)
+        assert r["trend"] == pytest.approx(tr, abs=1e-6)
+        assert r["fc_7"] == pytest.approx(lvl + 7 * tr, abs=2e-6)
