@@ -242,6 +242,35 @@ _DRIVER_VERIFIED_BY_ROUND[7] = frozenset(
     }
 )
 
+_DRIVER_VERIFIED_BY_ROUND[8] = frozenset(
+    {
+        "anova_f_price_by_status", "arrow_byte_stats_by_lang",
+        "association_rules_conviction_topk", "bh_fdr_nation_acctbal",
+        "bitmap_rolling_actives", "changepoint_daily_events",
+        "collated_source_rollup", "conformal_interval_coverage",
+        "cuped_ab_test", "decision_stump_train", "dp_noised_counts_audit",
+        "equidepth_histogram_totalprice", "feature_hashing_collision_audit",
+        "feature_mi_ranking", "fellegi_sunter_linkage",
+        "huber_mean_value_by_type", "item_cosine_similarity_topk",
+        "kendall_tau_acctbal_orders", "kfold_cv_mean_predictor",
+        "km_user_churn", "kneser_ney_bigram_topk",
+        "kruskal_wallis_value_by_type", "levene_variance_test",
+        "listagg_sources_by_lang", "logreg_calibration_bins",
+        "mann_whitney_purchase_vs_rest", "mode_median_lineitem_stats",
+        "obrien_fleming_sequential_ab", "observe_pipeline_metrics",
+        "ols_price_qty_discount", "orders_drift_ks_binned",
+        "overdispersion_daily_counts", "page_hinkley_daily_drift",
+        "parameterized_sql_orders", "parquet_encoding_planner",
+        "pinball_quantile_grid", "pit_feature_join_purchases",
+        "postings_compression_audit", "quantile_normalize_value_by_type",
+        "ridge_path_price_qty_discount", "simhash_near_dup_pairs",
+        "simhash_signatures", "spearman_acctbal_orders",
+        "sql_sugar_group_by_all", "sql_udf_net_revenue", "t_closeness_audit",
+        "target_encoding_loo", "theil_sen_daily_trend",
+        "trigram_blocked_fuzzy_join", "two_proportion_ztest_weekend",
+    }
+)
+
 #: Latest driver-green round per query (derived from the per-round sets).
 DRIVER_EVIDENCE_ROUND: dict[str, int] = {}
 for _rnd, _names in sorted(_DRIVER_VERIFIED_BY_ROUND.items()):
@@ -327,14 +356,22 @@ _MODULE_PRIORITY = {
 
 
 def _reorder_for_driver_window() -> None:
+    # Rank tiers (VERDICT r8 item 2 added tier 2): 0 = stale rewrites
+    # re-earning evidence; 1 = never-driver-checked oracle queries;
+    # 2 = fresh-verified oracle queries, OLDEST evidence first, so
+    # leftover window slots refresh r1/r3-era rows instead of being
+    # wasted on rows-only entries; 3 = rows-only (no oracle — a window
+    # slot only buys them the weak rows-only check, so they go last).
     def rank(item: tuple[str, QuerySpec]) -> tuple[int, int]:
         name, spec = item
         if _is_stale(name) and spec.oracle is not None:
             return (0, 0)
         if name in DRIVER_EVIDENCE_ROUND:
-            return (3, 0)
+            if spec.oracle is None:
+                return (3, 0)
+            return (2, DRIVER_EVIDENCE_ROUND[name])
         if spec.oracle is None:
-            return (2, 0)
+            return (3, 0)
         mod = spec.spark.__module__.rsplit(".", 1)[-1]
         return (1, _MODULE_PRIORITY.get(mod, 0))
 
