@@ -323,6 +323,13 @@ LAST_CHANGED: dict[str, int] = {
     # cap removed — result-identical on current data, but the body
     # changed, so the r7 row is conservatively stale.
     "trigram_blocked_fuzzy_join": 8,
+    # round-9 ADVICE fixes: the quadratic-join cap guards were dead
+    # (assert_true column dropped → pruned by Catalyst); rewritten to
+    # raise_error threaded through a consumed output column. Result-
+    # identical on any input under the cap, but the body changed, so
+    # the r8 rows are conservatively stale.
+    "kendall_tau_acctbal_orders": 9,
+    "theil_sen_daily_trend": 9,
     # round-8 kernel rewrite: 60-way bit explode -> 60 wide combinable
     # sums (one shuffle), shared hash_mode kernel. Identical exact
     # integer sums by construction, but a material body change —

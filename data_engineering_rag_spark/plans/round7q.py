@@ -2045,6 +2045,10 @@ def levene_variance_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Robust trend: Theil–Sen slope over the daily series
 # --------------------------------------------------------------------------
 
+#: ~100 years of daily rollup rows; the |days|² pairwise-slope join is
+#: safe only below this. Module-level so the guard test can lower it.
+TS_CALENDAR_CAP = 36600
+
 
 @query(
     "theil_sen_daily_trend",
@@ -2111,18 +2115,26 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ols_slope"),
         F.count(F.lit(1)).cast("long").alias("n_days"),
     )
-    # Loud calendar-cap guard (replaces a silent limit(36600) pool
-    # marker): the pairwise-slope space is |days|², safe only because
-    # a daily rollup is calendar-bounded. If the rollup ever exceeds
-    # ~100 years of days, fail the job instead of computing a
-    # truncated median.
-    ols = ols.withColumn(
-        "_cap_chk",
-        F.assert_true(
-            F.col("n_days") <= F.lit(36600),
-            F.lit("theil_sen_daily_trend: daily rollup exceeds the 36600-day calendar cap"),
-        ),
-    ).drop("_cap_chk")
+    # Loud calendar-cap guard: the pairwise-slope space is |days|²,
+    # safe only because a daily rollup is calendar-bounded. The guard
+    # is threaded through the CONSUMED n_days output column (ADVICE
+    # r8: an assert_true column dropped right after creation is pruned
+    # by Catalyst and never evaluates) — beyond ~100 years of days the
+    # job fails via raise_error instead of computing a truncated
+    # median.
+    ols = ols.select(
+        F.when(F.col("n_days") <= F.lit(TS_CALENDAR_CAP), F.col("n_days"))
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "theil_sen_daily_trend: daily rollup exceeds the "
+                    f"{TS_CALENDAR_CAP}-day calendar cap"
+                )
+            )
+        )
+        .alias("n_days"),
+        "ols_slope",
+    )
     return ts_fit.crossJoin(F.broadcast(ols)).select("n_days", "ts_slope", "ols_slope")
 
 

@@ -1011,8 +1011,10 @@ def kendall_tau_acctbal_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     of customers; the portable-randomness pattern from
     ``dataset_split_assign``). Concordant/discordant/tied pair counts
     are exact integers from a bounded self-join — the pair space is
-    sample², enforced by a LOUD {KT_SAMPLE_CAP}-row cap (assert_true,
-    job fails rather than silently degrading) since τ's exact pairwise
+    sample², enforced by a LOUD {KT_SAMPLE_CAP}-row cap (raise_error
+    threaded through the consumed `n` output column, so Catalyst can't
+    prune it — job fails rather than silently degrading) since τ's
+    exact pairwise
     form is quadratic by definition; Spearman (rank-linear, full-data)
     lives in ``spearman_acctbal_orders`` — this is the
     tie-robust complement run on samples at scale."""
@@ -1045,14 +1047,24 @@ def kendall_tau_acctbal_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.scale import durable_checkpoint
 
     x = durable_checkpoint(x)
-    # loud pair-space cap: fail rather than run an unbounded n² join
-    nx = x.agg(F.count(F.lit(1)).alias("n")).withColumn(
-        "_cap",
-        F.assert_true(
-            F.col("n") <= F.lit(KT_SAMPLE_CAP),
-            F.lit(f"kendall_tau: sample exceeds {KT_SAMPLE_CAP} rows; raise KT_SAMPLE_MOD"),
-        ),
-    ).drop("_cap")
+    # Loud pair-space cap threaded through the CONSUMED `n` output
+    # column (ADVICE r8: an assert_true column that is dropped right
+    # after creation gets pruned by Catalyst and never evaluates).
+    # The final select reads `n`, so this guard cannot be optimized
+    # away: an oversized sample fails the job via raise_error instead
+    # of silently running an unbounded n² pair join.
+    nx = x.agg(F.count(F.lit(1)).alias("n_raw")).select(
+        F.when(F.col("n_raw") <= F.lit(KT_SAMPLE_CAP), F.col("n_raw"))
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    f"kendall_tau: sample exceeds {KT_SAMPLE_CAP} rows; "
+                    "raise KT_SAMPLE_MOD"
+                )
+            )
+        )
+        .alias("n")
+    )
     a_ = x.select(F.col("c_custkey").alias("ka"), F.col("x").alias("xa"), F.col("y").alias("ya"))
     b_ = x.select(F.col("c_custkey").alias("kb"), F.col("x").alias("xb"), F.col("y").alias("yb"))
     pairs = a_.join(b_, F.col("ka") < F.col("kb")).select(
@@ -3092,6 +3104,12 @@ def ivm_agg_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(dels)
         .groupBy("event_type")
         .agg(F.sum("pn").cast("long").alias("n_events"), F.sum("ps").alias("ts_sum"))
+        # Degenerate-input semantics (ADVICE r8): a type whose base
+        # rows were ALL retracted and that has no inserts merges to
+        # (n=0, sum=0) state, but a from-scratch recompute has no such
+        # group at all — drop empty groups so merge ≡ recompute holds
+        # on that input too (pinned in tests/test_round8.py).
+        .where(F.col("n_events") > 0)
     )
     return merged.select(
         "event_type",
@@ -3707,8 +3725,10 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: df is a combinable count; the per-doc (df, h) ordering
     is a doc-partitioned window; the candidate join is an equi-join on
     prefix shingle hashes (Σ prefix-df² pair space — df-ascending
-    ordering makes these the rarest keys); verification joins ride the
-    small candidate set (broadcast). Everything shuffles 8-byte md5
+    ordering makes these the rarest keys); the verification joins are
+    equi-keyed on doc ids with NO forced broadcast — the candidate set
+    is data-dependent, so AQE picks broadcast only when it measures
+    small at runtime. Everything shuffles 8-byte md5
     hashes, never shingle text. Integer tau arithmetic end-to-end (see
     PPJ_TAU_* comment); the single float division rounds once."""
     d = load(spark, sf_dir, "documents")
@@ -3746,9 +3766,15 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sizes = tris.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    # No broadcast hint on `cand` (VERDICT r8): the candidate-pair set
+    # is τ-filtered but data-dependent and unbounded in principle
+    # (200k+ pairs already at sf1) — a forced broadcast routes it
+    # through the driver and OOMs long before a 100-TB corpus. The
+    # verification join is equi-keyed on doc_a either way, so AQE picks
+    # broadcast when cand measures small and shuffle-hash otherwise.
     inter = (
         tris.select(F.col("doc_id").alias("doc_a"), "h")
-        .join(F.broadcast(cand), "doc_a")
+        .join(cand, "doc_a")
         .join(tris.select(F.col("doc_id").alias("doc_b"), "h"), ["h", "doc_b"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))

@@ -375,3 +375,17 @@ def test_round8_join_shapes_are_equi(spark, sf_dir):
     ]:
         plan = _physical_plan(REGISTRY[name].spark(spark, sf_dir))
         assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
+
+
+def test_jaccard_verification_join_no_forced_broadcast(spark, sf_dir):
+    """VERDICT r8: the candidate-pair set is data-dependent and
+    unbounded in principle, so the verification join must carry NO
+    broadcast hint (AQE may still pick broadcast when cand measures
+    small — that's fine; a forced hint routing an unbounded relation
+    through the driver is not). It must also stay an equi-join."""
+    df = REGISTRY["jaccard_prefix_filter_pairs"].spark(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed
+    plan = _physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -125,3 +125,76 @@ def test_qdigest_empty_and_single_value(spark, tmp_path):
     got = REGISTRY["qdigest_price_quantiles"].spark(spark, str(tmp_path)).collect()
     assert len(got) == 7
     assert all(r["est_cents"] == 12345 and r["n"] == 1 for r in got)
+
+
+# --------------------------------------------------------------------------
+# ADVICE r8 regression pins: the quadratic-join cap guards must actually
+# FIRE (the previous assert_true-then-drop pattern was pruned away by
+# Catalyst's column pruning and never evaluated), and the IVM merge must
+# match a from-scratch recompute on full-retraction inputs.
+# --------------------------------------------------------------------------
+
+
+def test_kendall_cap_guard_fires(spark, monkeypatch):
+    """The Kendall τ pair-space cap is threaded through the consumed
+    `n` output column: with the cap lowered below the sample size, the
+    job must fail loudly instead of running the n² join unbounded."""
+    from data_engineering_rag_spark.plans import round8q
+
+    monkeypatch.setattr(round8q, "KT_SAMPLE_MOD", 1)  # keep every customer
+    monkeypatch.setattr(round8q, "KT_SAMPLE_CAP", 10)
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    with pytest.raises(Exception, match="sample exceeds"):
+        REGISTRY["kendall_tau_acctbal_orders"].spark(spark, sf).collect()
+
+
+def test_kendall_runs_clean_under_cap(spark):
+    """Control: with the shipped cap the guard is inert and the query
+    still returns its single summary row."""
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    got = REGISTRY["kendall_tau_acctbal_orders"].spark(spark, sf).collect()
+    assert len(got) == 1 and got[0]["n"] >= 0
+
+
+def test_theil_sen_cap_guard_fires(spark, monkeypatch):
+    """Same dead-guard fix for the Theil–Sen calendar cap: lowering the
+    cap below the observed day count must fail the job (the guard rides
+    the consumed n_days column, so Catalyst cannot prune it)."""
+    from data_engineering_rag_spark.plans import round7q
+
+    monkeypatch.setattr(round7q, "TS_CALENDAR_CAP", 1)
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    with pytest.raises(Exception, match="calendar cap"):
+        REGISTRY["theil_sen_daily_trend"].spark(spark, sf).collect()
+
+
+def test_ivm_full_retraction_drops_group(spark, tmp_path):
+    """ADVICE r8 degenerate pin: an event_type whose base rows are ALL
+    retracted (event_id % IVM_DELETE_MOD == 0) and that has no insert
+    rows must be ABSENT from the merged view — exactly like the
+    oracle's from-scratch recompute — not present as a (type, 0, 0.0)
+    zombie row."""
+    from data_engineering_rag_spark.plans.round8q import IVM_DELETE_MOD
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    rows = [
+        # "dead": base-window rows only, every one a retraction
+        (IVM_DELETE_MOD, _ts("2024-01-01 10:00:00"), 1, "dead", 5.0, "{}"),
+        (2 * IVM_DELETE_MOD, _ts("2024-01-02 10:00:00"), 1, "dead", 7.0, "{}"),
+        # "live": one surviving base row + one insert-window row
+        (1, _ts("2024-01-01 11:00:00"), 2, "live", 1.0, "{}"),
+        (2, _ts("2024-02-15 11:00:00"), 2, "live", 2.0, "{}"),
+    ]
+    _write(spark, tmp_path, "events", rows, schema)
+    got = REGISTRY["ivm_agg_delta_merge"].spark(spark, str(tmp_path)).collect()
+    assert [r["event_type"] for r in got] == ["live"]
+    assert got[0]["n_events"] == 2 and got[0]["total_value"] == 3.0
