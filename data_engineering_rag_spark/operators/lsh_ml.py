@@ -4,10 +4,17 @@
 banding idea as ``plans/textops.py``'s hand-rolled MinHash+LSH.
 
 The ML path uses library RNG for its hash coefficients (seeded, but
-not reproducible in DuckDB), so it's not oracle-checkable; its
-correctness contract is the recall test in ``tests/test_lsh_ml.py``:
-every pair above the Jaccard threshold that exact computation finds
-must appear among the approx join's candidates.
+not reproducible in DuckDB), so the CANDIDATE SET is not
+oracle-checkable. The VERIFIED OUTPUT is: ``approxSimilarityJoin``
+filters candidates by their EXACT Jaccard distance, so its output is
+a subset of the brute-force τ-filtered pairs, with equality iff no
+qualifying pair was missed by every hash table. With L hash tables
+(OR-amplification) a pair at similarity s is missed with probability
+(1−s)^L — ≤ 2·10⁻¹⁰ for s ≥ 0.5 at L=32 — and the seed makes the run
+deterministic, so brute-force oracle equality doubles as a recorded
+recall=1 proof on the tested data (the same losslessness-proof
+pattern as ``jaccard_prefix_filter_pairs``). The recall test in
+``tests/test_lsh_ml.py`` pins the contract independently.
 """
 
 from __future__ import annotations
@@ -26,15 +33,23 @@ def ml_minhash_candidates(
     num_hash_tables: int = 8,
     jaccard_threshold: float = 0.5,
     seed: int = 42,
+    vocab_size: int = 1 << 20,
 ) -> DataFrame:
     """(id_a, id_b, jaccard_distance) candidate pairs with distance
-    below ``1 - jaccard_threshold`` per the ML estimator."""
+    below ``1 - jaccard_threshold`` per the ML estimator.
+
+    ``vocab_size`` raises CountVectorizer's default 2¹⁸ cap: a silently
+    truncated vocabulary would drop rare tokens from the binary
+    vectors and skew every Jaccard distance."""
     tok = RegexTokenizer(
         inputCol=text_col, outputCol="_tokens", pattern=TOKEN_PATTERN, gaps=False,
         toLowercase=True, minTokenLength=2,
     )
     tokens = tok.transform(docs).where(F.size("_tokens") > 0)
-    cv = CountVectorizer(inputCol="_tokens", outputCol="_vec", binary=True, minDF=1.0)
+    cv = CountVectorizer(
+        inputCol="_tokens", outputCol="_vec", binary=True, minDF=1.0,
+        vocabSize=vocab_size,
+    )
     model_cv = cv.fit(tokens)
     vecs = model_cv.transform(tokens).select(id_col, "_vec")
 

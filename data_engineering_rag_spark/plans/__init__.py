@@ -68,6 +68,7 @@ from . import analyticsq  # noqa: E402,F401
 from . import curationq  # noqa: E402,F401
 from . import round7q  # noqa: E402,F401
 from . import round8q  # noqa: E402,F401
+from . import round9q  # noqa: E402,F401
 
 # The driver's per-round correctness check covers only the first ~50
 # REGISTRY entries, so insertion order decides which queries get
@@ -359,6 +360,9 @@ _MODULE_PRIORITY = {
     # round-8 additions queue BEHIND the 24 never-checked round-7
     # queries that own the round-8 window
     "round8q": 12,
+    # round-9 additions queue BEHIND the 15 never-checked round-8
+    # queries that lead the round-9 window
+    "round9q": 13,
 }
 
 

@@ -636,3 +636,87 @@ def state_metadata(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
     min/max retained batch ids — the first table to consult when a
     production stateful query misbehaves."""
     return spark.read.format("state-metadata").load(checkpoint_dir)
+
+
+def ivm_cdc_stream_merge(
+    spark: SparkSession,
+    sf_dir: str,
+    state_dir: str,
+    split_day: int,
+    delete_mod: int,
+) -> DataFrame:
+    """STREAMING twin of ``plans/round8q.ivm_agg_delta_merge`` — the
+    incremental-view-maintenance loop operationalized with
+    ``foreachBatch``: the raw event stream is consumed once, each
+    micro-batch folds to per-type (±count, ±decimal-sum) PARTIALS
+    (inserts +1; retractions of delete-tagged base rows −1) appended to
+    a tiny parquet state table, and the served view is the merge of the
+    partials with empty groups dropped. Because count and decimal-sum
+    partials form an abelian group, ANY micro-batch split of the input
+    yields the same merged view as a from-scratch recompute — which is
+    exactly what the DuckDB oracle computes, so the driver hash check
+    proves the streaming-IVM invariant, not just row counts.
+
+    Scale shape: each batch shuffles only its |event_types|-row rollup;
+    the state table grows by |types| rows per batch and the final merge
+    is a tiny aggregation. The raw stream is never rescanned — the
+    100 TB pattern where history was consumed weeks ago and today's
+    job touches only today's files.
+
+    The base/insert split needs min(ts) over the WHOLE table; a global
+    min is not streamable, so it comes from a one-row batch-read bound
+    (static-bound pattern, cf. ``enriched_events_stream``)."""
+    from ..sources.catalog import read_parquet_table
+
+    static = read_parquet_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
+    d0 = static.agg(F.min(F.col("ts").cast("date")).alias("d0")).collect()[0]["d0"]
+
+    ev = _event_stream(spark, sf_dir)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.where(F.col("value").isNotNull()).select(
+            "event_type",
+            "value",
+            (F.datediff(F.col("ts").cast("date"), F.lit(d0)) < split_day).alias(
+                "is_base"
+            ),
+            (F.col("event_id") % delete_mod == 0).alias("is_del"),
+        )
+        ins = b.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("pn"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("ps"),
+        )
+        dels = (
+            b.where("is_base AND is_del")
+            .groupBy("event_type")
+            .agg(
+                (-F.count(F.lit(1))).cast("long").alias("pn"),
+                (-F.sum(F.col("value").cast("decimal(18,6)"))).alias("ps"),
+            )
+        )
+        ins.unionByName(dels).write.mode("append").parquet(state_dir)
+
+    q = (
+        ev.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", state_dir + "_chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    merged = (
+        spark.read.parquet(state_dir)
+        .groupBy("event_type")
+        .agg(F.sum("pn").cast("long").alias("n_events"), F.sum("ps").alias("ts_sum"))
+        # same degenerate-input semantics as the batch twin: a type
+        # whose rows were all retracted merges away entirely, matching
+        # the oracle's from-scratch recompute
+        .where(F.col("n_events") > 0)
+    )
+    return merged.select(
+        "event_type",
+        "n_events",
+        F.round(F.col("ts_sum").cast("double"), 6).alias("total_value"),
+    ).orderBy("event_type")

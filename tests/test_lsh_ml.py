@@ -11,7 +11,10 @@ from data_engineering_rag_spark.operators.tfidf import TOKEN_PATTERN
 from data_engineering_rag_spark.plans import load
 
 
-def exact_jaccard_pairs(spark, docs, threshold):
+def exact_jaccard_pairs(spark, docs, threshold, strict=False):
+    """All-pairs token-set Jaccard truth. ``strict`` matches
+    ``approxSimilarityJoin``'s boundary (distance < 1-τ ⇔ similarity
+    STRICTLY > τ); the default >= is the conservative recall truth."""
     toks = docs.select(
         "doc_id",
         F.explode(
@@ -32,7 +35,8 @@ def exact_jaccard_pairs(spark, docs, threshold):
         .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
         .withColumn("jac", F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")))
     )
-    return {(r.id_a, r.id_b) for r in j.where(F.col("jac") >= threshold).collect()}
+    cond = F.col("jac") > threshold if strict else F.col("jac") >= threshold
+    return {(r.id_a, r.id_b) for r in j.where(cond).collect()}
 
 
 def test_ml_lsh_recall(spark, sf_dir):
