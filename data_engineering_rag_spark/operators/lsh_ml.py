@@ -15,6 +15,12 @@ deterministic, so brute-force oracle equality doubles as a recorded
 recall=1 proof on the tested data (the same losslessness-proof
 pattern as ``jaccard_prefix_filter_pairs``). The recall test in
 ``tests/test_lsh_ml.py`` pins the contract independently.
+
+OR-amplification cuts the other way on candidate VOLUME: with no
+banded AND-step, every pair collides per table with probability equal
+to its Jaccard, so a corpus with high ambient similarity makes the
+self-join quadratic in practice (see ``ml_minhash_candidates``'s
+``probe_ids`` parameter for the linear probe-batch shape).
 """
 
 from __future__ import annotations
@@ -34,9 +40,28 @@ def ml_minhash_candidates(
     jaccard_threshold: float = 0.5,
     seed: int = 42,
     vocab_size: int = 1 << 20,
+    probe_ids: list[int] | None = None,
 ) -> DataFrame:
-    """(id_a, id_b, jaccard_distance) candidate pairs with distance
-    below ``1 - jaccard_threshold`` per the ML estimator.
+    """Similar pairs with Jaccard distance below ``1 - jaccard_threshold``
+    per the ML estimator.
+
+    ``probe_ids=None`` → corpus self-join, emitting ``(id_a, id_b,
+    jaccard_dist)`` with ``id_a < id_b``. **Self-join is only safe on
+    corpora with LOW ambient token overlap**: ``MinHashLSH`` tables are
+    single hash functions, so ``approxSimilarityJoin`` OR-amplifies
+    with per-table collision probability = the pair's Jaccard — there
+    is no banded AND-step to crush background collisions (that is the
+    hand-rolled path's job, ``plans/textops.py``). On a corpus whose
+    MEAN pairwise Jaccard is high, candidates grow ~ L·s̄·n²/2
+    (measured: the synthetic documents table has mean unigram Jaccard
+    ≈ 0.61, which at n=50k, L=32 is ~24e9 candidate rows — a
+    non-starter).
+
+    ``probe_ids=[...]`` → probe-batch lookup, the scale-sane ML usage:
+    join a FIXED handful of probe docs against the whole corpus,
+    emitting ``(probe_id, doc_id, jaccard_dist)`` (both directions when
+    two probes qualify against each other, never self-pairs).
+    Candidates are then ≤ L·s̄·n·|probes| — linear in the corpus.
 
     ``vocab_size`` raises CountVectorizer's default 2¹⁸ cap: a silently
     truncated vocabulary would drop rare tokens from the binary
@@ -55,12 +80,27 @@ def ml_minhash_candidates(
 
     lsh = MinHashLSH(inputCol="_vec", outputCol="_hashes", numHashTables=num_hash_tables, seed=seed)
     model = lsh.fit(vecs)
-    joined = model.approxSimilarityJoin(vecs, vecs, 1.0 - jaccard_threshold, distCol="jaccard_dist")
+    if probe_ids is None:
+        joined = model.approxSimilarityJoin(
+            vecs, vecs, 1.0 - jaccard_threshold, distCol="jaccard_dist"
+        )
+        return (
+            joined.where(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
+            .select(
+                F.col(f"datasetA.{id_col}").alias("id_a"),
+                F.col(f"datasetB.{id_col}").alias("id_b"),
+                F.round("jaccard_dist", 8).alias("jaccard_dist"),
+            )
+        )
+    probes = vecs.where(F.col(id_col).isin([int(p) for p in probe_ids]))
+    joined = model.approxSimilarityJoin(
+        probes, vecs, 1.0 - jaccard_threshold, distCol="jaccard_dist"
+    )
     return (
-        joined.where(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
+        joined.where(F.col(f"datasetA.{id_col}") != F.col(f"datasetB.{id_col}"))
         .select(
-            F.col(f"datasetA.{id_col}").alias("id_a"),
-            F.col(f"datasetB.{id_col}").alias("id_b"),
+            F.col(f"datasetA.{id_col}").alias("probe_id"),
+            F.col(f"datasetB.{id_col}").alias("doc_id"),
             F.round("jaccard_dist", 8).alias("jaccard_dist"),
         )
     )

@@ -26,9 +26,16 @@ from .round8q import IVM_DELETE_MOD, IVM_SPLIT_DAY
 #: ML LSH query knobs: τ(Jaccard)=0.5 → distance filter < 0.5; 32 hash
 #: tables puts the per-qualifying-pair miss probability at
 #: (1-s)^32 ≤ 2.4e-10 for s ≥ 0.5, which is what lets the brute-force
-#: oracle equality double as a recall proof.
+#: oracle equality double as a recall proof. The query probes a FIXED
+#: handful of doc_ids against the whole corpus instead of self-joining:
+#: ML MinHashLSH tables are single hash functions (OR-amplification
+#: only, no banded AND-step), so self-join candidates grow with
+#: L·s̄·n²/2 — measured mean unigram Jaccard on `documents` is ≈0.61,
+#: which at sf1 is ~24e9 candidate rows. Probe ids exist at every SF
+#: (doc_id 0–499 present from sf0.001 up).
 ML_LSH_TABLES = 32
 ML_LSH_JACCARD = 0.5
+ML_LSH_PROBE_IDS = (3, 41, 97, 202, 458)
 
 
 @query(
@@ -40,29 +47,38 @@ ML_LSH_JACCARD = 0.5
       FROM documents),
     sizes AS (SELECT doc_id, cast(count(*) as bigint) AS sz FROM tok GROUP BY doc_id),
     inter AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, cast(count(*) as bigint) AS i
-      FROM tok a JOIN tok b ON a.term = b.term AND a.doc_id < b.doc_id
+      SELECT a.doc_id AS probe_id, b.doc_id AS doc_id, cast(count(*) as bigint) AS i
+      FROM tok a JOIN tok b ON a.term = b.term AND a.doc_id <> b.doc_id
+      WHERE a.doc_id IN {ML_LSH_PROBE_IDS}
       GROUP BY 1, 2),
     pairs AS (
-      SELECT id_a, id_b,
+      SELECT inter.probe_id, inter.doc_id,
              1.0 - (i / cast(sa.sz + sb.sz - i as double)) AS d
       FROM inter
-        JOIN sizes sa ON id_a = sa.doc_id
-        JOIN sizes sb ON id_b = sb.doc_id)
-    SELECT id_a, id_b, round(d, 8) AS jaccard_dist
+        JOIN sizes sa ON inter.probe_id = sa.doc_id
+        JOIN sizes sb ON inter.doc_id = sb.doc_id)
+    SELECT probe_id, doc_id, round(d, 8) AS jaccard_dist
     FROM pairs WHERE d < {1.0 - ML_LSH_JACCARD}
-    ORDER BY id_a, id_b
+    ORDER BY probe_id, doc_id
     """,
 )
 def ml_minhash_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark ML ``MinHashLSH.approxSimilarityJoin`` over binary
     token-set vectors (SURVEY.md §2.4 X5 — the LIBRARY implementation
-    of the banding idea `plans/textops.py` hand-rolls in SQL; reference
-    semantics: minsearch-style near-dup detection, cf.
-    ``zc_agent/prepare_data.py``'s dedup intent): all document pairs at
-    Jaccard ≥ {ML_LSH_JACCARD}, found via {ML_LSH_TABLES} seeded
-    min-hash tables (OR-amplified candidate join) and verified with the
-    EXACT Jaccard distance.
+    of the minhash idea `plans/textops.py` hand-rolls in SQL; reference
+    semantics: minsearch-style near-dup lookup, cf.
+    ``zc_agent/prepare_data.py``'s dedup intent): for a fixed batch of
+    probe documents, every corpus doc at Jaccard ≥ {ML_LSH_JACCARD},
+    found via {ML_LSH_TABLES} seeded min-hash tables (OR-amplified
+    candidate join) and verified with the EXACT Jaccard distance.
+
+    Probe-batch (not self-join) is deliberate: ML ``MinHashLSH`` has no
+    banded AND-amplification, so on this corpus (mean pairwise unigram
+    Jaccard ≈ 0.61) a self-join's candidate set AND its τ=0.5 output
+    are both Θ(n²) — the full-corpus near-dup job belongs to the banded
+    SQL path (`plans/textops.py:383`) or the lossless prefix filter
+    (`plans/round8q.py`). Probe lookup bounds candidates at
+    L·s̄·n·|probes| — linear in the corpus.
 
     The oracle brute-forces the same τ-filtered pairs from distinct
     tokens; because ``approxSimilarityJoin`` verifies candidates with
@@ -71,8 +87,9 @@ def ml_minhash_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤ 2.4e-10 per qualifying pair — the probabilistic sibling of
     ``jaccard_prefix_filter_pairs``' guaranteed-lossless prefix
     filter). Scale shape: candidate generation is an equi-join on
-    (table-idx, hash-band) exploded entries — never all-pairs; the
-    exact-distance verification touches candidates only."""
+    (table-idx, hash) exploded entries with a 5-row probe side —
+    never all-pairs; the exact-distance verification touches
+    candidates only."""
     docs = load(spark, sf_dir, "documents")
     pairs = ml_minhash_candidates(
         docs,
@@ -81,12 +98,13 @@ def ml_minhash_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hash_tables=ML_LSH_TABLES,
         jaccard_threshold=ML_LSH_JACCARD,
         seed=42,
+        probe_ids=list(ML_LSH_PROBE_IDS),
     )
     return pairs.select(
-        F.col("id_a").cast("long").alias("id_a"),
-        F.col("id_b").cast("long").alias("id_b"),
+        F.col("probe_id").cast("long").alias("probe_id"),
+        F.col("doc_id").cast("long").alias("doc_id"),
         "jaccard_dist",
-    ).orderBy("id_a", "id_b")
+    ).orderBy("probe_id", "doc_id")
 
 
 @query(

@@ -84,19 +84,28 @@ def test_ml_lsh_join_is_equi_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
-def test_ml_lsh_matches_sql_minhash_intent(spark, sf_dir):
-    """Cross-implementation sanity: every pair the hand-rolled SQL
-    MinHash+verify pipeline confirms at jaccard >= 0.5 must also be
-    found by the ML library path (both verify exactly, so the outputs
-    are comparable sets, not candidate supersets)."""
+def test_ml_lsh_matches_exact_jaccard_for_probes(spark, sf_dir):
+    """Cross-implementation sanity: the ML probe lookup must return
+    EXACTLY the brute-force τ-filtered neighbors of each probe (both
+    verify with the exact distance, so the outputs are comparable
+    sets, not candidate supersets)."""
+    from data_engineering_rag_spark.plans.round9q import ML_LSH_PROBE_IDS
+
     ml_pairs = {
-        (r["id_a"], r["id_b"])
+        (r["probe_id"], r["doc_id"])
         for r in REGISTRY["ml_minhash_similarity_join"].spark(spark, sf_dir).collect()
     }
     docs = load(spark, sf_dir, "documents")
     from tests.test_lsh_ml import exact_jaccard_pairs
 
-    truth = exact_jaccard_pairs(spark, docs, 0.5, strict=True)
+    truth_undirected = exact_jaccard_pairs(spark, docs, 0.5, strict=True)
+    probes = set(ML_LSH_PROBE_IDS)
+    truth = {
+        (p, d)
+        for (a, b) in truth_undirected
+        for (p, d) in ((a, b), (b, a))
+        if p in probes
+    }
     assert ml_pairs == truth, (
         f"ml-extra={sorted(ml_pairs - truth)[:5]} "
         f"ml-missed={sorted(truth - ml_pairs)[:5]}"
