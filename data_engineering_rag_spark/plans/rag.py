@@ -814,6 +814,102 @@ def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# nDCG@k gains 1/log2(rank+1), PRE-ROUNDED to 8 dp and carried as exact
+# decimals in both engines: log2 is irrational, and a libm ulp
+# difference between engines must not decide an 8-dp hash comparison.
+# With a single relevant doc per question, IDCG = 1 (ideal rank 1), so
+# per-question nDCG@k = gain(rank of the truth doc), 0 on a miss.
+NDCG_GAINS: dict[int, str] = {
+    1: "1.00000000",
+    2: "0.63092975",
+    3: "0.50000000",
+    4: "0.43067656",
+    5: "0.38685281",
+}
+
+
+def _ndcg_eval_oracle() -> str:
+    """Reuse `_retrieval_eval_oracle`'s question-generation + tf-idf +
+    ranking CTE chain verbatim (same split-reuse pattern as the context
+    assembly oracle below) and swap the metric tail for nDCG@5."""
+    head = _retrieval_eval_oracle().split("per_q AS (")[0]
+    gain_case = " ".join(
+        f"WHEN rank = {r} THEN cast({g} as decimal(10,8))" for r, g in NDCG_GAINS.items()
+    )
+    return f"""{head}per_q AS (
+      SELECT truth_id, q_num,
+             max(CASE WHEN doc_id = truth_id AND rank <= {EVAL_TOPK} THEN 1 ELSE 0 END) AS hit5,
+             max(CASE WHEN doc_id = truth_id THEN (CASE {gain_case} ELSE cast(0 as decimal(10,8)) END)
+                      ELSE cast(0 as decimal(10,8)) END) AS g
+      FROM ranked
+      WHERE rank <= {EVAL_TOPK}
+      GROUP BY truth_id, q_num
+    ),
+    joined AS (
+      SELECT q.truth_id, q.q_num,
+             coalesce(hit5, 0) AS hit5,
+             coalesce(g, cast(0 as decimal(10,8))) AS g
+      FROM questions q
+      LEFT JOIN per_q ON q.truth_id = per_q.truth_id AND q.q_num = per_q.q_num
+    )
+    SELECT cast(count(*) as bigint) AS n_questions,
+           cast(sum(hit5) as bigint) AS n_hits_at5,
+           round(cast(sum(g) as double) / count(*), 8) AS ndcg_at5
+    FROM joined
+    """
+
+
+@query("ndcg_retrieval_eval", _ndcg_eval_oracle())
+def ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@{EVAL_TOPK} over the generated eval set — the
+    position-weighted retrieval metric completing the
+    ``retrieval_eval_metrics`` family (hit-rate/MRR): a truth doc at
+    rank 1 scores 1, decaying by 1/log2(rank+1) down the list, so two
+    systems with equal hit-rate separate by WHERE they rank the truth.
+    Same scaffold as `retrieval_eval_metrics` (stub questions over the
+    deterministic 50-doc sample → one-pass ``search_topk_df`` against
+    the full-corpus TF-IDF index); gains are pre-rounded decimal
+    constants (see ``NDCG_GAINS``) so both engines sum exact decimals —
+    no cross-engine libm drift inside the aggregate. Scale: identical
+    to the parent query — questions are a table, the search is one
+    index pass, the metric a combinable agg."""
+    from ..operators.evalgen import generate_questions
+    from ..operators.tfidf import search_topk_df
+
+    d = load(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("sample42|"), F.col("doc_id").cast("string")))
+    sampled = (
+        d.select("doc_id", "text", key.alias("_k")).orderBy("_k", "doc_id").limit(50).drop("_k")
+    )
+    questions = generate_questions(sampled, seed=42).select(
+        F.col("doc_id").alias("truth_id"), "q_num", "question"
+    )
+
+    model = build_tfidf(d, key_cols=["doc_id"], text_fields=["text"])
+    hits = search_topk_df(model, questions, ["truth_id", "q_num"], "question", k=EVAL_TOPK)
+
+    is_truth = F.col("doc_id") == F.col("truth_id")
+    gain = F.lit(None).cast("decimal(10,8)")
+    gain_expr = F.when(F.lit(False), gain)
+    for r, g in NDCG_GAINS.items():
+        gain_expr = gain_expr.when(F.col("rank") == r, F.lit(g).cast("decimal(10,8)"))
+    gain_expr = gain_expr.otherwise(F.lit("0").cast("decimal(10,8)"))
+    zero = F.lit("0").cast("decimal(10,8)")
+    per_q = hits.groupBy("truth_id", "q_num").agg(
+        F.max(F.when(is_truth, 1).otherwise(0)).alias("hit5"),
+        F.max(F.when(is_truth, gain_expr).otherwise(zero)).alias("g"),
+    )
+    joined = questions.join(per_q, ["truth_id", "q_num"], "left").select(
+        F.coalesce("hit5", F.lit(0)).alias("hit5"),
+        F.coalesce("g", zero).alias("g"),
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_questions"),
+        F.sum("hit5").cast("long").alias("n_hits_at5"),
+        F.round(F.sum("g").cast("double") / F.count(F.lit(1)), 8).alias("ndcg_at5"),
+    )
+
+
 # --------------------------------------------------------------------------
 # RAG serving prep: per-query prompt/context assembly from top-k hits
 # (reference: the agent's system prompt instructs citation links built

@@ -16,6 +16,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..operators.lsh_ml import ml_minhash_candidates
 from ..operators.tfidf import TOKEN_PATTERN
@@ -145,4 +146,148 @@ def stream_ivm_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         state_dir + "/state",
         split_day=IVM_SPLIT_DAY,
         delete_mod=IVM_DELETE_MOD,
+    )
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the MOSS
+# local fingerprinting algorithm): select the min k-gram hash in every
+# sliding window of w consecutive grams. Guarantee: any shared token
+# run of length >= w + k - 1 yields at least one shared fingerprint, so
+# PARTIAL overlap (a copied paragraph inside an otherwise-different
+# doc) is detected — the capability whole-doc hashes (doc_fingerprints)
+# and global-set Jaccard (minhash/prefix-filter) don't give.
+# --------------------------------------------------------------------------
+
+WIN_K = 4  # tokens per gram
+WIN_W = 4  # grams per winnowing window
+WIN_DF_CAP = 20  # drop fingerprints in > cap docs (boilerplate, MOSS-style)
+WIN_MIN_SHARED = 2  # >= 2 shared fingerprints to call a pair
+
+
+def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, mh) winnowed fingerprint set of a documents frame —
+    the Spark twin of ``_winnow_fp_cte``. Tokenize, hash every
+    {WIN_K}-token gram to a 60-bit integer, keep each {WIN_W}-gram
+    window's min hash, distinct per doc. Guarantee (Schleimer 2003):
+    any token run of length >= WIN_W + WIN_K - 1 shared by two docs
+    yields at least one shared fingerprint (pinned in
+    tests/test_round9_batch2.py)."""
+    toks = docs.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0)).alias("a"),
+    ).where(F.size(F.col("a")) >= WIN_K)
+    # 0-based transform indices i -> tokens a[i..i+3]; pos emitted
+    # 1-based to mirror the oracle (fingerprint VALUES don't depend on
+    # the numbering, only the full-window filter does — keep both
+    # engines on the same convention anyway).
+    gram = F.expr(
+        f"transform(sequence(0, size(a) - {WIN_K}), "
+        "i -> concat_ws(' ', a[i], a[i+1], a[i+2], a[i+3]))"
+    )
+    grams = toks.select("doc_id", F.posexplode(gram).alias("pos0", "g")).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    doc_w = Window.partitionBy("doc_id")
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WIN_W - 1)
+    return (
+        grams.select(
+            "doc_id",
+            "pos",
+            F.min("h").over(win).alias("mh"),
+            F.count(F.lit(1)).over(doc_w).alias("m"),
+        )
+        .where(F.col("pos") <= F.col("m") - (WIN_W - 1))
+        .select("doc_id", "mh")
+        .distinct()
+    )
+
+
+def _winnow_fp_cte() -> str:
+    """(doc_id, mh) winnowed fingerprint set, shared CTE text."""
+    gram = "concat_ws(' ', a[i], a[i+1], a[i+2], a[i+3])"
+    return f"""
+    toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS a
+      FROM documents),
+    grams AS (
+      SELECT doc_id, i AS pos,
+             cast(concat('0x', substr(md5({gram}), 1, 15)) as bigint) AS h
+      FROM toks, unnest(generate_series(1, len(a) - {WIN_K - 1})) AS t(i)
+      WHERE len(a) >= {WIN_K}),
+    wins AS (
+      SELECT doc_id, pos,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {WIN_W - 1} FOLLOWING) AS mh,
+             count(*) OVER (PARTITION BY doc_id) AS m
+      FROM grams),
+    fp AS (SELECT DISTINCT doc_id, mh FROM wins WHERE pos <= m - {WIN_W - 1})"""
+
+
+@query(
+    "winnowing_fingerprint_pairs",
+    f"""
+    WITH {_winnow_fp_cte()},
+    dfreq AS (SELECT mh, count(*) AS df FROM fp GROUP BY mh),
+    kept AS (SELECT fp.doc_id, fp.mh FROM fp JOIN dfreq USING (mh) WHERE df <= {WIN_DF_CAP}),
+    sizes AS (SELECT doc_id, cast(count(*) as bigint) AS n_fp FROM kept GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, cast(count(*) as bigint) AS n_shared
+      FROM kept a JOIN kept b ON a.mh = b.mh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING count(*) >= {WIN_MIN_SHARED})
+    SELECT doc_a, doc_b, n_shared,
+           round(n_shared / cast(least(sa.n_fp, sb.n_fp) as double), 8) AS containment
+    FROM shared
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+    ORDER BY doc_a, doc_b
+    """,
+)
+def winnowing_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINNOWING document fingerprints + local-overlap pair detection
+    (SURVEY.md §2.12 dedup family; Schleimer et al. 2003, the MOSS
+    algorithm): hash every {WIN_K}-token gram, keep the MIN hash of
+    each {WIN_W}-gram sliding window (one fingerprint per window, so
+    density is ~1/{WIN_W} of grams and any shared run of
+    >= {WIN_W}+{WIN_K}-1 tokens is guaranteed a shared fingerprint),
+    then count cross-doc shared fingerprints and score containment
+    n_shared / min(|fp_a|, |fp_b|).
+
+    Scale shape: the gram stream never shuffles raw text (60-bit
+    integer hashes only); the window min is a per-doc frame over the
+    repartitioned gram table; candidate pairing is an EQUI-join on the
+    fingerprint hash with a df <= {WIN_DF_CAP} boilerplate cap
+    (measured at sf0.1: max df 6, join fan-out 128k rows — the cap is
+    the 100 TB guard, same pattern as `shingle_containment_pairs`), and
+    exact integers flow end-to-end until the final containment
+    division."""
+    docs = load(spark, sf_dir, "documents")
+    fp = winnow_fingerprints(docs)
+    dfreq = fp.groupBy("mh").agg(F.count(F.lit(1)).alias("df"))
+    kept = fp.join(dfreq.where(F.col("df") <= WIN_DF_CAP), "mh").select("doc_id", "mh")
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_fp"))
+    ka = kept.select(F.col("doc_id").alias("doc_a"), "mh")
+    kb = kept.select(F.col("doc_id").alias("doc_b"), "mh")
+    shared = (
+        ka.join(kb, "mh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= WIN_MIN_SHARED)
+    )
+    return (
+        shared.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.round(F.col("n_shared") / F.least("na", "nb").cast("double"), 8).alias(
+                "containment"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
     )

@@ -1,0 +1,104 @@
+"""Round-9 batch-2 pins: winnowing fingerprints and nDCG@5.
+
+Oracle parity (tests/test_oracle_parity.py) proves end-result equality
+with DuckDB; these pin the algorithmic properties parity can't see —
+the winnowing guarantee on planted partial overlap, and the nDCG gain
+table's provenance.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from data_engineering_rag_spark.plans import REGISTRY
+from data_engineering_rag_spark.plans.rag import EVAL_TOPK, NDCG_GAINS
+from data_engineering_rag_spark.plans.round9q import (
+    WIN_K,
+    WIN_MIN_SHARED,
+    WIN_W,
+    winnow_fingerprints,
+)
+
+
+def _fp_sets(spark, docs):
+    rows = winnow_fingerprints(
+        spark.createDataFrame(docs, ["doc_id", "text"])
+    ).collect()
+    out: dict[int, set[int]] = {}
+    for r in rows:
+        out.setdefault(r.doc_id, set()).add(r.mh)
+    return out
+
+
+def test_winnowing_guarantee_on_planted_overlap(spark):
+    """Schleimer et al. 2003, theorem 2: two docs sharing a token run
+    of length >= w + k - 1 MUST share at least one fingerprint, no
+    matter what surrounds the run. Plant a (w+k-1)-token run inside
+    two otherwise-disjoint documents."""
+    run = " ".join(f"shared{i:02d}" for i in range(WIN_W + WIN_K - 1))
+    doc_a = "alpha bravo charlie delta " + run + " echo foxtrot golf hotel"
+    doc_b = "nine eight seven six five " + run + " four three two one"
+    fps = _fp_sets(spark, [(1, doc_a), (2, doc_b)])
+    assert fps[1] & fps[2], "guaranteed shared fingerprint missing"
+
+
+def test_winnowing_disjoint_docs_share_nothing(spark):
+    """Fully token-disjoint docs can share no gram, hence no
+    fingerprint — the false-positive side of the guarantee."""
+    doc_a = " ".join(f"aa{i:02d}" for i in range(20))
+    doc_b = " ".join(f"bb{i:02d}" for i in range(20))
+    fps = _fp_sets(spark, [(1, doc_a), (2, doc_b)])
+    assert not (fps[1] & fps[2])
+
+
+def test_winnowing_density(spark):
+    """Winnowing selects ~1/w of gram hashes (between m/w and m
+    distinct fingerprints for m full windows) — the compression that
+    makes the index sub-linear in text size."""
+    text = " ".join(f"tok{i:03d}" for i in range(100))
+    fps = _fp_sets(spark, [(1, text)])
+    n_grams = 100 - WIN_K + 1
+    n_windows = n_grams - WIN_W + 1
+    assert math.ceil(n_windows / WIN_W) <= len(fps[1]) <= n_windows
+
+
+def test_winnowing_pair_join_plan_is_equi(spark, sf_dir):
+    """The cross-doc candidate join must be an equi-join on the
+    fingerprint hash — never a nested loop."""
+    df = REGISTRY["winnowing_fingerprint_pairs"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_winnowing_pairs_meet_threshold(spark, sf_dir):
+    rows = REGISTRY["winnowing_fingerprint_pairs"].spark(spark, sf_dir).collect()
+    assert rows, "vacuous: expected at least one pair at test SF"
+    for r in rows:
+        assert r.n_shared >= WIN_MIN_SHARED
+        assert 0.0 < r.containment <= 1.0
+
+
+def test_ndcg_gain_table_provenance():
+    """NDCG_GAINS must be exactly round(1/log2(rank+1), 8) for ranks
+    1..EVAL_TOPK — the pre-rounding is a portability device, not a
+    place for typos."""
+    assert sorted(NDCG_GAINS) == list(range(1, EVAL_TOPK + 1))
+    for r, g in NDCG_GAINS.items():
+        assert float(g) == round(1.0 / math.log2(r + 1), 8), (r, g)
+
+
+def test_ndcg_bounds_and_consistency(spark, sf_dir):
+    """nDCG@5 is a mean of per-question gains in [0, 1]; with binary
+    single-truth relevance it is bounded above by hit_rate@5 and below
+    by hit_rate@5 * gain(k) — and n_questions/n_hits must agree with
+    the parent hit-rate query on the same corpus."""
+    ndcg = REGISTRY["ndcg_retrieval_eval"].spark(spark, sf_dir).collect()[0]
+    parent = REGISTRY["retrieval_eval_metrics"].spark(spark, sf_dir).collect()[0]
+    assert ndcg.n_questions == parent.n_questions
+    assert ndcg.n_hits_at5 == parent.n_hits_at5
+    hit_rate = ndcg.n_hits_at5 / ndcg.n_questions
+    lo = hit_rate * float(NDCG_GAINS[EVAL_TOPK]) - 1e-9
+    assert lo <= ndcg.ndcg_at5 <= hit_rate + 1e-9
