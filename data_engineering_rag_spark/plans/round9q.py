@@ -291,3 +291,170 @@ def winnowing_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Empirical LSH recall audit: the measured sibling of
+# `lsh_banding_design_curve` (theory) and `minhash_jaccard_calibration`
+# (estimator error). On a bounded deterministic doc sample, compute the
+# EXACT hashed-shingle Jaccard of every pair, mark which pairs the
+# production banding join would surface as candidates, and compare the
+# per-similarity-bucket observed recall against the closed-form banding
+# curve 1-(1-s^r)^b = 2s^4 - s^8 (r=4, b=2). This is the health check a
+# 100 TB dedup pipeline runs on a sample BEFORE trusting the banded
+# join's output on the full corpus.
+# --------------------------------------------------------------------------
+
+LSH_RECALL_SAMPLE = 100  # doc_id < 100 exists at every SF
+
+
+def _lsh_recall_oracle() -> str:
+    from .textops import MINHASH_PERMS, N_LSH_BANDS, SHINGLE_K, _MH_P
+
+    mins_cols = ", ".join(
+        f"min(({a} * bh + {b}) % {_MH_P}) AS m{i}" for i, a, b in MINHASH_PERMS
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {band} AS band, "
+        f"concat(m{4*band}, '|', m{4*band+1}, '|', m{4*band+2}, '|', m{4*band+3}) AS sig "
+        "FROM mins"
+        for band in range(N_LSH_BANDS)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id,
+             cast(concat('0x', substr(md5(substr(text, cast(i as int), {SHINGLE_K})), 1, 15)) as bigint)
+               % {_MH_P} AS bh
+      FROM documents, unnest(generate_series(1, length(text) - {SHINGLE_K} + 1)) AS t(i)
+      WHERE length(text) >= {SHINGLE_K} AND doc_id < {LSH_RECALL_SAMPLE}
+    ),
+    dsh AS (SELECT DISTINCT doc_id, bh FROM sh),
+    sizes AS (SELECT doc_id, cast(count(*) as bigint) AS sz FROM dsh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, cast(count(*) as bigint) AS n_i
+      FROM dsh a JOIN dsh b ON a.bh = b.bh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    exact AS (
+      SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
+             coalesce(n_i, 0) / cast(sa.sz + sb.sz - coalesce(n_i, 0) as double) AS s
+      FROM sizes sa JOIN sizes sb ON sa.doc_id < sb.doc_id
+      LEFT JOIN inter ON inter.doc_a = sa.doc_id AND inter.doc_b = sb.doc_id),
+    mins AS (SELECT doc_id, {mins_cols} FROM sh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, band, md5(sig) AS band_hash FROM ({band_union})
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+    scored AS (
+      SELECT cast(floor(e.s * 10) as bigint) AS bucket, e.s,
+             CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS hit,
+             e.s*e.s*e.s*e.s AS s4
+      FROM exact e
+      LEFT JOIN cand c ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b)
+    SELECT bucket,
+           cast(count(*) as bigint) AS n_pairs,
+           cast(sum(hit) as bigint) AS n_candidates,
+           round(sum(hit) / cast(count(*) as double), 8) AS recall,
+           round(avg(2*s4 - s4*s4), 8) AS expected_recall
+    FROM scored GROUP BY bucket ORDER BY bucket
+    """
+
+
+@query("lsh_candidate_recall_audit", _lsh_recall_oracle())
+def lsh_candidate_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMPIRICAL LSH banding recall (§2.12 sketch-calibration family):
+    on the deterministic doc_id < {LSH_RECALL_SAMPLE} sample, every
+    pair's EXACT hashed-shingle Jaccard is computed brute-force
+    (bounded: ≤ C({LSH_RECALL_SAMPLE},2) pairs at any SF), the
+    production banding join marks which pairs become candidates, and
+    per-0.1-similarity-bucket observed recall sits next to the
+    closed-form banding curve 1-(1-s⁴)² (expanded to 2s⁴-s⁸ and
+    evaluated with explicit products — no libm pow, so both engines
+    compute bit-identical doubles). Interpretation: buckets ≥ the
+    (1/b)^(1/r) ≈ 0.84 operating point should show recall → 1, low
+    buckets → 0 (that is the point of banding). Scale shape: the
+    sample bound makes the exact side constant-cost; the banding side
+    reuses the production (band, band_hash) equi-join on the filtered
+    signature table — never corpus-wide all-pairs."""
+    from .textops import MINHASH_PERMS, N_LSH_BANDS, SHINGLE_K, _MH_P, _minhash_wide
+
+    docs = load(spark, sf_dir, "documents").where(
+        (F.length("text") >= SHINGLE_K) & (F.col("doc_id") < LSH_RECALL_SAMPLE)
+    )
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text") - SHINGLE_K + 1)).alias("i"),
+        "text",
+    ).select(
+        "doc_id",
+        F.expr(f"substring(text, i, {SHINGLE_K})").alias("shingle"),
+    ).select(
+        "doc_id",
+        (F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long") % _MH_P).alias("bh"),
+    )
+    dsh = sh.distinct()
+    sizes = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    ia = dsh.select(F.col("doc_id").alias("doc_a"), "bh")
+    ib = dsh.select(F.col("doc_id").alias("doc_b"), "bh")
+    inter = (
+        ia.join(ib, "bh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    exact = (
+        sa.join(sb, F.col("doc_a") < F.col("doc_b"))
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.coalesce("n_i", F.lit(0))
+                / (F.col("sza") + F.col("szb") - F.coalesce("n_i", F.lit(0))).cast("double")
+            ).alias("s"),
+        )
+    )
+
+    mins = _minhash_wide(spark, sf_dir).where(F.col("doc_id") < LSH_RECALL_SAMPLE)
+    band_rows = ", ".join(
+        f"cast({band} as bigint), md5(concat_ws('|', cast(m{4*band} as string), "
+        f"cast(m{4*band+1} as string), cast(m{4*band+2} as string), cast(m{4*band+3} as string)))"
+        for band in range(N_LSH_BANDS)
+    )
+    bands = mins.select(
+        "doc_id", F.expr(f"stack({N_LSH_BANDS}, {band_rows}) AS (band, band_hash)")
+    )
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.band_hash") == F.col("bb.band_hash"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    s4 = F.col("s") * F.col("s") * F.col("s") * F.col("s")
+    scored = exact.join(cand, ["doc_a", "doc_b"], "left").select(
+        F.floor(F.col("s") * 10).cast("long").alias("bucket"),
+        F.coalesce("hit", F.lit(0)).alias("hit"),
+        s4.alias("s4"),
+    )
+    return (
+        scored.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("hit").cast("long").alias("n_candidates"),
+            F.round(F.sum("hit") / F.count(F.lit(1)).cast("double"), 8).alias("recall"),
+            F.round(F.avg(F.lit(2) * F.col("s4") - F.col("s4") * F.col("s4")), 8).alias(
+                "expected_recall"
+            ),
+        )
+        .orderBy("bucket")
+    )

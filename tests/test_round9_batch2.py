@@ -102,3 +102,34 @@ def test_ndcg_bounds_and_consistency(spark, sf_dir):
     hit_rate = ndcg.n_hits_at5 / ndcg.n_questions
     lo = hit_rate * float(NDCG_GAINS[EVAL_TOPK]) - 1e-9
     assert lo <= ndcg.ndcg_at5 <= hit_rate + 1e-9
+
+
+def test_lsh_recall_audit_invariants(spark, sf_dir):
+    """Bucketed recall audit invariants: candidate counts bounded by
+    pair counts, rates in [0,1], and the closed-form expected-recall
+    column monotone in the similarity bucket (2s^4 - s^8 is monotone
+    in s on [0,1], so per-bucket averages over increasing disjoint
+    intervals must be too)."""
+    rows = REGISTRY["lsh_candidate_recall_audit"].spark(spark, sf_dir).collect()
+    assert rows, "vacuous: no buckets"
+    prev = -1.0
+    for r in sorted(rows, key=lambda x: x.bucket):
+        assert 0 <= r.bucket <= 10
+        assert 0 <= r.n_candidates <= r.n_pairs
+        assert 0.0 <= r.recall <= 1.0
+        assert 0.0 <= r.expected_recall <= 1.0
+        assert r.expected_recall >= prev, "expected curve must be monotone"
+        prev = r.expected_recall
+
+
+def test_lsh_recall_audit_plan_shape(spark, sf_dir):
+    """The banding candidate join must be an equi-join; the ONLY
+    nested-loop join allowed is the sample-bounded sizes×sizes
+    triangle (doc_a < doc_b over <= LSH_RECALL_SAMPLE rows per side —
+    constant cost at any SF, and it must enumerate zero-intersection
+    pairs, which no equi-key exists for)."""
+    df = REGISTRY["lsh_candidate_recall_audit"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
