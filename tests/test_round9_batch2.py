@@ -133,3 +133,63 @@ def test_lsh_recall_audit_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+# --- property bridge: pure-Python winnowing mirror -----------------------
+# Hypothesis explores the guarantee cheaply in Python; ONE Spark
+# equivalence test pins the mirror to the real implementation, so the
+# property transfers.
+
+import hashlib
+import re as _re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _py_winnow(text: str) -> set[int]:
+    toks = _re.findall(r"\w\w+", text.lower(), _re.ASCII)
+    if len(toks) < WIN_K:
+        return set()
+    grams = [" ".join(toks[i : i + WIN_K]) for i in range(len(toks) - WIN_K + 1)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+    if len(hs) < WIN_W:
+        return set()
+    return {min(hs[i : i + WIN_W]) for i in range(len(hs) - WIN_W + 1)}
+
+
+_word = st.integers(0, 400).map(lambda i: f"w{i:03d}")
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    pre_a=st.lists(_word, max_size=12),
+    post_a=st.lists(_word, max_size=12),
+    pre_b=st.lists(_word, max_size=12),
+    post_b=st.lists(_word, max_size=12),
+    run_len=st.integers(WIN_W + WIN_K - 1, 20),
+    run_seed=st.integers(0, 10**6),
+)
+def test_winnowing_guarantee_property(pre_a, post_a, pre_b, post_b, run_len, run_seed):
+    """For ANY surroundings and ANY shared run of >= w+k-1 tokens, the
+    two docs share a fingerprint (Schleimer theorem 2), explored by
+    hypothesis on the Python mirror."""
+    run = [f"run{run_seed}x{i}" for i in range(run_len)]
+    doc_a = " ".join(pre_a + run + post_a)
+    doc_b = " ".join(pre_b + run + post_b)
+    assert _py_winnow(doc_a) & _py_winnow(doc_b)
+
+
+def test_py_winnow_mirror_matches_spark(spark):
+    """The bridge: the Python mirror used by the hypothesis property
+    must produce EXACTLY the Spark operator's fingerprint sets."""
+    docs = [
+        (1, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+        (2, "one two three four five six seven eight"),
+        (3, "alpha bravo charlie delta NINE NINE echo foxtrot golf hotel"),
+        (4, "short doc here now"),
+        (5, "x1 " * 30),
+    ]
+    got = _fp_sets(spark, docs)
+    for doc_id, text in docs:
+        assert got.get(doc_id, set()) == _py_winnow(text), doc_id
