@@ -181,9 +181,10 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
     # 1-based to mirror the oracle (fingerprint VALUES don't depend on
     # the numbering, only the full-window filter does — keep both
     # engines on the same convention anyway).
+    parts = ", ".join(f"a[i+{j}]" if j else "a[i]" for j in range(WIN_K))
     gram = F.expr(
         f"transform(sequence(0, size(a) - {WIN_K}), "
-        "i -> concat_ws(' ', a[i], a[i+1], a[i+2], a[i+3]))"
+        f"i -> concat_ws(' ', {parts}))"
     )
     grams = toks.select("doc_id", F.posexplode(gram).alias("pos0", "g")).select(
         "doc_id",
@@ -207,7 +208,8 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
 
 def _winnow_fp_cte() -> str:
     """(doc_id, mh) winnowed fingerprint set, shared CTE text."""
-    gram = "concat_ws(' ', a[i], a[i+1], a[i+2], a[i+3])"
+    parts = ", ".join(f"a[i+{j}]" if j else "a[i]" for j in range(WIN_K))
+    gram = f"concat_ws(' ', {parts})"
     return f"""
     toks AS (
       SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS a
