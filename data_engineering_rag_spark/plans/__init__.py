@@ -272,6 +272,35 @@ _DRIVER_VERIFIED_BY_ROUND[8] = frozenset(
     }
 )
 
+_DRIVER_VERIFIED_BY_ROUND[9] = frozenset(
+    {
+        "agg_avg_acctbal_by_nation", "agg_cube_orders", "agg_distinct_stats",
+        "agg_rollup_status", "daily_count_acf", "did_estimator_purchases",
+        "grouping_sets_priority", "gumbel_block_maxima_fit",
+        "holt_forecast_by_event_type", "holt_linear_daily_forecast",
+        "ivm_agg_delta_merge", "jaccard_prefix_filter_pairs",
+        "join_anti_customers_no_orders", "join_cross_region_status",
+        "join_full_outer_nation_presence", "join_left_order_counts",
+        "join_range_nonequi", "join_semi_big_orders",
+        "kendall_tau_acctbal_orders", "lof_embedding_outliers",
+        "lsh_candidate_recall_audit", "mann_kendall_trend",
+        "mcnemar_purchase_halves", "misra_gries_heavy_tokens",
+        "ml_minhash_similarity_join", "ndcg_retrieval_eval",
+        "partition_checksum_manifest", "q17_small_quantity_correlated",
+        "q18_large_orders_having", "q19_disjunctive_filter",
+        "q1_pricing_summary", "q22_notexists_scalar_subquery",
+        "q3_shipping_priority", "q4_order_priority_exists",
+        "q5_local_supplier_volume", "runs_test_daily_counts",
+        "scalar_array_funcs", "scalar_conditional_funcs",
+        "scalar_date_orders", "scalar_math_lineitem", "scalar_string_part",
+        "setop_active_customers", "stl_weekly_decompose_events",
+        "stream_ivm_agg_merge", "theil_sen_daily_trend",
+        "window_order_date_lag", "window_running_revenue",
+        "window_top3_orders_per_customer", "winnowing_fingerprint_pairs",
+        "yuen_trimmed_ttest",
+    }
+)
+
 #: Latest driver-green round per query (derived from the per-round sets).
 DRIVER_EVIDENCE_ROUND: dict[str, int] = {}
 for _rnd, _names in sorted(_DRIVER_VERIFIED_BY_ROUND.items()):
