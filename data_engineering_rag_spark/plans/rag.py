@@ -682,16 +682,13 @@ def tfidf_search_rocchio(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVAL_TOPK = 5
 
 
-def _retrieval_eval_oracle() -> str:
-    """End-to-end in one SQL: sample docs → stub questions → tf-idf
-    search of every question against the FULL corpus → hit@1/@5 and
-    MRR@5 with truth = the doc the question was generated from.
-
-    Float discipline: ranks come from round(score, 8) ordering (the
-    repo-wide guard), reciprocal ranks are carried as the exact integer
-    60/rank (rank ∈ 1..5 all divide 60), and the only double divisions
-    are the two final metric ratios — engine-identical.
-    """
+def _retrieval_ranked_cte() -> str:
+    """The question-generation → tf-idf → ranked CTE chain shared by
+    `_retrieval_eval_oracle` and `_ndcg_eval_oracle`, returned as an
+    explicit head ending just before the metric-specific ``per_q``
+    CTE (same explicit-head pattern as ``_winnow_fp_cte`` — callers
+    append their own tail instead of textually splitting a sibling
+    oracle string)."""
     return f"""
     WITH sampled AS (
       SELECT doc_id, text FROM documents
@@ -738,7 +735,20 @@ def _retrieval_eval_oracle() -> str:
              ) AS rank
       FROM scored
     ),
-    per_q AS (
+    """
+
+
+def _retrieval_eval_oracle() -> str:
+    """End-to-end in one SQL: sample docs → stub questions → tf-idf
+    search of every question against the FULL corpus → hit@1/@5 and
+    MRR@5 with truth = the doc the question was generated from.
+
+    Float discipline: ranks come from round(score, 8) ordering (the
+    repo-wide guard), reciprocal ranks are carried as the exact integer
+    60/rank (rank ∈ 1..5 all divide 60), and the only double divisions
+    are the two final metric ratios — engine-identical.
+    """
+    return f"""{_retrieval_ranked_cte()}per_q AS (
       SELECT truth_id, q_num,
              max(CASE WHEN doc_id = truth_id AND rank <= {EVAL_TOPK} THEN 1 ELSE 0 END) AS hit5,
              max(CASE WHEN doc_id = truth_id AND rank = 1 THEN 1 ELSE 0 END) AS hit1,
@@ -829,10 +839,10 @@ NDCG_GAINS: dict[int, str] = {
 
 
 def _ndcg_eval_oracle() -> str:
-    """Reuse `_retrieval_eval_oracle`'s question-generation + tf-idf +
-    ranking CTE chain verbatim (same split-reuse pattern as the context
-    assembly oracle below) and swap the metric tail for nDCG@5."""
-    head = _retrieval_eval_oracle().split("per_q AS (")[0]
+    """Reuse the shared question-generation + tf-idf + ranking CTE
+    chain (`_retrieval_ranked_cte`, the explicit head) and append the
+    nDCG@5 metric tail."""
+    head = _retrieval_ranked_cte()
     gain_case = " ".join(
         f"WHEN rank = {r} THEN cast({g} as decimal(10,8))" for r, g in NDCG_GAINS.items()
     )

@@ -372,11 +372,15 @@ def lsh_candidate_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bounded: ≤ C({LSH_RECALL_SAMPLE},2) pairs at any SF), the
     production banding join marks which pairs become candidates, and
     per-0.1-similarity-bucket observed recall sits next to the
-    closed-form banding curve 1-(1-s⁴)² (expanded to 2s⁴-s⁸ and
-    evaluated with explicit products — no libm pow, so both engines
-    compute bit-identical doubles). Interpretation: buckets ≥ the
+    closed-form banding curve 1-(1-s⁴)². Interpretation: buckets ≥ the
     (1/b)^(1/r) ≈ 0.84 operating point should show recall → 1, low
-    buckets → 0 (that is the point of banding). Scale shape: the
+    buckets → 0 (that is the point of banding). Float discipline: the
+    curve is expanded to 2s⁴-s⁸ and evaluated with explicit products —
+    no libm pow, so the per-ROW terms are bit-identical across
+    engines; the bucket avg() over those doubles is summation-order
+    dependent (Spark partial aggregation vs DuckDB sequential), so the
+    8-dp ROUNDED average is engine-stable within ~1e-12 — the repo's
+    usual round-8 convention, not a bitwise claim. Scale shape: the
     sample bound makes the exact side constant-cost; the banding side
     reuses the production (band, band_hash) equi-join on the filtered
     signature table — never corpus-wide all-pairs."""

@@ -110,3 +110,38 @@ def test_ml_lsh_matches_exact_jaccard_for_probes(spark, sf_dir):
         f"ml-extra={sorted(ml_pairs - truth)[:5]} "
         f"ml-missed={sorted(truth - ml_pairs)[:5]}"
     )
+
+
+def test_ml_lsh_probe_ids_present_at_every_sf():
+    """ADVICE r9: ML_LSH_PROBE_IDS existence was asserted only in a
+    comment — a data regeneration that drops a probe id would shrink
+    `ml_minhash_similarity_join` silently (both engines agree on the
+    smaller probe set, so oracle parity still passes). Pin it loudly:
+    every probe id must exist in `documents` at every generated SF.
+    DuckDB scan — no Spark session, runs in milliseconds."""
+    import os
+
+    import duckdb
+
+    from data_engineering_rag_spark.plans.round9q import ML_LSH_PROBE_IDS
+
+    root = os.environ.get("SPARK_GRAFT_TESTDATA_ROOT", "/root/testdata")
+    sf_dirs = sorted(
+        os.path.join(root, d)
+        for d in os.listdir(root)
+        if d.startswith("sf") and os.path.isdir(os.path.join(root, d))
+    )
+    assert sf_dirs, f"no sf dirs under {root}"
+    ids = ", ".join(str(p) for p in ML_LSH_PROBE_IDS)
+    for sf in sf_dirs:
+        path = os.path.join(sf, "documents.parquet")
+        if not os.path.exists(path):
+            continue
+        present = {
+            r[0]
+            for r in duckdb.sql(
+                f"SELECT DISTINCT doc_id FROM '{path}' WHERE doc_id IN ({ids})"
+            ).fetchall()
+        }
+        missing = set(ML_LSH_PROBE_IDS) - present
+        assert not missing, f"{sf}: probe ids missing from documents: {sorted(missing)}"
