@@ -49,6 +49,14 @@ BENCH_QUERIES = [
     "line_dedup_clean",
     "minhash_decontaminate",
     "orders_rfm_segments",
+    # round-10 additions (VERDICT r9 item 2): sentinels for the
+    # round-7/8/9 families, which previously had zero driver-bench
+    # regression coverage. First-run medians recorded in BASELINE.md.
+    "lateral_topn_customers",       # r7: lateral/correlated top-n
+    "jaccard_prefix_filter_pairs",  # r8: lossless prefix-filter join
+    "item_cosine_similarity_topk",  # r8: item-item similarity
+    "winnowing_fingerprint_pairs",  # r9: MOSS local fingerprints
+    "ml_minhash_similarity_join",   # r9: Spark ML LSH probe lookup
 ]
 
 

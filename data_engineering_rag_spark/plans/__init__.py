@@ -68,6 +68,10 @@ from . import analyticsq  # noqa: E402,F401
 from . import curationq  # noqa: E402,F401
 from . import round7q  # noqa: E402,F401
 from . import round8q  # noqa: E402,F401
+from . import stattestsq  # noqa: E402,F401
+from . import forecastq  # noqa: E402,F401
+from . import sketchq  # noqa: E402,F401
+from . import linkageq  # noqa: E402,F401
 from . import round9q  # noqa: E402,F401
 
 # The driver's per-round correctness check covers only the first ~50
@@ -366,6 +370,11 @@ LAST_CHANGED: dict[str, int] = {
     # evidence from r3 predates it; near_dup_pairs consumes the kernel.
     "simhash_signatures": 8,
     "simhash_near_dup_pairs": 8,
+    # round-10 rewrite (VERDICT r9 item 3): exact-kNN universe bounded
+    # to the deterministic vec_id < LOF_SAMPLE calibration sample.
+    # Results identical at sf <= 0.01 (sample = full table there) but
+    # the body and the sf0.1+ result changed — the r9 row is stale.
+    "lof_embedding_outliers": 10,
 }
 
 

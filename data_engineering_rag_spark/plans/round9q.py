@@ -22,7 +22,7 @@ from ..operators.lsh_ml import ml_minhash_candidates
 from ..operators.tfidf import TOKEN_PATTERN
 from ..streaming.events import ivm_cdc_stream_merge
 from . import load, query
-from .round8q import IVM_DELETE_MOD, IVM_SPLIT_DAY
+from .sketchq import IVM_DELETE_MOD, IVM_SPLIT_DAY
 
 #: ML LSH query knobs: τ(Jaccard)=0.5 → distance filter < 0.5; 32 hash
 #: tables puts the per-qualifying-pair miss probability at

@@ -324,9 +324,12 @@ def test_round7_join_shapes_are_equi(spark, sf_dir):
         assert len(df.collect()) >= 1
 
 
+#: The round-8 family was split into thematic modules in round 10
+#: (VERDICT r9 item 7) — the shape gates keep covering all of them.
+_ROUND8_FAMILY_MODULES = ("round8q", "stattestsq", "forecastq", "sketchq", "linkageq")
 ROUND8_QUERIES = [
     n for n, s in REGISTRY.items()
-    if s.spark.__module__.endswith("round8q")
+    if s.spark.__module__.rsplit(".", 1)[-1] in _ROUND8_FAMILY_MODULES
 ]
 
 #: Round-8 queries whose plans legitimately contain single-partition

@@ -179,7 +179,7 @@ def test_t_closeness_tvd_bruteforce(spark, sf_dir):
 def test_item_cosine_topk_bruteforce(spark, sf_dir):
     from collections import Counter, defaultdict
 
-    from data_engineering_rag_spark.plans.round8q import ITEM_COS_MIN_CO, ITEM_COS_TOPK
+    from data_engineering_rag_spark.plans.linkageq import ITEM_COS_MIN_CO, ITEM_COS_TOPK
 
     got = defaultdict(list)
     for r in REGISTRY["item_cosine_similarity_topk"].spark(spark, sf_dir).collect():
@@ -230,7 +230,7 @@ def test_kendall_tau_matches_bruteforce(spark, sf_dir):
     got = REGISTRY["kendall_tau_acctbal_orders"].spark(spark, sf_dir).collect()[0]
     import hashlib
 
-    from data_engineering_rag_spark.plans.round8q import KT_SAMPLE_MOD
+    from data_engineering_rag_spark.plans.stattestsq import KT_SAMPLE_MOD
 
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal").collect()
     orders = load(spark, sf_dir, "orders").groupBy("o_custkey").count().collect()
@@ -374,7 +374,7 @@ def test_mode_median_bruteforce(spark, sf_dir):
 
 
 def test_page_hinkley_bruteforce(spark, sf_dir):
-    from data_engineering_rag_spark.plans.round8q import PH_DELTA
+    from data_engineering_rag_spark.plans.forecastq import PH_DELTA
 
     rows = sorted(
         REGISTRY["page_hinkley_daily_drift"].spark(spark, sf_dir).collect(),
@@ -397,7 +397,7 @@ def test_page_hinkley_bruteforce(spark, sf_dir):
 def test_conviction_bruteforce(spark, sf_dir):
     from collections import Counter, defaultdict
 
-    from data_engineering_rag_spark.plans.round8q import RULE_MIN_SUPPORT, RULE_TOPK
+    from data_engineering_rag_spark.plans.linkageq import RULE_MIN_SUPPORT, RULE_TOPK
 
     got = REGISTRY["association_rules_conviction_topk"].spark(spark, sf_dir).collect()
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct().collect()

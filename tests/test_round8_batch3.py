@@ -11,14 +11,9 @@ import duckdb
 import pytest
 
 from data_engineering_rag_spark.plans import REGISTRY
-from data_engineering_rag_spark.plans.round8q import (
-    FS_M_BAND,
-    FS_M_SIGN,
-    KN_DISCOUNT,
-    OBF_FINAL_Z,
-    PAVA_BINS,
-    RIDGE_LAMBDAS,
-)
+from data_engineering_rag_spark.plans.linkageq import FS_M_BAND, FS_M_SIGN, KN_DISCOUNT
+from data_engineering_rag_spark.plans.round8q import PAVA_BINS, RIDGE_LAMBDAS
+from data_engineering_rag_spark.plans.stattestsq import OBF_FINAL_Z
 
 SF = "/root/testdata/sf0.001"
 

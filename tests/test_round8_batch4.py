@@ -13,13 +13,9 @@ import pandas as pd
 import pytest
 
 from data_engineering_rag_spark.plans import REGISTRY
-from data_engineering_rag_spark.plans.round8q import (
-    ACF_MAX_LAG,
-    CKSUM_BUCKETS,
-    EULER_GAMMA,
-    GUMBEL_RETURN_T,
-    YUEN_TRIM,
-)
+from data_engineering_rag_spark.plans.forecastq import ACF_MAX_LAG
+from data_engineering_rag_spark.plans.sketchq import CKSUM_BUCKETS
+from data_engineering_rag_spark.plans.stattestsq import EULER_GAMMA, GUMBEL_RETURN_T, YUEN_TRIM
 
 SF = "/root/testdata/sf0.001"
 

@@ -12,7 +12,7 @@ import pandas as pd
 import pytest
 
 from data_engineering_rag_spark.plans import REGISTRY
-from data_engineering_rag_spark.plans.round8q import (
+from data_engineering_rag_spark.plans.sketchq import (
     IVM_DELETE_MOD,
     IVM_SPLIT_DAY,
     MG_K,

@@ -12,12 +12,8 @@ import numpy as np
 import pytest
 
 from data_engineering_rag_spark.plans import REGISTRY
-from data_engineering_rag_spark.plans.round8q import (
-    HOLT_ALPHA,
-    HOLT_BETA,
-    LOF_K,
-    LOF_TOP,
-)
+from data_engineering_rag_spark.plans.forecastq import HOLT_ALPHA, HOLT_BETA
+from data_engineering_rag_spark.plans.linkageq import LOF_K, LOF_TOP
 
 SF = "/root/testdata/sf0.001"
 
@@ -144,7 +140,7 @@ def test_lof_matches_numpy_bruteforce(spark):
 # q-digest guarantee pins
 # --------------------------------------------------------------------------
 
-from data_engineering_rag_spark.plans.round8q import (  # noqa: E402
+from data_engineering_rag_spark.plans.sketchq import (  # noqa: E402
     QD_BITS,
     QD_K,
     QD_QUANTILES,

@@ -10,7 +10,7 @@ import duckdb
 import pytest
 
 from data_engineering_rag_spark.plans import REGISTRY
-from data_engineering_rag_spark.plans.round8q import PPJ_TAU_DEN, PPJ_TAU_NUM
+from data_engineering_rag_spark.plans.linkageq import PPJ_TAU_DEN, PPJ_TAU_NUM
 
 SF = "/root/testdata/sf0.001"
 

@@ -139,10 +139,10 @@ def test_kendall_cap_guard_fires(spark, monkeypatch):
     """The Kendall τ pair-space cap is threaded through the consumed
     `n` output column: with the cap lowered below the sample size, the
     job must fail loudly instead of running the n² join unbounded."""
-    from data_engineering_rag_spark.plans import round8q
+    from data_engineering_rag_spark.plans import stattestsq
 
-    monkeypatch.setattr(round8q, "KT_SAMPLE_MOD", 1)  # keep every customer
-    monkeypatch.setattr(round8q, "KT_SAMPLE_CAP", 10)
+    monkeypatch.setattr(stattestsq, "KT_SAMPLE_MOD", 1)  # keep every customer
+    monkeypatch.setattr(stattestsq, "KT_SAMPLE_CAP", 10)
     import os
 
     sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
@@ -180,7 +180,7 @@ def test_ivm_full_retraction_drops_group(spark, tmp_path):
     rows must be ABSENT from the merged view — exactly like the
     oracle's from-scratch recompute — not present as a (type, 0, 0.0)
     zombie row."""
-    from data_engineering_rag_spark.plans.round8q import IVM_DELETE_MOD
+    from data_engineering_rag_spark.plans.sketchq import IVM_DELETE_MOD
 
     schema = (
         "event_id bigint, ts timestamp, user_id bigint, event_type string, "

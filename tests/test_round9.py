@@ -14,7 +14,7 @@ from datetime import datetime
 from pyspark.sql import functions as F
 
 from data_engineering_rag_spark.plans import REGISTRY, load
-from data_engineering_rag_spark.plans.round8q import IVM_DELETE_MOD, IVM_SPLIT_DAY
+from data_engineering_rag_spark.plans.sketchq import IVM_DELETE_MOD, IVM_SPLIT_DAY
 from data_engineering_rag_spark.streaming.events import ivm_cdc_stream_merge
 
 
