@@ -1069,6 +1069,12 @@ if _state_v2_available():
 
         return first_type_occurrence_stream(spark, sf_dir)
 
+    @query("stream_user_totals_state_v2", None)
+    def stream_user_totals_state_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..streaming.events import user_totals_state_v2_stream
+
+        return user_totals_state_v2_stream(spark, sf_dir)
+
 
 @query(
     "events_view_purchase_left",

