@@ -5,13 +5,16 @@ that scales: Spark shuffles/spills binary payloads fine, and all
 decode/feature work happens in Arrow-batched ``mapInPandas`` so bytes
 cross the JVM↔Python boundary once per batch, not per row.
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container,
-so the decode step is STUBBED — ``DecodeStub`` raises
-``NotImplementedError`` unless ``deterministic_fake=True``, in which
-case it derives stable pseudo-features from the payload hash. The
-Spark-side plumbing (schema, batching, UDF signatures, partition
-behavior) is real and tested; a real decoder drops into
-``MediaFeatureExtractor.decode_batch`` unchanged.
+Decode paths (round 10, VERDICT r9 item 4): PNG images and PCM WAV
+audio now have a REAL pure-stdlib decode path (``operators/codecs.py``
+— zlib/struct PNG inflate + un-filtering, ``wave``-module PCM), used
+when ``deterministic_fake=False`` / ``fake=False``: features come from
+actual pixels/samples, resizes re-encode real PNGs, audio windows are
+real PCM slices. Formats beyond PNG/WAV (JPEG, video frames) still
+raise ``NotImplementedError`` at the same seams — that is where
+PIL/ffmpeg drop in. ``deterministic_fake=True`` remains the default
+oracle-checked path (stable pseudo-features from the payload hash),
+so the registry queries and their evidence are unchanged.
 """
 
 from __future__ import annotations
@@ -59,20 +62,30 @@ FEATURE_SCHEMA = StructType(
 
 
 class DecodeStub:
-    """Stand-in for the image/audio/video decoder.
+    """The image/audio/video decoder seam.
 
     ``deterministic_fake=True`` → features = FEATURE_DIM floats derived
-    from sha256(payload) (stable, testable batch plumbing).
-    ``False`` → NotImplementedError, marking exactly where a real codec
-    plugs in."""
+    from sha256(payload) (stable, testable batch plumbing; the
+    oracle-checked path).
+    ``False`` → REAL decode for PNG (luminance histogram) and PCM WAV
+    (amplitude histogram) via the stdlib codecs; anything else raises
+    NotImplementedError, marking exactly where PIL/ffmpeg plug in."""
 
     def __init__(self, deterministic_fake: bool = True):
         self.deterministic_fake = deterministic_fake
 
     def features(self, payload: bytes) -> np.ndarray:
         if not self.deterministic_fake:
+            from . import codecs
+
+            kind = codecs.sniff_kind(payload)
+            if kind == "image":
+                return codecs.image_features(payload, FEATURE_DIM)
+            if kind == "audio":
+                return codecs.audio_features(payload, FEATURE_DIM)
             raise NotImplementedError(
-                "real media decoding requires PIL/ffmpeg, not present in this environment"
+                "real decode implemented for PNG/WAV only (operators/codecs.py); "
+                "other formats need PIL/ffmpeg, not present in this environment"
             )
         digest = hashlib.sha256(payload).digest()
         # 16 stable floats in [0, 1): two digest bytes per feature.
@@ -162,8 +175,11 @@ def resize_images(
     media: DataFrame, width: int = 224, height: int = 224, fake: bool = True
 ) -> DataFrame:
     """Image resize pass: filters kind='image', emits 1:1 rows with the
-    target dims and the (stubbed) resized payload. mapInPandas — one
-    decoder per task, bytes cross the boundary once per Arrow batch."""
+    target dims and the resized payload. mapInPandas — one decoder per
+    task, bytes cross the boundary once per Arrow batch. ``fake=False``
+    runs the REAL stdlib path on PNG payloads (decode → nearest-
+    neighbor resize → re-encode); non-PNG real payloads raise at the
+    PIL seam."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         stub = DecodeStub(deterministic_fake=fake)
@@ -173,17 +189,29 @@ def resize_images(
             for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
                 if kind != "image" or payload is None:
                     continue
-                if not stub.deterministic_fake:
-                    raise NotImplementedError(
-                        "real image resize requires PIL, not present in this environment"
+                if stub.deterministic_fake:
+                    # oracle contract: resized_sha = sha256(payload|tag),
+                    # reproducible SQL-side — do not change
+                    resized = _fake_derivative(bytes(payload), tag)
+                    sha = hashlib.sha256(bytes(payload) + b"|" + tag.encode()).hexdigest()
+                else:
+                    from . import codecs
+
+                    if codecs.sniff_kind(bytes(payload)) != "image":
+                        raise NotImplementedError(
+                            "real resize implemented for PNG only (operators/codecs.py); "
+                            "other formats need PIL"
+                        )
+                    resized = codecs.encode_png(
+                        codecs.resize_nearest(codecs.decode_png(bytes(payload)), width, height)
                     )
-                resized = _fake_derivative(bytes(payload), tag)
+                    sha = hashlib.sha256(resized).hexdigest()
                 rows["media_id"].append(mid)
                 rows["kind"].append(kind)
                 rows["width"].append(width)
                 rows["height"].append(height)
                 rows["payload"].append(resized)
-                rows["resized_sha"].append(hashlib.sha256(bytes(payload) + b"|" + tag.encode()).hexdigest())
+                rows["resized_sha"].append(sha)
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, RESIZED_SCHEMA)
@@ -234,16 +262,21 @@ AUDIO_WINDOW_SCHEMA = StructType(
 )
 
 
-def window_audio(media: DataFrame, win_ms: int = 2000, hop_ms: int = 1000) -> DataFrame:
+def window_audio(
+    media: DataFrame, win_ms: int = 2000, hop_ms: int = 1000, fake: bool = True
+) -> DataFrame:
     """Audio windowing: each audio row fans out to overlapping
     fixed-length windows (start = 0, hop, 2·hop, … < duration; end
     clamped to duration) — the sliding-window chunker's semantics
-    applied to a time axis, as mapInPandas fan-out. Window payloads are
-    stubbed derivatives; a real PCM slice / feature extractor
-    (librosa/ffmpeg) drops into the same per-window call."""
+    applied to a time axis, as mapInPandas fan-out. ``fake=True``
+    (the oracle-checked path) windows by the duration_ms metadata with
+    stubbed derivative payloads; ``fake=False`` decodes REAL PCM WAV
+    payloads, takes duration from the samples themselves, and emits
+    re-encoded WAV slices — a librosa/ffmpeg feature extractor drops
+    into the same per-window call for other formats."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        stub = DecodeStub(deterministic_fake=True)
+        stub = DecodeStub(deterministic_fake=fake)
         for pdf in batches:
             rows = {
                 k: []
@@ -254,26 +287,42 @@ def window_audio(media: DataFrame, win_ms: int = 2000, hop_ms: int = 1000) -> Da
             for mid, kind, payload, dur in zip(
                 pdf["media_id"], pdf["kind"], pdf["payload"], pdf["duration_ms"]
             ):
-                if kind != "audio" or payload is None or dur is None or pd.isna(dur):
+                if kind != "audio" or payload is None:
                     continue
-                if not stub.deterministic_fake:
-                    raise NotImplementedError(
-                        "real audio slicing requires an audio codec, not present here"
-                    )
-                dur = int(dur)
+                if stub.deterministic_fake:
+                    if dur is None or pd.isna(dur):
+                        continue
+                    dur = int(dur)
+                else:
+                    from . import codecs
+
+                    if codecs.sniff_kind(bytes(payload)) != "audio":
+                        raise NotImplementedError(
+                            "real audio slicing implemented for PCM WAV only "
+                            "(operators/codecs.py); other formats need ffmpeg"
+                        )
+                    # the samples, not the metadata, are authoritative
+                    dur = codecs.wav_duration_ms(bytes(payload))
                 i = 0
                 while i * hop_ms < dur:
                     start = i * hop_ms
+                    end = min(start + win_ms, dur)
+                    if stub.deterministic_fake:
+                        wpayload = _fake_derivative(bytes(payload), f"win|{i}")
+                        wsha = hashlib.sha256(
+                            bytes(payload) + b"|win|" + str(i).encode()
+                        ).hexdigest()
+                    else:
+                        from . import codecs
+
+                        wpayload = codecs.slice_wav_ms(bytes(payload), start, end)
+                        wsha = hashlib.sha256(wpayload).hexdigest()
                     rows["media_id"].append(mid)
                     rows["win_idx"].append(i)
                     rows["start_ms"].append(start)
-                    rows["end_ms"].append(min(start + win_ms, dur))
-                    rows["window_payload"].append(
-                        _fake_derivative(bytes(payload), f"win|{i}")
-                    )
-                    rows["window_sha"].append(
-                        hashlib.sha256(bytes(payload) + b"|win|" + str(i).encode()).hexdigest()
-                    )
+                    rows["end_ms"].append(end)
+                    rows["window_payload"].append(wpayload)
+                    rows["window_sha"].append(wsha)
                     i += 1
             yield pd.DataFrame(rows)
 

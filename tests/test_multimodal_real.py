@@ -1,0 +1,165 @@
+"""Real-codec multimodal tests (VERDICT r9 item 4): the ``fake=False``
+seams in ``operators/multimodal.py`` now run actual PNG/WAV decodes
+(``operators/codecs.py``, pure stdlib) over real fixture bytes checked
+into ``tests/fixtures/`` — no network, no PIL/ffmpeg.
+
+The PNG fixture is written by an INDEPENDENT forward-filtering encoder
+(``tests/fixtures/mediagen.py``, one scanline per filter type 0–4), so
+recovering ``known_pixels()`` proves the production decoder's inverse
+filters, not a self-referential round-trip. The rows-only registry
+entries (``media_*``) keep using the deterministic-fake oracle path —
+unchanged by design.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pytest
+
+from data_engineering_rag_spark.operators import codecs
+from data_engineering_rag_spark.operators.multimodal import (
+    FEATURE_DIM,
+    DecodeStub,
+    extract_media_features,
+    resize_images,
+    sample_frames,
+    window_audio,
+)
+from tests.fixtures import mediagen
+
+_FIX = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+PNG = open(os.path.join(_FIX, "tiny.png"), "rb").read()
+WAV = open(os.path.join(_FIX, "tiny.wav"), "rb").read()
+
+
+# ---------------------------------------------------------------- codecs
+
+
+def test_fixtures_match_generator():
+    """The checked-in bytes ARE what the generator emits — a stale or
+    hand-edited fixture fails here before confusing the codec tests."""
+    assert PNG == mediagen.write_png_all_filters(mediagen.known_pixels())
+    assert WAV == mediagen.write_wav(mediagen.known_samples())
+
+
+def test_png_decoder_inverts_all_filters():
+    """One scanline per filter type (None/Sub/Up/Average/Paeth) —
+    decode must invert each of them exactly."""
+    got = codecs.decode_png(PNG)
+    assert got.shape == (mediagen.H, mediagen.W, 3)
+    assert np.array_equal(got, mediagen.known_pixels())
+
+
+def test_png_encode_decode_roundtrip():
+    px = mediagen.known_pixels()
+    assert np.array_equal(codecs.decode_png(codecs.encode_png(px)), px)
+
+
+def test_resize_nearest_dims_and_corners():
+    px = mediagen.known_pixels()
+    big = codecs.resize_nearest(px, 224, 224)
+    assert big.shape == (224, 224, 3)
+    # nearest-neighbor keeps the corner pixels exactly
+    assert np.array_equal(big[0, 0], px[0, 0])
+    assert np.array_equal(big[-1, -1], px[-1, -1])
+    # and introduces no new colors
+    assert set(map(tuple, big.reshape(-1, 3))) <= set(map(tuple, px.reshape(-1, 3)))
+
+
+def test_wav_decode_matches_known_samples():
+    pcm, rate = codecs.decode_wav(WAV)
+    assert rate == mediagen.WAV_RATE
+    assert np.array_equal(pcm, mediagen.known_samples())
+    assert codecs.wav_duration_ms(WAV) == mediagen.WAV_MS
+
+
+def test_wav_slice_is_exact_pcm_range():
+    sliced = codecs.slice_wav_ms(WAV, 1000, 2500)
+    pcm, rate = codecs.decode_wav(sliced)
+    full = mediagen.known_samples()
+    lo, hi = 1000 * mediagen.WAV_RATE // 1000, 2500 * mediagen.WAV_RATE // 1000
+    assert rate == mediagen.WAV_RATE
+    assert np.array_equal(pcm, full[lo:hi])
+
+
+def test_real_features_are_normalized_histograms():
+    img = DecodeStub(deterministic_fake=False).features(PNG)
+    aud = DecodeStub(deterministic_fake=False).features(WAV)
+    for f in (img, aud):
+        assert f.shape == (FEATURE_DIM,)
+        assert f.dtype == np.float32
+        assert abs(float(f.sum()) - 1.0) < 1e-5
+        assert (f >= 0).all()
+    # real features are content-derived, not hash-derived: the fake
+    # path on the same payload gives a different vector
+    fake = DecodeStub(deterministic_fake=True).features(PNG)
+    assert not np.allclose(img, fake)
+
+
+def test_unsupported_format_still_raises_at_the_seam():
+    with pytest.raises(NotImplementedError):
+        DecodeStub(deterministic_fake=False).features(b"\xff\xd8\xff\xe0 not-a-png")
+
+
+# ------------------------------------------------- Spark-side (fake=False)
+
+
+def _media_df(spark):
+    rows = [
+        (1, "image", bytearray(PNG), "image/png", mediagen.W, mediagen.H, None),
+        (2, "audio", bytearray(WAV), "audio/wav", None, None, mediagen.WAV_MS),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "media_id bigint, kind string, payload binary, mime string, "
+        "width bigint, height bigint, duration_ms bigint",
+    )
+
+
+def test_extract_features_real_path(spark):
+    got = {r.media_id: r for r in extract_media_features(_media_df(spark), fake=False).collect()}
+    assert set(got) == {1, 2}
+    assert got[1].payload_sha == hashlib.sha256(PNG).hexdigest()
+    exp_img = codecs.image_features(PNG, FEATURE_DIM)
+    assert np.allclose(np.array(got[1].features, dtype=np.float32), exp_img)
+    exp_aud = codecs.audio_features(WAV, FEATURE_DIM)
+    assert np.allclose(np.array(got[2].features, dtype=np.float32), exp_aud)
+
+
+def test_resize_images_real_path(spark):
+    out = resize_images(_media_df(spark), width=224, height=224, fake=False).collect()
+    assert len(out) == 1  # audio row filtered out
+    r = out[0]
+    assert (r.media_id, r.width, r.height) == (1, 224, 224)
+    px = codecs.decode_png(bytes(r.payload))
+    assert px.shape == (224, 224, 3)
+    assert np.array_equal(px, codecs.resize_nearest(mediagen.known_pixels(), 224, 224))
+    assert r.resized_sha == hashlib.sha256(bytes(r.payload)).hexdigest()
+
+
+def test_window_audio_real_path(spark):
+    out = sorted(
+        window_audio(_media_df(spark), win_ms=2000, hop_ms=1000, fake=False).collect(),
+        key=lambda r: r.win_idx,
+    )
+    # 2.5 s at 2000/1000 -> starts 0, 1000, 2000
+    assert [(r.start_ms, r.end_ms) for r in out] == [(0, 2000), (1000, 2500), (2000, 2500)]
+    full = mediagen.known_samples()
+    for r in out:
+        pcm, rate = codecs.decode_wav(bytes(r.window_payload))
+        lo = r.start_ms * mediagen.WAV_RATE // 1000
+        hi = r.end_ms * mediagen.WAV_RATE // 1000
+        assert rate == mediagen.WAV_RATE
+        assert np.array_equal(pcm, full[lo:hi]), r.win_idx
+        assert r.window_sha == hashlib.sha256(bytes(r.window_payload)).hexdigest()
+
+
+def test_sample_frames_real_path_still_the_ffmpeg_seam(spark):
+    df = _media_df(spark).withColumn(
+        "kind", __import__("pyspark").sql.functions.lit("video")
+    )
+    with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
+        sample_frames(df, every_ms=1000, fake=False).collect()
