@@ -32,11 +32,13 @@ def test_coverage_md_counts():
     )
     assert m, "COVERAGE.md must state '**N queries / M oracles**'"
     # Count what the DRIVER sees: a plain import without the conftest
-    # protobuf bootstrap. `stream_first_type_occurrence` is env-gated
-    # (registers only where transformWithStateInPandas's protobuf
-    # works — pytest's conftest repairs it, the driver env may not).
-    env_gated = {"stream_first_type_occurrence"}
-    names = set(REGISTRY) - env_gated
+    # protobuf bootstrap. The state-v2 queries are env-gated (they
+    # register only where transformWithStateInPandas's protobuf works —
+    # pytest's conftest repairs it, the driver env may not). Single
+    # source of truth: test_rows_only_evidence.ENV_GATED.
+    from tests.test_rows_only_evidence import ENV_GATED
+
+    names = set(REGISTRY) - set(ENV_GATED)
     n_oracle = sum(1 for n in names if REGISTRY[n].oracle is not None)
     assert (int(m.group(1)), int(m.group(2))) == (len(names), n_oracle), (
         f"COVERAGE.md says {m.group(1)}/{m.group(2)}, registry (minus "

@@ -1,6 +1,6 @@
 """Rows-only evidence map enforcement (VERDICT r9 item 5).
 
-29 registry queries carry no DuckDB oracle by design (streaming,
+31 registry queries carry no DuckDB oracle by design (streaming,
 approx sketches, iterative algorithms, xxhash64 production twins,
 golden-pinned ingest stages). Their legitimacy rests on named
 equivalence / golden / error-bound / parity tests. This module pins
