@@ -163,3 +163,58 @@ def test_sample_frames_real_path_still_the_ffmpeg_seam(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
         sample_frames(df, every_ms=1000, fake=False).collect()
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_png_roundtrip_all_color_types(channels):
+    """encode→decode identity for every supported color type
+    (grayscale / gray+alpha / RGB / RGBA) — the decoder's channel
+    handling, not just the RGB fixture path."""
+    rng = np.random.default_rng(42 + channels)
+    px = rng.integers(0, 256, size=(7, 9, channels), dtype=np.uint8)
+    got = codecs.decode_png(codecs.encode_png(px))
+    assert got.shape == (7, 9, channels)
+    assert np.array_equal(got, px)
+
+
+def test_png_grayscale_features_use_the_channel_itself():
+    px = np.full((4, 4, 1), 128, dtype=np.uint8)
+    f = codecs.image_features(codecs.encode_png(px), FEATURE_DIM)
+    # all mass lands in the bin containing 128 (bin 8 of 16 over [0,256))
+    assert f[8] == pytest.approx(1.0)
+    assert abs(float(f.sum()) - 1.0) < 1e-6
+
+
+def test_png_unsupported_depth_raises_not_garbage():
+    """16-bit PNG must raise the explicit PIL-seam error, not decode
+    wrong pixels silently."""
+    import struct
+    import zlib as _z
+
+    w = h = 2
+    raw = b"".join(b"\x00" + b"\x00\x01" * w for _ in range(h))  # 16-bit gray
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", _z.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        codecs.PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0))
+        + chunk(b"IDAT", _z.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="PIL"):
+        codecs.decode_png(payload)
+
+
+def test_wav_stereo_roundtrip_and_features():
+    rng = np.random.default_rng(7)
+    pcm = rng.integers(-32768, 32767, size=(800, 2), dtype=np.int16)
+    wav = codecs.encode_wav(pcm, 8000)
+    got, rate = codecs.decode_wav(wav)
+    assert rate == 8000 and np.array_equal(got, pcm)
+    f = codecs.audio_features(wav, FEATURE_DIM)
+    assert abs(float(f.sum()) - 1.0) < 1e-5
