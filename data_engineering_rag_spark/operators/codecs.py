@@ -12,10 +12,12 @@ needs ffmpeg).
 
 Scale notes: these run inside Arrow-batched ``mapInPandas`` tasks —
 one decode per payload, bytes cross the JVM↔Python boundary once per
-batch. numpy does the per-pixel work (un-filtering is the only
-Python-level loop, one iteration per scanline, vectorized across the
-row). At 100 TB the same task shape holds; only the codec call gets
-faster with native libraries.
+batch. The None/Sub/Up inverse filters are fully vectorized (Sub is a
+per-channel cumsum); Average and Paeth are data-dependent recurrences
+along the scanline — inherently sequential, looped in Python here and
+in C in every real decoder, which is exactly what the PIL drop-in
+buys. At 100 TB the task shape is already right; only the per-payload
+codec call gets faster with native libraries.
 """
 
 from __future__ import annotations
@@ -91,9 +93,12 @@ def decode_png(payload: bytes) -> np.ndarray:
         cur = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=row_start + 1).copy()
         if ftype == 0:  # None
             pass
-        elif ftype == 1:  # Sub: add left (sequential within the row)
-            for i in range(ch, stride):
-                cur[i] = (int(cur[i]) + int(cur[i - ch])) & 0xFF
+        elif ftype == 1:  # Sub: x[i] = f[i] + x[i-ch] — per channel
+            # lane this is a running sum, so one vectorized cumsum
+            # replaces the per-byte Python loop (mod 256 via & 0xFF).
+            cur = (
+                np.cumsum(cur.reshape(-1, ch).astype(np.int64), axis=0) & 0xFF
+            ).astype(np.uint8).reshape(-1)
         elif ftype == 2:  # Up
             cur = (cur.astype(np.int32) + prev).astype(np.uint8)
         elif ftype == 3:  # Average
