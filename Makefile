@@ -22,3 +22,4 @@ print(e.entry(s).collect())"
 
 regen-goldens:     # deterministic fixtures (commit alongside semantic changes)
 	python tests/fixtures/generate_fixtures.py
+	python tests/fixtures/mediagen.py
