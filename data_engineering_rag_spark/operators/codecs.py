@@ -61,8 +61,15 @@ def decode_png(payload: bytes) -> np.ndarray:
     bit_depth = color_type = interlace = None
     idat = bytearray()
     while pos < len(payload):
+        # bounds-check the walk so a truncated payload surfaces as the
+        # decoder's ValueError taxonomy, not a bare struct.error deep
+        # inside a mapInPandas task (ADVICE r10)
+        if pos + 8 > len(payload):
+            raise ValueError("truncated PNG: chunk header past end of payload")
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
         ctype = payload[pos + 4 : pos + 8]
+        if pos + 8 + length > len(payload):
+            raise ValueError(f"truncated PNG: {ctype!r} chunk data past end of payload")
         data = payload[pos + 8 : pos + 8 + length]
         pos += 12 + length  # length + type + data + crc
         if ctype == b"IHDR":
@@ -121,8 +128,13 @@ def decode_png(payload: bytes) -> np.ndarray:
     return out.reshape(height, width, ch)
 
 
-def encode_png(pixels: np.ndarray) -> bytes:
-    """uint8 (h, w, channels) → PNG bytes (filter 0, one IDAT)."""
+def encode_png(pixels: np.ndarray, level: int = 6) -> bytes:
+    """uint8 (h, w, channels) → PNG bytes (filter 0, one IDAT).
+
+    ``level`` is the zlib compression level. ``level=0`` emits stored
+    (uncompressed) deflate blocks, making the output size a closed form
+    of the dimensions — 57 + 2 + 5·ceil(n/65535) + n + 4 bytes for
+    n = h·(w·ch+1) raw bytes — which the oracle SQL can recompute."""
     if pixels.ndim == 2:
         pixels = pixels[:, :, None]
     h, w, ch = pixels.shape
@@ -141,7 +153,7 @@ def encode_png(pixels: np.ndarray) -> bytes:
     return (
         PNG_MAGIC
         + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IDAT", zlib.compress(raw, level))
         + chunk(b"IEND", b"")
     )
 
@@ -203,8 +215,11 @@ def slice_wav_ms(payload: bytes, start_ms: int, end_ms: int) -> bytes:
 
 
 def wav_duration_ms(payload: bytes) -> int:
+    """Duration in ms, rounded UP so trailing sub-millisecond samples
+    still land inside the final window (ADVICE r10: flooring dropped
+    the last partial-ms samples for rates that don't divide evenly)."""
     pcm, rate = decode_wav(payload)
-    return len(pcm) * 1000 // rate
+    return (len(pcm) * 1000 + rate - 1) // rate
 
 
 def audio_features(payload: bytes, dim: int) -> np.ndarray:

@@ -305,6 +305,30 @@ _DRIVER_VERIFIED_BY_ROUND[9] = frozenset(
     }
 )
 
+_DRIVER_VERIFIED_BY_ROUND[10] = frozenset(
+    {
+        "agg_collect_strings", "agg_percentiles", "agg_statistics",
+        "ann_cosine_topk", "chunk_documents", "chunk_documents_default_params",
+        "dedup_clusters_levenshtein", "dedup_exact_stats",
+        "deterministic_sample_docs", "doc_fingerprints",
+        "eval_generate_questions", "fuzzy_levenshtein_pairs",
+        "generated_series_source", "ingest_path_rules", "ivf_ann_topk",
+        "jaccard_similarity_sample", "label_centroids", "lang_breakdown",
+        "lang_confusion_matrix", "language_id_heuristic",
+        "lof_embedding_outliers", "logs_qa_extract", "minhash_dedup_canonical",
+        "minhash_lsh_candidate_pairs", "minhash_signatures", "null_semantics",
+        "pivot_status_by_priority", "q10_returned_items",
+        "q14_promo_revenue_pct", "q16_supplier_part_counts",
+        "q21_waiting_supplier", "q2_min_cost_supplier", "q7_volume_shipping",
+        "quality_scores", "rag_context_assembly", "rerank_stub_topk",
+        "revenue_share_of_total", "scalar_array_setops", "scalar_date_events",
+        "scalar_map_funcs", "scalar_string_extended", "strip_code_fence",
+        "text_stats", "token_counts_bpe_ish", "token_frequencies_top20",
+        "token_sort_fingerprints", "unpivot_order_measures", "vector_norms",
+        "window_range_frames", "window_ranking_sweep",
+    }
+)
+
 #: Latest driver-green round per query (derived from the per-round sets).
 DRIVER_EVIDENCE_ROUND: dict[str, int] = {}
 for _rnd, _names in sorted(_DRIVER_VERIFIED_BY_ROUND.items()):
@@ -375,6 +399,17 @@ LAST_CHANGED: dict[str, int] = {
     # Results identical at sf <= 0.01 (sample = full table there) but
     # the body and the sf0.1+ result changed — the r9 row is stale.
     "lof_embedding_outliers": 10,
+    # round-11 rewrite (VERDICT r10 item 3): synthetic_media now emits
+    # REAL PNG/WAV payloads and the media family runs fake=False with
+    # restructured closed-form oracles; media_dedup_payloads gained the
+    # overlapping-recrawl union (non-vacuous at every SF). frame_index
+    # is result-identical (video branch unchanged) but the shared
+    # generator changed under it — conservative re-check.
+    "media_feature_stats": 11,
+    "media_resize_audit": 11,
+    "media_audio_windows": 11,
+    "media_dedup_payloads": 11,
+    "media_frame_index": 11,
 }
 
 

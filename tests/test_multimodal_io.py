@@ -50,6 +50,37 @@ def test_media_features_roundtrip(spark, sf_dir):
         assert r.kind in ("image", "audio", "video")
 
 
+def test_media_features_sample_real_values(spark, sf_dir):
+    """The registered rows-only query (fake=False, on_unknown='null'):
+    real decoded histograms for PNG/WAV rows, NULL features for video
+    (the undecodable-format path), real n_bytes/sha for all three."""
+    import numpy as np
+
+    from data_engineering_rag_spark.operators import codecs
+    from data_engineering_rag_spark.plans import REGISTRY
+
+    got = {r.media_id: r for r in REGISTRY["media_features_sample"].spark(spark, sf_dir).collect()}
+    media = synthetic_media(spark, load(spark, sf_dir, "documents")).where(
+        F.col("media_id") < 20
+    )
+    src = {r.media_id: r for r in media.collect()}
+    assert set(got) == set(src) and len(got) == 20
+    for mid, r in got.items():
+        payload = bytes(src[mid].payload)
+        assert r.n_bytes == len(payload)
+        assert r.payload_sha == hashlib.sha256(payload).hexdigest()
+        if r.kind == "video":
+            assert r.features is None
+        else:
+            exp = (
+                codecs.image_features(payload, FEATURE_DIM)
+                if r.kind == "image"
+                else codecs.audio_features(payload, FEATURE_DIM)
+            )
+            assert np.allclose(np.array(r.features, dtype=np.float32), exp)
+            assert abs(sum(r.features) - 1.0) < 1e-5
+
+
 def test_json_csv_parquet_roundtrip(spark, tmp_path):
     schema = StructType(
         [
@@ -107,9 +138,13 @@ def test_resize_and_frame_sample_plumbing(spark):
         assert len({r.frame_sha for r in rows}) == 4  # distinct per frame
 
 
-def test_real_codec_path_raises(spark):
+def test_real_codec_path_on_synthetic_media(spark):
+    """Since round 11 synthetic payloads are REAL PNG/WAV, so the
+    fake=False resize path WORKS on them; video frame extraction stays
+    the honest ffmpeg seam and still raises."""
     import pytest as _pytest
 
+    from data_engineering_rag_spark.operators import codecs
     from data_engineering_rag_spark.operators.multimodal import (
         resize_images,
         sample_frames,
@@ -120,7 +155,58 @@ def test_real_codec_path_raises(spark):
 
     docs = spark.createDataFrame([(0, "img", 3), (2, "vid", 3)], ["doc_id", "text", "n_chars"])
     media = synthetic_media(spark, docs)
-    with _pytest.raises((PythonException, Py4JJavaError), match="NotImplementedError"):
-        resize_images(media, fake=False).collect()
+    out = resize_images(media, width=16, height=16, fake=False).collect()
+    assert [(r.media_id, r.width, r.height) for r in out] == [(0, 16, 16)]
+    px = codecs.decode_png(bytes(out[0].payload))
+    assert px.shape == (16, 16, 1)
     with _pytest.raises((PythonException, Py4JJavaError), match="NotImplementedError"):
         sample_frames(media, fake=False).collect()
+
+
+def test_synthetic_media_payload_scheme(spark):
+    """Pins the round-11 payload closed forms the oracles rely on:
+    level-0 PNG of 8x8 gray = 140 bytes with digest-tiled pixels; WAV =
+    44 + 160*n_chars bytes, duration n_chars*10 ms, digest-periodic
+    samples; video = UTF-8 text; identical text -> identical payload."""
+    import numpy as np
+
+    from data_engineering_rag_spark.operators import codecs
+    from data_engineering_rag_spark.operators.multimodal import (
+        SYN_PNG_BYTES,
+        SYN_WAV_RATE,
+        synthetic_media,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "same text!!!", 12),   # image
+            (1, "audio doc txt", 13),  # audio
+            (2, "video doc txt", 13),  # video
+            (3, "same text!!!", 12),   # image, duplicate text of doc 0
+        ],
+        ["doc_id", "text", "n_chars"],
+    )
+    rows = {r.media_id: r for r in synthetic_media(spark, docs).collect()}
+
+    img = rows[0]
+    assert img.kind == "image" and img.mime == "image/png"
+    assert (img.width, img.height, img.duration_ms) == (8, 8, None)
+    assert len(img.payload) == SYN_PNG_BYTES
+    digest = np.frombuffer(hashlib.sha256(b"same text!!!").digest(), dtype=np.uint8)
+    px = codecs.decode_png(bytes(img.payload))
+    assert np.array_equal(px.reshape(-1), np.tile(digest, 2))
+    assert bytes(rows[3].payload) == bytes(img.payload)  # injective in text
+
+    aud = rows[1]
+    assert aud.kind == "audio" and aud.mime == "audio/wav"
+    assert aud.duration_ms == 130
+    assert len(aud.payload) == 44 + 160 * 13
+    pcm, rate = codecs.decode_wav(bytes(aud.payload))
+    assert rate == SYN_WAV_RATE and pcm.shape == (13 * 80, 1)
+    dig_a = np.frombuffer(hashlib.sha256(b"audio doc txt").digest(), dtype=np.uint8)
+    assert np.array_equal(pcm.reshape(-1), np.tile(dig_a, (13 * 80 + 31) // 32)[: 13 * 80])
+    assert codecs.wav_duration_ms(bytes(aud.payload)) == 130
+
+    vid = rows[2]
+    assert vid.kind == "video" and bytes(vid.payload) == b"video doc txt"
+    assert vid.duration_ms == 130

@@ -6,9 +6,9 @@ into ``tests/fixtures/`` — no network, no PIL/ffmpeg.
 The PNG fixture is written by an INDEPENDENT forward-filtering encoder
 (``tests/fixtures/mediagen.py``, one scanline per filter type 0–4), so
 recovering ``known_pixels()`` proves the production decoder's inverse
-filters, not a self-referential round-trip. The rows-only registry
-entries (``media_*``) keep using the deterministic-fake oracle path —
-unchanged by design.
+filters, not a self-referential round-trip. Since round 11 the
+registered ``media_*`` queries ALSO run this real path end-to-end
+(synthetic payloads are real PNG/WAV; see test_multimodal_io.py).
 """
 
 from __future__ import annotations
@@ -138,6 +138,7 @@ def test_resize_images_real_path(spark):
     assert px.shape == (224, 224, 3)
     assert np.array_equal(px, codecs.resize_nearest(mediagen.known_pixels(), 224, 224))
     assert r.resized_sha == hashlib.sha256(bytes(r.payload)).hexdigest()
+    assert r.mean_px == pytest.approx(float(px.mean()), abs=0)
 
 
 def test_window_audio_real_path(spark):
@@ -155,6 +156,7 @@ def test_window_audio_real_path(spark):
         assert rate == mediagen.WAV_RATE
         assert np.array_equal(pcm, full[lo:hi]), r.win_idx
         assert r.window_sha == hashlib.sha256(bytes(r.window_payload)).hexdigest()
+        assert r.window_mean_amp == pytest.approx(float(pcm.mean()), abs=0)
 
 
 def test_sample_frames_real_path_still_the_ffmpeg_seam(spark):

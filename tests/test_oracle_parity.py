@@ -30,7 +30,6 @@ MAY_BE_EMPTY_AT_SMALL_SF = {
     "join_anti_customers_no_orders",   # 1 row at sf0.1
     "q22_notexists_scalar_subquery",   # 1 row at sf0.1
     "token_sort_fingerprints",         # 8 rows at sf0.1
-    "media_dedup_payloads",            # 3 rows at sf0.1
     "q7_volume_shipping",              # 14 rows at sf0.01/sf0.1 (the
                                        # two-nation filter finds no
                                        # qualifying pair at sf0.001)

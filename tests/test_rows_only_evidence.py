@@ -92,8 +92,8 @@ ROWS_ONLY_EVIDENCE: dict[str, tuple[str, list[str]]] = {
         ["tests/test_logs.py::test_simplify_matches_reference"],
     ),
     "media_features_sample": (
-        "round-trip + deterministic-fake pin",
-        ["tests/test_multimodal_io.py::test_media_features_roundtrip"],
+        "real-decode value pin (PNG/WAV histograms, NULL at ffmpeg seam)",
+        ["tests/test_multimodal_io.py::test_media_features_sample_real_values"],
     ),
     # streaming: finalized-prefix / full equivalence vs the
     # oracle-checked batch twin
