@@ -277,14 +277,19 @@ BATCH_QUERIES: list[tuple[int, str]] = [
 ]
 
 
-def _batch_search_oracle(k: int) -> str:
+def _batch_search_scored_cte() -> str:
+    """The tf-idf batch-search WITH-chain, ending at the ``scored``
+    CTE (no trailing comma or final SELECT) — an explicit head for
+    composition by ``_batch_search_oracle`` and
+    ``_context_assembly_oracle``, which append their own tails instead
+    of textually splitting a sibling oracle string (VERDICT r10 item 2;
+    same explicit-head pattern as ``_retrieval_ranked_cte``)."""
     qvals = ", ".join(
         f"({qid}, '{t}', {c}.0)"
         for qid, q in BATCH_QUERIES
         for t, c in tokenize_query(q).items()
     )
-    return f"""
-    WITH tok AS (
+    return f"""WITH tok AS (
       SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
       FROM documents
     ),
@@ -303,10 +308,21 @@ def _batch_search_oracle(k: int) -> str:
       SELECT q.query_id, d.doc_id, round(sum(d.w * q.qw), 8) AS score
       FROM dvec d JOIN qvec q ON d.term = q.term
       GROUP BY q.query_id, d.doc_id
-    )
-    SELECT cast(query_id as bigint) AS query_id, doc_id, score FROM (
+    )"""
+
+
+def _batch_search_topk_select(k: int) -> str:
+    """The per-query top-``k`` SELECT over ``scored`` — the explicit
+    tail paired with ``_batch_search_scored_cte``."""
+    return f"""SELECT cast(query_id as bigint) AS query_id, doc_id, score FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
-      FROM scored) WHERE rn <= {k}
+      FROM scored) WHERE rn <= {k}"""
+
+
+def _batch_search_oracle(k: int) -> str:
+    return f"""
+    {_batch_search_scored_cte()}
+    {_batch_search_topk_select(k)}
     """
 
 
@@ -937,16 +953,14 @@ _CTX_HEADER = (
 
 
 def _context_assembly_oracle() -> str:
+    """Composes the shared batch-search head explicitly: the scored
+    CTE chain + the top-k SELECT wrapped as a ``hits`` CTE — no
+    textual splitting of a sibling oracle (VERDICT r10 item 2)."""
     qvals = ", ".join(f"({qid}, '{q}')" for qid, q in BATCH_QUERIES)
-    base = _batch_search_oracle(CONTEXT_K)
-    # Reuse the ranked-hit CTE chain; re-wrap its final SELECT as a CTE.
-    inner = base.strip().rstrip()
-    # base ends with the top-k SELECT; embed it as `hits`.
-    head, final_select = inner.rsplit("SELECT cast(query_id as bigint)", 1)
     return f"""
-    {head.rstrip()},
+    {_batch_search_scored_cte()},
     hits AS (
-      SELECT cast(query_id as bigint){final_select}
+      {_batch_search_topk_select(CONTEXT_K)}
     ),
     ranked AS (
       SELECT query_id, doc_id,
