@@ -57,6 +57,11 @@ BENCH_QUERIES = [
     "item_cosine_similarity_topk",  # r8: item-item similarity
     "winnowing_fingerprint_pairs",  # r9: MOSS local fingerprints
     "ml_minhash_similarity_join",   # r9: Spark ML LSH probe lookup
+    # round-11 addition (VERDICT r10 item 4): a streaming sentinel —
+    # availableNow drain of the watermarked tumbling-window aggregate
+    # (Structured Streaming engine + state store in the loop), so the
+    # ≤2x gate covers streaming regressions, not just batch plans.
+    "stream_hourly_stats",          # r2+: streaming tumbling+watermark
 ]
 
 

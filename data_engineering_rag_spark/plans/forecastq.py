@@ -483,3 +483,282 @@ def holt_forecast_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("b_raw", 6).alias("trend"),
         F.round(F.col("l_raw") + 7 * F.col("b_raw"), 6).alias("fc_7"),
     )
+
+
+# --------------------------------------------------------------------------
+# Two-sample drift: binned Kolmogorov–Smirnov between corpus epochs
+# --------------------------------------------------------------------------
+
+KS_SPLIT_DATE = "1998-01-01"
+KS_BIN_WIDTH = 2500.0
+KS_N_BINS = 200
+KS_C_ALPHA = 1.358  # α = 0.05
+
+
+@query(
+    "orders_drift_ks_binned",
+    f"""
+    WITH binned AS (
+      SELECT CASE WHEN o_orderdate < timestamp '{KS_SPLIT_DATE}' THEN 0 ELSE 1 END AS half,
+             least(cast(floor(o_totalprice / {KS_BIN_WIDTH}) as bigint), {KS_N_BINS - 1}) AS bin
+      FROM orders),
+    counts AS (
+      SELECT bin,
+             cast(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) as bigint) AS ca,
+             cast(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) as bigint) AS cb
+      FROM binned GROUP BY bin),
+    tot AS (
+      SELECT cast(sum(ca) as bigint) AS n1, cast(sum(cb) as bigint) AS n2 FROM counts),
+    cdf AS (
+      SELECT sum(ca) OVER (ORDER BY bin) AS cuma,
+             sum(cb) OVER (ORDER BY bin) AS cumb
+      FROM counts)
+    SELECT t.n1, t.n2,
+           round(max(abs(c.cuma::double / t.n1 - c.cumb::double / t.n2)), 6) AS d_stat,
+           round({KS_C_ALPHA} * sqrt((t.n1 + t.n2)::double / (t.n1 * t.n2)), 6)
+             AS ks_threshold,
+           max(abs(c.cuma::double / t.n1 - c.cumb::double / t.n2))
+             > {KS_C_ALPHA} * sqrt((t.n1 + t.n2)::double / (t.n1 * t.n2)) AS drift_detected
+    FROM cdf c CROSS JOIN tot t
+    GROUP BY t.n1, t.n2
+    """,
+)
+def orders_drift_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift test between corpus epochs
+    (orders before vs after {KS_SPLIT_DATE}) over the totalprice
+    distribution — the train/serve drift check a data pipeline runs
+    between snapshot releases. BINNED ECDFs ({KS_N_BINS} fixed-width
+    buckets) keep it one combinable groupBy plus a window over a
+    ≤{KS_N_BINS}-row aggregate (bounded by construction — never a
+    global sort of raw rows); binning makes D a lower bound of the
+    exact statistic, conservative for rejection at this bin width.
+    Compares D against the α=0.05 asymptotic critical value
+    c(α)·√((n₁+n₂)/n₁n₂)."""
+    o = load(spark, sf_dir, "orders")
+    binned = o.select(
+        F.when(F.col("o_orderdate") < F.lit(KS_SPLIT_DATE).cast("timestamp"), 0)
+        .otherwise(1)
+        .alias("half"),
+        F.least(
+            F.floor(F.col("o_totalprice") / KS_BIN_WIDTH).cast("long"), F.lit(KS_N_BINS - 1)
+        ).alias("bin"),
+    )
+    counts = (
+        binned.groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("long").alias("ca"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long").alias("cb"),
+        )
+        # ≤ KS_N_BINS rows exist; the limit is a no-op that makes the
+        # pool's boundedness visible (same idiom as the bootstrap
+        # replicate table)
+        .limit(KS_N_BINS)
+    )
+    tot = counts.agg(
+        F.sum("ca").cast("long").alias("n1"), F.sum("cb").cast("long").alias("n2")
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = counts.select(
+        F.sum("ca").over(w).alias("cuma"), F.sum("cb").over(w).alias("cumb")
+    )
+    diff = F.abs(
+        F.col("cuma").cast("double") / F.col("n1") - F.col("cumb").cast("double") / F.col("n2")
+    )
+    thresh = F.lit(KS_C_ALPHA) * F.sqrt(
+        (F.col("n1") + F.col("n2")).cast("double") / (F.col("n1") * F.col("n2"))
+    )
+    return (
+        cdf.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(
+            F.round(F.max(diff), 6).alias("d_stat"),
+            F.round(F.first(thresh), 6).alias("ks_threshold"),
+            (F.max(diff) > F.first(thresh)).alias("drift_detected"),
+        )
+        .select("n1", "n2", "d_stat", "ks_threshold", "drift_detected")
+    )
+
+
+# --------------------------------------------------------------------------
+# Changepoint detection: single-breakpoint variance-reduction scan
+# --------------------------------------------------------------------------
+
+
+@query(
+    "changepoint_daily_events",
+    """
+    WITH daily AS (
+      SELECT cast(date_trunc('day', ts) as date) AS day, cast(count(*) as bigint) AS c
+      FROM events GROUP BY 1),
+    cum AS (
+      SELECT day, c,
+             sum(c) OVER (ORDER BY day) AS s1,
+             sum(c * c) OVER (ORDER BY day) AS s2,
+             count(*) OVER (ORDER BY day) AS k,
+             sum(c) OVER () AS t1, sum(c * c) OVER () AS t2, count(*) OVER () AS m
+      FROM daily),
+    cand AS (
+      SELECT day AS split_day, cast(k as bigint) AS n_left, cast(m - k as bigint) AS n_right,
+             (s2 - s1 * s1 / cast(k as double))
+             + ((t2 - s2) - (t1 - s1) * (t1 - s1) / cast(m - k as double)) AS sse_split,
+             t2 - t1 * t1 / cast(m as double) AS sse_total
+      FROM cum WHERE k < m)
+    SELECT split_day, n_left, n_right,
+           round(sse_total, 4) AS sse_total,
+           round(sse_split, 4) AS sse_split,
+           round(1.0 - sse_split / sse_total, 6) AS variance_explained
+    FROM cand ORDER BY sse_split, split_day LIMIT 1
+    """,
+)
+def changepoint_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-breakpoint CHANGEPOINT detection on the daily event
+    series — the level-shift scan that tells a pipeline owner WHEN a
+    source's volume regime changed (binary-segmentation's inner step):
+    for every candidate split day, SSE of a two-mean model from
+    cumulative integer sufficient statistics (Σc, Σc² prefix sums —
+    exact, no float accumulation), argmin by TakeOrdered with the day
+    as tie-break. Everything past the daily rollup operates on the
+    ≤|days| bounded aggregate; variance_explained is the effect-size
+    readout (near 0 on the stationary synthetic series — the honest
+    null result — and large on any real regime shift)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).limit(36600)  # calendar-bounded pool marker (one row per day)
+    w_cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = daily.select(
+        "day",
+        F.sum("c").over(w_cum).alias("s1"),
+        F.sum(F.col("c") * F.col("c")).over(w_cum).alias("s2"),
+        F.count(F.lit(1)).over(w_cum).alias("k"),
+        F.sum("c").over(w_all).alias("t1"),
+        F.sum(F.col("c") * F.col("c")).over(w_all).alias("t2"),
+        F.count(F.lit(1)).over(w_all).alias("m"),
+    )
+    sse_split = (
+        F.col("s2") - F.col("s1") * F.col("s1") / F.col("k").cast("double")
+    ) + (
+        (F.col("t2") - F.col("s2"))
+        - (F.col("t1") - F.col("s1"))
+        * (F.col("t1") - F.col("s1"))
+        / (F.col("m") - F.col("k")).cast("double")
+    )
+    sse_total = F.col("t2") - F.col("t1") * F.col("t1") / F.col("m").cast("double")
+    cand = (
+        cum.where(F.col("k") < F.col("m"))
+        .select(
+            F.col("day").alias("split_day"),
+            F.col("k").cast("long").alias("n_left"),
+            (F.col("m") - F.col("k")).cast("long").alias("n_right"),
+            sse_split.alias("ss"),
+            sse_total.alias("st"),
+        )
+        .orderBy("ss", "split_day")
+        .limit(1)
+    )
+    return cand.select(
+        "split_day",
+        "n_left",
+        "n_right",
+        F.round("st", 4).alias("sse_total"),
+        F.round("ss", 4).alias("sse_split"),
+        F.round(F.lit(1.0) - F.col("ss") / F.col("st"), 6).alias("variance_explained"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Robust trend: Theil–Sen slope over the daily series
+# --------------------------------------------------------------------------
+
+#: ~100 years of daily rollup rows; the |days|² pairwise-slope join is
+#: safe only below this. Module-level so the guard test can lower it.
+TS_CALENDAR_CAP = 36600
+
+
+@query(
+    "theil_sen_daily_trend",
+    """
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1990-01-01', cast(date_trunc('day', ts) as date)) AS x,
+             cast(count(*) as bigint) AS y
+      FROM events GROUP BY 1),
+    slopes AS (
+      SELECT (b.y - a.y) / cast(b.x - a.x as double) AS m
+      FROM daily a JOIN daily b ON a.x < b.x),
+    ts_fit AS (
+      SELECT round(quantile_cont(m, 0.5), 6) AS ts_slope FROM slopes),
+    ols AS (
+      SELECT round((count(*) * sum(x * y) - sum(x) * sum(y))
+                   / cast(count(*) * sum(x * x) - sum(x) * sum(x) as double), 6)
+               AS ols_slope,
+             cast(count(*) as bigint) AS n_days
+      FROM daily)
+    SELECT o.n_days, t.ts_slope, o.ols_slope
+    FROM ts_fit t CROSS JOIN ols o
+    """,
+)
+def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL–SEN robust trend of daily event volume — the median of all
+    pairwise slopes, which one corrupted ingestion day cannot move
+    (OLS, reported alongside, chases it with breakdown point 0). The
+    pair space is the DAILY AGGREGATE squared (≤|days|² — calendar-
+    bounded by construction, ~400 pairs a month, never a row-level
+    join), so the robust estimator costs one tiny self-join after one
+    combinable rollup; integer (x, y) pairs make every slope an exact
+    ratio of identical integers in both engines, and the median is the
+    only float reduction (rounded once)."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.datediff(
+                F.date_trunc("day", "ts").cast("date"), F.lit("1990-01-01").cast("date")
+            ).alias("x")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    a = daily.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = daily.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    slopes = a.join(b, F.col("xa") < F.col("xb")).select(
+        ((F.col("yb") - F.col("ya")) / (F.col("xb") - F.col("xa")).cast("double")).alias("m")
+    )
+    ts_fit = slopes.agg(
+        F.round(
+            F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY m)"), 6
+        ).alias("ts_slope")
+    )
+    ols = daily.agg(
+        F.round(
+            (
+                F.count(F.lit(1)) * F.sum(F.col("x") * F.col("y"))
+                - F.sum("x") * F.sum("y")
+            )
+            / (
+                F.count(F.lit(1)) * F.sum(F.col("x") * F.col("x"))
+                - F.sum("x") * F.sum("x")
+            ).cast("double"),
+            6,
+        ).alias("ols_slope"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    # Loud calendar-cap guard: the pairwise-slope space is |days|²,
+    # safe only because a daily rollup is calendar-bounded. The guard
+    # is threaded through the CONSUMED n_days output column (ADVICE
+    # r8: an assert_true column dropped right after creation is pruned
+    # by Catalyst and never evaluates) — beyond ~100 years of days the
+    # job fails via raise_error instead of computing a truncated
+    # median.
+    ols = ols.select(
+        F.when(F.col("n_days") <= F.lit(TS_CALENDAR_CAP), F.col("n_days"))
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "theil_sen_daily_trend: daily rollup exceeds the "
+                    f"{TS_CALENDAR_CAP}-day calendar cap"
+                )
+            )
+        )
+        .alias("n_days"),
+        "ols_slope",
+    )
+    return ts_fit.crossJoin(F.broadcast(ols)).select("n_days", "ts_slope", "ols_slope")

@@ -724,3 +724,115 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_inter") / F.col("n_union").cast("double"), 6).alias("jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Entity resolution: rarest-trigram blocking + trigram-Jaccard verify
+# --------------------------------------------------------------------------
+
+FUZZY_JACCARD_MIN = 0.4
+BLOCK_DF_CAP = 10  # trigrams appearing in ≤ this many names are block keys
+
+
+def _name_trigrams_sql(src: str) -> str:
+    """DuckDB: distinct (name, tri) over character trigrams."""
+    return f"""
+      SELECT DISTINCT name, substr(name, i, 3) AS tri
+      FROM (
+        SELECT p_name AS name,
+               unnest(range(1, length(p_name) - 1)) AS i
+        FROM (SELECT DISTINCT p_name FROM {src} WHERE length(p_name) >= 3)
+      )
+    """
+
+
+@query(
+    "trigram_blocked_fuzzy_join",
+    f"""
+    WITH tri AS ({_name_trigrams_sql("part")}),
+    df AS (SELECT tri, count(DISTINCT name) AS df FROM tri GROUP BY tri),
+    sized AS (SELECT name, count(*) AS sz FROM tri GROUP BY name),
+    rare AS (
+      SELECT t.name, t.tri FROM tri t JOIN df d USING (tri)
+      WHERE d.df <= {BLOCK_DF_CAP}),
+    cand AS (
+      SELECT DISTINCT a.name AS name_a, b.name AS name_b
+      FROM rare a JOIN rare b
+        ON a.tri = b.tri AND a.name < b.name),
+    inter AS (
+      SELECT c.name_a, c.name_b, count(*) AS shared
+      FROM cand c
+      JOIN tri ta ON ta.name = c.name_a
+      JOIN tri tb ON tb.name = c.name_b AND tb.tri = ta.tri
+      GROUP BY c.name_a, c.name_b)
+    SELECT i.name_a, i.name_b,
+           round(cast(i.shared as double)
+                 / (sa.sz + sb.sz - i.shared), 6) AS jaccard
+    FROM inter i
+    JOIN sized sa ON sa.name = i.name_a
+    JOIN sized sb ON sb.name = i.name_b
+    WHERE cast(i.shared as double) / (sa.sz + sb.sz - i.shared)
+          >= {FUZZY_JACCARD_MIN}
+    """,
+)
+def trigram_blocked_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-based fuzzy self-join of the part-name DICTIONARY via
+    FREQUENCY-FILTERED TOKEN BLOCKING: trigrams appearing in ≤
+    {BLOCK_DF_CAP} names are block keys, candidates are pairs sharing
+    ANY rare trigram, then trigram-set Jaccard ≥ {FUZZY_JACCARD_MIN}
+    verifies. The load-bearing scale moves: (1) fuzzy matching runs on
+    DISTINCT names — the domain dictionary, which grows with
+    vocabulary, not fact rows; (2) the df cap bounds candidates by
+    cap·Σdf instead of |dict|² — the frequency-filtered blocking
+    standard from record-linkage systems (a single rarest-key scheme
+    was measured at 55% recall on this dictionary and rejected: pairs
+    similar only through a SHARED second token never co-blocked; see
+    tests/test_round7.py's recall audit, which pins ≥0.9 against the
+    brute-force gold pairs). Misses are exactly the pairs whose every
+    shared trigram is ubiquitous (df > cap) — quantified, not silent.
+    The verify join is an equi-join on (candidate, shared trigram),
+    never an all-pairs scan."""
+    # length >= 3 guard BEFORE the explode: F.sequence(1, length-2)
+    # generates a DESCENDING [1, 0] for 2-char names (Spark sequences
+    # auto-negate the step), which would emit bogus substring(name, 0, 3)
+    # "trigrams" the oracle never produces.
+    names = (
+        load(spark, sf_dir, "part")
+        .select("p_name")
+        .where(F.length("p_name") >= 3)
+        .distinct()
+    )
+    tri = (
+        names.select(
+            F.col("p_name").alias("name"),
+            F.explode(F.sequence(F.lit(1), F.length("p_name") - 2)).alias("i"),
+        )
+        .select("name", F.expr("substring(name, i, 3)").alias("tri"))
+        .distinct()
+    )
+    dfreq = tri.groupBy("tri").agg(F.countDistinct("name").alias("df"))
+    sized = tri.groupBy("name").agg(F.count(F.lit(1)).alias("sz"))
+    rare = tri.join(dfreq.where(F.col("df") <= BLOCK_DF_CAP), "tri")
+    a = rare.select(F.col("name").alias("name_a"), "tri")
+    b = rare.select(F.col("name").alias("name_b"), "tri")
+    cand = a.join(b, "tri").where(F.col("name_a") < F.col("name_b")).select(
+        "name_a", "name_b"
+    ).distinct()
+    ta = tri.select(F.col("name").alias("name_a"), "tri")
+    tb = tri.select(F.col("name").alias("name_b"), "tri")
+    inter = (
+        cand.join(ta, "name_a")
+        .join(tb, ["name_b", "tri"])
+        .groupBy("name_a", "name_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    j = (
+        inter.join(sized.withColumnRenamed("name", "name_a").withColumnRenamed("sz", "sa"), "name_a")
+        .join(sized.withColumnRenamed("name", "name_b").withColumnRenamed("sz", "sb"), "name_b")
+        .withColumn(
+            "jac_raw",
+            F.col("shared").cast("double") / (F.col("sa") + F.col("sb") - F.col("shared")),
+        )
+        .where(F.col("jac_raw") >= FUZZY_JACCARD_MIN)
+    )
+    return j.select("name_a", "name_b", F.round("jac_raw", 6).alias("jaccard"))

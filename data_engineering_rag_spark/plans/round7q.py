@@ -65,118 +65,6 @@ def lateral_topn_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Entity resolution: rarest-trigram blocking + trigram-Jaccard verify
-# --------------------------------------------------------------------------
-
-FUZZY_JACCARD_MIN = 0.4
-BLOCK_DF_CAP = 10  # trigrams appearing in ≤ this many names are block keys
-
-
-def _name_trigrams_sql(src: str) -> str:
-    """DuckDB: distinct (name, tri) over character trigrams."""
-    return f"""
-      SELECT DISTINCT name, substr(name, i, 3) AS tri
-      FROM (
-        SELECT p_name AS name,
-               unnest(range(1, length(p_name) - 1)) AS i
-        FROM (SELECT DISTINCT p_name FROM {src} WHERE length(p_name) >= 3)
-      )
-    """
-
-
-@query(
-    "trigram_blocked_fuzzy_join",
-    f"""
-    WITH tri AS ({_name_trigrams_sql("part")}),
-    df AS (SELECT tri, count(DISTINCT name) AS df FROM tri GROUP BY tri),
-    sized AS (SELECT name, count(*) AS sz FROM tri GROUP BY name),
-    rare AS (
-      SELECT t.name, t.tri FROM tri t JOIN df d USING (tri)
-      WHERE d.df <= {BLOCK_DF_CAP}),
-    cand AS (
-      SELECT DISTINCT a.name AS name_a, b.name AS name_b
-      FROM rare a JOIN rare b
-        ON a.tri = b.tri AND a.name < b.name),
-    inter AS (
-      SELECT c.name_a, c.name_b, count(*) AS shared
-      FROM cand c
-      JOIN tri ta ON ta.name = c.name_a
-      JOIN tri tb ON tb.name = c.name_b AND tb.tri = ta.tri
-      GROUP BY c.name_a, c.name_b)
-    SELECT i.name_a, i.name_b,
-           round(cast(i.shared as double)
-                 / (sa.sz + sb.sz - i.shared), 6) AS jaccard
-    FROM inter i
-    JOIN sized sa ON sa.name = i.name_a
-    JOIN sized sb ON sb.name = i.name_b
-    WHERE cast(i.shared as double) / (sa.sz + sb.sz - i.shared)
-          >= {FUZZY_JACCARD_MIN}
-    """,
-)
-def trigram_blocked_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocking-based fuzzy self-join of the part-name DICTIONARY via
-    FREQUENCY-FILTERED TOKEN BLOCKING: trigrams appearing in ≤
-    {BLOCK_DF_CAP} names are block keys, candidates are pairs sharing
-    ANY rare trigram, then trigram-set Jaccard ≥ {FUZZY_JACCARD_MIN}
-    verifies. The load-bearing scale moves: (1) fuzzy matching runs on
-    DISTINCT names — the domain dictionary, which grows with
-    vocabulary, not fact rows; (2) the df cap bounds candidates by
-    cap·Σdf instead of |dict|² — the frequency-filtered blocking
-    standard from record-linkage systems (a single rarest-key scheme
-    was measured at 55% recall on this dictionary and rejected: pairs
-    similar only through a SHARED second token never co-blocked; see
-    tests/test_round7.py's recall audit, which pins ≥0.9 against the
-    brute-force gold pairs). Misses are exactly the pairs whose every
-    shared trigram is ubiquitous (df > cap) — quantified, not silent.
-    The verify join is an equi-join on (candidate, shared trigram),
-    never an all-pairs scan."""
-    # length >= 3 guard BEFORE the explode: F.sequence(1, length-2)
-    # generates a DESCENDING [1, 0] for 2-char names (Spark sequences
-    # auto-negate the step), which would emit bogus substring(name, 0, 3)
-    # "trigrams" the oracle never produces.
-    names = (
-        load(spark, sf_dir, "part")
-        .select("p_name")
-        .where(F.length("p_name") >= 3)
-        .distinct()
-    )
-    tri = (
-        names.select(
-            F.col("p_name").alias("name"),
-            F.explode(F.sequence(F.lit(1), F.length("p_name") - 2)).alias("i"),
-        )
-        .select("name", F.expr("substring(name, i, 3)").alias("tri"))
-        .distinct()
-    )
-    dfreq = tri.groupBy("tri").agg(F.countDistinct("name").alias("df"))
-    sized = tri.groupBy("name").agg(F.count(F.lit(1)).alias("sz"))
-    rare = tri.join(dfreq.where(F.col("df") <= BLOCK_DF_CAP), "tri")
-    a = rare.select(F.col("name").alias("name_a"), "tri")
-    b = rare.select(F.col("name").alias("name_b"), "tri")
-    cand = a.join(b, "tri").where(F.col("name_a") < F.col("name_b")).select(
-        "name_a", "name_b"
-    ).distinct()
-    ta = tri.select(F.col("name").alias("name_a"), "tri")
-    tb = tri.select(F.col("name").alias("name_b"), "tri")
-    inter = (
-        cand.join(ta, "name_a")
-        .join(tb, ["name_b", "tri"])
-        .groupBy("name_a", "name_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    j = (
-        inter.join(sized.withColumnRenamed("name", "name_a").withColumnRenamed("sz", "sa"), "name_a")
-        .join(sized.withColumnRenamed("name", "name_b").withColumnRenamed("sz", "sb"), "name_b")
-        .withColumn(
-            "jac_raw",
-            F.col("shared").cast("double") / (F.col("sa") + F.col("sb") - F.col("shared")),
-        )
-        .where(F.col("jac_raw") >= FUZZY_JACCARD_MIN)
-    )
-    return j.select("name_a", "name_b", F.round("jac_raw", 6).alias("jaccard"))
-
-
-# --------------------------------------------------------------------------
 # Distributed ML: one logistic-regression gradient step as a
 # combinable aggregate (the shape every data-parallel trainer reduces to)
 # --------------------------------------------------------------------------
@@ -570,100 +458,6 @@ def parquet_encoding_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
-
-
-# --------------------------------------------------------------------------
-# Two-sample drift: binned Kolmogorov–Smirnov between corpus epochs
-# --------------------------------------------------------------------------
-
-KS_SPLIT_DATE = "1998-01-01"
-KS_BIN_WIDTH = 2500.0
-KS_N_BINS = 200
-KS_C_ALPHA = 1.358  # α = 0.05
-
-
-@query(
-    "orders_drift_ks_binned",
-    f"""
-    WITH binned AS (
-      SELECT CASE WHEN o_orderdate < timestamp '{KS_SPLIT_DATE}' THEN 0 ELSE 1 END AS half,
-             least(cast(floor(o_totalprice / {KS_BIN_WIDTH}) as bigint), {KS_N_BINS - 1}) AS bin
-      FROM orders),
-    counts AS (
-      SELECT bin,
-             cast(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) as bigint) AS ca,
-             cast(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) as bigint) AS cb
-      FROM binned GROUP BY bin),
-    tot AS (
-      SELECT cast(sum(ca) as bigint) AS n1, cast(sum(cb) as bigint) AS n2 FROM counts),
-    cdf AS (
-      SELECT sum(ca) OVER (ORDER BY bin) AS cuma,
-             sum(cb) OVER (ORDER BY bin) AS cumb
-      FROM counts)
-    SELECT t.n1, t.n2,
-           round(max(abs(c.cuma::double / t.n1 - c.cumb::double / t.n2)), 6) AS d_stat,
-           round({KS_C_ALPHA} * sqrt((t.n1 + t.n2)::double / (t.n1 * t.n2)), 6)
-             AS ks_threshold,
-           max(abs(c.cuma::double / t.n1 - c.cumb::double / t.n2))
-             > {KS_C_ALPHA} * sqrt((t.n1 + t.n2)::double / (t.n1 * t.n2)) AS drift_detected
-    FROM cdf c CROSS JOIN tot t
-    GROUP BY t.n1, t.n2
-    """,
-)
-def orders_drift_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-sample Kolmogorov–Smirnov drift test between corpus epochs
-    (orders before vs after {KS_SPLIT_DATE}) over the totalprice
-    distribution — the train/serve drift check a data pipeline runs
-    between snapshot releases. BINNED ECDFs ({KS_N_BINS} fixed-width
-    buckets) keep it one combinable groupBy plus a window over a
-    ≤{KS_N_BINS}-row aggregate (bounded by construction — never a
-    global sort of raw rows); binning makes D a lower bound of the
-    exact statistic, conservative for rejection at this bin width.
-    Compares D against the α=0.05 asymptotic critical value
-    c(α)·√((n₁+n₂)/n₁n₂)."""
-    o = load(spark, sf_dir, "orders")
-    binned = o.select(
-        F.when(F.col("o_orderdate") < F.lit(KS_SPLIT_DATE).cast("timestamp"), 0)
-        .otherwise(1)
-        .alias("half"),
-        F.least(
-            F.floor(F.col("o_totalprice") / KS_BIN_WIDTH).cast("long"), F.lit(KS_N_BINS - 1)
-        ).alias("bin"),
-    )
-    counts = (
-        binned.groupBy("bin")
-        .agg(
-            F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("long").alias("ca"),
-            F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long").alias("cb"),
-        )
-        # ≤ KS_N_BINS rows exist; the limit is a no-op that makes the
-        # pool's boundedness visible (same idiom as the bootstrap
-        # replicate table)
-        .limit(KS_N_BINS)
-    )
-    tot = counts.agg(
-        F.sum("ca").cast("long").alias("n1"), F.sum("cb").cast("long").alias("n2")
-    )
-    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-    cdf = counts.select(
-        F.sum("ca").over(w).alias("cuma"), F.sum("cb").over(w).alias("cumb")
-    )
-    diff = F.abs(
-        F.col("cuma").cast("double") / F.col("n1") - F.col("cumb").cast("double") / F.col("n2")
-    )
-    thresh = F.lit(KS_C_ALPHA) * F.sqrt(
-        (F.col("n1") + F.col("n2")).cast("double") / (F.col("n1") * F.col("n2"))
-    )
-    return (
-        cdf.crossJoin(F.broadcast(tot))
-        .groupBy("n1", "n2")
-        .agg(
-            F.round(F.max(diff), 6).alias("d_stat"),
-            F.round(F.first(thresh), 6).alias("ks_threshold"),
-            (F.max(diff) > F.first(thresh)).alias("drift_detected"),
-        )
-        .select("n1", "n2", "d_stat", "ks_threshold", "drift_detected")
-    )
 
 
 # ==========================================================================
@@ -1582,94 +1376,6 @@ def km_user_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Changepoint detection: single-breakpoint variance-reduction scan
-# --------------------------------------------------------------------------
-
-
-@query(
-    "changepoint_daily_events",
-    """
-    WITH daily AS (
-      SELECT cast(date_trunc('day', ts) as date) AS day, cast(count(*) as bigint) AS c
-      FROM events GROUP BY 1),
-    cum AS (
-      SELECT day, c,
-             sum(c) OVER (ORDER BY day) AS s1,
-             sum(c * c) OVER (ORDER BY day) AS s2,
-             count(*) OVER (ORDER BY day) AS k,
-             sum(c) OVER () AS t1, sum(c * c) OVER () AS t2, count(*) OVER () AS m
-      FROM daily),
-    cand AS (
-      SELECT day AS split_day, cast(k as bigint) AS n_left, cast(m - k as bigint) AS n_right,
-             (s2 - s1 * s1 / cast(k as double))
-             + ((t2 - s2) - (t1 - s1) * (t1 - s1) / cast(m - k as double)) AS sse_split,
-             t2 - t1 * t1 / cast(m as double) AS sse_total
-      FROM cum WHERE k < m)
-    SELECT split_day, n_left, n_right,
-           round(sse_total, 4) AS sse_total,
-           round(sse_split, 4) AS sse_split,
-           round(1.0 - sse_split / sse_total, 6) AS variance_explained
-    FROM cand ORDER BY sse_split, split_day LIMIT 1
-    """,
-)
-def changepoint_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-breakpoint CHANGEPOINT detection on the daily event
-    series — the level-shift scan that tells a pipeline owner WHEN a
-    source's volume regime changed (binary-segmentation's inner step):
-    for every candidate split day, SSE of a two-mean model from
-    cumulative integer sufficient statistics (Σc, Σc² prefix sums —
-    exact, no float accumulation), argmin by TakeOrdered with the day
-    as tie-break. Everything past the daily rollup operates on the
-    ≤|days| bounded aggregate; variance_explained is the effect-size
-    readout (near 0 on the stationary synthetic series — the honest
-    null result — and large on any real regime shift)."""
-    ev = load(spark, sf_dir, "events")
-    daily = ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day")).agg(
-        F.count(F.lit(1)).cast("long").alias("c")
-    ).limit(36600)  # calendar-bounded pool marker (one row per day)
-    w_cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.partitionBy()
-    cum = daily.select(
-        "day",
-        F.sum("c").over(w_cum).alias("s1"),
-        F.sum(F.col("c") * F.col("c")).over(w_cum).alias("s2"),
-        F.count(F.lit(1)).over(w_cum).alias("k"),
-        F.sum("c").over(w_all).alias("t1"),
-        F.sum(F.col("c") * F.col("c")).over(w_all).alias("t2"),
-        F.count(F.lit(1)).over(w_all).alias("m"),
-    )
-    sse_split = (
-        F.col("s2") - F.col("s1") * F.col("s1") / F.col("k").cast("double")
-    ) + (
-        (F.col("t2") - F.col("s2"))
-        - (F.col("t1") - F.col("s1"))
-        * (F.col("t1") - F.col("s1"))
-        / (F.col("m") - F.col("k")).cast("double")
-    )
-    sse_total = F.col("t2") - F.col("t1") * F.col("t1") / F.col("m").cast("double")
-    cand = (
-        cum.where(F.col("k") < F.col("m"))
-        .select(
-            F.col("day").alias("split_day"),
-            F.col("k").cast("long").alias("n_left"),
-            (F.col("m") - F.col("k")).cast("long").alias("n_right"),
-            sse_split.alias("ss"),
-            sse_total.alias("st"),
-        )
-        .orderBy("ss", "split_day")
-        .limit(1)
-    )
-    return cand.select(
-        "split_day",
-        "n_left",
-        "n_right",
-        F.round("st", 4).alias("sse_total"),
-        F.round("ss", 4).alias("sse_split"),
-        F.round(F.lit(1.0) - F.col("ss") / F.col("st"), 6).alias("variance_explained"),
-    )
-
-
-# --------------------------------------------------------------------------
 # Quantile fitting by pinball-loss grid over binned sufficient stats
 # --------------------------------------------------------------------------
 
@@ -1747,91 +1453,9 @@ def pinball_quantile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ==========================================================================
-# Round-7 batch 4: rank statistics, feature relevance, robust trends
+# Round-7 batch 4: feature relevance (rank statistics and robust trends
+# moved to stattestsq/forecastq in the round-11 thematic split)
 # ==========================================================================
-
-
-@query(
-    "spearman_acctbal_orders",
-    """
-    WITH per_cust AS (
-      SELECT c.c_custkey, c.c_acctbal AS x,
-             cast(coalesce(o.n, 0) as double) AS y
-      FROM customer c LEFT JOIN
-        (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey) o
-        ON o.o_custkey = c.c_custkey),
-    ranked AS (
-      SELECT rank() OVER (ORDER BY x)
-               + (count(*) OVER (PARTITION BY x) - 1) / 2.0 AS rx,
-             rank() OVER (ORDER BY y)
-               + (count(*) OVER (PARTITION BY y) - 1) / 2.0 AS ry
-      FROM per_cust),
-    mom AS (
-      SELECT cast(count(*) as bigint) AS n,
-             cast(sum(cast(rx as decimal(18,1))) as double) AS sx,
-             cast(sum(cast(ry as decimal(18,1))) as double) AS sy,
-             cast(sum(cast(rx * ry as decimal(38,2))) as double) AS sxy,
-             cast(sum(cast(rx * rx as decimal(38,2))) as double) AS sxx,
-             cast(sum(cast(ry * ry as decimal(38,2))) as double) AS syy
-      FROM ranked)
-    SELECT n AS n_customers,
-           round((n * sxy - sx * sy)
-                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
-             AS spearman_rho
-    FROM mom
-    """,
-)
-def spearman_acctbal_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SPEARMAN rank correlation between account balance and order
-    count — the monotone-association check that Pearson misses (and
-    robust to the balance outliers), with TIES handled correctly via
-    AVERAGE ranks (integer order counts tie heavily; the classic
-    1 − 6Σd²/… shortcut is invalid under ties, so this is Pearson on
-    midranks). Scale shape: ranks come from ``with_global_rank``'s
-    range-exchange kernel (never an unpartitioned window over
-    customers); midranks derive from per-VALUE min-rank + count (one
-    value-keyed agg + join back); the correlation itself is one
-    combinable moment aggregate over exact decimals. The oracle spells
-    the same midranks with DuckDB's rank window."""
-    from ..operators.scale import with_global_rank
-
-    c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders").groupBy("o_custkey").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    per_cust = c.join(o, c.c_custkey == o.o_custkey, "left").select(
-        "c_custkey",
-        F.col("c_acctbal").alias("x"),
-        F.coalesce(F.col("n"), F.lit(0)).cast("double").alias("y"),
-    )
-
-    def midrank(df: DataFrame, val: str, out: str) -> DataFrame:
-        rn = with_global_rank(df, [val, "c_custkey"], rank_col="_rn")
-        per_val = rn.groupBy(val).agg(
-            F.min("_rn").alias("_mn"), F.count(F.lit(1)).alias("_cnt")
-        )
-        return (
-            rn.join(per_val, val)
-            .withColumn(out, F.col("_mn") + (F.col("_cnt") - 1) / 2.0)
-            .drop("_rn", "_mn", "_cnt")
-        )
-
-    ranked = midrank(midrank(per_cust, "x", "rx"), "y", "ry")
-    mom = ranked.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.col("rx").cast("decimal(18,1)")).cast("double").alias("sx"),
-        F.sum(F.col("ry").cast("decimal(18,1)")).cast("double").alias("sy"),
-        F.sum((F.col("rx") * F.col("ry")).cast("decimal(38,2)")).cast("double").alias("sxy"),
-        F.sum((F.col("rx") * F.col("rx")).cast("decimal(38,2)")).cast("double").alias("sxx"),
-        F.sum((F.col("ry") * F.col("ry")).cast("decimal(38,2)")).cast("double").alias("syy"),
-    )
-    rho = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
-    )
-    return mom.select(
-        F.col("n").alias("n_customers"), F.round(rho, 6).alias("spearman_rho")
-    )
 
 
 # --------------------------------------------------------------------------
@@ -1931,211 +1555,6 @@ def feature_mi_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     for x in outs[1:]:
         out = out.unionByName(x)
     return out
-
-
-# --------------------------------------------------------------------------
-# Variance homogeneity: Levene's test (Brown–Forsythe median variant)
-# --------------------------------------------------------------------------
-
-LEVENE_F_CRIT = 2.372  # F(0.05; 4, inf) — fixed literal for the flag
-
-
-@query(
-    "levene_variance_test",
-    f"""
-    WITH med AS (
-      SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
-      FROM orders GROUP BY o_orderpriority),
-    z AS (
-      SELECT o.o_orderpriority, abs(o.o_totalprice - m.med) AS z
-      FROM orders o JOIN med m USING (o_orderpriority)),
-    zg AS (
-      SELECT o_orderpriority, cast(count(*) as bigint) AS n_g,
-             round(cast(sum(cast(z as decimal(18,6))) as double) / count(*), 9) AS zbar_g
-      FROM z GROUP BY o_orderpriority),
-    tot AS (
-      SELECT cast(sum(n_g) as bigint) AS n,
-             cast(count(*) as bigint) AS k,
-             round(cast(sum(cast(zbar_g * n_g as decimal(28,9))) as double)
-                   / sum(n_g), 9) AS zbar
-      FROM zg),
-    within AS (
-      SELECT cast(sum(cast((zz.z - g.zbar_g) * (zz.z - g.zbar_g) as decimal(28,8)))
-                  as double) AS ssw
-      FROM z zz JOIN zg g USING (o_orderpriority)),
-    between_ss AS (
-      SELECT cast(sum(cast(n_g * (zbar_g - t.zbar) * (zbar_g - t.zbar) as decimal(28,8)))
-                  as double) AS ssb
-      FROM zg CROSS JOIN tot t)
-    SELECT t.n, t.k,
-           round(((t.n - t.k) * b.ssb) / ((t.k - 1) * w.ssw), 6) AS levene_w,
-           ((t.n - t.k) * b.ssb) / ((t.k - 1) * w.ssw) > {LEVENE_F_CRIT}
-             AS heteroscedastic
-    FROM tot t CROSS JOIN within w CROSS JOIN between_ss b
-    """,
-)
-def levene_variance_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEVENE variance-homogeneity test (Brown–Forsythe median variant
-    — robust to non-normality) across order priorities: W is the
-    one-way ANOVA F on z = |x − median_g|. The pipeline use: before
-    pooling variances across strata (Neyman allocation, pooled CIs),
-    check they're actually poolable. Per-group medians carry the usual
-    low-cardinality percentile caveat (approx_percentile at 100 TB);
-    everything else is combinable moments with exact-decimal sums and
-    9 dp group means so both engines square identical residuals. The
-    flag compares W to the fixed F(0.05; k−1, ∞) literal."""
-    o = load(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
-    med = o.groupBy("o_orderpriority").agg(
-        F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)").alias("med")
-    )
-    z = o.join(F.broadcast(med), "o_orderpriority").select(
-        "o_orderpriority", F.abs(F.col("o_totalprice") - F.col("med")).alias("z")
-    )
-    zg = z.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).cast("long").alias("n_g"),
-        F.round(
-            F.sum(F.col("z").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)), 9
-        ).alias("zbar_g"),
-    )
-    tot = zg.agg(
-        F.sum("n_g").cast("long").alias("n"),
-        F.count(F.lit(1)).cast("long").alias("k"),
-        F.round(
-            F.sum((F.col("zbar_g") * F.col("n_g")).cast("decimal(28,9)")).cast("double")
-            / F.sum("n_g"),
-            9,
-        ).alias("zbar"),
-    )
-    within = z.join(F.broadcast(zg), "o_orderpriority").agg(
-        F.sum(
-            ((F.col("z") - F.col("zbar_g")) * (F.col("z") - F.col("zbar_g"))).cast(
-                "decimal(28,8)"
-            )
-        )
-        .cast("double")
-        .alias("ssw")
-    )
-    between = zg.crossJoin(F.broadcast(tot)).agg(
-        F.sum(
-            (
-                F.col("n_g")
-                * (F.col("zbar_g") - F.col("zbar"))
-                * (F.col("zbar_g") - F.col("zbar"))
-            ).cast("decimal(28,8)")
-        )
-        .cast("double")
-        .alias("ssb")
-    )
-    w_stat = ((F.col("n") - F.col("k")) * F.col("ssb")) / (
-        (F.col("k") - 1) * F.col("ssw")
-    )
-    return (
-        tot.crossJoin(F.broadcast(within))
-        .crossJoin(F.broadcast(between))
-        .select(
-            "n",
-            "k",
-            F.round(w_stat, 6).alias("levene_w"),
-            (w_stat > LEVENE_F_CRIT).alias("heteroscedastic"),
-        )
-    )
-
-
-# --------------------------------------------------------------------------
-# Robust trend: Theil–Sen slope over the daily series
-# --------------------------------------------------------------------------
-
-#: ~100 years of daily rollup rows; the |days|² pairwise-slope join is
-#: safe only below this. Module-level so the guard test can lower it.
-TS_CALENDAR_CAP = 36600
-
-
-@query(
-    "theil_sen_daily_trend",
-    """
-    WITH daily AS (
-      SELECT date_diff('day', DATE '1990-01-01', cast(date_trunc('day', ts) as date)) AS x,
-             cast(count(*) as bigint) AS y
-      FROM events GROUP BY 1),
-    slopes AS (
-      SELECT (b.y - a.y) / cast(b.x - a.x as double) AS m
-      FROM daily a JOIN daily b ON a.x < b.x),
-    ts_fit AS (
-      SELECT round(quantile_cont(m, 0.5), 6) AS ts_slope FROM slopes),
-    ols AS (
-      SELECT round((count(*) * sum(x * y) - sum(x) * sum(y))
-                   / cast(count(*) * sum(x * x) - sum(x) * sum(x) as double), 6)
-               AS ols_slope,
-             cast(count(*) as bigint) AS n_days
-      FROM daily)
-    SELECT o.n_days, t.ts_slope, o.ols_slope
-    FROM ts_fit t CROSS JOIN ols o
-    """,
-)
-def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """THEIL–SEN robust trend of daily event volume — the median of all
-    pairwise slopes, which one corrupted ingestion day cannot move
-    (OLS, reported alongside, chases it with breakdown point 0). The
-    pair space is the DAILY AGGREGATE squared (≤|days|² — calendar-
-    bounded by construction, ~400 pairs a month, never a row-level
-    join), so the robust estimator costs one tiny self-join after one
-    combinable rollup; integer (x, y) pairs make every slope an exact
-    ratio of identical integers in both engines, and the median is the
-    only float reduction (rounded once)."""
-    ev = load(spark, sf_dir, "events")
-    daily = (
-        ev.groupBy(
-            F.datediff(
-                F.date_trunc("day", "ts").cast("date"), F.lit("1990-01-01").cast("date")
-            ).alias("x")
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("y"))
-    )
-    a = daily.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
-    b = daily.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
-    slopes = a.join(b, F.col("xa") < F.col("xb")).select(
-        ((F.col("yb") - F.col("ya")) / (F.col("xb") - F.col("xa")).cast("double")).alias("m")
-    )
-    ts_fit = slopes.agg(
-        F.round(
-            F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY m)"), 6
-        ).alias("ts_slope")
-    )
-    ols = daily.agg(
-        F.round(
-            (
-                F.count(F.lit(1)) * F.sum(F.col("x") * F.col("y"))
-                - F.sum("x") * F.sum("y")
-            )
-            / (
-                F.count(F.lit(1)) * F.sum(F.col("x") * F.col("x"))
-                - F.sum("x") * F.sum("x")
-            ).cast("double"),
-            6,
-        ).alias("ols_slope"),
-        F.count(F.lit(1)).cast("long").alias("n_days"),
-    )
-    # Loud calendar-cap guard: the pairwise-slope space is |days|²,
-    # safe only because a daily rollup is calendar-bounded. The guard
-    # is threaded through the CONSUMED n_days output column (ADVICE
-    # r8: an assert_true column dropped right after creation is pruned
-    # by Catalyst and never evaluates) — beyond ~100 years of days the
-    # job fails via raise_error instead of computing a truncated
-    # median.
-    ols = ols.select(
-        F.when(F.col("n_days") <= F.lit(TS_CALENDAR_CAP), F.col("n_days"))
-        .otherwise(
-            F.raise_error(
-                F.lit(
-                    "theil_sen_daily_trend: daily rollup exceeds the "
-                    f"{TS_CALENDAR_CAP}-day calendar cap"
-                )
-            )
-        )
-        .alias("n_days"),
-        "ols_slope",
-    )
-    return ts_fit.crossJoin(F.broadcast(ols)).select("n_days", "ts_slope", "ols_slope")
 
 
 # ==========================================================================

@@ -1487,3 +1487,194 @@ def runs_test_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(er, 6).alias("expected_runs"),
         F.round((r - er) / sr, 6).alias("z_stat"),
     )
+
+
+@query(
+    "spearman_acctbal_orders",
+    """
+    WITH per_cust AS (
+      SELECT c.c_custkey, c.c_acctbal AS x,
+             cast(coalesce(o.n, 0) as double) AS y
+      FROM customer c LEFT JOIN
+        (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey) o
+        ON o.o_custkey = c.c_custkey),
+    ranked AS (
+      SELECT rank() OVER (ORDER BY x)
+               + (count(*) OVER (PARTITION BY x) - 1) / 2.0 AS rx,
+             rank() OVER (ORDER BY y)
+               + (count(*) OVER (PARTITION BY y) - 1) / 2.0 AS ry
+      FROM per_cust),
+    mom AS (
+      SELECT cast(count(*) as bigint) AS n,
+             cast(sum(cast(rx as decimal(18,1))) as double) AS sx,
+             cast(sum(cast(ry as decimal(18,1))) as double) AS sy,
+             cast(sum(cast(rx * ry as decimal(38,2))) as double) AS sxy,
+             cast(sum(cast(rx * rx as decimal(38,2))) as double) AS sxx,
+             cast(sum(cast(ry * ry as decimal(38,2))) as double) AS syy
+      FROM ranked)
+    SELECT n AS n_customers,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             AS spearman_rho
+    FROM mom
+    """,
+)
+def spearman_acctbal_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEARMAN rank correlation between account balance and order
+    count — the monotone-association check that Pearson misses (and
+    robust to the balance outliers), with TIES handled correctly via
+    AVERAGE ranks (integer order counts tie heavily; the classic
+    1 − 6Σd²/… shortcut is invalid under ties, so this is Pearson on
+    midranks). Scale shape: ranks come from ``with_global_rank``'s
+    range-exchange kernel (never an unpartitioned window over
+    customers); midranks derive from per-VALUE min-rank + count (one
+    value-keyed agg + join back); the correlation itself is one
+    combinable moment aggregate over exact decimals. The oracle spells
+    the same midranks with DuckDB's rank window."""
+    from ..operators.scale import with_global_rank
+
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per_cust = c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey",
+        F.col("c_acctbal").alias("x"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("double").alias("y"),
+    )
+
+    def midrank(df: DataFrame, val: str, out: str) -> DataFrame:
+        rn = with_global_rank(df, [val, "c_custkey"], rank_col="_rn")
+        per_val = rn.groupBy(val).agg(
+            F.min("_rn").alias("_mn"), F.count(F.lit(1)).alias("_cnt")
+        )
+        return (
+            rn.join(per_val, val)
+            .withColumn(out, F.col("_mn") + (F.col("_cnt") - 1) / 2.0)
+            .drop("_rn", "_mn", "_cnt")
+        )
+
+    ranked = midrank(midrank(per_cust, "x", "rx"), "y", "ry")
+    mom = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("rx").cast("decimal(18,1)")).cast("double").alias("sx"),
+        F.sum(F.col("ry").cast("decimal(18,1)")).cast("double").alias("sy"),
+        F.sum((F.col("rx") * F.col("ry")).cast("decimal(38,2)")).cast("double").alias("sxy"),
+        F.sum((F.col("rx") * F.col("rx")).cast("decimal(38,2)")).cast("double").alias("sxx"),
+        F.sum((F.col("ry") * F.col("ry")).cast("decimal(38,2)")).cast("double").alias("syy"),
+    )
+    rho = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return mom.select(
+        F.col("n").alias("n_customers"), F.round(rho, 6).alias("spearman_rho")
+    )
+
+
+# --------------------------------------------------------------------------
+# Variance homogeneity: Levene's test (Brown–Forsythe median variant)
+# --------------------------------------------------------------------------
+
+LEVENE_F_CRIT = 2.372  # F(0.05; 4, inf) — fixed literal for the flag
+
+
+@query(
+    "levene_variance_test",
+    f"""
+    WITH med AS (
+      SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+      FROM orders GROUP BY o_orderpriority),
+    z AS (
+      SELECT o.o_orderpriority, abs(o.o_totalprice - m.med) AS z
+      FROM orders o JOIN med m USING (o_orderpriority)),
+    zg AS (
+      SELECT o_orderpriority, cast(count(*) as bigint) AS n_g,
+             round(cast(sum(cast(z as decimal(18,6))) as double) / count(*), 9) AS zbar_g
+      FROM z GROUP BY o_orderpriority),
+    tot AS (
+      SELECT cast(sum(n_g) as bigint) AS n,
+             cast(count(*) as bigint) AS k,
+             round(cast(sum(cast(zbar_g * n_g as decimal(28,9))) as double)
+                   / sum(n_g), 9) AS zbar
+      FROM zg),
+    within AS (
+      SELECT cast(sum(cast((zz.z - g.zbar_g) * (zz.z - g.zbar_g) as decimal(28,8)))
+                  as double) AS ssw
+      FROM z zz JOIN zg g USING (o_orderpriority)),
+    between_ss AS (
+      SELECT cast(sum(cast(n_g * (zbar_g - t.zbar) * (zbar_g - t.zbar) as decimal(28,8)))
+                  as double) AS ssb
+      FROM zg CROSS JOIN tot t)
+    SELECT t.n, t.k,
+           round(((t.n - t.k) * b.ssb) / ((t.k - 1) * w.ssw), 6) AS levene_w,
+           ((t.n - t.k) * b.ssb) / ((t.k - 1) * w.ssw) > {LEVENE_F_CRIT}
+             AS heteroscedastic
+    FROM tot t CROSS JOIN within w CROSS JOIN between_ss b
+    """,
+)
+def levene_variance_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEVENE variance-homogeneity test (Brown–Forsythe median variant
+    — robust to non-normality) across order priorities: W is the
+    one-way ANOVA F on z = |x − median_g|. The pipeline use: before
+    pooling variances across strata (Neyman allocation, pooled CIs),
+    check they're actually poolable. Per-group medians carry the usual
+    low-cardinality percentile caveat (approx_percentile at 100 TB);
+    everything else is combinable moments with exact-decimal sums and
+    9 dp group means so both engines square identical residuals. The
+    flag compares W to the fixed F(0.05; k−1, ∞) literal."""
+    o = load(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    med = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)").alias("med")
+    )
+    z = o.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority", F.abs(F.col("o_totalprice") - F.col("med")).alias("z")
+    )
+    zg = z.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.round(
+            F.sum(F.col("z").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)), 9
+        ).alias("zbar_g"),
+    )
+    tot = zg.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.round(
+            F.sum((F.col("zbar_g") * F.col("n_g")).cast("decimal(28,9)")).cast("double")
+            / F.sum("n_g"),
+            9,
+        ).alias("zbar"),
+    )
+    within = z.join(F.broadcast(zg), "o_orderpriority").agg(
+        F.sum(
+            ((F.col("z") - F.col("zbar_g")) * (F.col("z") - F.col("zbar_g"))).cast(
+                "decimal(28,8)"
+            )
+        )
+        .cast("double")
+        .alias("ssw")
+    )
+    between = zg.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            (
+                F.col("n_g")
+                * (F.col("zbar_g") - F.col("zbar"))
+                * (F.col("zbar_g") - F.col("zbar"))
+            ).cast("decimal(28,8)")
+        )
+        .cast("double")
+        .alias("ssb")
+    )
+    w_stat = ((F.col("n") - F.col("k")) * F.col("ssb")) / (
+        (F.col("k") - 1) * F.col("ssw")
+    )
+    return (
+        tot.crossJoin(F.broadcast(within))
+        .crossJoin(F.broadcast(between))
+        .select(
+            "n",
+            "k",
+            F.round(w_stat, 6).alias("levene_w"),
+            (w_stat > LEVENE_F_CRIT).alias("heteroscedastic"),
+        )
+    )

@@ -79,7 +79,7 @@ def test_trigram_blocking_recall_on_dictionary(spark, sf_dir):
     be a quantified miss — and on this dictionary the blocking recall
     must be ≥ 0.9. (Blocking trades a bounded recall loss for the
     quadratic prune; the audit makes the loss measurable, not silent.)"""
-    from data_engineering_rag_spark.plans.round7q import FUZZY_JACCARD_MIN
+    from data_engineering_rag_spark.plans.linkageq import FUZZY_JACCARD_MIN
 
     names = [r.p_name for r in load(spark, sf_dir, "part").select("p_name").distinct().collect()]
     tri = {n: {n[i : i + 3] for i in range(len(n) - 2)} for n in names}

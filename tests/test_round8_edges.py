@@ -164,9 +164,9 @@ def test_theil_sen_cap_guard_fires(spark, monkeypatch):
     """Same dead-guard fix for the Theil–Sen calendar cap: lowering the
     cap below the observed day count must fail the job (the guard rides
     the consumed n_days column, so Catalyst cannot prune it)."""
-    from data_engineering_rag_spark.plans import round7q
+    from data_engineering_rag_spark.plans import forecastq
 
-    monkeypatch.setattr(round7q, "TS_CALENDAR_CAP", 1)
+    monkeypatch.setattr(forecastq, "TS_CALENDAR_CAP", 1)
     import os
 
     sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
