@@ -50,6 +50,69 @@ def test_media_features_roundtrip(spark, sf_dir):
         assert r.kind in ("image", "audio", "video")
 
 
+def test_synthetic_payload_closed_forms_hypothesis():
+    """Property pin for every closed form the media oracles recompute
+    in SQL: PNG size constant, WAV size/duration linear in n_chars,
+    digest-derived pixel/sample content, and the windowed-slice mean
+    formula (periodic digest bytes, phase 0 at 1 s hops). Pure Python —
+    no Spark session — so hypothesis can explore many texts."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_engineering_rag_spark.operators import codecs
+    from data_engineering_rag_spark.operators.multimodal import (
+        SYN_PNG_BYTES,
+        SYN_WAV_RATE,
+        _synthetic_payload,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(text=st.text(min_size=1, max_size=300))
+    def check(text):
+        n_chars = len(text)
+        digest = np.frombuffer(
+            hashlib.sha256(text.encode("utf-8")).digest(), dtype=np.uint8
+        )
+
+        img = _synthetic_payload("image", text, n_chars)
+        assert len(img) == SYN_PNG_BYTES
+        assert np.array_equal(
+            codecs.decode_png(img).reshape(-1), np.tile(digest, 2)
+        )
+
+        aud = _synthetic_payload("audio", text, n_chars)
+        n = n_chars * 80
+        assert len(aud) == 44 + 2 * n
+        assert codecs.wav_duration_ms(aud) == n_chars * 10
+        pcm, rate = codecs.decode_wav(aud)
+        assert rate == SYN_WAV_RATE
+        assert np.array_equal(pcm.reshape(-1), np.tile(digest, (n + 31) // 32)[:n])
+
+        # windowed-slice mean == the oracle's weighted digest-byte sum
+        dur = n_chars * 10
+        i = 0
+        while i * 1000 < dur:
+            start, end = i * 1000, min(i * 1000 + 2000, dur)
+            win = codecs.slice_wav_ms(aud, start, end)
+            wn = (end - start) * 8
+            assert len(win) == 44 + 2 * wn
+            wpcm, _ = codecs.decode_wav(win)
+            expected = (
+                sum(
+                    int(digest[j]) * (wn // 32 + (1 if j < wn % 32 else 0))
+                    for j in range(32)
+                )
+                / wn
+            )
+            assert float(wpcm.mean()) == expected
+            i += 1
+
+        assert _synthetic_payload("video", text, n_chars) == text.encode("utf-8")
+
+    check()
+
+
 def test_media_features_sample_real_values(spark, sf_dir):
     """The registered rows-only query (fake=False, on_unknown='null'):
     real decoded histograms for PNG/WAV rows, NULL features for video

@@ -125,7 +125,12 @@ def test_ml_lsh_probe_ids_present_at_every_sf():
 
     from data_engineering_rag_spark.plans.round9q import ML_LSH_PROBE_IDS
 
-    root = os.environ.get("SPARK_GRAFT_TESTDATA_ROOT", "/root/testdata")
+    from .conftest import TEST_SF_DIR
+
+    # ADVICE r10: derive the root from the conftest sf dir (no second
+    # env var), and require that at least one documents.parquet was
+    # actually checked so the loop can't pass vacuously.
+    root = os.path.dirname(os.path.abspath(TEST_SF_DIR.rstrip("/")))
     sf_dirs = sorted(
         os.path.join(root, d)
         for d in os.listdir(root)
@@ -133,10 +138,12 @@ def test_ml_lsh_probe_ids_present_at_every_sf():
     )
     assert sf_dirs, f"no sf dirs under {root}"
     ids = ", ".join(str(p) for p in ML_LSH_PROBE_IDS)
+    checked = 0
     for sf in sf_dirs:
         path = os.path.join(sf, "documents.parquet")
         if not os.path.exists(path):
             continue
+        checked += 1
         present = {
             r[0]
             for r in duckdb.sql(
@@ -145,3 +152,4 @@ def test_ml_lsh_probe_ids_present_at_every_sf():
         }
         missing = set(ML_LSH_PROBE_IDS) - present
         assert not missing, f"{sf}: probe ids missing from documents: {sorted(missing)}"
+    assert checked > 0, f"no documents.parquet found under any sf dir in {root}"
