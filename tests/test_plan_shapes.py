@@ -392,3 +392,22 @@ def test_jaccard_verification_join_no_forced_broadcast(spark, sf_dir):
     plan = _physical_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_media_dedup_shuffle_carries_digests_not_payloads(spark, sf_dir):
+    """media_dedup_payloads' 100 TB claim: payloads are hashed JVM-side
+    and the shuffle moves 32-byte digests + counts, never media bytes.
+    Pin it: no Exchange in the executed plan may list the payload
+    column among its outputs, and the scan must prune to the three
+    synthesis inputs (doc_id, text, n_chars) — no payload column even
+    exists before the mapInPandas stage."""
+    df = REGISTRY["media_dedup_payloads"].spark(spark, sf_dir)
+    plan = _physical_plan(df)
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "payload#" not in line, line
+    import re
+
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert cols <= {"doc_id", "text", "n_chars"}, m.group(1)
