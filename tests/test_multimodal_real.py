@@ -220,3 +220,53 @@ def test_wav_stereo_roundtrip_and_features():
     assert rate == 8000 and np.array_equal(got, pcm)
     f = codecs.audio_features(wav, FEATURE_DIM)
     assert abs(float(f.sum()) - 1.0) < 1e-5
+
+
+def test_truncated_png_raises_valueerror_not_struct_error():
+    """ADVICE r10: a payload that passes the magic check but is cut off
+    mid-chunk must surface as the decoder's ValueError taxonomy (clear
+    task error in mapInPandas), not a bare struct.error."""
+    full = codecs.encode_png(np.zeros((4, 4, 1), dtype=np.uint8))
+    # cuts land inside the IHDR header, IHDR data, IDAT header, and
+    # IDAT data — a cut inside a trailing CRC or a missing IEND is NOT
+    # an error by design (the decoder never validates CRCs).
+    for cut in (10, 20, 35, 45):
+        with pytest.raises(ValueError, match="truncated PNG"):
+            codecs.decode_png(full[:cut])
+
+
+def test_wav_duration_ceils_so_no_trailing_samples_drop():
+    """ADVICE r10: 4001 samples @ 4000 Hz must report 1001 ms (ceil),
+    so window_audio's real path puts the final sub-ms samples inside a
+    window instead of silently dropping them."""
+    pcm = np.arange(4001, dtype=np.int16).reshape(-1, 1)
+    wav = codecs.encode_wav(pcm, 4000)
+    assert codecs.wav_duration_ms(wav) == 1001
+    # the last window [1000, 1001) exists and holds exactly sample 4000
+    sliced = codecs.slice_wav_ms(wav, 1000, 1001)
+    got, _ = codecs.decode_wav(sliced)
+    assert np.array_equal(got.reshape(-1), np.array([4000], dtype=np.int16))
+
+
+def test_window_audio_real_covers_full_signal_with_ceil_duration(spark):
+    """End-to-end over mapInPandas: a WAV whose length does not divide
+    the rate evenly still has every sample inside some window — the
+    union of decoded window slices reconstructs the full signal."""
+    pcm = np.arange(4001, dtype=np.int16).reshape(-1, 1)
+    wav = codecs.encode_wav(pcm, 4000)
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(wav), "audio/wav", None, None, None)],
+        "media_id bigint, kind string, payload binary, mime string, "
+        "width bigint, height bigint, duration_ms bigint",
+    )
+    out = sorted(
+        window_audio(df, win_ms=2000, hop_ms=1000, fake=False).collect(),
+        key=lambda r: r.win_idx,
+    )
+    assert [(r.start_ms, r.end_ms) for r in out] == [(0, 1001), (1000, 1001)]
+    covered = np.concatenate(
+        [codecs.decode_wav(bytes(out[0].window_payload))[0].reshape(-1)]
+    )
+    assert np.array_equal(covered, pcm.reshape(-1))  # window 0 spans all
+    last, _ = codecs.decode_wav(bytes(out[1].window_payload))
+    assert np.array_equal(last.reshape(-1), pcm.reshape(-1)[4000:])
