@@ -410,6 +410,23 @@ LAST_CHANGED: dict[str, int] = {
     "media_audio_windows": 11,
     "media_dedup_payloads": 11,
     "media_frame_index": 11,
+    # round-11 late-drop fix (all rows-only, so the oracle staleness
+    # gate ignores these — recorded for honesty): watermarked stream
+    # builders now drain multi-file replays in a SINGLE availableNow
+    # batch (streaming/events.py::_table_stream). Output at the driver
+    # single-file layout is byte-identical (it was already one batch);
+    # multi-file layouts previously dropped rows behind the first
+    # file's watermark (6% retention measured at 32 files). Pinned by
+    # test_watermarked_streams_are_replay_layout_invariant.
+    "stream_hourly_stats": 11,
+    "stream_sessionize": 11,
+    "stream_session_journeys": 11,
+    "stream_sliding_counts": 11,
+    "stream_dedup_first_arrivals": 11,
+    "stream_view_purchase_funnel": 11,
+    "stream_view_purchase_left": 11,
+    "stream_daily_rollup": 11,
+    "stream_rolling_actives": 11,
 }
 
 

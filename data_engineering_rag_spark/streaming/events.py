@@ -21,7 +21,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _table_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+def _table_stream(
+    spark: SparkSession, sf_dir: str, table: str, files_per_trigger: int | None = 1
+) -> DataFrame:
     """File-stream source over one testdata table, layout-aware. The
     file stream source wants a directory; two layouts exist: the
     driver testdata ships ``<table>.parquet`` as a single FILE (point
@@ -29,22 +31,37 @@ def _table_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     Spark-written table is a DIRECTORY of part files (load it directly
     — a glob for the table name filtered the part-*.parquet files out,
     so the stream silently saw ZERO files and every stream query
-    returned empty; caught by the round-7 sf1 soak)."""
+    returned empty; caught by the round-7 sf1 soak).
+
+    ``files_per_trigger`` sets ``maxFilesPerTrigger`` (default 1: one
+    micro-batch per file, maximal state-machine exercise). Pass ``None``
+    to leave it unset — availableNow then drains ALL files in ONE data
+    batch, which is REQUIRED for watermarked operators replaying a
+    multi-file table: part files are hash-partitioned, so each spans
+    the full event-time range, and per-file batches advance the
+    watermark to ~max(ts)−delay after the FIRST file — every older row
+    in files 2..N is then silently dropped as late (measured: 6% of
+    rows survived a 32-file replay through the hourly watermark agg).
+    A real deployment tails an arrival-ordered source, where per-batch
+    watermark advance is correct; a historical REPLAY is only
+    order-correct as a single batch (or as event-time-sorted files)."""
     import os
 
     table_path = f"{sf_dir}/{table}.parquet"
     raw_schema = spark.read.parquet(table_path).schema
-    reader = spark.readStream.schema(raw_schema).format("parquet").option(
-        "maxFilesPerTrigger", 1
-    )
+    reader = spark.readStream.schema(raw_schema).format("parquet")
+    if files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", files_per_trigger)
     if os.path.isdir(table_path):
         return reader.load(table_path)
     return reader.option("pathGlobFilter", f"{table}.parquet").load(sf_dir)
 
 
-def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _event_stream(
+    spark: SparkSession, sf_dir: str, files_per_trigger: int | None = 1
+) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = _table_stream(spark, sf_dir, "events")
+    stream = _table_stream(spark, sf_dir, "events", files_per_trigger=files_per_trigger)
     ts_type = dict(stream.dtypes).get("ts")
     if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -74,8 +91,10 @@ def _run_to_memory(stream: DataFrame, output_mode: str) -> DataFrame:
 def hourly_event_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windows with a 1-hour watermark: count + value
     sum per (window, event_type). availableNow drains the table as a
-    bounded stream — same code runs unbounded on a cluster."""
-    ev = _event_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    bounded stream — same code runs unbounded on a cluster. Watermarked
+    replay: single data batch (see ``_table_stream``) so multi-file
+    layouts don't late-drop rows behind the first file's watermark."""
+    ev = _event_stream(spark, sf_dir, files_per_trigger=None).withWatermark("ts", "1 hour")
     agg = ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6).alias("sum_value"),
@@ -90,8 +109,9 @@ def hourly_event_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sessionize_stream(spark: SparkSession, sf_dir: str, gap: str = "10 minutes") -> DataFrame:
-    """Session windows per user (gap-based), streaming-native state."""
-    ev = _event_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    """Session windows per user (gap-based), streaming-native state.
+    Watermarked replay → single data batch (see ``_table_stream``)."""
+    ev = _event_stream(spark, sf_dir, files_per_trigger=None).withWatermark("ts", "1 hour")
     agg = ev.groupBy(F.session_window("ts", gap).alias("sw"), "user_id").agg(
         F.count(F.lit(1)).alias("n_events")
     )
@@ -108,8 +128,9 @@ def sessionize_stream(spark: SparkSession, sf_dir: str, gap: str = "10 minutes")
 
 def sliding_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows (1 hour, slide 30 min) per event_type — each
-    event lands in 2 windows; watermark finalizes both."""
-    ev = _event_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    event lands in 2 windows; watermark finalizes both. Watermarked
+    replay → single data batch (see ``_table_stream``)."""
+    ev = _event_stream(spark, sf_dir, files_per_trigger=None).withWatermark("ts", "1 hour")
     agg = ev.groupBy(
         F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n_events"))
@@ -126,8 +147,9 @@ def dedup_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup on user_id+event_type within the
     watermark (dropDuplicatesWithinWatermark): keeps the first arrival
     per key per watermark horizon — the streaming twin of an exact-dedup
-    pass, with bounded state."""
-    ev = _event_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    pass, with bounded state. Watermarked replay → single data batch
+    (see ``_table_stream``)."""
+    ev = _event_stream(spark, sf_dir, files_per_trigger=None).withWatermark("ts", "2 hours")
     deduped = ev.dropDuplicatesWithinWatermark(["user_id", "event_type"])
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_first_arrivals"))
     return _run_to_memory(agg, "complete")
@@ -137,8 +159,9 @@ def view_purchase_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join with an event-time bound: purchases
     joined to the same user's views from the preceding 30 minutes.
     Watermarks bound both join states; the time condition lets Spark
-    evict rows that can no longer match."""
-    ev = _event_stream(spark, sf_dir)
+    evict rows that can no longer match. Watermarked replay → single
+    data batch (see ``_table_stream``)."""
+    ev = _event_stream(spark, sf_dir, files_per_trigger=None)
     views = (
         ev.where(F.col("event_type") == "view")
         .select(
@@ -175,7 +198,15 @@ def user_totals_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     running (count, value-sum) kept in explicit state — the escape
     hatch for semantics window aggregations can't express. State is
     per-key and Arrow-batched; at scale it shards across executors by
-    the groupBy key."""
+    the groupBy key.
+
+    Deliberately KEEPS per-file micro-batches (unlike the watermarked
+    aggregates, which drain in one batch — see ``_table_stream``):
+    with ``NoTimeout`` the watermark never filters this operator's
+    input, so unordered multi-file replay is order-insensitive —
+    proven by the multi-batch equivalence test
+    (test_stateful_stream_survives_multiple_microbatches), which
+    REQUIRES >1 micro-batch to exercise the state-read path."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     ev = _event_stream(spark, sf_dir).withWatermark("ts", "1 hour")
@@ -232,8 +263,9 @@ def hourly_stats_to_parquet(spark: SparkSession, sf_dir: str, out_dir: str) -> N
     partition-overwrite parquet. Each micro-batch rewrites exactly the
     hour partitions it touches (dynamic partition overwrite), so
     replayed batches converge instead of duplicating — the exactly-once
-    recipe for file sinks that don't support streaming upsert."""
-    ev = _event_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    recipe for file sinks that don't support streaming upsert.
+    Watermarked replay → single data batch (see ``_table_stream``)."""
+    ev = _event_stream(spark, sf_dir, files_per_trigger=None).withWatermark("ts", "1 hour")
     agg = ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type").agg(
         F.count(F.lit(1)).alias("n_events")
     )
@@ -329,8 +361,9 @@ def daily_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     days per event type; downstream monthly/backfill queries re-
     aggregate the rollup, never the raw stream. Counts and decimal
     value-sums are mergeable, so late re-emits (update mode) overwrite
-    cleanly by (day, type) key."""
-    ev = _event_stream(spark, sf_dir).withWatermark("ts", "1 day")
+    cleanly by (day, type) key. Watermarked replay → single data batch
+    (see ``_table_stream``)."""
+    ev = _event_stream(spark, sf_dir, files_per_trigger=None).withWatermark("ts", "1 day")
     return (
         ev.groupBy(F.window("ts", "1 day").alias("win"), "event_type")
         .agg(
@@ -481,8 +514,9 @@ def view_purchase_left_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     horizon, then emit exactly once. availableNow's final empty batch
     advances the watermark to max(event time) − 1h, so views newer
     than that horizon stay unemitted (asserted in the equivalence
-    test's finalized-prefix comparison)."""
-    ev = _event_stream(spark, sf_dir)
+    test's finalized-prefix comparison). Watermarked replay → single
+    data batch (see ``_table_stream``)."""
+    ev = _event_stream(spark, sf_dir, files_per_trigger=None)
     views = (
         ev.where(F.col("event_type") == "view")
         .select(
@@ -522,8 +556,9 @@ def session_journeys_stream(spark: SparkSession, sf_dir: str, gap: str = "10 min
     dependent, the sort makes the emitted journey deterministic). The
     streaming half of ``events_journey_patterns``'s per-session
     collect; watermark-bounded session state, append-mode finalized
-    sessions only."""
-    ev = _event_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    sessions only. Watermarked replay → single data batch (see
+    ``_table_stream``)."""
+    ev = _event_stream(spark, sf_dir, files_per_trigger=None).withWatermark("ts", "1 hour")
     agg = ev.groupBy(F.session_window("ts", gap).alias("sw"), "user_id").agg(
         F.array_join(
             F.transform(
@@ -564,8 +599,9 @@ def rolling_actives_stream(
     The streaming half of ``rolling_7d_active_users`` (same dedup-
     then-bounded-fan-out shape, incremental instead of re-scanned);
     state per operator is bounded by users x {days} inside the
-    watermark horizon, independent of event volume."""
-    ev = _event_stream(spark, sf_dir)
+    watermark horizon, independent of event volume. Watermarked replay
+    → single data batch (see ``_table_stream``)."""
+    ev = _event_stream(spark, sf_dir, files_per_trigger=None)
     pairs = ev.select(
         "user_id",
         F.explode(
