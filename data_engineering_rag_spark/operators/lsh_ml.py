@@ -92,7 +92,15 @@ def ml_minhash_candidates(
                 F.round("jaccard_dist", 8).alias("jaccard_dist"),
             )
         )
-    probes = vecs.where(F.col(id_col).isin([int(p) for p in probe_ids]))
+    # Broadcast-hint the PROBE side: approxSimilarityJoin's internal
+    # (entry, hashValue) equi-join has no reliable size estimate for
+    # the ML-transformed sides, and Spark picked BuildRight — i.e. it
+    # built and broadcast the EXPLODED CORPUS (n·L hash entries, each
+    # row carrying the full sparse vector), which OOMs the driver at
+    # ~30x the bench scale. The hint survives the estimator's internal
+    # transforms (EliminateResolvedHint pulls it up to the join), so
+    # the build side becomes the |probes|·L entry block — constant.
+    probes = F.broadcast(vecs.where(F.col(id_col).isin([int(p) for p in probe_ids])))
     joined = model.approxSimilarityJoin(
         probes, vecs, 1.0 - jaccard_threshold, distCol="jaccard_dist"
     )

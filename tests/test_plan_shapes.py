@@ -411,3 +411,20 @@ def test_media_dedup_shuffle_carries_digests_not_payloads(spark, sf_dir):
     for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
         cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
         assert cols <= {"doc_id", "text", "n_chars"}, m.group(1)
+
+
+def test_ml_lsh_probe_join_broadcasts_probe_side(spark, sf_dir):
+    """ml_minhash_similarity_join's 100 TB claim: the candidate
+    equi-join builds/broadcasts the PROBE block (|probes|·L hash
+    entries — constant), never the exploded corpus (n·L entries, each
+    carrying the full sparse vector). The ML-transformed sides have no
+    reliable size estimate, and before the round-11 fix Spark chose
+    BuildRight — building the CORPUS side as the broadcast hash
+    relation, which OOMed the driver at ~30x bench scale. The probe
+    side is the join's LEFT input (approxSimilarityJoin(probes, vecs)),
+    so any hash-entry broadcast join must be BuildLeft."""
+    df = REGISTRY["ml_minhash_similarity_join"].spark(spark, sf_dir)
+    plan = _physical_plan(df)
+    for line in plan.splitlines():
+        if "BroadcastHashJoin" in line and "hashValue#" in line:
+            assert "BuildLeft" in line, line
