@@ -630,3 +630,68 @@ def test_watermarked_streams_are_replay_layout_invariant(spark, sf_dir, tmp_path
             f"{fn.__name__}: multi-file replay diverged from the "
             f"single-file layout ({len(replay)} vs {len(single)} rows)"
         )
+
+
+def test_ordered_replay_drops_late_row_single_batch_keeps_it(spark, sf_dir, tmp_path):
+    """The flip side of the layout-invariance fix: watermark semantics
+    are INTACT, not disabled. Replaying EVENT-TIME-ORDERED files one
+    per micro-batch (the only replay shape where per-batch watermark
+    advance is meaningful — a real stream's arrival order) must drop a
+    row that arrives two files after its event-time hour: its window
+    was finalized when the watermark passed, so the late arrival is
+    excluded. The same directory drained as a single availableNow
+    batch sees every row before the watermark first advances, so the
+    late row lands in its window. Together with
+    test_watermarked_streams_are_replay_layout_invariant this pins the
+    full contract: unordered bounded replay → one batch, no loss;
+    ordered incremental arrival → watermark drops genuinely late data."""
+    import os
+
+    from data_engineering_rag_spark.streaming.events import (
+        _event_stream,
+        _run_to_memory,
+    )
+
+    pdf = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    w0 = pdf["ts"].iloc[0].floor("h")  # first hour window [w0, w0+1h)
+    in_w0 = (pdf["ts"] >= w0) & (pdf["ts"] < w0 + datetime.timedelta(hours=1))
+    batch_n0 = int(in_w0.sum())
+    assert batch_n0 > 0
+
+    late = pdf.iloc[[0]].copy()  # same event-time hour, arrives in file 3
+    late["event_id"] = int(pdf["event_id"].max()) + 1
+
+    d = tmp_path / "ordered" / "events.parquet"
+    d.mkdir(parents=True)
+    n = len(pdf)
+    chunks = [pdf.iloc[: n // 3], pdf.iloc[n // 3 : 2 * n // 3]]
+    import pandas as pd
+
+    chunks.append(pd.concat([pdf.iloc[2 * n // 3 :], late], ignore_index=True))
+    t0 = 1_700_000_000
+    for i, chunk in enumerate(chunks):
+        p = d / f"chunk{i}.parquet"
+        chunk.to_parquet(p, index=False)
+        os.utime(p, (t0 + 100 * i, t0 + 100 * i))  # mtime = replay order
+
+    def hourly_counts(files_per_trigger):
+        ev = _event_stream(
+            spark, str(tmp_path / "ordered"), files_per_trigger=files_per_trigger
+        ).withWatermark("ts", "1 hour")
+        agg = ev.groupBy(F.window("ts", "1 hour").alias("win")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        out = _run_to_memory(agg, "append")
+        return {r["win"]["start"]: r["n"] for r in out.collect()}
+
+    per_file = hourly_counts(1)
+    single = hourly_counts(None)
+    w0_key = w0.to_pydatetime()
+    assert per_file[w0_key] == batch_n0, "ordered replay must DROP the late row"
+    assert single[w0_key] == batch_n0 + 1, "single-batch drain must KEEP it"
