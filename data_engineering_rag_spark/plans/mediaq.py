@@ -109,10 +109,18 @@ def media_resize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the mean pixel. 224 = 28*8, so nearest-neighbor replicates every
     source pixel exactly 784x and the mean equals the mean of the 32
     digest bytes — which the oracle recomputes from sha256(text) hex.
-    A wrong filter inverse, index map, or encoder would shift it."""
+    A wrong filter inverse, index map, or encoder would shift it.
+
+    The image pre-filter (kind = doc_id % 3, so ``doc_id % 3 == 0``)
+    sits on the documents SCAN: resize_images skips non-images inside
+    its UDF anyway, but without the pre-filter every audio/video
+    payload is still ENCODED by synthetic_media's Python stage and
+    shipped through Arrow just to be discarded — 3x the Python work
+    for identical output."""
     from ..operators.multimodal import resize_images
 
-    media = synthetic_media(spark, load(spark, sf_dir, "documents"))
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 0)
+    media = synthetic_media(spark, docs)
     return resize_images(media, width=224, height=224, fake=False).select(
         "media_id", "width", "height", F.round("mean_px", 6).alias("mean_px")
     )
@@ -135,10 +143,13 @@ def media_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes the fan-out arithmetic AND the stub frame hashes,
     pinning the one-input-row→many-output-rows mapInPandas shape.
     Stays on the deterministic-fake path: video payloads are opaque
-    text bytes and real frame extraction is the honest ffmpeg seam."""
+    text bytes and real frame extraction is the honest ffmpeg seam.
+    Video pre-filter on the scan (``doc_id % 3 == 2``): skips encoding
+    PNG/WAV payloads the frame sampler would discard anyway."""
     from ..operators.multimodal import sample_frames
 
-    media = synthetic_media(spark, load(spark, sf_dir, "documents"))
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 2)
+    media = synthetic_media(spark, docs)
     return sample_frames(media, every_ms=1000, fake=True).select(
         "media_id", "frame_idx", "t_ms", "frame_sha"
     )
@@ -179,10 +190,13 @@ def media_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte size and mean amplitude. Samples are digest bytes with period
     32 and every window starts on a period boundary (8000 % 32 = 0),
     so the oracle recomputes the mean as a weighted digest-byte sum
-    and the size as 44 + 2·samples — both closed forms."""
+    and the size as 44 + 2·samples — both closed forms.
+    Audio pre-filter on the scan (``doc_id % 3 == 1``): skips encoding
+    the PNG/video payloads the windower would discard anyway."""
     from ..operators.multimodal import synthetic_media, window_audio
 
-    media = synthetic_media(spark, load(spark, sf_dir, "documents"))
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 1)
+    media = synthetic_media(spark, docs)
     return window_audio(media, win_ms=2000, hop_ms=1000, fake=False).select(
         "media_id", "win_idx", "start_ms", "end_ms",
         F.length("window_payload").cast("long").alias("win_bytes"),
