@@ -410,6 +410,16 @@ LAST_CHANGED: dict[str, int] = {
     "media_audio_windows": 11,
     "media_dedup_payloads": 11,
     "media_frame_index": 11,
+    # round-11 scale fix (LOF pattern): the exact kNN-graph kernel and
+    # its three graph-demo consumers now build over the deterministic
+    # vec_id < KNN_UNIVERSE calibration sample (vectors.py). Results
+    # identical at sf <= 0.1 (bound covers the whole table; parity
+    # re-verified at sf0.01), but the bodies and the sf>0.1 results
+    # changed — conservative re-check in the r11 window.
+    "knn_graph_by_label": 11,
+    "pagerank_knn_2iter": 11,
+    "knn_triangle_stats": 11,
+    "lpa_communities_2iter": 11,
     # round-11 late-drop fix (all rows-only, so the oracle staleness
     # gate ignores these — recorded for honesty): watermarked stream
     # builders now drain multi-file replays in a SINGLE availableNow

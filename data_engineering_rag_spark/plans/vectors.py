@@ -321,7 +321,18 @@ def embedding_near_dup_via_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned by bucket and this becomes a co-partitioned self-join.
     Recall semantics: only within-bucket pairs are candidates (standard
     IVF/LSH trade); cross-bucket near-dups need multi-probe or more
-    bands, exactly as in ``minhash_lsh_candidate_pairs``."""
+    bands, exactly as in ``minhash_lsh_candidate_pairs``.
+
+    PRECONDITION the Σ|bucket|² argument rests on: bucket CARDINALITY
+    must grow with the corpus (real IVF uses ~√n centroids, keeping
+    |bucket| ≈ √n and the pair space ≈ n). The synthetic ``label``
+    column is a FIXED 10-way stand-in, so on the key-offset scale
+    harness this query's cost — and its true answer, since replica
+    embeddings are mutual near-dups — grows quadratically in the
+    replication factor (measured: 51.6 s / 98,649 pairs at the
+    sf1-equivalent). That is the harness geometry, not the operator;
+    the exact-graph kernels that needed a hard bound got one
+    (KNN_UNIVERSE above)."""
     e = load(spark, sf_dir, "embeddings")
     v = e.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("ev"))
     a = v.select(F.col("vec_id").alias("vec_a"), F.col("label").alias("la"), F.col("ev").alias("ea"))
@@ -339,12 +350,26 @@ def embedding_near_dup_via_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KNN_K = 3
+#: Deterministic universe bound for the exact kNN-graph kernel — the
+#: LOF-fix pattern (plans/linkageq.py::lof_embedding_outliers): the
+#: graph queries (kNN graph + the pagerank/triangle/LPA demos built on
+#: it) are EXACT all-pairs within a label, and the synthetic labels
+#: have FIXED cardinality (10), so unbounded pair space grows as
+#: (n/10)²·10 — the round-11 sf3 soak measured the unbounded kernel at
+#: >40 min (360M pairs, 10-way key skew: one task per label). The
+#: bound covers the ENTIRE table at sf ≤ 0.1 (2,000 vectors), so every
+#: driver/bench/test result is byte-identical; at larger SFs the graph
+#: is built over the stable calibration sample and cost is constant.
+#: A production full-corpus kNN graph is an ANN problem (ivf_ann_topk /
+#: lsh_ann_topk are the scale paths), not an exact all-pairs one.
+KNN_UNIVERSE = 2000
 
 
 @query(
     "knn_graph_by_label",
     f"""
-    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings),
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings
+               WHERE vec_id < {KNN_UNIVERSE}),
     scored AS (
       SELECT a.vec_id AS src, b.vec_id AS dst,
              round(list_dot_product(a.ev, b.ev)
@@ -361,9 +386,12 @@ def knn_graph_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN graph construction (every vector's top-{KNN_K} neighbors
     within its IVF bucket) — the materialization that feeds dedup
     clustering and semantic-neighbor features. The label equi-join keeps
-    the pair space at Σ|bucket|² instead of |N|²; at scale, bucket-
-    partitioned storage makes this a co-partitioned self-join."""
-    e = load(spark, sf_dir, "embeddings")
+    the pair space at Σ|bucket|² instead of |N|²; the universe is the
+    deterministic ``vec_id < {KNN_UNIVERSE}`` calibration sample (the
+    whole table at sf ≤ 0.1 — see KNN_UNIVERSE), so the exact kernel's
+    pair space is constant at any SF. Full-corpus graphs at scale come
+    from the ANN paths, not exact all-pairs."""
+    e = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < KNN_UNIVERSE)
     v = e.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("ev"))
     a = v.select(F.col("vec_id").alias("src"), F.col("label").alias("la"), F.col("ev").alias("ea"))
     b = v.select(F.col("vec_id").alias("dst"), F.col("label").alias("lb"), F.col("ev").alias("eb"))
@@ -858,7 +886,8 @@ PAGERANK_DAMPING = 0.85
 PAGERANK_ITERS = 2
 
 _KNN_EDGES_SQL = f"""
-    v AS (SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings),
+    v AS (SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings
+          WHERE vec_id < {KNN_UNIVERSE}),
     pscored AS (
       SELECT a.vec_id AS src, b.vec_id AS dst,
              round(list_dot_product(a.ev, b.ev)
