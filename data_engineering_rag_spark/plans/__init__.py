@@ -420,6 +420,13 @@ LAST_CHANGED: dict[str, int] = {
     "pagerank_knn_2iter": 11,
     "knn_triangle_stats": 11,
     "lpa_communities_2iter": 11,
+    # ...and the four further consumers that compose the registered
+    # kNN-graph oracle verbatim / call the builder (found by the
+    # post-commit review sweep — same change, same staleness):
+    "knn_degree_powerlaw": 11,
+    "knn_two_hop_reach": 11,
+    "recursive_cte_bfs_hops": 11,
+    "hits_hub_authority": 11,
     # round-11 late-drop fix (all rows-only, so the oracle staleness
     # gate ignores these — recorded for honesty): watermarked stream
     # builders now drain multi-file replays in a SINGLE availableNow

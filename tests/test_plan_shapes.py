@@ -425,6 +425,11 @@ def test_ml_lsh_probe_join_broadcasts_probe_side(spark, sf_dir):
     so any hash-entry broadcast join must be BuildLeft."""
     df = REGISTRY["ml_minhash_similarity_join"].spark(spark, sf_dir)
     plan = _physical_plan(df)
+    matched = 0
     for line in plan.splitlines():
         if "BroadcastHashJoin" in line and "hashValue#" in line:
             assert "BuildLeft" in line, line
+            matched += 1
+    # no match = the hint stopped propagating (e.g. a Spark upgrade) and
+    # the planner fell back to something else — fail loudly, not green
+    assert matched, f"no hash-entry BroadcastHashJoin found in plan:\n{plan}"

@@ -605,12 +605,24 @@ def test_watermarked_streams_are_replay_layout_invariant(spark, sf_dir, tmp_path
     drain in a single availableNow data batch, so the SAME events must
     produce the SAME output whether the table is one file (driver
     layout, where all equivalence tests run) or a Spark-written
-    directory of unordered part files. Pins the aggregate, dedup, and
-    stream-stream-join shapes; non-watermarked stateful streams keep
-    per-file batching (their own multi-batch tests above)."""
+    directory of unordered part files. Covers ALL NINE builders that
+    switched to the single-batch drain — tumbling/sliding/daily window
+    aggs, session windows (two state shapes), watermarked dedup, both
+    stream-stream joins (inner and the outer null-emission path), and
+    the explode+dropDuplicates+window chain — so a regression
+    re-introducing per-file watermark advance in ANY of them fails
+    here; non-watermarked stateful streams keep per-file batching
+    (their own multi-batch tests above)."""
     from data_engineering_rag_spark.streaming.events import (
+        daily_rollup_stream,
         dedup_events_stream,
+        rolling_actives_stream,
+        session_journeys_stream,
+        sessionize_stream,
+        sliding_counts_stream,
         view_purchase_funnel_stream,
+        view_purchase_left_stream,
+        _run_to_memory,
     )
 
     multi = str(tmp_path / "multi")
@@ -618,10 +630,22 @@ def test_watermarked_streams_are_replay_layout_invariant(spark, sf_dir, tmp_path
         f"{multi}/events.parquet"
     )
 
+    def daily_rollup_drained(spark, d):
+        # same drain mode as the registered stream_daily_rollup
+        return _run_to_memory(daily_rollup_stream(spark, d), "complete")
+
+    daily_rollup_drained.__name__ = "daily_rollup_stream"
+
     for fn in (
         hourly_event_stats_stream,
         dedup_events_stream,
         view_purchase_funnel_stream,
+        sessionize_stream,
+        session_journeys_stream,
+        sliding_counts_stream,
+        daily_rollup_drained,
+        view_purchase_left_stream,
+        rolling_actives_stream,
     ):
         single = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
         replay = sorted(tuple(r) for r in fn(spark, multi).collect())
@@ -690,8 +714,24 @@ def test_ordered_replay_drops_late_row_single_batch_keeps_it(spark, sf_dir, tmp_
         out = _run_to_memory(agg, "append")
         return {r["win"]["start"]: r["n"] for r in out.collect()}
 
+    # precondition for the drop: when chunk 3 arrives, the watermark
+    # (max ts of chunks 1-2, minus 1h) must already be past w0+1h —
+    # i.e. the first two thirds must span >2h of event time. Assert it
+    # so a regenerated tighter-span fixture fails with a diagnosis, not
+    # a confusing KeyError/count mismatch.
+    two_thirds_max = pdf["ts"].iloc[2 * n // 3 - 1]
+    assert two_thirds_max - datetime.timedelta(hours=1) >= w0 + datetime.timedelta(
+        hours=1
+    ), f"fixture span too tight for the late-drop scenario: {w0} .. {two_thirds_max}"
+
     per_file = hourly_counts(1)
     single = hourly_counts(None)
     w0_key = w0.to_pydatetime()
-    assert per_file[w0_key] == batch_n0, "ordered replay must DROP the late row"
-    assert single[w0_key] == batch_n0 + 1, "single-batch drain must KEEP it"
+    assert per_file.get(w0_key) == batch_n0, (
+        f"ordered replay must DROP the late row: got {per_file.get(w0_key)}, "
+        f"want {batch_n0}"
+    )
+    assert single.get(w0_key) == batch_n0 + 1, (
+        f"single-batch drain must KEEP it: got {single.get(w0_key)}, "
+        f"want {batch_n0 + 1}"
+    )
