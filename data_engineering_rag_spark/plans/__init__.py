@@ -427,6 +427,12 @@ LAST_CHANGED: dict[str, int] = {
     "knn_two_hop_reach": 11,
     "recursive_cte_bfs_hops": 11,
     "hits_hub_authority": 11,
+    # round-11: per-vector norm hoisted out of the pair loop (one
+    # 64-term dot per candidate pair instead of three). Cosines are
+    # bit-identical (same sqrt(a·a)·sqrt(b·b) doubles, same order —
+    # old-vs-new oracle EXCEPT diff is empty at sf0.1), but a material
+    # body change — conservative re-check.
+    "embedding_near_dup_via_ivf": 11,
     # round-11 late-drop fix (all rows-only, so the oracle staleness
     # gate ignores these — recorded for honesty): watermarked stream
     # builders now drain multi-file replays in a SINGLE availableNow

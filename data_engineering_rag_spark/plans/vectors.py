@@ -302,14 +302,14 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_near_dup_via_ivf",
     f"""
-    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings)
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS ev,
+                      sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+               FROM embeddings)
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round(list_dot_product(a.ev, b.ev)
-                 / (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev))), 8)
+           round(list_dot_product(a.ev, b.ev) / (a.nrm * b.nrm), 8)
              + 0.0 AS cosine
     FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE round(list_dot_product(a.ev, b.ev)
-                / (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev))), 8)
+    WHERE round(list_dot_product(a.ev, b.ev) / (a.nrm * b.nrm), 8)
           > {NEAR_DUP_COS}
     """,
 )
@@ -329,18 +329,37 @@ def embedding_near_dup_via_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     column is a FIXED 10-way stand-in, so on the key-offset scale
     harness this query's cost — and its true answer, since replica
     embeddings are mutual near-dups — grows quadratically in the
-    replication factor (measured: 51.6 s / 98,649 pairs at the
-    sf1-equivalent). That is the harness geometry, not the operator;
-    the exact-graph kernels that needed a hard bound got one
-    (KNN_UNIVERSE above)."""
+    replication factor. That is the harness geometry, not the
+    operator; the exact-graph kernels that needed a hard bound got one
+    (KNN_UNIVERSE below).
+
+    Per-pair cost: norms are precomputed ONCE PER VECTOR before the
+    join (sqrt of the self-dot carried as a scalar column), so each
+    candidate pair evaluates one 64-term dot instead of three — the
+    denominator is the same sqrt(a·a)·sqrt(b·b) doubles in the same
+    order, just hoisted, so both engines' cosines are bit-identical to
+    the previous form (old-vs-new oracle EXCEPT diff is empty at
+    sf0.1). Measured: 51.6 s → 20.4 s at the sf1-equivalent and
+    1,045 s → 81 s at sf3 — beyond the 3x op-count cut, the pairwise
+    form's three aggregate buffers per row were also the memory
+    pressure at large pair counts. The residual cost is the inherent
+    pair count plus 10-way label skew (one task per bucket)."""
     e = load(spark, sf_dir, "embeddings")
-    v = e.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("ev"))
-    a = v.select(F.col("vec_id").alias("vec_a"), F.col("label").alias("la"), F.col("ev").alias("ea"))
-    b = v.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"), F.col("ev").alias("eb"))
+    v = e.select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("ev"),
+    ).withColumn("nrm", F.sqrt(l2_norm_sq(F.col("ev"))))
+    a = v.select(
+        F.col("vec_id").alias("vec_a"), F.col("label").alias("la"),
+        F.col("ev").alias("ea"), F.col("nrm").alias("na"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"),
+        F.col("ev").alias("eb"), F.col("nrm").alias("nb"),
+    )
     cos = F.round(
-        dot(F.col("ea"), F.col("eb"))
-        / (F.sqrt(l2_norm_sq(F.col("ea"))) * F.sqrt(l2_norm_sq(F.col("eb")))),
-        8,
+        dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 8
     ) + F.lit(0.0)
     return (
         a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
