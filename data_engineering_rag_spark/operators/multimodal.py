@@ -151,6 +151,15 @@ SYN_PNG_BYTES = 140    # level-0 PNG of 8x8 gray: 57 + (2 + 5 + 72 + 4)
 SYN_WAV_RATE = 8000    # Hz, mono 16-bit; n_samples = n_chars*80
 SYN_WAV_SAMPLES_PER_CHAR = 80  # -> duration = n_chars*10 ms exactly
 
+#: Max approximate bytes of binary payload per yielded Arrow output
+#: chunk from the payload-producing mapInPandas stages. Input batches
+#: are row/byte-capped by Spark, but UDFs that AMPLIFY their input
+#: (text→WAV ~160x, 8x8 PNG→224x224 re-encode ~300x) must slice their
+#: OUTPUT themselves — one frame per input batch reached multi-GB
+#: record batches at the sf10-equivalent and blew the executor's
+#: direct-memory cap (see ``synthetic_media``).
+_PAYLOAD_CHUNK_BYTES = 32 << 20
+
 
 def _synthetic_payload(kind: str, text: str, n_chars: int) -> bytes:
     """REAL encoded payload derived deterministically from the text.
@@ -186,7 +195,18 @@ def synthetic_media(spark, docs: DataFrame, real_payloads: bool = True) -> DataF
     PNG/WAV bytes (``_synthetic_payload``, built per Arrow batch in
     mapInPandas) by default, or raw UTF-8 text bytes with
     ``real_payloads=False`` (the pre-round-11 stub scheme). Exercises
-    the binary column path end-to-end either way."""
+    the binary column path end-to-end either way.
+
+    The real-payload generator yields BYTE-BOUNDED output chunks
+    (``_PAYLOAD_CHUNK_BYTES``): Arrow's input side is row/byte-capped,
+    but a mapInPandas that AMPLIFIES its input (~160x here, text →
+    WAV samples) and yields one frame per input batch emits one giant
+    output record batch — multi-GB at the sf10-equivalent — which the
+    Python worker serializes whole and 32 concurrent JVM readers then
+    materialize: measured io.netty OutOfDirectMemoryError (8.5 GB
+    direct-memory cap) and a follow-up JVM SIGSEGV in the huge
+    arraycopies. Output-side slicing must live in the PRODUCER —
+    the worker does not re-slice UDF output for this eval type."""
     kind = (
         F.when(F.col("doc_id") % 3 == 0, "image")
         .when(F.col("doc_id") % 3 == 1, "audio")
@@ -214,25 +234,30 @@ def synthetic_media(spark, docs: DataFrame, real_payloads: bool = True) -> DataF
     mimes = {"image": "image/png", "audio": "audio/wav", "video": "application/octet-stream"}
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("media_id", "kind", "payload", "mime", "width", "height", "duration_ms")
+
+        def fresh():
+            return {k: [] for k in cols}
+
+        out, out_bytes = fresh(), 0
         for pdf in batches:
-            kinds = list(pdf["kind"])
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "kind": pdf["kind"],
-                    "payload": [
-                        _synthetic_payload(k, t, n)
-                        for k, t, n in zip(kinds, pdf["text"], pdf["n_chars"])
-                    ],
-                    "mime": pdf["kind"].map(mimes),
-                    "width": [SYN_IMG_SIDE if k == "image" else None for k in kinds],
-                    "height": [SYN_IMG_SIDE if k == "image" else None for k in kinds],
-                    "duration_ms": [
-                        None if k == "image" else int(n) * 10
-                        for k, n in zip(kinds, pdf["n_chars"])
-                    ],
-                }
-            )
+            for mid, k, t, n in zip(
+                pdf["media_id"], pdf["kind"], pdf["text"], pdf["n_chars"]
+            ):
+                payload = _synthetic_payload(k, t, n)
+                out["media_id"].append(mid)
+                out["kind"].append(k)
+                out["payload"].append(payload)
+                out["mime"].append(mimes[k])
+                out["width"].append(SYN_IMG_SIDE if k == "image" else None)
+                out["height"].append(SYN_IMG_SIDE if k == "image" else None)
+                out["duration_ms"].append(None if k == "image" else int(n) * 10)
+                out_bytes += len(payload) + 64
+                if out_bytes >= _PAYLOAD_CHUNK_BYTES:
+                    yield pd.DataFrame(out)
+                    out, out_bytes = fresh(), 0
+        if out["media_id"]:
+            yield pd.DataFrame(out)
 
     return base.mapInPandas(run, MEDIA_SCHEMA)
 
@@ -285,9 +310,12 @@ def resize_images(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         stub = DecodeStub(deterministic_fake=fake)
         tag = f"resize{width}x{height}"
+        cols = ("media_id", "kind", "width", "height", "payload", "resized_sha", "mean_px")
+        # byte-bounded output chunks: the re-encode AMPLIFIES payloads
+        # (8x8 source -> width x height), so output must be sliced by
+        # the producer (see synthetic_media / _PAYLOAD_CHUNK_BYTES)
+        rows, rows_bytes = {k: [] for k in cols}, 0
         for pdf in batches:
-            cols = ("media_id", "kind", "width", "height", "payload", "resized_sha", "mean_px")
-            rows = {k: [] for k in cols}
             for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
                 if kind != "image" or payload is None:
                     continue
@@ -319,6 +347,11 @@ def resize_images(
                 rows["payload"].append(resized)
                 rows["resized_sha"].append(sha)
                 rows["mean_px"].append(mean_px)
+                rows_bytes += len(resized) + 128
+                if rows_bytes >= _PAYLOAD_CHUNK_BYTES:
+                    yield pd.DataFrame(rows)
+                    rows, rows_bytes = {k: [] for k in cols}, 0
+        if rows["media_id"]:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, RESIZED_SCHEMA)
@@ -388,14 +421,15 @@ def window_audio(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         stub = DecodeStub(deterministic_fake=fake)
+        cols = (
+            "media_id", "win_idx", "start_ms", "end_ms",
+            "window_payload", "window_sha", "window_mean_amp",
+        )
+        # byte-bounded output chunks: overlapping windows roughly
+        # DOUBLE the payload bytes, so the producer slices its output
+        # (see synthetic_media / _PAYLOAD_CHUNK_BYTES)
+        rows, rows_bytes = {k: [] for k in cols}, 0
         for pdf in batches:
-            rows = {
-                k: []
-                for k in (
-                    "media_id", "win_idx", "start_ms", "end_ms",
-                    "window_payload", "window_sha", "window_mean_amp",
-                )
-            }
             for mid, kind, payload, dur in zip(
                 pdf["media_id"], pdf["kind"], pdf["payload"], pdf["duration_ms"]
             ):
@@ -441,7 +475,12 @@ def window_audio(
                     rows["window_payload"].append(wpayload)
                     rows["window_sha"].append(wsha)
                     rows["window_mean_amp"].append(wmean)
+                    rows_bytes += len(wpayload) + 128
                     i += 1
+                if rows_bytes >= _PAYLOAD_CHUNK_BYTES:
+                    yield pd.DataFrame(rows)
+                    rows, rows_bytes = {k: [] for k in cols}, 0
+        if rows["media_id"]:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, AUDIO_WINDOW_SCHEMA)
