@@ -161,6 +161,37 @@ SYN_WAV_SAMPLES_PER_CHAR = 80  # -> duration = n_chars*10 ms exactly
 _PAYLOAD_CHUNK_BYTES = 32 << 20
 
 
+class _ChunkedFrames:
+    """Byte-bounded output accumulator for payload-producing
+    mapInPandas generators: ``add()`` one row at a time (checked PER
+    ROW, so even a single fat row's fan-out cannot overshoot the cap
+    by more than that one row) and yield whatever it returns; call
+    ``tail()`` for the final partial chunk. One implementation so the
+    flush policy cannot drift between the three producers."""
+
+    __slots__ = ("cols", "chunk_bytes", "rows", "nbytes")
+
+    def __init__(self, cols: tuple, chunk_bytes: int = _PAYLOAD_CHUNK_BYTES):
+        self.cols = cols
+        self.chunk_bytes = chunk_bytes
+        self.rows = {k: [] for k in cols}
+        self.nbytes = 0
+
+    def add(self, values: tuple, payload_bytes: int):
+        for k, v in zip(self.cols, values):
+            self.rows[k].append(v)
+        self.nbytes += payload_bytes + 128  # per-row fixed-width slack
+        if self.nbytes >= self.chunk_bytes:
+            out = pd.DataFrame(self.rows)
+            self.rows = {k: [] for k in self.cols}
+            self.nbytes = 0
+            return out
+        return None
+
+    def tail(self):
+        return pd.DataFrame(self.rows) if self.rows[self.cols[0]] else None
+
+
 def _synthetic_payload(kind: str, text: str, n_chars: int) -> bytes:
     """REAL encoded payload derived deterministically from the text.
 
@@ -234,30 +265,31 @@ def synthetic_media(spark, docs: DataFrame, real_payloads: bool = True) -> DataF
     mimes = {"image": "image/png", "audio": "audio/wav", "video": "application/octet-stream"}
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = ("media_id", "kind", "payload", "mime", "width", "height", "duration_ms")
-
-        def fresh():
-            return {k: [] for k in cols}
-
-        out, out_bytes = fresh(), 0
+        buf = _ChunkedFrames(
+            ("media_id", "kind", "payload", "mime", "width", "height", "duration_ms")
+        )
         for pdf in batches:
             for mid, k, t, n in zip(
                 pdf["media_id"], pdf["kind"], pdf["text"], pdf["n_chars"]
             ):
                 payload = _synthetic_payload(k, t, n)
-                out["media_id"].append(mid)
-                out["kind"].append(k)
-                out["payload"].append(payload)
-                out["mime"].append(mimes[k])
-                out["width"].append(SYN_IMG_SIDE if k == "image" else None)
-                out["height"].append(SYN_IMG_SIDE if k == "image" else None)
-                out["duration_ms"].append(None if k == "image" else int(n) * 10)
-                out_bytes += len(payload) + 64
-                if out_bytes >= _PAYLOAD_CHUNK_BYTES:
-                    yield pd.DataFrame(out)
-                    out, out_bytes = fresh(), 0
-        if out["media_id"]:
-            yield pd.DataFrame(out)
+                chunk = buf.add(
+                    (
+                        mid,
+                        k,
+                        payload,
+                        mimes[k],
+                        SYN_IMG_SIDE if k == "image" else None,
+                        SYN_IMG_SIDE if k == "image" else None,
+                        None if k == "image" else int(n) * 10,
+                    ),
+                    len(payload),
+                )
+                if chunk is not None:
+                    yield chunk
+        tail = buf.tail()
+        if tail is not None:
+            yield tail
 
     return base.mapInPandas(run, MEDIA_SCHEMA)
 
@@ -310,11 +342,12 @@ def resize_images(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         stub = DecodeStub(deterministic_fake=fake)
         tag = f"resize{width}x{height}"
-        cols = ("media_id", "kind", "width", "height", "payload", "resized_sha", "mean_px")
         # byte-bounded output chunks: the re-encode AMPLIFIES payloads
         # (8x8 source -> width x height), so output must be sliced by
-        # the producer (see synthetic_media / _PAYLOAD_CHUNK_BYTES)
-        rows, rows_bytes = {k: [] for k in cols}, 0
+        # the producer (see _ChunkedFrames / _PAYLOAD_CHUNK_BYTES)
+        buf = _ChunkedFrames(
+            ("media_id", "kind", "width", "height", "payload", "resized_sha", "mean_px")
+        )
         for pdf in batches:
             for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
                 if kind != "image" or payload is None:
@@ -340,19 +373,14 @@ def resize_images(
                     # decode the bytes we just encoded: mean_px certifies
                     # the full encode→decode loop, not the ndarray alone
                     mean_px = float(codecs.decode_png(resized).mean())
-                rows["media_id"].append(mid)
-                rows["kind"].append(kind)
-                rows["width"].append(width)
-                rows["height"].append(height)
-                rows["payload"].append(resized)
-                rows["resized_sha"].append(sha)
-                rows["mean_px"].append(mean_px)
-                rows_bytes += len(resized) + 128
-                if rows_bytes >= _PAYLOAD_CHUNK_BYTES:
-                    yield pd.DataFrame(rows)
-                    rows, rows_bytes = {k: [] for k in cols}, 0
-        if rows["media_id"]:
-            yield pd.DataFrame(rows)
+                chunk = buf.add(
+                    (mid, kind, width, height, resized, sha, mean_px), len(resized)
+                )
+                if chunk is not None:
+                    yield chunk
+        tail = buf.tail()
+        if tail is not None:
+            yield tail
 
     return media.mapInPandas(run, RESIZED_SCHEMA)
 
@@ -421,14 +449,16 @@ def window_audio(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         stub = DecodeStub(deterministic_fake=fake)
-        cols = (
-            "media_id", "win_idx", "start_ms", "end_ms",
-            "window_payload", "window_sha", "window_mean_amp",
-        )
         # byte-bounded output chunks: overlapping windows roughly
-        # DOUBLE the payload bytes, so the producer slices its output
-        # (see synthetic_media / _PAYLOAD_CHUNK_BYTES)
-        rows, rows_bytes = {k: [] for k in cols}, 0
+        # DOUBLE the payload bytes, so the producer slices its output —
+        # checked PER WINDOW so one long audio row can't overshoot
+        # (see _ChunkedFrames / _PAYLOAD_CHUNK_BYTES)
+        buf = _ChunkedFrames(
+            (
+                "media_id", "win_idx", "start_ms", "end_ms",
+                "window_payload", "window_sha", "window_mean_amp",
+            )
+        )
         for pdf in batches:
             for mid, kind, payload, dur in zip(
                 pdf["media_id"], pdf["kind"], pdf["payload"], pdf["duration_ms"]
@@ -468,19 +498,14 @@ def window_audio(
                         # the full slice→encode→decode loop per window
                         pcm, _rate = codecs.decode_wav(wpayload)
                         wmean = float(pcm.mean()) if pcm.size else None
-                    rows["media_id"].append(mid)
-                    rows["win_idx"].append(i)
-                    rows["start_ms"].append(start)
-                    rows["end_ms"].append(end)
-                    rows["window_payload"].append(wpayload)
-                    rows["window_sha"].append(wsha)
-                    rows["window_mean_amp"].append(wmean)
-                    rows_bytes += len(wpayload) + 128
+                    chunk = buf.add(
+                        (mid, i, start, end, wpayload, wsha, wmean), len(wpayload)
+                    )
+                    if chunk is not None:
+                        yield chunk
                     i += 1
-                if rows_bytes >= _PAYLOAD_CHUNK_BYTES:
-                    yield pd.DataFrame(rows)
-                    rows, rows_bytes = {k: [] for k in cols}, 0
-        if rows["media_id"]:
-            yield pd.DataFrame(rows)
+        tail = buf.tail()
+        if tail is not None:
+            yield tail
 
     return media.mapInPandas(run, AUDIO_WINDOW_SCHEMA)

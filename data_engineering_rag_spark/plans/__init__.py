@@ -375,7 +375,10 @@ LAST_CHANGED: dict[str, int] = {
     "q11_important_parts": 7,          # fixed fraction -> 1.5x-average gate
     "tfidf_search_pruned": 7,          # query terms all pruned -> PRUNED_QUERY
     "embedding_near_dup_pairs": 7,     # cos 0.62 > max(0.513) -> 0.40
-    "embedding_near_dup_via_ivf": 7,   # same threshold fix
+    # embedding_near_dup_via_ivf: r7 threshold fix superseded by the
+    # r11 norm-hoist entry below — ONE key, latest round, no duplicate
+    # dict literal (a removed later duplicate would silently revert
+    # the staleness gate to 7)
     # round-8 ADVICE fix: length>=3 guard before the trigram explode
     # (descending F.sequence on 2-char names) + oracle's 200-position
     # cap removed — result-identical on current data, but the body

@@ -140,3 +140,27 @@ def test_last_changed_names_exist():
     assert not unknown, f"LAST_CHANGED references unknown queries: {unknown}"
     unknown_ev = [n for n in DRIVER_EVIDENCE_ROUND if n not in REGISTRY]
     assert not unknown_ev, f"evidence map references unknown queries: {unknown_ev}"
+
+
+def test_last_changed_has_no_duplicate_literal_keys():
+    """A duplicate key in the LAST_CHANGED dict literal is silently
+    last-wins: deleting what looks like a stray later duplicate would
+    revert the staleness gate to the older round with no error
+    anywhere (found by the round-11 review: the near-dup entry
+    appeared at both 7 and 11). Parse the source and forbid it."""
+    import ast
+    import inspect
+
+    import data_engineering_rag_spark.plans as plans
+
+    tree = ast.parse(inspect.getsource(plans))
+    for node in ast.walk(tree):
+        if (
+            isinstance(node, ast.AnnAssign)
+            and getattr(node.target, "id", "") == "LAST_CHANGED"
+        ):
+            keys = [k.value for k in node.value.keys]
+            dups = sorted({k for k in keys if keys.count(k) > 1})
+            assert not dups, f"duplicate LAST_CHANGED keys: {dups}"
+            return
+    raise AssertionError("LAST_CHANGED dict literal not found")
