@@ -329,6 +329,31 @@ _DRIVER_VERIFIED_BY_ROUND[10] = frozenset(
     }
 )
 
+_DRIVER_VERIFIED_BY_ROUND[11] = frozenset(
+    {
+        "bigram_pmi_top20", "dataset_split_assign", "dedup_canonical_docs",
+        "embedding_near_dup_via_ivf", "eval_check_rates", "eval_cost_metrics",
+        "eval_judge_prompts", "events_asof_last_view",
+        "events_asof_next_purchase", "events_cohort_retention",
+        "events_daily_rollup_merge", "events_enriched_static",
+        "events_errors_per_session", "events_first_type_occurrence",
+        "events_funnel_steps_ordered", "events_hourly_gapfill",
+        "events_hourly_stats", "events_json_props", "events_longest_gap_pandas",
+        "events_markov_transitions", "events_replay_filtered",
+        "events_rolling_zscore", "events_seasonal_profile",
+        "events_sessionize_batch", "events_sliding_counts",
+        "events_user_activity", "events_value_histogram",
+        "events_view_purchase_funnel", "events_view_purchase_left",
+        "events_weekly_retention", "hits_hub_authority", "ingest_enrich_stub",
+        "ingest_parse_corpus", "knn_degree_powerlaw", "knn_graph_by_label",
+        "knn_triangle_stats", "knn_two_hop_reach", "logs_tool_usage",
+        "lpa_communities_2iter", "media_audio_windows", "media_dedup_payloads",
+        "media_feature_stats", "media_frame_index", "media_resize_audit",
+        "pagerank_knn_2iter", "pii_redact", "recursive_cte_bfs_hops",
+        "repetition_stats", "sample_n_per_lang", "stratified_rebalance",
+    }
+)
+
 #: Latest driver-green round per query (derived from the per-round sets).
 DRIVER_EVIDENCE_ROUND: dict[str, int] = {}
 for _rnd, _names in sorted(_DRIVER_VERIFIED_BY_ROUND.items()):
