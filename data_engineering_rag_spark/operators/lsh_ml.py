@@ -31,6 +31,12 @@ from pyspark.sql import functions as F
 
 from .tfidf import TOKEN_PATTERN
 
+#: Upper bound on ``probe_ids`` for the probe-batch path: the probe
+#: side is force-broadcast (its LSH-exploded size is |probes|·L
+#: entries, each carrying the sparse vector), so the batch must stay
+#: small enough that the broadcast is trivially cheap on any executor.
+MAX_PROBE_BATCH = 4096
+
 
 def ml_minhash_candidates(
     docs: DataFrame,
@@ -100,6 +106,17 @@ def ml_minhash_candidates(
     # ~30x the bench scale. The hint survives the estimator's internal
     # transforms (EliminateResolvedHint pulls it up to the join), so
     # the build side becomes the |probes|·L entry block — constant.
+    # The forced broadcast scales with |probes|·L, so bound the probe
+    # count: beyond a few thousand ids the "small fixed probe batch"
+    # premise is gone and the caller should shard or use the all-pairs
+    # path instead of silently shipping an oversized broadcast.
+    if len(probe_ids) > MAX_PROBE_BATCH:
+        raise ValueError(
+            f"probe batch of {len(probe_ids)} exceeds MAX_PROBE_BATCH="
+            f"{MAX_PROBE_BATCH}; the forced probe-side broadcast is only "
+            "safe for small fixed probe batches — shard the probes or "
+            "use the all-pairs path (probe_ids=None)"
+        )
     probes = F.broadcast(vecs.where(F.col(id_col).isin([int(p) for p in probe_ids])))
     joined = model.approxSimilarityJoin(
         probes, vecs, 1.0 - jaccard_threshold, distCol="jaccard_dist"

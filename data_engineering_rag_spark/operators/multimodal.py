@@ -189,7 +189,14 @@ class _ChunkedFrames:
         return None
 
     def tail(self):
-        return pd.DataFrame(self.rows) if self.rows[self.cols[0]] else None
+        # Drain-and-reset so a second call (or tail-then-add reuse)
+        # cannot double-emit the buffered rows.
+        if not self.rows[self.cols[0]]:
+            return None
+        out = pd.DataFrame(self.rows)
+        self.rows = {k: [] for k in self.cols}
+        self.nbytes = 0
+        return out
 
 
 def _synthetic_payload(kind: str, text: str, n_chars: int) -> bytes:
@@ -394,8 +401,15 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = True) -> 
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         stub = DecodeStub(deterministic_fake=fake)
+        # Fan-out producer, so byte-bounded output chunks like the
+        # other payload producers: today's frames are 32-byte stubs,
+        # but a real ffmpeg decoder dropped into this loop would emit
+        # megapixel frames per timestamp — exactly the output
+        # amplification _ChunkedFrames exists to cap.
+        buf = _ChunkedFrames(
+            ("media_id", "frame_idx", "t_ms", "frame_payload", "frame_sha")
+        )
         for pdf in batches:
-            rows = {k: [] for k in ("media_id", "frame_idx", "t_ms", "frame_payload", "frame_sha")}
             for mid, kind, payload, dur in zip(
                 pdf["media_id"], pdf["kind"], pdf["payload"], pdf["duration_ms"]
             ):
@@ -406,14 +420,16 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = True) -> 
                         "real frame extraction requires ffmpeg, not present in this environment"
                     )
                 for i in range(int(dur) // every_ms + 1):
-                    rows["media_id"].append(mid)
-                    rows["frame_idx"].append(i)
-                    rows["t_ms"].append(i * every_ms)
-                    rows["frame_payload"].append(_fake_derivative(bytes(payload), str(i)))
-                    rows["frame_sha"].append(
-                        hashlib.sha256(bytes(payload) + b"|" + str(i).encode()).hexdigest()
-                    )
-            yield pd.DataFrame(rows)
+                    frame = _fake_derivative(bytes(payload), str(i))
+                    sha = hashlib.sha256(
+                        bytes(payload) + b"|" + str(i).encode()
+                    ).hexdigest()
+                    chunk = buf.add((mid, i, i * every_ms, frame, sha), len(frame))
+                    if chunk is not None:
+                        yield chunk
+        tail = buf.tail()
+        if tail is not None:
+            yield tail
 
     return media.mapInPandas(run, FRAME_SCHEMA)
 

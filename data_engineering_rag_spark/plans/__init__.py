@@ -439,28 +439,29 @@ LAST_CHANGED: dict[str, int] = {
     "media_dedup_payloads": 11,
     "media_frame_index": 11,
     # round-11 scale fix (LOF pattern): the exact kNN-graph kernel and
-    # its three graph-demo consumers now build over the deterministic
-    # vec_id < KNN_UNIVERSE calibration sample (vectors.py). Results
-    # identical at sf <= 0.1 (bound covers the whole table; parity
-    # re-verified at sf0.01), but the bodies and the sf>0.1 results
-    # changed — conservative re-check in the r11 window.
-    "knn_graph_by_label": 11,
-    "pagerank_knn_2iter": 11,
-    "knn_triangle_stats": 11,
-    "lpa_communities_2iter": 11,
-    # ...and the four further consumers that compose the registered
-    # kNN-graph oracle verbatim / call the builder (found by the
-    # post-commit review sweep — same change, same staleness):
-    "knn_degree_powerlaw": 11,
-    "knn_two_hop_reach": 11,
-    "recursive_cte_bfs_hops": 11,
-    "hits_hub_authority": 11,
+    # its seven consumers re-earned r11 evidence after the
+    # vec_id < KNN_UNIVERSE bound; those entries are superseded by the
+    # round-12 block below — ONE key per name, latest round.
     # round-11: per-vector norm hoisted out of the pair loop (one
     # 64-term dot per candidate pair instead of three). Cosines are
     # bit-identical (same sqrt(a·a)·sqrt(b·b) doubles, same order —
     # old-vs-new oracle EXCEPT diff is empty at sf0.1), but a material
     # body change — conservative re-check.
     "embedding_near_dup_via_ivf": 11,
+    # round-12 ADVICE fix: the KNN_UNIVERSE calibration-sample bound is
+    # now SURFACED as a constant ``knn_universe`` output column on the
+    # graph query and all seven consumers (identical literal in both
+    # dialects), so a sample-built graph can't be mistaken for a
+    # full-corpus one downstream. Values are otherwise identical, but
+    # the schema changed — conservative re-check in the r12 window.
+    "knn_graph_by_label": 12,
+    "pagerank_knn_2iter": 12,
+    "knn_triangle_stats": 12,
+    "lpa_communities_2iter": 12,
+    "knn_degree_powerlaw": 12,
+    "knn_two_hop_reach": 12,
+    "recursive_cte_bfs_hops": 12,
+    "hits_hub_authority": 12,
     # round-11 late-drop fix (all rows-only, so the oracle staleness
     # gate ignores these — recorded for honesty): watermarked stream
     # builders now drain multi-file replays in a SINGLE availableNow

@@ -689,6 +689,7 @@ def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _degree_powerlaw_oracle() -> str:
     from . import REGISTRY
+    from .vectors import KNN_UNIVERSE
 
     edges = REGISTRY["knn_graph_by_label"].oracle
     return f"""
@@ -706,7 +707,8 @@ def _degree_powerlaw_oracle() -> str:
     SELECT cast(n as bigint) AS n_points,
            round((n * cast(sxy as double) - cast(sx as double) * cast(sy as double))
                  / (n * cast(sxx as double) - cast(sx as double) * cast(sx as double)), 6)
-             AS loglog_slope
+             AS loglog_slope,
+           cast({KNN_UNIVERSE} as bigint) AS knn_universe
     FROM sums
     """
 
@@ -725,7 +727,7 @@ def knn_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned by the parity gate) — then decimal-exact sums into the
     closed-form slope. Histogram is tiny; the heavy step is the degree
     groupBy on the edge list."""
-    from .vectors import knn_graph_by_label
+    from .vectors import KNN_UNIVERSE, knn_graph_by_label
 
     edges = knn_graph_by_label(spark, sf_dir).select("src", "dst")
     deg = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("d"))
@@ -748,6 +750,7 @@ def knn_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")),
             6,
         ).alias("loglog_slope"),
+        F.lit(KNN_UNIVERSE).cast("long").alias("knn_universe"),
     )
 
 
@@ -998,6 +1001,7 @@ def pyds_telemetry_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _two_hop_oracle() -> str:
     from . import REGISTRY
+    from .vectors import KNN_UNIVERSE
 
     edges = REGISTRY["knn_graph_by_label"].oracle
     return f"""
@@ -1006,7 +1010,8 @@ def _two_hop_oracle() -> str:
       SELECT DISTINCT a.src, b.dst AS hop2
       FROM edges a JOIN edges b ON a.dst = b.src
       WHERE b.dst <> a.src)
-    SELECT src AS vec_id, cast(count(*) as bigint) AS n_two_hop
+    SELECT src AS vec_id, cast(count(*) as bigint) AS n_two_hop,
+           cast({KNN_UNIVERSE} as bigint) AS knn_universe
     FROM two_hop GROUP BY src
     """
 
@@ -1019,7 +1024,7 @@ def knn_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes per hop) and flags near-duplicate clumps (reach ≪ k² means
     neighbors share neighbors). One edge-edge equi-join bounded by
     k·|E|, then distinct + count — never |V|² anything."""
-    from .vectors import knn_graph_by_label
+    from .vectors import KNN_UNIVERSE, knn_graph_by_label
 
     from pyspark import StorageLevel
 
@@ -1035,8 +1040,10 @@ def knn_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "hop2")
         .distinct()
     )
-    return two_hop.groupBy(F.col("src").alias("vec_id")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_two_hop")
+    return (
+        two_hop.groupBy(F.col("src").alias("vec_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_two_hop"))
+        .withColumn("knn_universe", F.lit(KNN_UNIVERSE).cast("long"))
     )
 
 
@@ -1294,6 +1301,7 @@ BFS_MAX_HOPS = 3
 
 def _bfs_oracle() -> str:
     from . import REGISTRY
+    from .vectors import KNN_UNIVERSE
 
     edges = REGISTRY["knn_graph_by_label"].oracle
     return f"""
@@ -1307,7 +1315,8 @@ def _bfs_oracle() -> str:
       WHERE r.depth < {BFS_MAX_HOPS}
     )
     SELECT vec_id, cast(min(depth) as bigint) AS hops,
-           cast(count(*) as bigint) AS n_paths
+           cast(count(*) as bigint) AS n_paths,
+           cast({KNN_UNIVERSE} as bigint) AS knn_universe
     FROM reach GROUP BY vec_id
     """
 
@@ -1333,7 +1342,7 @@ def recursive_cte_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     replace the rewrite."""
     from pyspark import StorageLevel
 
-    from .vectors import knn_graph_by_label
+    from .vectors import KNN_UNIVERSE, knn_graph_by_label
 
     # The recursion re-reads the edge relation every iteration (seed
     # scan + one join per depth); without materialization each read
@@ -1356,7 +1365,8 @@ def recursive_cte_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
           WHERE r.depth < {BFS_MAX_HOPS}
         )
         SELECT vec_id, cast(min(depth) as bigint) AS hops,
-               cast(count(*) as bigint) AS n_paths
+               cast(count(*) as bigint) AS n_paths,
+               cast({KNN_UNIVERSE} as bigint) AS knn_universe
         FROM reach GROUP BY vec_id
         """
     )

@@ -1209,6 +1209,7 @@ HITS_ITERS = 2
 
 def _hits_oracle() -> str:
     from . import REGISTRY
+    from .vectors import KNN_UNIVERSE
 
     edges = REGISTRY["knn_graph_by_label"].oracle
     sql = f"""
@@ -1234,7 +1235,8 @@ def _hits_oracle() -> str:
     """
         prev_h = f"h{i}"
     sql += f"""
-    SELECT n.vec_id, a.a AS authority_score, h.h AS hub_score
+    SELECT n.vec_id, a.a AS authority_score, h.h AS hub_score,
+           cast({KNN_UNIVERSE} as bigint) AS knn_universe
     FROM nodes n
     JOIN a{HITS_ITERS} a USING (vec_id) JOIN h{HITS_ITERS} h USING (vec_id)
     """
@@ -1259,7 +1261,7 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join, never |N|²)."""
     from pyspark import StorageLevel
 
-    from .vectors import knn_graph_by_label
+    from .vectors import KNN_UNIVERSE, knn_graph_by_label
 
     # the k-NN graph build (bucketed self-join + window) feeds two
     # joins per iteration — materialize it once
@@ -1287,7 +1289,10 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         nodes.join(a.select("vec_id", F.col("s").alias("authority_score")), "vec_id")
         .join(h.select("vec_id", F.col("s").alias("hub_score")), "vec_id")
-        .select("vec_id", "authority_score", "hub_score")
+        .select(
+            "vec_id", "authority_score", "hub_score",
+            F.lit(KNN_UNIVERSE).cast("long").alias("knn_universe"),
+        )
     )
 
 

@@ -396,7 +396,8 @@ KNN_UNIVERSE = 2000
                + 0.0 AS cosine
       FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id
     )
-    SELECT src, dst, cosine, cast(rn as bigint) AS rn FROM (
+    SELECT src, dst, cosine, cast(rn as bigint) AS rn,
+           cast({KNN_UNIVERSE} as bigint) AS knn_universe FROM (
       SELECT *, row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rn
       FROM scored) WHERE rn <= {KNN_K}
     """,
@@ -409,7 +410,10 @@ def knn_graph_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic ``vec_id < {KNN_UNIVERSE}`` calibration sample (the
     whole table at sf ≤ 0.1 — see KNN_UNIVERSE), so the exact kernel's
     pair space is constant at any SF. Full-corpus graphs at scale come
-    from the ANN paths, not exact all-pairs."""
+    from the ANN paths, not exact all-pairs. The bound is SURFACED as a
+    constant ``knn_universe`` output column (here and on every
+    graph-family consumer) so a result built over the calibration
+    sample can never be mistaken for a full-corpus graph downstream."""
     e = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < KNN_UNIVERSE)
     v = e.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("ev"))
     a = v.select(F.col("vec_id").alias("src"), F.col("label").alias("la"), F.col("ev").alias("ea"))
@@ -427,7 +431,10 @@ def knn_graph_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= KNN_K)
-        .select("src", "dst", "cosine", F.col("rn").cast("long").alias("rn"))
+        .select(
+            "src", "dst", "cosine", F.col("rn").cast("long").alias("rn"),
+            F.lit(KNN_UNIVERSE).cast("long").alias("knn_universe"),
+        )
     )
 
 
@@ -955,7 +962,8 @@ _KNN_EDGES_SQL = f"""
       FROM (SELECT vec_id AS id FROM embeddings) v0
       LEFT JOIN c2 ON v0.id = c2.id, nn
     )
-    SELECT id AS vec_id, round(pr, 8) AS pr FROM pr2
+    SELECT id AS vec_id, round(pr, 8) AS pr,
+           cast({KNN_UNIVERSE} as bigint) AS knn_universe FROM pr2
     """,
 )
 def pagerank_knn_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -975,7 +983,10 @@ def pagerank_knn_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = pagerank(
         nodes, edges, node_col="id", n_iter=PAGERANK_ITERS, damping=PAGERANK_DAMPING
     )
-    return pr.select(F.col("id").alias("vec_id"), F.round("pr", 8).alias("pr"))
+    return pr.select(
+        F.col("id").alias("vec_id"), F.round("pr", 8).alias("pr"),
+        F.lit(KNN_UNIVERSE).cast("long").alias("knn_universe"),
+    )
 
 
 def _recall_oracle() -> str:
@@ -1079,7 +1090,8 @@ def _triangle_oracle() -> str:
            (SELECT cast(count(*) as bigint) FROM und) AS n_edges,
            cast(n_triangles as bigint) AS n_triangles,
            round(CASE WHEN n_triples = 0 THEN 0.0
-                      ELSE 3.0 * n_triangles / n_triples END, 6) AS global_clustering
+                      ELSE 3.0 * n_triangles / n_triples END, 6) AS global_clustering,
+           cast({KNN_UNIVERSE} as bigint) AS knn_universe
     FROM tri, agg
     """
 
@@ -1141,6 +1153,7 @@ def knn_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 6,
             ).alias("global_clustering"),
+            F.lit(KNN_UNIVERSE).cast("long").alias("knn_universe"),
         )
     )
 
@@ -1339,7 +1352,8 @@ def _lpa_oracle() -> str:
             UNION ALL SELECT b AS src, a AS dst FROM mutual),
     l0 AS (SELECT vec_id AS node, vec_id AS lab FROM embeddings),
     {rounds_sql}
-    SELECT node AS vec_id, lab AS community FROM l{LPA_ITERS}
+    SELECT node AS vec_id, lab AS community,
+           cast({KNN_UNIVERSE} as bigint) AS knn_universe FROM l{LPA_ITERS}
     """
 
 
@@ -1388,4 +1402,7 @@ def lpa_communities_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             labels.join(best, "node", "left")
             .select("node", F.coalesce("new_lab", "lab").alias("lab"))
         )
-    return labels.select(F.col("node").alias("vec_id"), F.col("lab").alias("community"))
+    return labels.select(
+        F.col("node").alias("vec_id"), F.col("lab").alias("community"),
+        F.lit(KNN_UNIVERSE).cast("long").alias("knn_universe"),
+    )

