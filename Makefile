@@ -1,7 +1,7 @@
 # Engine equivalents of the reference's Makefile targets
 # (reference: make data / make agent / make eval stages).
 
-.PHONY: test parity parity-sf001 bench smoke regen-goldens
+.PHONY: test parity parity-sf001 bench smoke regen-goldens scaleprobe
 
 test:
 	python -m pytest tests/ -q
@@ -19,6 +19,9 @@ smoke:             # the driver's entry() smoke
 	python -c "from pyspark.sql import SparkSession; import __spark_entry__ as e; \
 s = SparkSession.builder.master('local[8]').getOrCreate(); \
 print(e.entry(s).collect())"
+
+scaleprobe:        # repeatable 100x gate: regen .scale/sf10 if absent, run the
+	python scripts/scale_probe.py   # probe families, fail on wall-ratio regression
 
 regen-goldens:     # deterministic fixtures (commit alongside semantic changes)
 	python tests/fixtures/generate_fixtures.py

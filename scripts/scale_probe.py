@@ -1,0 +1,223 @@
+#!/usr/bin/env python
+"""Repeatable 100x scale gate (VERDICT r11 item 2).
+
+The round-11 sf3/sf10 soaks caught five genuine scale defects
+(watermark late-drop, ML-LSH corpus broadcast, unbounded kNN pairs,
+per-pair norm recompute, unbounded Arrow output batches) but lived as
+one-off script invocations + PERFORMANCE.md prose. This turns the
+campaign into a gate: one command regenerates the K x-scaled data if
+missing, re-runs the probe family list, and FAILS (exit 1) if any
+family errors, returns zero rows, or exceeds its checked-in wall
+threshold — the same discipline bench.py's <=2x gate applies at sf0.1.
+
+Measurement procedure (what the thresholds mean):
+- Each family runs in its OWN subprocess/SparkSession. A 20-family
+  sequence in one session inflates late-position walls up to ~2.3x
+  (measured r12: item_cosine 140.7 s in-sequence vs 61.7 s fresh) via
+  GC/shuffle-state accumulation, which would make thresholds depend on
+  list order. Subprocess isolation makes every wall a fresh
+  single-shot number, directly comparable to the PERFORMANCE.md curve.
+- Thresholds live in scripts/scale_probe_thresholds.json (checked in),
+  recorded by this script's --record mode on a quiet host. Gate =
+  --mult (default 2.0) x recorded + 5 s absolute slack (so sub-second
+  rows don't trip on session jitter).
+- Host noise: a noisy co-tenant inflates walls ~2x and is NOT visible
+  in this VM's load average. Two defenses: (1) the first family
+  (q1_pricing_summary) doubles as a canary — if its wall exceeds its
+  recording, every later budget scales by the same factor (q1 itself
+  is judged unscaled, so a genuine q1 regression still fails); (2) a
+  family that exceeds its budget is retried ONCE in a fresh
+  subprocess and judged on the min of the two walls — measured
+  quiet-host variance spans ~3x on shuffle/Arrow-heavy families,
+  while the defect class this gate exists for regressed walls
+  10-100x and fails both runs.
+
+Usage:
+  python scripts/scale_probe.py             # full gate at .scale/sf10
+  python scripts/scale_probe.py --only minhash
+  python scripts/scale_probe.py --record    # re-baseline on a quiet host
+  make scaleprobe
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+THRESHOLDS_PATH = os.path.join(REPO, "scripts", "scale_probe_thresholds.json")
+
+#: Probe family list — one per scale-critical plan shape. The two
+#: documented output-quadratic similarity joins
+#: (jaccard_prefix_filter_pairs, embedding_near_dup_via_ivf) are
+#: excluded by design: their true answers grow ~K^2 in the replication
+#: factor (harness geometry), so a wall gate would measure the data
+#: generator, not the plan. q1 is first: it doubles as the host canary.
+PROBE_FAMILIES = [
+    "q1_pricing_summary",
+    "q18_large_orders_having",
+    "tfidf_search_topk",
+    "minhash_signatures",
+    "minhash_lsh_candidate_pairs",
+    "minhash_decontaminate",
+    "simhash_signatures",
+    "dedup_exact_stats",
+    "line_dedup_clean",
+    "ann_cosine_topk",
+    "ivf_ann_topk",
+    "item_cosine_similarity_topk",
+    "orders_rfm_segments",
+    "stream_hourly_stats",
+    "ml_minhash_similarity_join",
+    "knn_graph_by_label",   # KNN_UNIVERSE-bounded: constant at any SF
+    "media_feature_stats",  # real PNG/WAV decodes, Arrow-chunked
+    "media_dedup_payloads",
+    "media_resize_audit",
+    "media_audio_windows",
+]
+
+ABS_SLACK_SEC = 5.0
+
+
+def run_child(name: str, sf_dir: str) -> dict:
+    """One family in a fresh subprocess; returns {rows, sec} or {error}."""
+    code = (
+        "import sys, time, json\n"
+        f"sys.path.insert(0, {REPO!r})\n"
+        "from pyspark.sql import SparkSession\n"
+        "spark = (SparkSession.builder.master('local[32]')\n"
+        "    .config('spark.sql.shuffle.partitions', '32')\n"
+        "    .config('spark.driver.memory', '48g')\n"
+        "    .config('spark.sql.adaptive.enabled', 'true')\n"
+        "    .config('spark.ui.enabled', 'false').getOrCreate())\n"
+        "spark.sparkContext.setLogLevel('ERROR')\n"
+        "from data_engineering_rag_spark.plans import REGISTRY\n"
+        f"t0 = time.time(); n = REGISTRY[{name!r}].spark(spark, {sf_dir!r}).count()\n"
+        "print('PROBE_RESULT ' + json.dumps({'rows': n, 'sec': round(time.time() - t0, 1)}))\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, cwd=REPO
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("PROBE_RESULT "):
+            return json.loads(line[len("PROBE_RESULT "):])
+    tail = (proc.stderr or proc.stdout).strip().splitlines()[-15:]
+    return {"error": " | ".join(tail)[-500:] or f"exit {proc.returncode}"}
+
+
+def ensure_data(sf_dir: str, k: int, src: str) -> None:
+    if os.path.exists(os.path.join(sf_dir, "lineitem.parquet")):
+        return
+    print(f"scale data missing at {sf_dir} — generating (k={k}, ~minutes)", flush=True)
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "make_scale_data.py"),
+         "--k", str(k), "--src", src, "--out", sf_dir],
+        check=True, cwd=REPO,
+    )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=".scale/sf10")
+    ap.add_argument("--k", type=int, default=100)
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--mult", type=float, default=2.0)
+    ap.add_argument("--only", default=None)
+    ap.add_argument("--record", action="store_true",
+                    help="write measured walls to the thresholds file "
+                         "instead of gating (quiet host only)")
+    ap.add_argument("--out-json", default=".scale/probe_results.json")
+    args = ap.parse_args()
+    sf_dir = os.path.join(REPO, args.sf_dir) if not os.path.isabs(args.sf_dir) else args.sf_dir
+
+    print(f"host 1-min load average (this VM only): {os.getloadavg()[0]:.1f}")
+    ensure_data(sf_dir, args.k, args.src)
+
+    recorded: dict[str, float] = {}
+    if not args.record:
+        with open(THRESHOLDS_PATH) as f:
+            recorded = json.load(f)["walls_sec"]
+
+    names = [n for n in PROBE_FAMILIES if args.only is None or args.only in n]
+    failures: list[str] = []
+    results: dict[str, dict] = {}
+    host_factor = 1.0
+    for i, name in enumerate(names):
+        res = run_child(name, sf_dir)
+        if "error" in res:
+            failures.append(f"{name}: {res['error'][:300]}")
+            results[name] = {**res, "status": "ERROR"}
+            print(f"[{i + 1:02d}/{len(names)}] ERROR {name}: {res['error'][:200]}", flush=True)
+            continue
+        rows, wall = res["rows"], res["sec"]
+        if args.record:
+            results[name] = {**res, "status": "recorded"}
+            if rows == 0:
+                failures.append(f"{name}: 0 rows at {sf_dir}")
+            print(f"[{i + 1:02d}/{len(names)}] rec   {name}: {rows} rows, {wall:.1f}s", flush=True)
+            continue
+        base = recorded[name]
+        scale = 1.0 if name == "q1_pricing_summary" else host_factor
+        budget = args.mult * base * scale + ABS_SLACK_SEC
+        status = "ok"
+        if rows == 0:
+            status = "EMPTY"
+            failures.append(f"{name}: 0 rows at {sf_dir}")
+        elif wall > budget:
+            # One retry before declaring a regression: quiet-host
+            # run-to-run variance on shuffle/Arrow-heavy families spans
+            # ~3x (q18 measured 16.0/22.6/47.4 s across three r12
+            # runs — co-tenant noise invisible to this VM's loadavg).
+            # Transient noise passes the retry; the defect class this
+            # gate exists for (10-100x walls) fails both.
+            retry = run_child(name, sf_dir)
+            retry_wall = retry.get("sec", float("inf"))
+            print(f"      retry {name}: {retry_wall:.1f}s "
+                  f"(first {wall:.1f}s, budget {budget:.1f}s)", flush=True)
+            wall = min(wall, retry_wall)
+            if wall > budget:
+                status = "SLOW"
+                failures.append(
+                    f"{name}: min-of-2 {wall:.1f}s > {budget:.1f}s "
+                    f"({args.mult}x recorded {base}s x host {scale:.2f} + {ABS_SLACK_SEC}s)"
+                )
+        if name == "q1_pricing_summary":
+            host_factor = max(1.0, wall / base)
+            if host_factor > 1.05:
+                print(f"canary: q1 at {host_factor:.2f}x its recording — "
+                      f"scaling later budgets (noisy host?)", flush=True)
+        results[name] = {"rows": rows, "sec": wall,
+                         "budget_sec": round(budget, 1), "status": status}
+        print(f"[{i + 1:02d}/{len(names)}] {status:5s} {name}: "
+              f"{rows} rows, {wall:.1f}s (budget {budget:.1f}s)", flush=True)
+
+    if args.record and not failures:
+        with open(THRESHOLDS_PATH, "w") as f:
+            json.dump({
+                "procedure": "scripts/scale_probe.py — one subprocess/SparkSession "
+                             "per family, local[32], count() wall, quiet host",
+                "sf_dir": args.sf_dir,
+                "walls_sec": {n: results[n]["sec"] for n in names},
+            }, f, indent=1)
+            f.write("\n")
+        print(f"recorded {len(names)} walls -> {THRESHOLDS_PATH}")
+
+    out_json = os.path.join(REPO, args.out_json) if not os.path.isabs(args.out_json) else args.out_json
+    os.makedirs(os.path.dirname(out_json) or ".", exist_ok=True)
+    with open(out_json, "w") as f:
+        json.dump({"sf_dir": args.sf_dir, "mult": args.mult,
+                   "record": args.record, "results": results}, f, indent=1)
+    print(f"\nscale probe: {len(names)} families, {len(failures)} failures -> {out_json}")
+    for msg in failures:
+        print(f"  FAIL {msg}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
