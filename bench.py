@@ -62,6 +62,11 @@ BENCH_QUERIES = [
     # (Structured Streaming engine + state store in the loop), so the
     # ≤2x gate covers streaming regressions, not just batch plans.
     "stream_hourly_stats",          # r2+: streaming tumbling+watermark
+    # round-12 addition (VERDICT r11 item 3): the real-codec media
+    # family is the heaviest per-row compute path (PNG/WAV decode +
+    # byte-bounded Arrow chunking in mapInPandas) and had zero bench
+    # coverage — codec or chunking regressions only showed at sf10.
+    "media_feature_stats",          # r11: real PNG/WAV decode sentinel
 ]
 
 
