@@ -433,3 +433,29 @@ def test_ml_lsh_probe_join_broadcasts_probe_side(spark, sf_dir):
     # no match = the hint stopped propagating (e.g. a Spark upgrade) and
     # the planner fell back to something else — fail loudly, not green
     assert matched, f"no hash-entry BroadcastHashJoin found in plan:\n{plan}"
+
+
+KNN_GRAPH_FAMILY = [
+    "knn_graph_by_label", "pagerank_knn_2iter", "knn_triangle_stats",
+    "lpa_communities_2iter", "knn_degree_powerlaw", "knn_two_hop_reach",
+    "recursive_cte_bfs_hops", "hits_hub_authority",
+]
+
+
+def test_knn_graph_family_surfaces_universe_bound(spark, sf_dir):
+    """ADVICE r11: KNN_UNIVERSE silently changes these queries' answers
+    on any corpus larger than sf0.1 (graph built over the calibration
+    sample only), so every graph-family result must carry the bound as
+    a constant knn_universe column — in the Spark schema AND the oracle
+    SQL — so downstream consumers can't mistake a sample-built graph
+    for a full-corpus one. A new graph consumer that forgets the column
+    fails here."""
+    from data_engineering_rag_spark.plans.vectors import KNN_UNIVERSE
+
+    for name in KNN_GRAPH_FAMILY:
+        spec = REGISTRY[name]
+        df = spec.spark(spark, sf_dir)
+        assert "knn_universe" in df.columns, name
+        assert dict(df.dtypes)["knn_universe"] == "bigint", name
+        assert "knn_universe" in spec.oracle, name
+        assert str(KNN_UNIVERSE) in spec.oracle, name
