@@ -122,6 +122,66 @@ def ensure_data(sf_dir: str, k: int, src: str) -> None:
     )
 
 
+def run_gate(names, recorded, runner, mult, log=print):
+    """Judge each probe family; returns ``(results, failures)``.
+
+    Pure gate logic, factored out of ``main`` so pytest can drive it
+    with a fake ``runner`` (tests/test_scale_probe_gate.py) — the gate
+    itself should not need a 2 GB sf10 directory to prove its own
+    judgment rules. ``runner(name)`` returns ``{rows, sec}`` or
+    ``{error}``. Rules: the first family (q1, the host canary) scales
+    every LATER budget by ``wall/base`` but is judged unscaled itself;
+    a family over budget gets ONE retry and is judged on the min of
+    the two walls; empty results and child errors always fail.
+    """
+    failures: list[str] = []
+    results: dict[str, dict] = {}
+    host_factor = 1.0
+    for i, name in enumerate(names):
+        res = runner(name)
+        if "error" in res:
+            failures.append(f"{name}: {res['error'][:300]}")
+            results[name] = {**res, "status": "ERROR"}
+            log(f"[{i + 1:02d}/{len(names)}] ERROR {name}: {res['error'][:200]}")
+            continue
+        rows, wall = res["rows"], res["sec"]
+        base = recorded[name]
+        scale = 1.0 if name == "q1_pricing_summary" else host_factor
+        budget = mult * base * scale + ABS_SLACK_SEC
+        status = "ok"
+        if rows == 0:
+            status = "EMPTY"
+            failures.append(f"{name}: 0 rows")
+        elif wall > budget:
+            # One retry before declaring a regression: quiet-host
+            # run-to-run variance on shuffle/Arrow-heavy families spans
+            # ~3x (q18 measured 16.0/22.6/47.4 s across three r12
+            # runs — co-tenant noise invisible to this VM's loadavg).
+            # Transient noise passes the retry; the defect class this
+            # gate exists for (10-100x walls) fails both.
+            retry = runner(name)
+            retry_wall = retry.get("sec", float("inf"))
+            log(f"      retry {name}: {retry_wall:.1f}s "
+                f"(first {wall:.1f}s, budget {budget:.1f}s)")
+            wall = min(wall, retry_wall)
+            if wall > budget:
+                status = "SLOW"
+                failures.append(
+                    f"{name}: min-of-2 {wall:.1f}s > {budget:.1f}s "
+                    f"({mult}x recorded {base}s x host {scale:.2f} + {ABS_SLACK_SEC}s)"
+                )
+        if name == "q1_pricing_summary":
+            host_factor = max(1.0, wall / base)
+            if host_factor > 1.05:
+                log(f"canary: q1 at {host_factor:.2f}x its recording — "
+                    f"scaling later budgets (noisy host?)")
+        results[name] = {"rows": rows, "sec": wall,
+                         "budget_sec": round(budget, 1), "status": status}
+        log(f"[{i + 1:02d}/{len(names)}] {status:5s} {name}: "
+            f"{rows} rows, {wall:.1f}s (budget {budget:.1f}s)")
+    return results, failures
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=".scale/sf10")
@@ -145,57 +205,29 @@ def main() -> int:
             recorded = json.load(f)["walls_sec"]
 
     names = [n for n in PROBE_FAMILIES if args.only is None or args.only in n]
-    failures: list[str] = []
-    results: dict[str, dict] = {}
-    host_factor = 1.0
-    for i, name in enumerate(names):
-        res = run_child(name, sf_dir)
-        if "error" in res:
-            failures.append(f"{name}: {res['error'][:300]}")
-            results[name] = {**res, "status": "ERROR"}
-            print(f"[{i + 1:02d}/{len(names)}] ERROR {name}: {res['error'][:200]}", flush=True)
-            continue
-        rows, wall = res["rows"], res["sec"]
-        if args.record:
+
+    def log(msg: str) -> None:
+        print(msg, flush=True)
+
+    if args.record:
+        failures = []
+        results = {}
+        for i, name in enumerate(names):
+            res = run_child(name, sf_dir)
+            if "error" in res:
+                failures.append(f"{name}: {res['error'][:300]}")
+                results[name] = {**res, "status": "ERROR"}
+                log(f"[{i + 1:02d}/{len(names)}] ERROR {name}: {res['error'][:200]}")
+                continue
             results[name] = {**res, "status": "recorded"}
-            if rows == 0:
+            if res["rows"] == 0:
                 failures.append(f"{name}: 0 rows at {sf_dir}")
-            print(f"[{i + 1:02d}/{len(names)}] rec   {name}: {rows} rows, {wall:.1f}s", flush=True)
-            continue
-        base = recorded[name]
-        scale = 1.0 if name == "q1_pricing_summary" else host_factor
-        budget = args.mult * base * scale + ABS_SLACK_SEC
-        status = "ok"
-        if rows == 0:
-            status = "EMPTY"
-            failures.append(f"{name}: 0 rows at {sf_dir}")
-        elif wall > budget:
-            # One retry before declaring a regression: quiet-host
-            # run-to-run variance on shuffle/Arrow-heavy families spans
-            # ~3x (q18 measured 16.0/22.6/47.4 s across three r12
-            # runs — co-tenant noise invisible to this VM's loadavg).
-            # Transient noise passes the retry; the defect class this
-            # gate exists for (10-100x walls) fails both.
-            retry = run_child(name, sf_dir)
-            retry_wall = retry.get("sec", float("inf"))
-            print(f"      retry {name}: {retry_wall:.1f}s "
-                  f"(first {wall:.1f}s, budget {budget:.1f}s)", flush=True)
-            wall = min(wall, retry_wall)
-            if wall > budget:
-                status = "SLOW"
-                failures.append(
-                    f"{name}: min-of-2 {wall:.1f}s > {budget:.1f}s "
-                    f"({args.mult}x recorded {base}s x host {scale:.2f} + {ABS_SLACK_SEC}s)"
-                )
-        if name == "q1_pricing_summary":
-            host_factor = max(1.0, wall / base)
-            if host_factor > 1.05:
-                print(f"canary: q1 at {host_factor:.2f}x its recording — "
-                      f"scaling later budgets (noisy host?)", flush=True)
-        results[name] = {"rows": rows, "sec": wall,
-                         "budget_sec": round(budget, 1), "status": status}
-        print(f"[{i + 1:02d}/{len(names)}] {status:5s} {name}: "
-              f"{rows} rows, {wall:.1f}s (budget {budget:.1f}s)", flush=True)
+            log(f"[{i + 1:02d}/{len(names)}] rec   {name}: "
+                f"{res['rows']} rows, {res['sec']:.1f}s")
+    else:
+        results, failures = run_gate(
+            names, recorded, lambda n: run_child(n, sf_dir), args.mult, log=log
+        )
 
     if args.record and not failures:
         with open(THRESHOLDS_PATH, "w") as f:
