@@ -454,6 +454,13 @@ LAST_CHANGED: dict[str, int] = {
     # dialects), so a sample-built graph can't be mistaken for a
     # full-corpus one downstream. Values are otherwise identical, but
     # the schema changed — conservative re-check in the r12 window.
+    # round-12 scale rewrite: q18 now pre-aggregates lineitem by
+    # l_orderkey and applies the HAVING filter BEFORE the 1:1 join to
+    # orders (o_custkey is functionally dependent on the orders PK) —
+    # the old plan shuffled the full joined fact and spilled at the
+    # sf10 probe (16-85 s walls; new plan ~7 s). Result-identical by
+    # construction, but a material body change — conservative re-check.
+    "q18_large_orders_having": 12,
     "knn_graph_by_label": 12,
     "pagerank_knn_2iter": 12,
     "knn_triangle_stats": 12,

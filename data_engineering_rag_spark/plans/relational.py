@@ -758,16 +758,33 @@ def q17_small_quantity_correlated(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def q18_large_orders_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q18 shape: join + groupBy + HAVING on the aggregate (the
-    decimal sum keeps the threshold comparison exact)."""
+    decimal sum keeps the threshold comparison exact).
+
+    Scale shape (r12 rewrite): aggregate lineitem by ``l_orderkey``
+    BEFORE the join instead of grouping the joined fact — the original
+    plan shuffled the full 75M-row join output at the sf10 probe
+    (spill-bound: 16-85 s walls); the pushed-down aggregate shuffles
+    only (key, partial sum) pairs with map-side combine, applies the
+    HAVING filter pre-join (~24% selectivity), and joins the survivors
+    to orders 1:1. Legal because ``o_orderkey`` is the orders PK, so
+    ``o_custkey`` is functionally dependent on the group key, and an
+    inner join drops orderless lineitems' groups the same way the
+    original join dropped their rows pre-aggregation."""
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     qty_sum = F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-    return (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .groupBy("o_orderkey", "o_custkey")
-        .agg(F.round(qty_sum.cast("double"), 2).alias("total_qty"), qty_sum.alias("_raw"))
+    li_agg = (
+        li.groupBy("l_orderkey")
+        .agg(qty_sum.alias("_raw"))
         .where(F.col("_raw") > 140)
-        .drop("_raw")
+    )
+    return (
+        o.join(li_agg, o.o_orderkey == li_agg.l_orderkey)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(F.col("_raw").cast("double"), 2).alias("total_qty"),
+        )
     )
 
 

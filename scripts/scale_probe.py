@@ -80,6 +80,10 @@ PROBE_FAMILIES = [
     "media_dedup_payloads",
     "media_resize_audit",
     "media_audio_windows",
+    # r12 additions — plan shapes the first campaign didn't cover:
+    "q5_local_supplier_volume",   # 6-table broadcast-dim join chain
+    "chunk_documents",            # explode(sequence) fan-out + substring
+    "events_sessionize_batch",    # gaps-and-islands window sweep
 ]
 
 ABS_SLACK_SEC = 5.0
@@ -230,12 +234,22 @@ def main() -> int:
         )
 
     if args.record and not failures:
+        # Merge into the existing file: `--record --only X` re-baselines
+        # only the filtered families and must not drop the rest. Names
+        # removed from PROBE_FAMILIES are pruned so the file can't carry
+        # dead thresholds (test_probe_families_have_recorded_thresholds).
+        walls: dict[str, float] = {}
+        if os.path.exists(THRESHOLDS_PATH):
+            with open(THRESHOLDS_PATH) as f:
+                walls = json.load(f)["walls_sec"]
+        walls.update({n: results[n]["sec"] for n in names})
+        walls = {n: walls[n] for n in PROBE_FAMILIES if n in walls}
         with open(THRESHOLDS_PATH, "w") as f:
             json.dump({
                 "procedure": "scripts/scale_probe.py — one subprocess/SparkSession "
                              "per family, local[32], count() wall, quiet host",
                 "sf_dir": args.sf_dir,
-                "walls_sec": {n: results[n]["sec"] for n in names},
+                "walls_sec": walls,
             }, f, indent=1)
             f.write("\n")
         print(f"recorded {len(names)} walls -> {THRESHOLDS_PATH}")

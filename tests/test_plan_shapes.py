@@ -459,3 +459,20 @@ def test_knn_graph_family_surfaces_universe_bound(spark, sf_dir):
         assert dict(df.dtypes)["knn_universe"] == "bigint", name
         assert "knn_universe" in spec.oracle, name
         assert str(KNN_UNIVERSE) in spec.oracle, name
+
+
+def test_q18_aggregates_below_the_join(spark, sf_dir):
+    """r12 scale rewrite: q18 must pre-aggregate lineitem by
+    l_orderkey (map-side combinable) and apply the HAVING filter BELOW
+    the 1:1 join to orders — the original agg-above-join plan shuffled
+    the full joined fact and spilled at the sf10 probe (16-85 s walls
+    vs ~27 s rewritten). In the optimized plan the root prints first,
+    so the Join must appear before (above) the Aggregate."""
+    df = REGISTRY["q18_large_orders_having"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    join_at = plan.index("Join Inner")
+    agg_at = plan.index("Aggregate [")
+    assert join_at < agg_at, plan
+    # the HAVING filter must also sit below the join (pre-join prune)
+    having_at = plan.index("> 140")
+    assert join_at < having_at, plan
