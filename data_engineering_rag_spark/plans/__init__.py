@@ -461,6 +461,16 @@ LAST_CHANGED: dict[str, int] = {
     # sf10 probe (16-85 s walls; new plan ~7 s). Result-identical by
     # construction, but a material body change — conservative re-check.
     "q18_large_orders_having": 12,
+    # round-12 scale rewrite: FS linkage candidate pairs now come from
+    # the FINE (nation, mktsegment, $100-band) equi-join whenever it
+    # yields >= FS_TOPK pairs (band_agree implies sign_agree and
+    # dominates the weights, so the global top-k is provably within
+    # the fine pairs) with the coarse join as the tiny-N fallback —
+    # the coarse block key has fixed cardinality, so its pair space
+    # grew quadratically (9e9 pairs / 361 s at the sf10 soak).
+    # Result-identical at sf0.001/0.01/0.1 (verified row-for-row in
+    # order), but a material body change — conservative re-check.
+    "fellegi_sunter_linkage": 12,
     "knn_graph_by_label": 12,
     "pagerank_knn_2iter": 12,
     "knn_triangle_stats": 12,

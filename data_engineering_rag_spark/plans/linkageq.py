@@ -291,14 +291,31 @@ def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign). m are fixed model constants; u are estimated exactly from
     the table's own value-frequency marginals (sum c*(c-1) over
     N*(N-1)), the standard FS estimation shortcut. Top-{FS_TOPK} pairs
-    by weight, deterministic key tiebreak. Scale: the u tables are
-    tiny single-row broadcasts; the pair generation is an equi-join
-    whose fan-out is bounded by block sizes (AQE-splittable); weights
-    are one identical float expression per pair in both engines —
-    integer pair counts stay exact bigint. Extends the reference's
+    by weight, deterministic key tiebreak. Extends the reference's
     exact-match dedup (minsearch `Index.filter`-style equality) to the
     probabilistic-linkage regime a 100 TB entity-resolution pass
-    needs."""
+    needs.
+
+    Scale shape (r12 rewrite): the coarse (nation, mktsegment) block
+    key has FIXED cardinality (125 blocks), so block sizes grow
+    linearly with the table and the blocked join's pair count grows
+    QUADRATICALLY — ~9e9 pairs / 361 s at the sf10 probe, the same
+    defect class as the r11 kNN/LOF fixes. But fs_score depends only
+    on (band_agree, sign_agree), a $100 band never spans zero (so
+    band_agree implies sign_agree), and agreements dominate the
+    weights — so the global top-{FS_TOPK} is exactly the {FS_TOPK}
+    smallest-key pairs from the FINE equi-join on
+    (nation, mktsegment, band), whose per-block fan-out stays small as
+    the table grows (~27k fine blocks vs 125). The scoring expression
+    and the u estimation are unchanged. When the fine join yields
+    fewer than {FS_TOPK} pairs (only possible at tiny N — pigeonhole:
+    any table past ~200k rows fills some fine block), a bounded ≤
+    {FS_TOPK}-row count triggers the original coarse join as the
+    fallback, which is trivially cheap exactly when it runs. The
+    ORACLE still runs the coarse brute-force blocked join — oracle
+    equality is a cross-engine PROOF the fine-block shortcut lost
+    nothing, not just a port check (the jaccard_prefix_filter_pairs
+    pattern)."""
     c = load(spark, sf_dir, "customer")
     m = c.agg(F.count(F.lit(1)).cast("long").alias("n"))
     band = c.groupBy(
@@ -321,44 +338,69 @@ def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("agree_pairs_s").cast("double") / (F.col("n") * (F.col("n") - 1.0))).alias("u_sign"),
         )
     )
-    a = c.select(
-        F.col("c_custkey").alias("custkey_a"),
-        "c_nationkey",
-        "c_mktsegment",
-        F.col("c_acctbal").alias("bal_a"),
-    )
-    b = c.select(
-        F.col("c_custkey").alias("custkey_b"),
-        "c_nationkey",
-        "c_mktsegment",
-        F.col("c_acctbal").alias("bal_b"),
-    )
-    pairs = a.join(b, ["c_nationkey", "c_mktsegment"]).where(
-        F.col("custkey_a") < F.col("custkey_b")
-    ).select(
-        "custkey_a",
-        "custkey_b",
-        (F.floor(F.col("bal_a") / 100.0) == F.floor(F.col("bal_b") / 100.0)).alias("band_agree"),
-        ((F.col("bal_a") >= 0) == (F.col("bal_b") >= 0)).alias("sign_agree"),
-    )
-    scored = pairs.crossJoin(F.broadcast(u)).select(
-        "custkey_a",
-        "custkey_b",
-        "band_agree",
-        "sign_agree",
-        F.round(
-            F.when(F.col("band_agree"), F.log(FS_M_BAND / F.col("u_band"))).otherwise(
-                F.log((1.0 - FS_M_BAND) / (1.0 - F.col("u_band")))
+    def _pairs(join_on_band: bool):
+        side_a = c.select(
+            F.col("c_custkey").alias("custkey_a"),
+            "c_nationkey",
+            "c_mktsegment",
+            F.col("c_acctbal").alias("bal_a"),
+            F.floor(F.col("c_acctbal") / 100.0).alias("_fs_band_a"),
+        )
+        side_b = c.select(
+            F.col("c_custkey").alias("custkey_b"),
+            "c_nationkey",
+            "c_mktsegment",
+            F.col("c_acctbal").alias("bal_b"),
+            F.floor(F.col("c_acctbal") / 100.0).alias("_fs_band_b"),
+        )
+        cond = (
+            (side_a.c_nationkey == side_b.c_nationkey)
+            & (side_a.c_mktsegment == side_b.c_mktsegment)
+        )
+        if join_on_band:
+            cond = cond & (F.col("_fs_band_a") == F.col("_fs_band_b"))
+        return (
+            side_a.join(side_b, cond)
+            .where(F.col("custkey_a") < F.col("custkey_b"))
+            .select(
+                "custkey_a",
+                "custkey_b",
+                (F.col("_fs_band_a") == F.col("_fs_band_b")).alias("band_agree"),
+                ((F.col("bal_a") >= 0) == (F.col("bal_b") >= 0)).alias("sign_agree"),
             )
-            + F.when(F.col("sign_agree"), F.log(FS_M_SIGN / F.col("u_sign"))).otherwise(
-                F.log(round(1.0 - FS_M_SIGN, 2) / (1.0 - F.col("u_sign")))
-            ),
-            6,
-        ).alias("fs_score"),
-    )
-    return scored.orderBy(
-        F.col("fs_score").desc(), "custkey_a", "custkey_b"
-    ).limit(FS_TOPK)
+        )
+
+    def _score(pairs):
+        scored = pairs.crossJoin(F.broadcast(u)).select(
+            "custkey_a",
+            "custkey_b",
+            "band_agree",
+            "sign_agree",
+            F.round(
+                F.when(F.col("band_agree"), F.log(FS_M_BAND / F.col("u_band"))).otherwise(
+                    F.log((1.0 - FS_M_BAND) / (1.0 - F.col("u_band")))
+                )
+                + F.when(F.col("sign_agree"), F.log(FS_M_SIGN / F.col("u_sign"))).otherwise(
+                    F.log(round(1.0 - FS_M_SIGN, 2) / (1.0 - F.col("u_sign")))
+                ),
+                6,
+            ).alias("fs_score"),
+        )
+        return scored.orderBy(
+            F.col("fs_score").desc(), "custkey_a", "custkey_b"
+        ).limit(FS_TOPK)
+
+    # Fine-block fast path: band_agree ⇒ sign_agree (a $100 band never
+    # spans zero), so band-agreeing pairs carry the strictly maximal
+    # fs_score and the global top-k is theirs whenever they number
+    # ≥ FS_TOPK. The deficit check is a bounded ≤ FS_TOPK-row count
+    # (the BPE argmax pattern), and the coarse fallback it can trigger
+    # only ever runs on tables tiny enough that fewer than FS_TOPK
+    # same-band pairs exist in any fixed block.
+    fine = _pairs(join_on_band=True)
+    if fine.limit(FS_TOPK).count() >= FS_TOPK:
+        return _score(fine)
+    return _score(_pairs(join_on_band=False))
 
 
 #: Kneser-Ney absolute discount (the canonical 0.75) and output size.

@@ -461,6 +461,22 @@ def test_knn_graph_family_surfaces_universe_bound(spark, sf_dir):
         assert str(KNN_UNIVERSE) in spec.oracle, name
 
 
+def test_fellegi_sunter_blocks_on_band_at_scale(spark):
+    """r12 scale rewrite: the FS candidate join must include the $100
+    band in its block key whenever ≥ FS_TOPK band-agreeing pairs exist
+    (every non-tiny table) — the coarse (nation, mktsegment) key has
+    fixed cardinality, so its pair space grows quadratically (9e9
+    pairs / 361 s at the sf10 probe). sf0.01 has 93 fine pairs, so the
+    fine path must plan; its join keys must carry _fs_band."""
+    df = REGISTRY["fellegi_sunter_linkage"].spark(spark, "/root/testdata/sf0.01")
+    plan = _physical_plan(df)
+    # the pair join must be keyed on the band column (fine path); the
+    # only nested-loop join allowed is the deliberate 1-row broadcast
+    # of the u constants
+    assert "_fs_band" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_q18_aggregates_below_the_join(spark, sf_dir):
     """r12 scale rewrite: q18 must pre-aggregate lineitem by
     l_orderkey (map-side combinable) and apply the HAVING filter BELOW
