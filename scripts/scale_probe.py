@@ -84,6 +84,7 @@ PROBE_FAMILIES = [
     "q5_local_supplier_volume",   # 6-table broadcast-dim join chain
     "chunk_documents",            # explode(sequence) fan-out + substring
     "events_sessionize_batch",    # gaps-and-islands window sweep
+    "fellegi_sunter_linkage",     # fine-band blocked linkage (was a 9e9-pair quadratic)
 ]
 
 ABS_SLACK_SEC = 5.0
