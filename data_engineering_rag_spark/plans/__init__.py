@@ -354,6 +354,32 @@ _DRIVER_VERIFIED_BY_ROUND[11] = frozenset(
     }
 )
 
+_DRIVER_VERIFIED_BY_ROUND[12] = frozenset(
+    {
+        "agg_rollup_grouping_flags", "ann_recall_at10",
+        "basket_part_pairs_top20", "benford_first_digit_audit",
+        "bigram_lm_quality", "boilerplate_ngrams_top20", "bpe_train_merges",
+        "char_entropy_quality", "chunk_tokens_windows",
+        "column_profile_orders", "corpus_materialize_clean",
+        "crossdoc_ngram_dup_fraction", "data_quality_audit",
+        "decontaminate_overlap", "dedup_incremental_batch",
+        "fellegi_sunter_linkage", "gopher_quality_rules",
+        "hits_hub_authority", "ivf_ann_multiprobe", "ivf_bucket_stats",
+        "join_key_skew_audit", "kmeans_lloyd_2iter", "kmv_distinct_sketch",
+        "knn_degree_powerlaw", "knn_graph_by_label", "knn_triangle_stats",
+        "knn_two_hop_reach", "lpa_communities_2iter", "lsh_ann_topk",
+        "lsh_candidate_quality", "mmr_diversified_topk",
+        "normalize_nfc_stats", "orders_pareto_frontier",
+        "pagerank_knn_2iter", "pca_power_top_component",
+        "q12_late_shipment_priority", "q18_large_orders_having",
+        "q6_forecast_revenue", "q8_market_share", "q9_product_profit",
+        "quantized_ann_topk", "recursive_cte_bfs_hops",
+        "rp_reduce_vectors", "scalar_regex_funcs", "search_facet_counts",
+        "spell_suggest_terms", "top_terms_per_lang",
+        "unigram_logprob_quality", "weighted_sample_docs", "zipf_fit_stats",
+    }
+)
+
 #: Latest driver-green round per query (derived from the per-round sets).
 DRIVER_EVIDENCE_ROUND: dict[str, int] = {}
 for _rnd, _names in sorted(_DRIVER_VERIFIED_BY_ROUND.items()):
