@@ -496,7 +496,13 @@ LAST_CHANGED: dict[str, int] = {
     # grew quadratically (9e9 pairs / 361 s at the sf10 soak).
     # Result-identical at sf0.001/0.01/0.1 (verified row-for-row in
     # order), but a material body change — conservative re-check.
-    "fellegi_sunter_linkage": 12,
+    # (Superseded by the r13 dominance-guard entry below — one key.)
+    # round-13 ADVICE fix: the fine-path dominance assumption is now an
+    # executable guard (1-row u collect; fall back to coarse when
+    # u_band/u_sign no longer leave a > 2e-6 log-weight gap).
+    # Result-identical on every input where dominance holds (all
+    # testdata SFs), but the body changed — conservative re-check.
+    "fellegi_sunter_linkage": 13,
     "knn_graph_by_label": 12,
     "pagerank_knn_2iter": 12,
     "knn_triangle_stats": 12,

@@ -13,6 +13,8 @@ buckets) — never corpus-wide all-pairs.
 
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.window import Window
@@ -312,6 +314,13 @@ def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     any table past ~200k rows fills some fine block), a bounded ≤
     {FS_TOPK}-row count triggers the original coarse join as the
     fallback, which is trivially cheap exactly when it runs. The
+    dominance assumption itself is EXECUTABLE (r13, ADVICE): a 1-row
+    collect of the u estimates checks ln(m/u) − ln((1−m)/(1−u)) > 2e-6
+    for both fields before the fine path is taken — on
+    balance-concentrated inputs (u_band ≥ m_band) the agreement weight
+    no longer dominates and the coarse brute-force join runs instead.
+    Consequently this plan function is NOT lazy: it runs two bounded
+    build-time jobs (1-row u collect, limit-{FS_TOPK} deficit count). The
     ORACLE still runs the coarse brute-force blocked join — oracle
     equality is a cross-engine PROOF the fine-block shortcut lost
     nothing, not just a port check (the jaccard_prefix_filter_pairs
@@ -397,9 +406,34 @@ def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the BPE argmax pattern), and the coarse fallback it can trigger
     # only ever runs on tables tiny enough that fewer than FS_TOPK
     # same-band pairs exist in any fixed block.
-    fine = _pairs(join_on_band=True)
-    if fine.limit(FS_TOPK).count() >= FS_TOPK:
-        return _score(fine)
+    #
+    # NOT LAZY BY DESIGN: this plan function runs two bounded jobs at
+    # build time — the 1-row u collect below (dominance guard) and the
+    # limit-FS_TOPK deficit count — so the returned plan's shape is
+    # data-dependent. Every other registry plan is lazy.
+    #
+    # Dominance guard (r13, ADVICE): the containment proof assumes the
+    # agreement weights strictly dominate AFTER the 6-decimal rounding,
+    # i.e. ln(m/u) − ln((1−m)/(1−u)) > 0 for BOTH fields with enough
+    # margin that round(·, 6) cannot tie. m > u ⟺ that gap is
+    # positive; a gap > 2e-6 guarantees distinct rounded scores. u is
+    # estimated from the data, so on balance-concentrated inputs
+    # (u_band ≥ m_band) the fine path would silently return a wrong
+    # top-k — fall back to the coarse brute-force join there, which is
+    # exactly the regime where the oracle runs it too.
+    u_row = u.first()
+    _ROUND_GAP = 2e-6  # > 2 ulps at 6-decimal rounding → no tie possible
+    band_gap = math.log(FS_M_BAND / u_row["u_band"]) - math.log(
+        (1.0 - FS_M_BAND) / (1.0 - u_row["u_band"])
+    ) if 0.0 < u_row["u_band"] < 1.0 else float("-inf")
+    sign_gap = math.log(FS_M_SIGN / u_row["u_sign"]) - math.log(
+        round(1.0 - FS_M_SIGN, 2) / (1.0 - u_row["u_sign"])
+    ) if 0.0 < u_row["u_sign"] < 1.0 else float("-inf")
+    fine_dominates = band_gap > _ROUND_GAP and sign_gap > _ROUND_GAP
+    if fine_dominates:
+        fine = _pairs(join_on_band=True)
+        if fine.limit(FS_TOPK).count() >= FS_TOPK:
+            return _score(fine)
     return _score(_pairs(join_on_band=False))
 
 

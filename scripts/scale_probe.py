@@ -142,16 +142,25 @@ def run_gate(names, recorded, runner, mult, log=print):
     failures: list[str] = []
     results: dict[str, dict] = {}
     host_factor = 1.0
+    canary = "q1_pricing_summary"
+    if canary not in names:
+        # --only filtered the canary out: later budgets cannot adjust
+        # for co-tenant noise. Say so rather than silently gating raw.
+        log(f"canary {canary} absent from the filtered list — "
+            f"budgets run UNSCALED on this (possibly noisy) host")
     for i, name in enumerate(names):
         res = runner(name)
         if "error" in res:
             failures.append(f"{name}: {res['error'][:300]}")
             results[name] = {**res, "status": "ERROR"}
             log(f"[{i + 1:02d}/{len(names)}] ERROR {name}: {res['error'][:200]}")
+            if name == canary:
+                log(f"canary {canary} ERRORed — no host signal; "
+                    f"later budgets run UNSCALED")
             continue
         rows, wall = res["rows"], res["sec"]
         base = recorded[name]
-        scale = 1.0 if name == "q1_pricing_summary" else host_factor
+        scale = 1.0 if name == canary else host_factor
         budget = mult * base * scale + ABS_SLACK_SEC
         status = "ok"
         if rows == 0:
@@ -175,11 +184,17 @@ def run_gate(names, recorded, runner, mult, log=print):
                     f"{name}: min-of-2 {wall:.1f}s > {budget:.1f}s "
                     f"({mult}x recorded {base}s x host {scale:.2f} + {ABS_SLACK_SEC}s)"
                 )
-        if name == "q1_pricing_summary":
-            host_factor = max(1.0, wall / base)
-            if host_factor > 1.05:
-                log(f"canary: q1 at {host_factor:.2f}x its recording — "
-                    f"scaling later budgets (noisy host?)")
+        if name == canary:
+            if status == "EMPTY":
+                # a 0-row canary's wall is not a host-speed signal
+                # (broken data/query, not co-tenant load)
+                log(f"canary {canary} returned 0 rows — wall ignored; "
+                    f"later budgets run UNSCALED")
+            else:
+                host_factor = max(1.0, wall / base)
+                if host_factor > 1.05:
+                    log(f"canary: q1 at {host_factor:.2f}x its recording — "
+                        f"scaling later budgets (noisy host?)")
         results[name] = {"rows": rows, "sec": wall,
                          "budget_sec": round(budget, 1), "status": status}
         log(f"[{i + 1:02d}/{len(names)}] {status:5s} {name}: "
@@ -242,7 +257,18 @@ def main() -> int:
         walls: dict[str, float] = {}
         if os.path.exists(THRESHOLDS_PATH):
             with open(THRESHOLDS_PATH) as f:
-                walls = json.load(f)["walls_sec"]
+                prior = json.load(f)
+            # Refuse a partial merge across sf_dirs: the file claims ONE
+            # sf_dir for every wall, so `--record --only X` at a
+            # different directory would silently mix scales. A FULL
+            # re-record (all families) may change sf_dir, since nothing
+            # old survives the merge.
+            if prior.get("sf_dir") != args.sf_dir and set(names) != set(PROBE_FAMILIES):
+                print(f"refusing to merge: existing thresholds were recorded at "
+                      f"{prior.get('sf_dir')!r}, this run used {args.sf_dir!r} — "
+                      f"re-record the FULL family list or use the recorded sf_dir")
+                return 1
+            walls = prior["walls_sec"]
         walls.update({n: results[n]["sec"] for n in names})
         walls = {n: walls[n] for n in PROBE_FAMILIES if n in walls}
         with open(THRESHOLDS_PATH, "w") as f:

@@ -477,6 +477,27 @@ def test_fellegi_sunter_blocks_on_band_at_scale(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_fellegi_sunter_falls_back_when_dominance_fails(spark, tmp_path):
+    """r13 ADVICE: the fine-band shortcut's containment proof assumes
+    the agreement weight dominates (m > data-estimated u, with margin
+    for the 6-decimal rounding). On a balance-CONCENTRATED table
+    (u_band > FS_M_BAND) band-disagreement outweighs agreement, so the
+    true top-k is band-disagreeing pairs — which the fine join can
+    never emit. The executable guard must route to the coarse join:
+    48 of 50 customers share one $100 band → u_band ≈ 0.92 > 0.9, the
+    96 cross-band pairs carry ln(0.1/0.078) ≈ +0.24 vs ln(0.9/0.92) <
+    0 for same-band, and the whole top-20 must be band_agree=false."""
+    rows = [(i, 1, "SEG", 150.0 if i <= 48 else 250.0) for i in range(1, 51)]
+    spark.createDataFrame(
+        rows, "c_custkey bigint, c_nationkey bigint, c_mktsegment string, c_acctbal double"
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    out = REGISTRY["fellegi_sunter_linkage"].spark(spark, str(tmp_path)).collect()
+    assert len(out) == 20
+    assert all(not r.band_agree for r in out), out
+    # and every emitted pair straddles the two bands (one key ≤ 48)
+    assert all((r.custkey_a <= 48) != (r.custkey_b <= 48) for r in out), out
+
+
 def test_q18_aggregates_below_the_join(spark, sf_dir):
     """r12 scale rewrite: q18 must pre-aggregate lineitem by
     l_orderkey (map-side combinable) and apply the HAVING filter BELOW

@@ -113,6 +113,42 @@ def test_child_error_always_fails():
     assert results["fam_b"]["status"] == "ok"
 
 
+def test_empty_canary_leaves_budgets_unscaled():
+    """r13 ADVICE: a 0-row q1 is a broken query/dataset, not a host
+    signal — its wall must NOT set host_factor (a meaningless 3x wall
+    would triple every later budget and mask real regressions)."""
+    rows = {"q1_pricing_summary": 0, "fam_a": 100, "fam_b": 100}
+    walls = {"q1_pricing_summary": 30.0, "fam_a": 25.0, "fam_b": 4.0}
+    results, failures = run_gate(
+        NAMES, RECORDED, _runner(walls, rows=rows), mult=2.0, log=_silent)
+    assert results["q1_pricing_summary"]["status"] == "EMPTY"
+    assert results["fam_a"]["budget_sec"] == 2.0 * 20.0 + SLACK  # unscaled
+    assert any("q1_pricing_summary" in f for f in failures)
+
+
+def test_errored_canary_logs_unscaled_budgets():
+    """r13 ADVICE: when q1 ERRORs, later budgets run unscaled — and
+    the gate must SAY so instead of silently gating raw on a possibly
+    noisy host."""
+    msgs = []
+    walls = {"q1_pricing_summary": None, "fam_a": 25.0, "fam_b": 4.0}
+    results, failures = run_gate(NAMES, RECORDED, _runner(walls), mult=2.0,
+                                 log=msgs.append)
+    assert results["q1_pricing_summary"]["status"] == "ERROR"
+    assert results["fam_a"]["budget_sec"] == 2.0 * 20.0 + SLACK  # unscaled
+    assert any("UNSCALED" in m for m in msgs)
+
+
+def test_filtered_out_canary_logs_unscaled_budgets():
+    """r13 ADVICE: `--only fam_a` drops the canary from the list — the
+    gate must announce that budgets are unscaled for the whole run."""
+    msgs = []
+    results, failures = run_gate(
+        ["fam_a"], RECORDED, _runner({"fam_a": 25.0}), mult=2.0, log=msgs.append)
+    assert failures == []
+    assert any("UNSCALED" in m for m in msgs)
+
+
 def test_probe_families_have_recorded_thresholds():
     """Every gated family must have a checked-in threshold (and the
     thresholds file must not carry dead names)."""
