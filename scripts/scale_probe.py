@@ -53,12 +53,15 @@ sys.path.insert(0, REPO)
 
 THRESHOLDS_PATH = os.path.join(REPO, "scripts", "scale_probe_thresholds.json")
 
-#: Probe family list — one per scale-critical plan shape. The two
-#: documented output-quadratic similarity joins
-#: (jaccard_prefix_filter_pairs, embedding_near_dup_via_ivf) are
-#: excluded by design: their true answers grow ~K^2 in the replication
-#: factor (harness geometry), so a wall gate would measure the data
-#: generator, not the plan. q1 is first: it doubles as the host canary.
+#: Probe family list — one per scale-critical plan shape. ONE family
+#: is excluded by design: jaccard_prefix_filter_pairs, whose true
+#: answer grows ~K^2 in the replication factor (key-offset copies keep
+#: every source doc as a K-copy near-dup cluster), so a wall gate would
+#: measure the data generator, not the plan. Its bounded scale evidence
+#: is the recorded K-curve instead: 256/6,280/200,992/2,245,552 output
+#: pairs at K=1/3/10/30 with ~104 us/pair and falling (PERFORMANCE.md
+#: "jaccard_prefix_filter_pairs growth is the ANSWER growing").
+#: q1 is first: it doubles as the host canary.
 PROBE_FAMILIES = [
     "q1_pricing_summary",
     "q18_large_orders_having",
@@ -85,6 +88,16 @@ PROBE_FAMILIES = [
     "chunk_documents",            # explode(sequence) fan-out + substring
     "events_sessionize_batch",    # gaps-and-islands window sweep
     "fellegi_sunter_linkage",     # fine-band blocked linkage (was a 9e9-pair quadratic)
+    # r13 additions (VERDICT r12 item 3) — the sf10 soak's worst walls,
+    # gated at their recorded soak numbers so the defect class this
+    # gate exists for (10-100x regressions) can't hide in the registry's
+    # heaviest plans. Soak walls were measured IN-SEQUENCE (inflated up
+    # to ~2.3x vs fresh subprocess), so these budgets are generous by
+    # construction.
+    "stream_user_totals_stateful",  # applyInPandasWithState, Python-rate bound
+    "mmr_diversified_topk",         # corpus TF-IDF rebuild by definition
+    "simhash_near_dup_pairs",       # 28M true pairs at sf10 (output geometry)
+    "embedding_near_dup_via_ivf",   # IVF bucket join; pairs ~K^2 but wall linear in pairs
 ]
 
 ABS_SLACK_SEC = 5.0
@@ -255,6 +268,7 @@ def main() -> int:
         # removed from PROBE_FAMILIES are pruned so the file can't carry
         # dead thresholds (test_probe_families_have_recorded_thresholds).
         walls: dict[str, float] = {}
+        prior: dict = {}
         if os.path.exists(THRESHOLDS_PATH):
             with open(THRESHOLDS_PATH) as f:
                 prior = json.load(f)
@@ -271,13 +285,19 @@ def main() -> int:
             walls = prior["walls_sec"]
         walls.update({n: results[n]["sec"] for n in names})
         walls = {n: walls[n] for n in PROBE_FAMILIES if n in walls}
+        payload = {
+            "procedure": "scripts/scale_probe.py — one subprocess/SparkSession "
+                         "per family, local[32], count() wall, quiet host",
+            "sf_dir": args.sf_dir,
+            "walls_sec": walls,
+        }
+        # families re-recorded by THIS run now follow the subprocess
+        # procedure; keep any prior provenance note only if some
+        # soak-sourced wall survives un-re-recorded
+        if prior.get("notes") and set(walls) - set(names):
+            payload["notes"] = prior["notes"]
         with open(THRESHOLDS_PATH, "w") as f:
-            json.dump({
-                "procedure": "scripts/scale_probe.py — one subprocess/SparkSession "
-                             "per family, local[32], count() wall, quiet host",
-                "sf_dir": args.sf_dir,
-                "walls_sec": walls,
-            }, f, indent=1)
+            json.dump(payload, f, indent=1)
             f.write("\n")
         print(f"recorded {len(names)} walls -> {THRESHOLDS_PATH}")
 
