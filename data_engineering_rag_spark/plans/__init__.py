@@ -393,11 +393,11 @@ for _rnd, _names in sorted(_DRIVER_VERIFIED_BY_ROUND.items()):
 #: staleness gate in tests/test_registry_evidence.py enforces that its
 #: latest driver row is >= this round or that it leads the next window.
 LAST_CHANGED: dict[str, int] = {
-    # round-5 narrow-tf rewrite (operators/tfidf.py) — evidence from r3
-    "tfidf_doc_weights": 5, "tfidf_search_topk": 5,
-    "tfidf_multiquery_topk": 5, "tfidf_search_filtered": 5,
-    "tfidf_search_rocchio": 5, "bm25_search_topk": 5,
-    "hybrid_rrf_related_docs": 5, "retrieval_eval_metrics": 5,
+    # round-5 narrow-tf rewrite (operators/tfidf.py) — evidence from
+    # r3. Most of this cohort was superseded by the r13 shared-model
+    # refactor block below (ONE key per name, latest round); the two
+    # non-shared variants keep their r5 entries:
+    "tfidf_search_filtered": 5, "bm25_search_topk": 5,
     # round-5 scale-kernel rewrites — evidence from r4
     "quality_decile_tiers": 5, "temporal_split_audit": 5,
     "vocab_oov_stats": 5, "sequence_pack_greedy": 5,
@@ -528,6 +528,23 @@ LAST_CHANGED: dict[str, int] = {
     "stream_view_purchase_left": 11,
     "stream_daily_rollup": 11,
     "stream_rolling_actives": 11,
+    # round-13 refactor (VERDICT r12 item 4): the ten identical-model
+    # search-family builders now route through the shared
+    # _docs_model/_chunks_model helpers (plans/rag.py) so a bench/soak
+    # session can reuse ONE persisted index (SPARK_GRAFT_TFIDF_REUSE=1;
+    # default OFF = byte-identical plans to before). Result-identical
+    # by construction and unit-pinned, but the bodies changed —
+    # conservative driver re-check.
+    "tfidf_doc_weights": 13,
+    "tfidf_search_topk": 13,
+    "tfidf_multiquery_topk": 13,
+    "hybrid_rrf_related_docs": 13,
+    "tfidf_search_rocchio": 13,
+    "retrieval_eval_metrics": 13,
+    "ndcg_retrieval_eval": 13,
+    "rag_context_assembly": 13,
+    "rerank_stub_topk": 13,
+    "mmr_diversified_topk": 13,
 }
 
 

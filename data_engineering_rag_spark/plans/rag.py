@@ -30,6 +30,62 @@ CHUNK_SIZE, CHUNK_STEP = 200, 100  # doc texts are 48-553 chars; defaults (2000/
 
 
 # --------------------------------------------------------------------------
+# Session-scoped index reuse (VERDICT r12 item 4). Eight registered
+# queries build the IDENTICAL unfiltered docs-level TF-IDF model and two
+# build the identical chunks-level one; in a one-session soak each
+# rebuild re-shuffles the whole corpus. With SPARK_GRAFT_TFIDF_REUSE=1
+# (bench/soak mode — default OFF so every registered query stays
+# self-contained for the driver's oracle) the first build persists
+# weights+idf (MEMORY_AND_DISK) and later calls in the same session
+# reuse them. Correctness is untouched either way: persistence changes
+# WHERE the tables come from, not their values, and the memo key pins
+# the exact (session, sf_dir, corpus, params) identity. The filtered /
+# vocabulary-pruned variants (tfidf_search_filtered, _pruned) are
+# deliberately NOT memoized — their corpora differ.
+# --------------------------------------------------------------------------
+
+_TFIDF_MEMO: dict = {}
+
+
+def _reuse_enabled() -> bool:
+    import os
+
+    return os.environ.get("SPARK_GRAFT_TFIDF_REUSE", "") == "1"
+
+
+def _docs_model(spark: SparkSession, sf_dir: str):
+    """The shared unfiltered documents-level model (8 consumers)."""
+    key = (spark, sf_dir, "docs")
+    if _reuse_enabled() and key in _TFIDF_MEMO:
+        return _TFIDF_MEMO[key]
+    docs = load(spark, sf_dir, "documents")
+    model = build_tfidf(
+        docs, key_cols=["doc_id"], text_fields=["text"], persist=_reuse_enabled()
+    )
+    if _reuse_enabled():
+        _TFIDF_MEMO[key] = model
+    return model
+
+
+def _chunks_model(spark: SparkSession, sf_dir: str):
+    """The shared chunk-level model over the default chunking (2 consumers)."""
+    key = (spark, sf_dir, "chunks")
+    if _reuse_enabled() and key in _TFIDF_MEMO:
+        return _TFIDF_MEMO[key]
+    docs = load(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
+    chunks = chunk_documents(docs, text_col="content", size=CHUNK_SIZE, step=CHUNK_STEP)
+    model = build_tfidf(
+        chunks,
+        key_cols=["doc_id", "start"],
+        text_fields=["content"],
+        persist=_reuse_enabled(),
+    )
+    if _reuse_enabled():
+        _TFIDF_MEMO[key] = model
+    return model
+
+
+# --------------------------------------------------------------------------
 # C1/C2 — sliding-window chunker
 # --------------------------------------------------------------------------
 
@@ -113,8 +169,7 @@ def _tfidf_cte(source_sql: str, key_sql: str, text_sql: str) -> str:
     """,
 )
 def tfidf_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    model = build_tfidf(docs, key_cols=["doc_id"], text_fields=["text"])
+    model = _docs_model(spark, sf_dir)
     return model.weights.select("doc_id", "term", F.round("w", 8).alias("w"))
 
 
@@ -165,9 +220,7 @@ def tfidf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Ordering is by the ROUNDED score (both engines) so rank flips from
     sub-1e-8 float drift cannot change the selected row set."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
-    chunks = chunk_documents(docs, text_col="content", size=CHUNK_SIZE, step=CHUNK_STEP)
-    model = build_tfidf(chunks, key_cols=["doc_id", "start"], text_fields=["content"])
+    model = _chunks_model(spark, sf_dir)
     hits = search_topk(spark, model, SEARCH_QUERY, k=SEARCH_K)
     return hits.select(
         "doc_id",
@@ -330,8 +383,7 @@ def _batch_search_oracle(k: int) -> str:
 def tfidf_multiquery_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched search over whole documents: one index scan serves all
     queries; per-query top-k via window (no global sort)."""
-    docs = load(spark, sf_dir, "documents")
-    model = build_tfidf(docs, key_cols=["doc_id"], text_fields=["text"])
+    model = _docs_model(spark, sf_dir)
     hits = search_topk_batch(spark, model, BATCH_QUERIES, k=SEARCH_K)
     return hits.select(
         F.col("query_id").cast("long").alias("query_id"),
@@ -526,7 +578,7 @@ def hybrid_rrf_related_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .vectors import dot, l2_norm_sq
 
     docs = load(spark, sf_dir, "documents")
-    model = build_tfidf(docs, key_cols=["doc_id"], text_fields=["text"])
+    model = _docs_model(spark, sf_dir)
     dvec = model.weights
     lexq = dvec.where(F.col("doc_id") == 0).select("term", F.col("w").alias("qw"))
     lexscore = (
@@ -639,7 +691,7 @@ def tfidf_search_rocchio(spark: SparkSession, sf_dir: str) -> DataFrame:
     the centroid is a decimal-exact sum over it, and the expanded query
     vector (|pool vocab| rows) broadcasts like the original."""
     docs = load(spark, sf_dir, "documents")
-    model = build_tfidf(docs, key_cols=["doc_id"], text_fields=["text"])
+    model = _docs_model(spark, sf_dir)
     dvec = model.weights.select("doc_id", "term", "w")
 
     counts = tokenize_query(SEARCH_QUERY)
@@ -815,7 +867,7 @@ def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("truth_id"), "q_num", "question"
     )
 
-    model = build_tfidf(d, key_cols=["doc_id"], text_fields=["text"])
+    model = _docs_model(spark, sf_dir)
     hits = search_topk_df(model, questions, ["truth_id", "q_num"], "question", k=EVAL_TOPK)
 
     is_truth = F.col("doc_id") == F.col("truth_id")
@@ -911,7 +963,7 @@ def ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("truth_id"), "q_num", "question"
     )
 
-    model = build_tfidf(d, key_cols=["doc_id"], text_fields=["text"])
+    model = _docs_model(spark, sf_dir)
     hits = search_topk_df(model, questions, ["truth_id", "q_num"], "question", k=EVAL_TOPK)
 
     is_truth = F.col("doc_id") == F.col("truth_id")
@@ -999,7 +1051,7 @@ def rag_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     join; the assembly groupBy shuffles only assembled blocks, never
     the corpus."""
     docs = load(spark, sf_dir, "documents")
-    model = build_tfidf(docs, key_cols=["doc_id"], text_fields=["text"])
+    model = _docs_model(spark, sf_dir)
     hits = search_topk_batch(spark, model, BATCH_QUERIES, k=CONTEXT_K)
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("score"), 8).desc(), F.col("doc_id").asc()
@@ -1097,7 +1149,7 @@ def rerank_stub_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.rerank import rerank_stub
 
     docs = load(spark, sf_dir, "documents")
-    model = build_tfidf(docs, key_cols=["doc_id"], text_fields=["text"])
+    model = _docs_model(spark, sf_dir)
     pool = search_topk(spark, model, SEARCH_QUERY, k=RERANK_POOL_K).select(
         "doc_id", F.round("score", 8).alias("lex_score")
     )
@@ -1405,9 +1457,7 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     composes lazily. Weights quantize to 8dp before the sim products
     and the products accumulate as exact decimals, so both engines
     rank identical MMR scores at every step."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
-    chunks = chunk_documents(docs, text_col="content", size=CHUNK_SIZE, step=CHUNK_STEP)
-    model = build_tfidf(chunks, key_cols=["doc_id", "start"], text_fields=["content"])
+    model = _chunks_model(spark, sf_dir)
     pool = (
         search_topk(spark, model, SEARCH_QUERY, k=MMR_POOL)
         .select("doc_id", F.col("start").cast("long").alias("start"), F.round("score", 8).alias("rel"))

@@ -357,3 +357,32 @@ def test_merge_prunes_on_global_df_not_shard_df(spark):
     merged = merge_tf_fragments(frags, ["doc_id"], "content", min_df=2)
     vocab = {r.term for r in merged.idf.collect()}
     assert vocab == {"zebra"}  # alpha/beta are global hapax; zebra survives
+
+
+def test_tfidf_reuse_mode_memoizes_and_matches(spark, monkeypatch):
+    """r13 (VERDICT r12 item 4): with SPARK_GRAFT_TFIDF_REUSE=1 the
+    eight docs-model consumers share ONE persisted index per
+    (session, sf_dir) — and the reused results are byte-identical to
+    the self-contained default. Default (env unset) must not memoize:
+    every registered query stays oracle-self-contained."""
+    from data_engineering_rag_spark.plans import REGISTRY, rag
+
+    sf = "/root/testdata/sf0.001"
+    base_weights = REGISTRY["tfidf_doc_weights"].spark(spark, sf).collect()
+    base_rocchio = REGISTRY["tfidf_search_rocchio"].spark(spark, sf).collect()
+    assert rag._TFIDF_MEMO == {}, "default mode must not populate the memo"
+
+    monkeypatch.setenv("SPARK_GRAFT_TFIDF_REUSE", "1")
+    try:
+        w1 = REGISTRY["tfidf_doc_weights"].spark(spark, sf).collect()
+        assert (spark, sf, "docs") in rag._TFIDF_MEMO
+        model = rag._TFIDF_MEMO[(spark, sf, "docs")]
+        r1 = REGISTRY["tfidf_search_rocchio"].spark(spark, sf).collect()
+        # second consumer reused the SAME model object (no rebuild)
+        assert rag._TFIDF_MEMO[(spark, sf, "docs")] is model
+        assert sorted(map(tuple, w1)) == sorted(map(tuple, base_weights))
+        assert sorted(map(tuple, r1)) == sorted(map(tuple, base_rocchio))
+    finally:
+        for m in rag._TFIDF_MEMO.values():
+            m.unpersist()
+        rag._TFIDF_MEMO.clear()
