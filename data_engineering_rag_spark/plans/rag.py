@@ -574,10 +574,8 @@ def hybrid_rrf_related_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fusion join is {HYBRID_POOL_K}×2 rows."""
     from pyspark.sql.window import Window
 
-    from ..operators.tfidf import build_tfidf
     from .vectors import dot, l2_norm_sq
 
-    docs = load(spark, sf_dir, "documents")
     model = _docs_model(spark, sf_dir)
     dvec = model.weights
     lexq = dvec.where(F.col("doc_id") == 0).select("term", F.col("w").alias("qw"))
@@ -690,7 +688,6 @@ def tfidf_search_rocchio(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape; the feedback pool is {ROCCHIO_FEEDBACK_K} rows (semi join),
     the centroid is a decimal-exact sum over it, and the expanded query
     vector (|pool vocab| rows) broadcasts like the original."""
-    docs = load(spark, sf_dir, "documents")
     model = _docs_model(spark, sf_dir)
     dvec = model.weights.select("doc_id", "term", "w")
 
