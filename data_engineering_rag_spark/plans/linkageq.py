@@ -343,8 +343,15 @@ def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ub.crossJoin(us.withColumnRenamed("agree_pairs", "agree_pairs_s"))
         .crossJoin(m)
         .select(
-            (F.col("agree_pairs").cast("double") / (F.col("n") * (F.col("n") - 1.0))).alias("u_band"),
-            (F.col("agree_pairs_s").cast("double") / (F.col("n") * (F.col("n") - 1.0))).alias("u_sign"),
+            # try_divide: a 1-row table has n·(n−1) = 0 — under ANSI
+            # mode plain / raises; NULL here routes the dominance
+            # guard to the (empty) coarse path instead (r14, ADVICE).
+            F.try_divide(
+                F.col("agree_pairs").cast("double"), F.col("n") * (F.col("n") - 1.0)
+            ).alias("u_band"),
+            F.try_divide(
+                F.col("agree_pairs_s").cast("double"), F.col("n") * (F.col("n") - 1.0)
+            ).alias("u_sign"),
         )
     )
     def _pairs(join_on_band: bool):
@@ -423,12 +430,20 @@ def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exactly the regime where the oracle runs it too.
     u_row = u.first()
     _ROUND_GAP = 2e-6  # > 2 ulps at 6-decimal rounding → no tie possible
+
+    def _usable(x) -> bool:
+        # On an empty customer table the u aggregates come back NULL
+        # (r14, ADVICE): a None/NaN estimate means dominance cannot be
+        # established — take the coarse path, which degrades to an
+        # empty join gracefully.
+        return x is not None and not math.isnan(x) and 0.0 < x < 1.0
+
     band_gap = math.log(FS_M_BAND / u_row["u_band"]) - math.log(
         (1.0 - FS_M_BAND) / (1.0 - u_row["u_band"])
-    ) if 0.0 < u_row["u_band"] < 1.0 else float("-inf")
+    ) if _usable(u_row["u_band"]) else float("-inf")
     sign_gap = math.log(FS_M_SIGN / u_row["u_sign"]) - math.log(
         round(1.0 - FS_M_SIGN, 2) / (1.0 - u_row["u_sign"])
-    ) if 0.0 < u_row["u_sign"] < 1.0 else float("-inf")
+    ) if _usable(u_row["u_sign"]) else float("-inf")
     fine_dominates = band_gap > _ROUND_GAP and sign_gap > _ROUND_GAP
     if fine_dominates:
         fine = _pairs(join_on_band=True)

@@ -53,6 +53,34 @@ def _reuse_enabled() -> bool:
     return os.environ.get("SPARK_GRAFT_TFIDF_REUSE", "") == "1"
 
 
+def clear_tfidf_memo() -> None:
+    """Unpersist every memoized model and empty the memo. Call between
+    bench/soak legs (or on session teardown) so a long-lived process
+    that touches multiple sf_dirs doesn't accumulate persisted tables
+    (r14, ADVICE)."""
+    for model in _TFIDF_MEMO.values():
+        try:
+            model.unpersist()
+        except Exception:
+            pass  # a stopped SparkSession makes unpersist moot
+    _TFIDF_MEMO.clear()
+
+
+def _memo_put(key: tuple, model) -> None:
+    """Insert, evicting (and unpersisting) entries for any OTHER
+    (session, sf_dir): the memo holds at most the current scope's two
+    models (docs + chunks), so switching sf_dirs or restarting sessions
+    in-process can't grow it without bound (r14, ADVICE)."""
+    scope = key[:2]
+    for stale in [k for k in _TFIDF_MEMO if k[:2] != scope]:
+        try:
+            _TFIDF_MEMO[stale].unpersist()
+        except Exception:
+            pass
+        del _TFIDF_MEMO[stale]
+    _TFIDF_MEMO[key] = model
+
+
 def _docs_model(spark: SparkSession, sf_dir: str):
     """The shared unfiltered documents-level model (8 consumers)."""
     key = (spark, sf_dir, "docs")
@@ -63,7 +91,7 @@ def _docs_model(spark: SparkSession, sf_dir: str):
         docs, key_cols=["doc_id"], text_fields=["text"], persist=_reuse_enabled()
     )
     if _reuse_enabled():
-        _TFIDF_MEMO[key] = model
+        _memo_put(key, model)
     return model
 
 
@@ -81,7 +109,7 @@ def _chunks_model(spark: SparkSession, sf_dir: str):
         persist=_reuse_enabled(),
     )
     if _reuse_enabled():
-        _TFIDF_MEMO[key] = model
+        _memo_put(key, model)
     return model
 
 

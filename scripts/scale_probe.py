@@ -215,6 +215,17 @@ def run_gate(names, recorded, runner, mult, log=print):
     return results, failures
 
 
+def retained_note_families(prior: dict, walls: dict, recorded_names) -> list[str]:
+    """Which of the prior note's subject families still carry their OLD
+    wall after this --record run merged ``recorded_names`` into
+    ``walls``. The note survives only for these: a family re-recorded
+    this run follows the standard subprocess procedure, and a family
+    pruned from the list has no wall for the note to describe."""
+    return sorted(
+        (set(prior.get("notes_families", [])) & set(walls)) - set(recorded_names)
+    )
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=".scale/sf10")
@@ -292,10 +303,15 @@ def main() -> int:
             "walls_sec": walls,
         }
         # families re-recorded by THIS run now follow the subprocess
-        # procedure; keep any prior provenance note only if some
-        # soak-sourced wall survives un-re-recorded
-        if prior.get("notes") and set(walls) - set(names):
+        # procedure; keep any prior provenance note only while one of
+        # the SPECIFIC families it describes (notes_families) survives
+        # un-re-recorded — not merely "any family was skipped" (r14,
+        # ADVICE: the old condition let the note outlive every wall it
+        # described and misdescribe the file).
+        survivors = retained_note_families(prior, walls, names)
+        if prior.get("notes") and survivors:
             payload["notes"] = prior["notes"]
+            payload["notes_families"] = survivors
         with open(THRESHOLDS_PATH, "w") as f:
             json.dump(payload, f, indent=1)
             f.write("\n")

@@ -50,6 +50,38 @@ def test_near_dup_via_ivf_emits_each_pair_once(spark):
     dup = df.groupBy("vec_a", "vec_b").count().where(F.col("count") > 1)
     assert dup.count() == 0
     assert df.where(F.col("vec_a") >= F.col("vec_b")).count() == 0
+    # The docstring's set-equality claim, asserted (r14, ADVICE): the
+    # salted pairs must equal the plain unsalted label self-join's.
+    from data_engineering_rag_spark.plans import load
+    from data_engineering_rag_spark.plans.vectors import NEAR_DUP_COS, dot, l2_norm_sq
+
+    v = (
+        load(spark, sf, "embeddings")
+        .select(
+            "vec_id", "label",
+            F.col("embedding").cast("array<double>").alias("ev"),
+        )
+        .withColumn("nrm", F.sqrt(l2_norm_sq(F.col("ev"))))
+    )
+    a = v.select(
+        F.col("vec_id").alias("vec_a"), F.col("label").alias("la"),
+        F.col("ev").alias("ea"), F.col("nrm").alias("na"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"),
+        F.col("ev").alias("eb"), F.col("nrm").alias("nb"),
+    )
+    plain = (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
+        .select(
+            "vec_a", "vec_b",
+            (F.round(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 8)
+             + F.lit(0.0)).alias("cosine"),
+        )
+        .where(F.col("cosine") > NEAR_DUP_COS)
+    )
+    assert df.exceptAll(plain).count() == 0
+    assert plain.exceptAll(df).count() == 0
 
 
 def test_lsh_candidate_pairs_is_equi_join(spark, sf_dir):
@@ -526,6 +558,22 @@ def test_fellegi_sunter_falls_back_when_dominance_fails(spark, tmp_path):
     assert all(not r.band_agree for r in out), out
     # and every emitted pair straddles the two bands (one key ≤ 48)
     assert all((r.custkey_a <= 48) != (r.custkey_b <= 48) for r in out), out
+
+
+def test_fellegi_sunter_empty_and_single_row_tables(spark, tmp_path):
+    """r14 ADVICE: with n=0 (and n=1, where n·(n−1)=0 divides to NULL)
+    the u estimates come back NULL; the dominance guard must treat a
+    None/NaN estimate as dominance failure and return an empty result
+    via the coarse path — not raise TypeError on `0.0 < None`."""
+    schema = "c_custkey bigint, c_nationkey bigint, c_mktsegment string, c_acctbal double"
+    empty_dir = tmp_path / "empty"
+    spark.createDataFrame([], schema).write.parquet(str(empty_dir / "customer.parquet"))
+    assert REGISTRY["fellegi_sunter_linkage"].spark(spark, str(empty_dir)).collect() == []
+    one_dir = tmp_path / "one"
+    spark.createDataFrame([(1, 1, "SEG", 100.0)], schema).write.parquet(
+        str(one_dir / "customer.parquet")
+    )
+    assert REGISTRY["fellegi_sunter_linkage"].spark(spark, str(one_dir)).collect() == []
 
 
 def test_q18_aggregates_below_the_join(spark, sf_dir):

@@ -157,3 +157,24 @@ def test_probe_families_have_recorded_thresholds():
         walls = json.load(f)["walls_sec"]
     assert set(scale_probe.PROBE_FAMILIES) == set(walls)
     assert all(w > 0 for w in walls.values())
+
+
+def test_note_retention_keyed_to_described_families():
+    """r14 ADVICE: the --record notes-preservation must track the
+    SPECIFIC families the note describes, not 'any family skipped' —
+    once every described family is re-recorded fresh, the note dies
+    even if unrelated families were skipped."""
+    from scripts.scale_probe import retained_note_families
+
+    prior = {"notes": "soak-sourced walls", "notes_families": ["a", "b"]}
+    walls = {"a": 1.0, "b": 2.0, "c": 3.0}
+    # only unrelated 'c' re-recorded -> both subjects survive
+    assert retained_note_families(prior, walls, ["c"]) == ["a", "b"]
+    # 'a' re-recorded -> note now describes only 'b'
+    assert retained_note_families(prior, walls, ["a", "c"]) == ["b"]
+    # every described family re-recorded (but 'c' skipped!) -> note dies
+    assert retained_note_families(prior, walls, ["a", "b"]) == []
+    # a described family pruned from PROBE_FAMILIES (no wall) -> dropped
+    assert retained_note_families(prior, {"b": 2.0}, []) == ["b"]
+    # legacy file without notes_families -> nothing retained
+    assert retained_note_families({"notes": "x"}, walls, []) == []

@@ -386,3 +386,28 @@ def test_tfidf_reuse_mode_memoizes_and_matches(spark, monkeypatch):
         for m in rag._TFIDF_MEMO.values():
             m.unpersist()
         rag._TFIDF_MEMO.clear()
+
+
+def test_tfidf_memo_evicts_other_scopes_and_clears(spark, monkeypatch):
+    """r14 ADVICE: the reuse memo must not grow without bound across
+    sf_dirs — inserting a model for a new (session, sf_dir) evicts and
+    unpersists every other scope's entries, and clear_tfidf_memo()
+    empties the memo entirely (the between-bench-legs hook)."""
+    from data_engineering_rag_spark.plans import REGISTRY, rag
+
+    monkeypatch.setenv("SPARK_GRAFT_TFIDF_REUSE", "1")
+    try:
+        REGISTRY["tfidf_doc_weights"].spark(spark, "/root/testdata/sf0.001").collect()
+        assert (spark, "/root/testdata/sf0.001", "docs") in rag._TFIDF_MEMO
+        old_model = rag._TFIDF_MEMO[(spark, "/root/testdata/sf0.001", "docs")]
+        REGISTRY["tfidf_doc_weights"].spark(spark, "/root/testdata/sf0.01").collect()
+        # the old scope's entry is gone and its tables unpersisted
+        assert (spark, "/root/testdata/sf0.001", "docs") not in rag._TFIDF_MEMO
+        assert not old_model.weights.is_cached
+        assert (spark, "/root/testdata/sf0.01", "docs") in rag._TFIDF_MEMO
+        new_model = rag._TFIDF_MEMO[(spark, "/root/testdata/sf0.01", "docs")]
+        rag.clear_tfidf_memo()
+        assert rag._TFIDF_MEMO == {}
+        assert not new_model.weights.is_cached
+    finally:
+        rag.clear_tfidf_memo()
