@@ -380,6 +380,36 @@ _DRIVER_VERIFIED_BY_ROUND[12] = frozenset(
     }
 )
 
+_DRIVER_VERIFIED_BY_ROUND[13] = frozenset(
+    {
+        "bm25_search_topk", "bpe_apply_symbol_stats",
+        "code_detect_heuristic", "context_length_buckets",
+        "corpus_mixture_weights", "dedup_retention_by_source",
+        "dedup_size_histogram", "domain_balance_entropy",
+        "embedding_decontaminate", "embedding_near_dup_via_ivf",
+        "events_conversion_cogroup", "events_journey_patterns",
+        "events_winsorized_values", "fellegi_sunter_linkage",
+        "hybrid_rrf_related_docs", "length_drift_psi",
+        "line_dedup_clean", "markup_residue_audit",
+        "minhash_decontaminate", "minhash_jaccard_calibration",
+        "mmr_diversified_topk", "ndcg_retrieval_eval",
+        "ngram_novelty_rate", "orders_rfm_segments",
+        "packing_efficiency_stats", "phrase_search_positions",
+        "q13_customer_order_distribution", "q15_top_supplier",
+        "q20_dominant_part_suppliers", "quality_decile_tiers",
+        "rag_context_assembly", "rerank_stub_topk",
+        "retrieval_eval_metrics", "scd2_order_priority_history",
+        "script_mix_audit", "sequence_pack_greedy",
+        "snapshot_diff_orders", "source_term_drift_kl",
+        "temporal_split_audit", "term_cooccur_pmi_topk",
+        "tfidf_doc_weights", "tfidf_keywords_per_doc",
+        "tfidf_multiquery_topk", "tfidf_search_filtered",
+        "tfidf_search_rocchio", "tfidf_search_topk",
+        "tokenizer_fertility_by_lang", "truncation_loss_audit",
+        "vocab_coverage_curve", "vocab_oov_stats",
+    }
+)
+
 #: Latest driver-green round per query (derived from the per-round sets).
 DRIVER_EVIDENCE_ROUND: dict[str, int] = {}
 for _rnd, _names in sorted(_DRIVER_VERIFIED_BY_ROUND.items()):
@@ -497,9 +527,13 @@ LAST_CHANGED: dict[str, int] = {
     # round-13 ADVICE fix: the fine-path dominance assumption is now an
     # executable guard (1-row u collect; fall back to coarse when
     # u_band/u_sign no longer leave a > 2e-6 log-weight gap).
-    # Result-identical on every input where dominance holds (all
-    # testdata SFs), but the body changed — conservative re-check.
-    "fellegi_sunter_linkage": 13,
+    # (Superseded by the r14 entry below — one key, latest round.)
+    # round-14 ADVICE fix: u estimates computed with try_divide (ANSI
+    # divide-by-zero on 0/1-row tables) and the dominance guard treats
+    # None/NaN u as failure. Result-identical on every table with
+    # n >= 2 (all testdata SFs), but the body changed — conservative
+    # re-check.
+    "fellegi_sunter_linkage": 14,
     "knn_graph_by_label": 12,
     "pagerank_knn_2iter": 12,
     "knn_triangle_stats": 12,
