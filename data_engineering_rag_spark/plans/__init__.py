@@ -50,6 +50,58 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return read_parquet_table(spark, sf_dir, table)
 
 
+def source_digest(spec: QuerySpec) -> str:
+    """Stable digest of a query's result-producing definition: the
+    decorated function's AST (docstring and decorators stripped, so
+    comment/doc edits don't churn it) plus the raw oracle SQL. The
+    checked-in manifest (source_digests.json) pairs each digest with
+    the LAST_CHANGED value at recording time; the staleness-automation
+    test fails when a digest changes without a LAST_CHANGED bump —
+    removing the human-memory dependency in the evidence chain (r14,
+    VERDICT item 4). Scope: the decorated function's own source only —
+    a change inside a shared helper (e.g. rag._docs_model) still needs
+    the human judgment call it always did."""
+    import ast
+    import hashlib
+    import inspect
+    import textwrap
+
+    src = textwrap.dedent(inspect.getsource(spec.spark))
+    tree = ast.parse(src)
+    fn = tree.body[0]
+    fn.decorator_list = []  # the @query decorator embeds the oracle; hashed raw below
+    if (
+        fn.body
+        and isinstance(fn.body[0], ast.Expr)
+        and isinstance(fn.body[0].value, ast.Constant)
+        and isinstance(fn.body[0].value.value, str)
+    ):
+        fn.body = fn.body[1:] or [ast.Pass()]
+    payload = ast.dump(tree) + "\n#oracle\n" + (spec.oracle or "")
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def staleness_ledger_violations(
+    manifest: dict, digests: dict[str, str], last_changed: dict[str, int]
+) -> tuple[list[str], list[str], list[str]]:
+    """The staleness-automation judgment (r14, VERDICT item 4), pure so
+    tests can drive it with synthetic edits. Returns (missing, dead,
+    unbumped): queries absent from the manifest, manifest rows for
+    queries that no longer exist, and — the defect this exists for —
+    queries whose digest drifted from the manifest WITHOUT a
+    LAST_CHANGED bump past the manifest's recorded value."""
+    missing = sorted(set(digests) - set(manifest))
+    dead = sorted(set(manifest) - set(digests))
+    unbumped = sorted(
+        n
+        for n, d in digests.items()
+        if n in manifest
+        and d != manifest[n]["digest"]
+        and last_changed.get(n, 0) <= manifest[n]["last_changed"]
+    )
+    return missing, dead, unbumped
+
+
 # Import for side effects: each module registers its queries.
 from . import relational  # noqa: E402,F401
 from . import rag  # noqa: E402,F401
@@ -586,7 +638,16 @@ LAST_CHANGED: dict[str, int] = {
     # (oracle-verified), but a material body change — conservative
     # re-check; the unchanged coarse oracle makes driver equality the
     # losslessness proof.
-    "embedding_near_dup_via_ivf": 13,
+    # (Superseded by the r14 entry below — one key, latest round.)
+    # round-14 (VERDICT item 1): the salt count S is now DERIVED per
+    # bucket from the bucket-size aggregate via
+    # S = clamp(ceil(n/4096), 1, 64) broadcast back onto the vectors
+    # (plans/vectors.py::ivf_self_join_salt) instead of the fixed S=8
+    # constant. Exactly-once geometry unchanged (same S on both sides
+    # of each label), same rows at every testdata SF and the oracle
+    # keeps the plain label self-join — but a material body change, so
+    # conservative driver re-check.
+    "embedding_near_dup_via_ivf": 14,
 }
 
 

@@ -259,9 +259,27 @@ NEAR_DUP_COS = 0.40  # synthetic vectors are near-orthogonal: the max
 NEAR_DUP_SAMPLE = 300  # all-pairs ground truth is bounded BY CONSTRUCTION
 # to vec_id < this (≤ 300² / 2 pairs at any SF) — the unbounded pair set
 # comes from the bucketed path below, never from a full cross join.
-IVF_SELF_JOIN_SALT = 8  # sub-blocks per IVF bucket in the near-dup
-# self-join: parallelism |labels| → |labels|·S(S+1)/2 tasks and SMJ
-# buffered groups |bucket| → |bucket|/S rows (see the docstring below).
+SMJ_GROUP_ROWS = 4096  # spark.sql.sortMergeJoinExec.buffer.in.memory.
+# threshold default: a buffered SMJ key group larger than this leaves
+# the in-memory array and every left row re-scans it (the r13 cliff).
+IVF_SELF_JOIN_SALT_CAP = 64  # upper bound on per-bucket sub-blocks: the
+# A/B-side row replication factor is ~(S+1)/2, so an uncapped S from a
+# degenerate giant bucket would trade the SMJ cliff for an explode
+# blow-up. 64 covers a 260k-row bucket at the 4096-row group target
+# (the sf100-equivalent harness bucket is ~200k).
+
+
+def ivf_self_join_salt(bucket_count: Column) -> Column:
+    """Per-bucket sub-block count for the salted triangle self-join,
+    DERIVED from the bucket's own size (r14, VERDICT): the documented
+    sizing rule S ≈ ⌈|bucket|/{SMJ_GROUP_ROWS}⌉ keeps each salted SMJ
+    group inside the in-memory buffer, clamped to [1, CAP]. Computed as
+    a column so the plan stays lazy — the bucket-size aggregate is a
+    tiny (one row per bucket) broadcast, not a build-time collect."""
+    return F.least(
+        F.greatest(F.ceil(bucket_count / F.lit(SMJ_GROUP_ROWS)), F.lit(1)),
+        F.lit(IVF_SELF_JOIN_SALT_CAP),
+    ).cast("int")
 
 
 @query(
@@ -355,7 +373,7 @@ def embedding_near_dup_via_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     left rows re-scans it — at the sf10 probe (20k-row buckets) the
     wall was 4,991 s for the same 10.8M-pair answer the r11 one-off
     got in 1,068 s. Each vector gets a deterministic salt
-    s = vec_id mod {{S}}; side A replicates a salt-p vector into blocks
+    s = vec_id mod S; side A replicates a salt-p vector into blocks
     (p, q) for q ≥ p, side B a salt-q vector into (p, q) for p ≤ q,
     and the join runs on (label, p, q) — |labels|·S(S+1)/2 balanced
     tasks whose buffered groups hold ~|bucket|/S rows. Every unordered
@@ -366,29 +384,47 @@ def embedding_near_dup_via_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     restore the canonical vec_a < vec_b orientation. The ORACLE keeps
     the plain label self-join, so driver hash equality PROVES the
     decomposition lossless (the fellegi_sunter / jaccard pattern).
-    Sizing rule: S ≈ |bucket|/4096 keeps groups in memory; 8 covers
-    the 100× harness, a production job derives it from bucket stats.
-    Measured at sf10: 4,991 s → see PERFORMANCE.md (r13)."""
-    S = IVF_SELF_JOIN_SALT
+
+    S is DERIVED PER BUCKET from the bucket's own row count (r14,
+    VERDICT item 1 — the r13 constant S=8 was sized for the 100×
+    harness and would re-hit the SMJ cliff at ~1000×): the one-row-per-
+    bucket count aggregate broadcast-joins back onto the vectors, and
+    ``ivf_self_join_salt`` maps it through the sizing rule
+    S = clamp(⌈|bucket|/{{SMJ_GROUP_ROWS}}⌉, 1, {{CAP}}). Both sides
+    derive the SAME S for a given label, so the exactly-once block
+    geometry is unchanged — S varying ACROSS labels just means each
+    bucket gets its own triangle. Sub-{{SMJ_GROUP_ROWS}} buckets get
+    S=1 (the salt columns degenerate to a constant 0 and the plan is
+    the plain label join). The plan stays fully lazy — no build-time
+    collect. Measured at sf10: 4,991 s (unsalted) → 884 s (S=8) →
+    see PERFORMANCE.md (r14) for the derived-S wall."""
     e = load(spark, sf_dir, "embeddings")
     v = e.select(
         "vec_id",
         "label",
         F.col("embedding").cast("array<double>").alias("ev"),
     ).withColumn("nrm", F.sqrt(l2_norm_sq(F.col("ev"))))
+    bucket_n = v.groupBy("label").agg(F.count(F.lit(1)).alias("_bucket_n"))
+    salted = (
+        v.join(F.broadcast(bucket_n), "label")
+        .withColumn("s_cnt", ivf_self_join_salt(F.col("_bucket_n")))
+        .drop("_bucket_n")
+    )
     a = (
-        v.select(
+        salted.select(
             F.col("vec_id").alias("ida"), F.col("label").alias("la"),
             F.col("ev").alias("ea"), F.col("nrm").alias("na"),
-            F.pmod(F.col("vec_id"), F.lit(S)).cast("int").alias("pa"),
+            F.pmod(F.col("vec_id"), F.col("s_cnt")).cast("int").alias("pa"),
+            F.col("s_cnt").alias("s_a"),
         )
-        .withColumn("qa", F.explode(F.sequence(F.col("pa"), F.lit(S - 1))))
+        .withColumn("qa", F.explode(F.sequence(F.col("pa"), F.col("s_a") - 1)))
+        .drop("s_a")
     )
     b = (
-        v.select(
+        salted.select(
             F.col("vec_id").alias("idb"), F.col("label").alias("lb"),
             F.col("ev").alias("eb"), F.col("nrm").alias("nb"),
-            F.pmod(F.col("vec_id"), F.lit(S)).cast("int").alias("qb"),
+            F.pmod(F.col("vec_id"), F.col("s_cnt")).cast("int").alias("qb"),
         )
         .withColumn("pb", F.explode(F.sequence(F.lit(0), F.col("qb"))))
     )

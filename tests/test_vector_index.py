@@ -46,3 +46,34 @@ def test_probe_prunes_partitions(spark, sf_dir, tmp_path):
         vecs.where("label = 3")._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters: [isnotnull(label" in plan, plan
+
+
+def test_ivf_self_join_salt_sizing_rule(spark):
+    """r14 (VERDICT item 1): the near-dup self-join salt must be
+    DERIVED from bucket size via S = clamp(ceil(n/4096), 1, 64) —
+    pinned against synthetic bucket stats so the sizing rule is code,
+    not just a docstring."""
+    import pyspark.sql.functions as F
+
+    from data_engineering_rag_spark.plans.vectors import (
+        IVF_SELF_JOIN_SALT_CAP,
+        SMJ_GROUP_ROWS,
+        ivf_self_join_salt,
+    )
+
+    assert SMJ_GROUP_ROWS == 4096  # the SMJ in-memory buffer default
+    cases = {
+        0: 1,          # degenerate empty bucket -> no-op salt
+        1: 1,
+        4096: 1,       # exactly one in-memory group
+        4097: 2,       # first row past the cliff doubles the blocks
+        20000: 5,      # the sf10 harness bucket (r13 measured cliff)
+        200000: 49,    # the sf100-equivalent bucket
+        10**9: IVF_SELF_JOIN_SALT_CAP,  # runaway bucket hits the cap
+    }
+    df = spark.createDataFrame([(n,) for n in cases], "n bigint").select(
+        "n", ivf_self_join_salt(F.col("n")).alias("s")
+    )
+    got = {r.n: r.s for r in df.collect()}
+    assert got == cases
+    assert dict(df.dtypes)["s"] == "int"
