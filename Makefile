@@ -1,7 +1,7 @@
 # Engine equivalents of the reference's Makefile targets
 # (reference: make data / make agent / make eval stages).
 
-.PHONY: test parity parity-sf001 bench smoke regen-goldens scaleprobe
+.PHONY: test parity parity-sf001 bench smoke regen-goldens scaleprobe digests
 
 test:
 	python -m pytest tests/ -q
@@ -22,6 +22,9 @@ print(e.entry(s).collect())"
 
 scaleprobe:        # repeatable 100x gate: regen .scale/sf10 if absent, run the
 	python scripts/scale_probe.py   # probe families, fail on wall-ratio regression
+
+digests:           # regen the staleness manifest AFTER bumping LAST_CHANGED
+	python scripts/update_source_digests.py
 
 regen-goldens:     # deterministic fixtures (commit alongside semantic changes)
 	python tests/fixtures/generate_fixtures.py

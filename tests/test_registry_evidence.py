@@ -164,3 +164,101 @@ def test_last_changed_has_no_duplicate_literal_keys():
             assert not dups, f"duplicate LAST_CHANGED keys: {dups}"
             return
     raise AssertionError("LAST_CHANGED dict literal not found")
+
+
+def _load_digest_manifest() -> dict:
+    path = os.path.join(
+        REPO_ROOT, "data_engineering_rag_spark", "plans", "source_digests.json"
+    )
+    with open(path) as f:
+        return json.load(f)
+
+
+def test_source_digests_current_or_ledger_bumped():
+    """Staleness-ledger automation (r14, VERDICT item 4): a registered
+    query whose result-producing source (AST minus docstrings/comments,
+    plus oracle SQL) drifted from the checked-in manifest MUST carry a
+    LAST_CHANGED bump past the manifest's recorded round. Fix by
+    bumping LAST_CHANGED in plans/__init__.py, then running
+    scripts/update_source_digests.py and committing both."""
+    from data_engineering_rag_spark.plans import (
+        source_digest,
+        staleness_ledger_violations,
+    )
+
+    manifest = _load_digest_manifest()
+    digests = {name: source_digest(spec) for name, spec in REGISTRY.items()}
+    missing, dead, unbumped = staleness_ledger_violations(
+        manifest, digests, LAST_CHANGED
+    )
+    assert not missing, f"queries missing from source_digests.json: {missing}"
+    assert not dead, f"dead manifest rows (query removed): {dead}"
+    assert not unbumped, (
+        f"body changed without a LAST_CHANGED bump: {unbumped} — bump the "
+        f"ledger, then regenerate with scripts/update_source_digests.py"
+    )
+
+
+def test_staleness_ledger_flags_synthetic_edit():
+    """The checker itself must go red on a synthetic body edit: digest
+    drift with an un-bumped ledger is a violation; drift WITH a bump is
+    not; doc-only edits produce no drift at all."""
+    import types
+
+    from data_engineering_rag_spark.plans import (
+        QuerySpec,
+        source_digest,
+        staleness_ledger_violations,
+    )
+
+    manifest = {"q": {"digest": "aaaa", "last_changed": 5}}
+    # drift, ledger still at the recorded round -> violation
+    assert staleness_ledger_violations(manifest, {"q": "bbbb"}, {"q": 5}) == (
+        [], [], ["q"]
+    )
+    # drift with a bump past the recorded round -> clean
+    assert staleness_ledger_violations(manifest, {"q": "bbbb"}, {"q": 6}) == (
+        [], [], []
+    )
+    # new query not yet in the manifest / dead manifest row
+    assert staleness_ledger_violations(manifest, {"q": "aaaa", "new": "x"}, {})[0] == ["new"]
+    assert staleness_ledger_violations(manifest, {}, {})[1] == ["q"]
+
+    # and the digest itself: docstring/comment edits are invisible,
+    # body edits are not
+    ns: dict = {}
+    exec(
+        "def q1(spark, sf_dir):\n"
+        "    '''doc A'''\n"
+        "    # a comment\n"
+        "    return spark.range(1)\n",
+        ns,
+    )
+    exec(
+        "def q1(spark, sf_dir):\n"
+        "    '''doc B, totally rewritten'''\n"
+        "    return spark.range(1)\n",
+        ns.setdefault("_b", {}) or ns["_b"],
+    )
+    exec(
+        "def q1(spark, sf_dir):\n"
+        "    '''doc A'''\n"
+        "    return spark.range(2)\n",
+        ns.setdefault("_c", {}) or ns["_c"],
+    )
+    import inspect
+    import unittest.mock as mock
+
+    def dig(fn, oracle="SELECT 1"):
+        src_map = {
+            ns["q1"]: "def q1(spark, sf_dir):\n    '''doc A'''\n    # a comment\n    return spark.range(1)\n",
+            ns["_b"]["q1"]: "def q1(spark, sf_dir):\n    '''doc B, totally rewritten'''\n    return spark.range(1)\n",
+            ns["_c"]["q1"]: "def q1(spark, sf_dir):\n    '''doc A'''\n    return spark.range(2)\n",
+        }
+        with mock.patch.object(inspect, "getsource", lambda f: src_map[f]):
+            return source_digest(QuerySpec(name="q1", spark=fn, oracle=oracle))
+
+    base = dig(ns["q1"])
+    assert dig(ns["_b"]["q1"]) == base      # doc/comment edit: no drift
+    assert dig(ns["_c"]["q1"]) != base      # body edit: drift
+    assert dig(ns["q1"], oracle="SELECT 2") != base  # oracle edit: drift
