@@ -395,17 +395,29 @@ def resize_images(
 def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = True) -> DataFrame:
     """Video frame sampling: each video row FANS OUT to one row per
     sampled timestamp (0, every_ms, 2·every_ms, … ≤ duration_ms) — the
-    mapInPandas shape where output rows ≠ input rows. Frame payloads
-    are stubbed derivatives (`_fake_derivative(payload, idx)`); a real
-    ffmpeg seek-and-decode drops into the same loop."""
+    mapInPandas shape where output rows ≠ input rows.
+
+    ``fake=True`` (the registered, oracle-checked path) emits stubbed
+    derivative payloads keyed on the opaque video bytes — duration
+    comes from the metadata column. ``fake=False`` (r14) REALLY
+    decodes: the payload must be an uncompressed 8-bit AVI
+    (``codecs.decode_avi``), duration comes from the container's own
+    frame count × fps, each sampled timestamp seeks its covering frame
+    (``codecs.avi_frame_at_ms``), and the emitted frame payload is
+    that frame re-encoded as PNG — the same decode→derive→re-encode
+    loop as the image/audio real paths. Compressed streams raise
+    NotImplementedError inside the codec: the ffmpeg drop-in seam,
+    now per-frame rather than per-modality."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import codecs
+
         stub = DecodeStub(deterministic_fake=fake)
         # Fan-out producer, so byte-bounded output chunks like the
-        # other payload producers: today's frames are 32-byte stubs,
-        # but a real ffmpeg decoder dropped into this loop would emit
-        # megapixel frames per timestamp — exactly the output
-        # amplification _ChunkedFrames exists to cap.
+        # other payload producers: fake frames are 32-byte stubs, but
+        # the real path (and an ffmpeg drop-in) emits whole encoded
+        # frames per timestamp — exactly the output amplification
+        # _ChunkedFrames exists to cap.
         buf = _ChunkedFrames(
             ("media_id", "frame_idx", "t_ms", "frame_payload", "frame_sha")
         )
@@ -413,17 +425,31 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = True) -> 
             for mid, kind, payload, dur in zip(
                 pdf["media_id"], pdf["kind"], pdf["payload"], pdf["duration_ms"]
             ):
-                if kind != "video" or payload is None or dur is None or pd.isna(dur):
+                if kind != "video" or payload is None:
                     continue
-                if not stub.deterministic_fake:
+                if stub.deterministic_fake:
+                    if dur is None or pd.isna(dur):
+                        continue
+                    for i in range(int(dur) // every_ms + 1):
+                        frame = _fake_derivative(bytes(payload), str(i))
+                        sha = hashlib.sha256(
+                            bytes(payload) + b"|" + str(i).encode()
+                        ).hexdigest()
+                        chunk = buf.add((mid, i, i * every_ms, frame, sha), len(frame))
+                        if chunk is not None:
+                            yield chunk
+                    continue
+                if codecs.sniff_kind(bytes(payload)) != "video":
                     raise NotImplementedError(
-                        "real frame extraction requires ffmpeg, not present in this environment"
+                        "real frame extraction for non-AVI video containers "
+                        "requires ffmpeg, not present in this environment "
+                        "(uncompressed 8-bit AVI decodes stdlib-side)"
                     )
-                for i in range(int(dur) // every_ms + 1):
-                    frame = _fake_derivative(bytes(payload), str(i))
-                    sha = hashlib.sha256(
-                        bytes(payload) + b"|" + str(i).encode()
-                    ).hexdigest()
+                real_dur = codecs.avi_duration_ms(bytes(payload))
+                for i in range(max(0, real_dur - 1) // every_ms + 1):
+                    px = codecs.avi_frame_at_ms(bytes(payload), i * every_ms)
+                    frame = codecs.encode_png(px[..., None])
+                    sha = hashlib.sha256(frame).hexdigest()
                     chunk = buf.add((mid, i, i * every_ms, frame, sha), len(frame))
                     if chunk is not None:
                         yield chunk

@@ -142,10 +142,15 @@ def media_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     duration = n_chars·10 ms) emits one row per sampled second; the
     oracle recomputes the fan-out arithmetic AND the stub frame hashes,
     pinning the one-input-row→many-output-rows mapInPandas shape.
-    Stays on the deterministic-fake path: video payloads are opaque
-    text bytes and real frame extraction is the honest ffmpeg seam.
-    Video pre-filter on the scan (``doc_id % 3 == 2``): skips encoding
-    PNG/WAV payloads the frame sampler would discard anyway."""
+    Stays on the deterministic-fake path over opaque text-byte
+    payloads so THIS oracle keeps checking the fan-out arithmetic
+    end-to-end; the ``fake=False`` seam itself is REAL since r14 —
+    uncompressed 8-bit AVI decodes stdlib-side (``codecs.decode_avi``,
+    container parse + frame seek + PNG re-encode, golden-pinned in
+    tests/test_multimodal_real.py) and only compressed codecs raise
+    the ffmpeg NotImplementedError. Video pre-filter on the scan
+    (``doc_id % 3 == 2``): skips encoding PNG/WAV payloads the frame
+    sampler would discard anyway."""
     from ..operators.multimodal import sample_frames
 
     docs = load(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 2)

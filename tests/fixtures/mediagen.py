@@ -108,13 +108,79 @@ def write_wav(samples: np.ndarray, rate: int = WAV_RATE) -> bytes:
     return buf.getvalue()
 
 
+AVI_W, AVI_H = 6, 5  # odd width -> 8-byte stride exercises row padding
+AVI_FPS = 2
+AVI_FRAMES = 5  # 2.5 s -> frame_at_ms must seek past frame 0
+
+
+def known_frames() -> np.ndarray:
+    """Closed-form grayscale frames: each frame a distinct affine ramp,
+    so a swapped frame order, missed row flip, or stride off-by-one
+    shifts many recovered bytes."""
+    f, y, x = np.mgrid[0:AVI_FRAMES, 0:AVI_H, 0:AVI_W]
+    return ((f * 59 + y * 17 + x * 5) % 256).astype(np.uint8)
+
+
+def write_avi(frames: np.ndarray, fps: int = AVI_FPS) -> bytes:
+    """Independent uncompressed-AVI writer (the production decoder's
+    inverse lives in ``operators/codecs.py``): assembles the RIFF tree
+    with explicit per-field packing and writes rows bottom-up, padding
+    each to the 4-byte DIB stride — decoding these bytes back to
+    ``known_frames()`` tests the parser, not a self-round-trip."""
+    n, h, w = frames.shape
+    stride = (w + 3) // 4 * 4
+    dibs = []
+    for f in range(n):
+        rows = b""
+        for y in range(h - 1, -1, -1):  # bottom-up
+            rows += frames[f, y].tobytes() + bytes(stride - w)
+        dibs.append(rows)
+
+    def ck(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + len(body).to_bytes(4, "little") + body + pad
+
+    avih = b"".join(
+        v.to_bytes(4, "little")
+        for v in (1_000_000 // fps, stride * h * fps, 0, 0x10, n, 0, 1,
+                  stride * h, w, h, 0, 0, 0, 0)
+    )
+    strh = (
+        b"vids" + b"DIB "
+        + b"".join(v.to_bytes(4, "little") for v in (0, 0, 0, 1, fps, 0, n,
+                                                     stride * h, 0xFFFFFFFF, 0))
+        + (0).to_bytes(4, "little")  # rcFrame left/top
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    )
+    strf = (
+        b"".join(v.to_bytes(4, "little") for v in (40,)) +
+        w.to_bytes(4, "little", signed=True) + h.to_bytes(4, "little", signed=True) +
+        (1).to_bytes(2, "little") + (8).to_bytes(2, "little") +
+        b"".join(v.to_bytes(4, "little") for v in (0, stride * h, 0, 0, 256, 0)) +
+        b"".join(bytes((g, g, g, 0)) for g in range(256))
+    )
+    hdrl = ck(b"LIST", b"hdrl" + ck(b"avih", avih)
+              + ck(b"LIST", b"strl" + ck(b"strh", strh) + ck(b"strf", strf)))
+    movi_body = b"movi"
+    idx = b""
+    for d in dibs:
+        idx += b"00db" + (0x10).to_bytes(4, "little") \
+            + len(movi_body).to_bytes(4, "little") + len(d).to_bytes(4, "little")
+    for d in dibs:
+        movi_body += ck(b"00db", d)
+    payload = b"AVI " + hdrl + ck(b"LIST", movi_body) + ck(b"idx1", idx)
+    return b"RIFF" + len(payload).to_bytes(4, "little") + payload
+
+
 def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "tiny.png"), "wb") as f:
         f.write(write_png_all_filters(known_pixels()))
     with open(os.path.join(here, "tiny.wav"), "wb") as f:
         f.write(write_wav(known_samples()))
-    print("wrote tiny.png / tiny.wav")
+    with open(os.path.join(here, "tiny.avi"), "wb") as f:
+        f.write(write_avi(known_frames()))
+    print("wrote tiny.png / tiny.wav / tiny.avi")
 
 
 if __name__ == "__main__":

@@ -33,6 +33,7 @@ from tests.fixtures import mediagen
 _FIX = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
 PNG = open(os.path.join(_FIX, "tiny.png"), "rb").read()
 WAV = open(os.path.join(_FIX, "tiny.wav"), "rb").read()
+AVI = open(os.path.join(_FIX, "tiny.avi"), "rb").read()
 
 
 # ---------------------------------------------------------------- codecs
@@ -159,12 +160,71 @@ def test_window_audio_real_path(spark):
         assert r.window_mean_amp == pytest.approx(float(pcm.mean()), abs=0)
 
 
-def test_sample_frames_real_path_still_the_ffmpeg_seam(spark):
-    df = _media_df(spark).withColumn(
-        "kind", __import__("pyspark").sql.functions.lit("video")
+def test_avi_fixture_matches_generator():
+    assert AVI == mediagen.write_avi(mediagen.known_frames())
+
+
+def test_avi_decoder_inverts_independent_writer():
+    """tiny.avi is assembled by mediagen's own byte-level writer, so
+    recovering known_frames() (including the bottom-up row flip and the
+    4-byte stride padding on the odd width) tests the parser, not a
+    self-referential round-trip."""
+    frames, fps = codecs.decode_avi(AVI)
+    assert fps == mediagen.AVI_FPS
+    assert frames.shape == (mediagen.AVI_FRAMES, mediagen.AVI_H, mediagen.AVI_W)
+    assert np.array_equal(frames, mediagen.known_frames())
+    assert codecs.sniff_kind(AVI) == "video"
+
+
+def test_avi_encode_decode_roundtrip_and_seek():
+    rng = np.random.default_rng(99)
+    fr = rng.integers(0, 256, size=(4, 3, 7), dtype=np.uint8)  # w=7 -> stride 8
+    payload = codecs.encode_avi(fr, fps=2)
+    got, fps = codecs.decode_avi(payload)
+    assert fps == 2 and np.array_equal(got, fr)
+    # seek: frame covering t_ms = t_ms*fps//1000, clamped to the last
+    assert np.array_equal(codecs.avi_frame_at_ms(payload, 0), fr[0])
+    assert np.array_equal(codecs.avi_frame_at_ms(payload, 1500), fr[3])
+    assert np.array_equal(codecs.avi_frame_at_ms(payload, 99000), fr[3])
+    assert codecs.avi_duration_ms(payload) == 2000
+
+
+def test_avi_compressed_stream_is_the_ffmpeg_seam():
+    """biCompression != 0 (or non-8-bit frames) must raise the explicit
+    ffmpeg NotImplementedError — the drop-in seam is now per-frame
+    decode, not the whole video modality."""
+    payload = bytearray(codecs.encode_avi(np.zeros((1, 2, 2), dtype=np.uint8)))
+    at = payload.index(b"strf") + 8 + 16  # biCompression field offset
+    payload[at:at + 4] = (0x34363248).to_bytes(4, "little")  # 'H264'
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        codecs.decode_avi(bytes(payload))
+
+
+def test_sample_frames_real_path_decodes_avi(spark):
+    """fake=False really decodes: duration from the container, one row
+    per sampled second, each frame payload a PNG of the sought frame."""
+    rows = [
+        (3, "video", bytearray(AVI), "video/avi", None, None, None),
+        (1, "image", bytearray(PNG), "image/png", mediagen.W, mediagen.H, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id bigint, kind string, payload binary, mime string, "
+        "width bigint, height bigint, duration_ms bigint",
     )
-    with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
-        sample_frames(df, every_ms=1000, fake=False).collect()
+    out = sorted(
+        sample_frames(df, every_ms=1000, fake=False).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    # 5 frames at 2 fps = 2500 ms -> samples at 0, 1000, 2000
+    assert [(r.media_id, r.frame_idx, r.t_ms) for r in out] == [
+        (3, 0, 0), (3, 1, 1000), (3, 2, 2000)
+    ]
+    known = mediagen.known_frames()
+    for r, src_idx in zip(out, (0, 2, 4)):  # t_ms*fps//1000
+        px = codecs.decode_png(bytes(r.frame_payload))
+        assert np.array_equal(px[..., 0], known[src_idx]), r.frame_idx
+        assert r.frame_sha == hashlib.sha256(bytes(r.frame_payload)).hexdigest()
 
 
 @pytest.mark.parametrize("channels", [1, 2, 3, 4])
