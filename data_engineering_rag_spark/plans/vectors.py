@@ -269,15 +269,25 @@ IVF_SELF_JOIN_SALT_CAP = 64  # upper bound on per-bucket sub-blocks: the
 # (the sf100-equivalent harness bucket is ~200k).
 
 
+IVF_SALT_GROUP_TARGET = SMJ_GROUP_ROWS // 2  # aim salted groups at HALF
+# the SMJ in-memory threshold: S = ceil(n/4096) lands groups right AT
+# the cliff edge (sf10 A/B: S=5 → ~4000-row groups → 1129-1148 s vs
+# S=8 → ~2500-row groups → 884 s), while the /2048 target reproduces
+# the under-cliff geometry that measures flat at every probed scale.
+
+
 def ivf_self_join_salt(bucket_count: Column) -> Column:
     """Per-bucket sub-block count for the salted triangle self-join,
-    DERIVED from the bucket's own size (r14, VERDICT): the documented
-    sizing rule S ≈ ⌈|bucket|/{SMJ_GROUP_ROWS}⌉ keeps each salted SMJ
-    group inside the in-memory buffer, clamped to [1, CAP]. Computed as
-    a column so the plan stays lazy — the bucket-size aggregate is a
-    tiny (one row per bucket) broadcast, not a build-time collect."""
+    DERIVED from the bucket's own size (r14, VERDICT): size S so each
+    salted SMJ group holds ≈ {IVF_SALT_GROUP_TARGET} rows — half the
+    in-memory buffer threshold, measured headroom included — clamped
+    to [1, CAP]. Computed as a column so the plan stays lazy: the
+    bucket-size aggregate is a tiny (one row per bucket) broadcast,
+    not a build-time collect. At the CAP a 262k-row bucket still keeps
+    groups under the {SMJ_GROUP_ROWS} cliff; buckets beyond that mean
+    the IVF itself is mis-sized (real IVF uses ~√n centroids)."""
     return F.least(
-        F.greatest(F.ceil(bucket_count / F.lit(SMJ_GROUP_ROWS)), F.lit(1)),
+        F.greatest(F.ceil(bucket_count / F.lit(IVF_SALT_GROUP_TARGET)), F.lit(1)),
         F.lit(IVF_SELF_JOIN_SALT_CAP),
     ).cast("int")
 

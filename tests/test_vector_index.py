@@ -50,26 +50,31 @@ def test_probe_prunes_partitions(spark, sf_dir, tmp_path):
 
 def test_ivf_self_join_salt_sizing_rule(spark):
     """r14 (VERDICT item 1): the near-dup self-join salt must be
-    DERIVED from bucket size via S = clamp(ceil(n/4096), 1, 64) —
-    pinned against synthetic bucket stats so the sizing rule is code,
-    not just a docstring."""
+    DERIVED from bucket size via S = clamp(ceil(n/2048), 1, 64) —
+    groups targeted at HALF the SMJ in-memory threshold (the sf10 A/B:
+    groups at ~4000 rows ran 1129-1148 s, groups at ~2000-2500 ran
+    884 s) — pinned against synthetic bucket stats so the sizing rule
+    is code, not just a docstring."""
     import pyspark.sql.functions as F
 
     from data_engineering_rag_spark.plans.vectors import (
+        IVF_SALT_GROUP_TARGET,
         IVF_SELF_JOIN_SALT_CAP,
         SMJ_GROUP_ROWS,
         ivf_self_join_salt,
     )
 
     assert SMJ_GROUP_ROWS == 4096  # the SMJ in-memory buffer default
+    assert IVF_SALT_GROUP_TARGET == 2048  # half: measured headroom
     cases = {
         0: 1,          # degenerate empty bucket -> no-op salt
         1: 1,
-        4096: 1,       # exactly one in-memory group
-        4097: 2,       # first row past the cliff doubles the blocks
-        20000: 5,      # the sf10 harness bucket (r13 measured cliff)
-        200000: 49,    # the sf100-equivalent bucket
-        10**9: IVF_SELF_JOIN_SALT_CAP,  # runaway bucket hits the cap
+        2048: 1,       # exactly one target-size group
+        2049: 2,       # first row past the target doubles the blocks
+        20000: 10,     # the sf10 harness bucket (r13 measured cliff)
+        131072: 64,    # largest bucket the cap still sizes to target
+        200000: IVF_SELF_JOIN_SALT_CAP,  # capped: groups 3125, still under 4096
+        10**9: IVF_SELF_JOIN_SALT_CAP,   # runaway bucket hits the cap
     }
     df = spark.createDataFrame([(n,) for n in cases], "n bigint").select(
         "n", ivf_self_join_salt(F.col("n")).alias("s")
