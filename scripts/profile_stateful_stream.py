@@ -70,6 +70,9 @@ def main() -> int:
     ap.add_argument("--sf", default=".scale/sf10")
     ap.add_argument("--skip-v1", action="store_true")
     ap.add_argument("--skip-v2", action="store_true")
+    ap.add_argument("--coarse", action="store_true",
+                    help="also measure the single-drain (files_per_trigger="
+                         "None) escape-hatch variants")
     args = ap.parse_args()
     sf = args.sf if os.path.isabs(args.sf) else os.path.join(REPO, args.sf)
     out: dict = {"sf_dir": args.sf}
@@ -92,17 +95,27 @@ def main() -> int:
     )
     out["arithmetic"] = _child(code)
 
-    # 2) + 3) walls, one fresh subprocess each (probe methodology)
+    # 2) + 3) walls, one fresh subprocess each (probe methodology).
+    # The *_coarse variants are the single-drain escape hatch
+    # (files_per_trigger=None → one availableNow batch → ONE update()
+    # call per user instead of one per (file, user) — ~|files|× fewer
+    # Python state calls, identical final totals).
     variants = []
     if not args.skip_v1:
-        variants.append(("v1_applyInPandasWithState", "user_totals_stateful_stream"))
+        variants.append(("v1_applyInPandasWithState", "user_totals_stateful_stream", ""))
+        if args.coarse:
+            variants.append(("v1_coarse_single_drain",
+                             "user_totals_stateful_stream", ", files_per_trigger=None"))
     if not args.skip_v2:
-        variants.append(("v2_transformWithStateInPandas", "user_totals_state_v2_stream"))
-    for label, fn in variants:
+        variants.append(("v2_transformWithStateInPandas", "user_totals_state_v2_stream", ""))
+        if args.coarse:
+            variants.append(("v2_coarse_single_drain",
+                             "user_totals_state_v2_stream", ", files_per_trigger=None"))
+    for label, fn, extra in variants:
         code = _BOOT + _session_code() + (
             "import json, time\n"
             f"from data_engineering_rag_spark.streaming.events import {fn}\n"
-            f"t0 = time.time(); n = {fn}(spark, {sf!r}).count()\n"
+            f"t0 = time.time(); n = {fn}(spark, {sf!r}{extra}).count()\n"
             "print('RESULT ' + json.dumps({'rows': n, 'sec': round(time.time()-t0, 1)}))\n"
         )
         out[label] = _child(code)

@@ -94,7 +94,12 @@ PROBE_FAMILIES = [
     # heaviest plans. Soak walls were measured IN-SEQUENCE (inflated up
     # to ~2.3x vs fresh subprocess), so these budgets are generous by
     # construction.
-    "stream_user_totals_stateful",  # applyInPandasWithState, Python-rate bound
+    # r14 (VERDICT item 3): the GATED stateful-stream primary is the
+    # state-v2 (transformWithStateInPandas) operator — 423.5 vs v1's
+    # 626.4 s at sf10 for identical output; v1 stays registered as the
+    # equivalence twin (v1 ≡ v2 ≡ batch, tests/test_streaming.py).
+    # Needs the protobuf bootstrap in run_child.
+    "stream_user_totals_state_v2",  # Python state-rate bound (v2 primary)
     "mmr_diversified_topk",         # corpus TF-IDF rebuild by definition
     "simhash_near_dup_pairs",       # 28M true pairs at sf10 (output geometry)
     "embedding_near_dup_via_ivf",   # IVF bucket join; pairs ~K^2 but wall linear in pairs
@@ -106,8 +111,14 @@ ABS_SLACK_SEC = 5.0
 def run_child(name: str, sf_dir: str) -> dict:
     """One family in a fresh subprocess; returns {rows, sec} or {error}."""
     code = (
-        "import sys, time, json\n"
+        "import sys, os, time, json\n"
         f"sys.path.insert(0, {REPO!r})\n"
+        # protobuf fallback bootstrap (tests/conftest.py) BEFORE the JVM
+        # starts: registers the state-v2 streaming queries and exports
+        # PYTHONPATH so stateful workers can deserialize proto messages
+        f"sys.path.insert(0, os.path.join({REPO!r}, 'tests'))\n"
+        "import conftest\n"
+        "sys.path.pop(0)\n"
         "from pyspark.sql import SparkSession\n"
         "spark = (SparkSession.builder.master('local[32]')\n"
         "    .config('spark.sql.shuffle.partitions', '32')\n"
