@@ -67,6 +67,12 @@ BENCH_QUERIES = [
     # byte-bounded Arrow chunking in mapInPandas) and had zero bench
     # coverage — codec or chunking regressions only showed at sf10.
     "media_feature_stats",          # r11: real PNG/WAV decode sentinel
+    # round-14 addition (VERDICT r13 item 5): the salted-triangle
+    # self-join sentinel. The three structural catches so far (q18,
+    # fellegi_sunter, IVF near-dup) were invisible at bench scale, but
+    # a lost salt (plan collapses to |labels| tasks) still shows here
+    # as a wall shift, and the plan-shape tests pin the join keys.
+    "embedding_near_dup_via_ivf",   # r13: salted bucket self-join
 ]
 
 
