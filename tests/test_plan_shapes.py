@@ -591,3 +591,61 @@ def test_q18_aggregates_below_the_join(spark, sf_dir):
     # the HAVING filter must also sit below the join (pre-join prune)
     having_at = plan.index("> 140")
     assert join_at < having_at, plan
+
+
+def test_near_dup_via_ivf_mixed_salt_counts_exactly_once(spark, tmp_path):
+    """r14: at every testdata SF the buckets are small enough that the
+    derived salt degenerates to S=1 (plain label join), so the triangle
+    decomposition's exactly-once property under S>1 — and under
+    DIFFERENT S per bucket — was only exercised at the sf10 probe.
+    Pin it at unit scale: one bucket past the group target (2500 rows
+    -> S=2) and one under it (100 rows -> S=1); the salted pair set
+    must equal the plain unsalted label self-join's, no key twice."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from data_engineering_rag_spark.plans.vectors import NEAR_DUP_COS, dot, l2_norm_sq
+
+    rng = np.random.default_rng(14)
+    rows = []
+    for vid in range(2600):
+        label = 0 if vid < 2500 else 1
+        # base direction per label + noise: plenty of pairs clear the
+        # 0.40 cosine threshold, plenty don't
+        base = np.eye(4)[label * 2]
+        v = base * rng.uniform(0.3, 1.0) + rng.normal(0, 0.45, 4)
+        rows.append((vid, label, [float(x) for x in v]))
+    spark.createDataFrame(
+        rows, "vec_id bigint, label int, embedding array<float>"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    df = REGISTRY["embedding_near_dup_via_ivf"].spark(spark, str(tmp_path))
+    got = df.collect()
+    key_counts = {}
+    for r in got:
+        assert r.vec_a < r.vec_b
+        key_counts[(r.vec_a, r.vec_b)] = key_counts.get((r.vec_a, r.vec_b), 0) + 1
+    dups = [k for k, c in key_counts.items() if c > 1]
+    assert not dups, f"pairs emitted twice: {dups[:5]}"
+
+    from data_engineering_rag_spark.plans import load
+
+    v = (
+        load(spark, str(tmp_path), "embeddings")
+        .select("vec_id", "label", F.col("embedding").cast("array<double>").alias("ev"))
+        .withColumn("nrm", F.sqrt(l2_norm_sq(F.col("ev"))))
+    )
+    a = v.select(F.col("vec_id").alias("vec_a"), F.col("label").alias("la"),
+                 F.col("ev").alias("ea"), F.col("nrm").alias("na"))
+    b = v.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"),
+                 F.col("ev").alias("eb"), F.col("nrm").alias("nb"))
+    plain = (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b",
+                (F.round(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 8)
+                 + F.lit(0.0)).alias("cosine"))
+        .where(F.col("cosine") > NEAR_DUP_COS)
+    )
+    assert df.exceptAll(plain).count() == 0
+    assert plain.exceptAll(df).count() == 0
+    assert len(got) == plain.count() > 0  # non-vacuous
