@@ -374,3 +374,14 @@ def avi_frame_at_ms(payload: bytes, t_ms: int) -> np.ndarray:
 def avi_duration_ms(payload: bytes) -> int:
     frames, fps = decode_avi(payload)
     return len(frames) * 1000 // max(1, fps)
+
+
+def video_features(payload: bytes, dim: int) -> np.ndarray:
+    """Real video features: ``dim``-bin normalized luminance histogram
+    over ALL decoded frames — the video analogue of ``image_features``
+    (grayscale AVI, so the pixel value IS the luma). A cheap whole-clip
+    fingerprint for near-dup/quality triage; per-frame features go
+    through ``sample_frames`` + ``image_features`` instead."""
+    frames, _fps = decode_avi(payload)
+    hist, _ = np.histogram(frames.astype(np.float64), bins=dim, range=(0.0, 256.0))
+    return (hist / max(1, frames.size)).astype(np.float32)

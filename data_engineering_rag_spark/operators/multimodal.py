@@ -72,8 +72,9 @@ class DecodeStub:
     ``deterministic_fake=True`` → features = FEATURE_DIM floats derived
     from sha256(payload) (stable, testable batch plumbing; the
     oracle-checked path).
-    ``False`` → REAL decode for PNG (luminance histogram) and PCM WAV
-    (amplitude histogram) via the stdlib codecs; anything else raises
+    ``False`` → REAL decode for PNG (luminance histogram), PCM WAV
+    (amplitude histogram) and uncompressed AVI (whole-clip luminance
+    histogram, r14) via the stdlib codecs; anything else raises
     NotImplementedError, marking exactly where PIL/ffmpeg plug in."""
 
     def __init__(self, deterministic_fake: bool = True):
@@ -88,9 +89,12 @@ class DecodeStub:
                 return codecs.image_features(payload, FEATURE_DIM)
             if kind == "audio":
                 return codecs.audio_features(payload, FEATURE_DIM)
+            if kind == "video":
+                return codecs.video_features(payload, FEATURE_DIM)
             raise NotImplementedError(
-                "real decode implemented for PNG/WAV only (operators/codecs.py); "
-                "other formats need PIL/ffmpeg, not present in this environment"
+                "real decode implemented for PNG/WAV/uncompressed-AVI only "
+                "(operators/codecs.py); other formats need PIL/ffmpeg, not "
+                "present in this environment"
             )
         digest = hashlib.sha256(payload).digest()
         # 16 stable floats in [0, 1): two digest bytes per feature.

@@ -330,3 +330,31 @@ def test_window_audio_real_covers_full_signal_with_ceil_duration(spark):
     assert np.array_equal(covered, pcm.reshape(-1))  # window 0 spans all
     last, _ = codecs.decode_wav(bytes(out[1].window_payload))
     assert np.array_equal(last.reshape(-1), pcm.reshape(-1)[4000:])
+
+
+def test_real_video_features_are_normalized_frame_histograms():
+    """r14: video joins the real feature path — FEATURE_DIM-bin
+    normalized luminance histogram over ALL decoded frames, matching
+    the image/audio histogram contract (sums to 1, recomputable from
+    the known frames)."""
+    got = DecodeStub(deterministic_fake=False).features(AVI)
+    assert got.shape == (FEATURE_DIM,)
+    assert got.sum() == pytest.approx(1.0, abs=1e-6)
+    frames = mediagen.known_frames()
+    exp, _ = np.histogram(frames.astype(np.float64), bins=FEATURE_DIM, range=(0.0, 256.0))
+    assert np.allclose(got, exp / frames.size)
+
+
+def test_extract_features_real_path_covers_video(spark):
+    df = spark.createDataFrame(
+        [(9, "video", bytearray(AVI), "video/avi", None, None, None)],
+        "media_id bigint, kind string, payload binary, mime string, "
+        "width bigint, height bigint, duration_ms bigint",
+    )
+    rows = extract_media_features(df, fake=False).collect()
+    assert len(rows) == 1 and rows[0].media_id == 9
+    assert rows[0].payload_sha == hashlib.sha256(AVI).hexdigest()
+    assert np.allclose(
+        np.array(rows[0].features, dtype=np.float32),
+        codecs.video_features(AVI, FEATURE_DIM),
+    )
