@@ -226,6 +226,24 @@ def run_gate(names, recorded, runner, mult, log=print):
     return results, failures
 
 
+def record_drift_warnings(prior_walls: dict, new_walls: dict) -> list[str]:
+    """Warn when a re-recorded wall moved far from its prior value —
+    an inflated recording LOOSENS the gate (budget = 2x + 5 s of
+    whatever is recorded), so a noise-spiked record silently masks
+    future regressions. Pure so the rule is unit-testable; the
+    recorder prints these, it does not fail on them (a genuine plan
+    change legitimately moves a wall)."""
+    out = []
+    for name, new in new_walls.items():
+        old = prior_walls.get(name)
+        if old and new > 1.5 * old:
+            out.append(
+                f"{name}: recorded {new:.1f}s is {new / old:.1f}x the prior "
+                f"{old:.1f}s — noisy host? consider re-recording on a quiet one"
+            )
+    return out
+
+
 def retained_note_families(prior: dict, walls: dict, recorded_names) -> list[str]:
     """Which of the prior note's subject families still carry their OLD
     wall after this --record run merged ``recorded_names`` into
@@ -305,7 +323,10 @@ def main() -> int:
                       f"re-record the FULL family list or use the recorded sf_dir")
                 return 1
             walls = prior["walls_sec"]
-        walls.update({n: results[n]["sec"] for n in names})
+        new_walls = {n: results[n]["sec"] for n in names}
+        for msg in record_drift_warnings(walls, new_walls):
+            print(f"WARNING {msg}")
+        walls.update(new_walls)
         walls = {n: walls[n] for n in PROBE_FAMILIES if n in walls}
         payload = {
             "procedure": "scripts/scale_probe.py — one subprocess/SparkSession "

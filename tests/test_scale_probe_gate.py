@@ -178,3 +178,16 @@ def test_note_retention_keyed_to_described_families():
     assert retained_note_families(prior, {"b": 2.0}, []) == ["b"]
     # legacy file without notes_families -> nothing retained
     assert retained_note_families({"notes": "x"}, walls, []) == []
+
+
+def test_record_drift_warning_on_inflated_rerecord():
+    """r14: an inflated recording loosens every future gate run, so
+    --record warns (not fails) when a re-recorded wall exceeds 1.5x its
+    prior value; new families and small moves stay silent."""
+    from scripts.scale_probe import record_drift_warnings
+
+    prior = {"a": 100.0, "b": 10.0}
+    msgs = record_drift_warnings(prior, {"a": 160.0, "b": 12.0, "new": 50.0})
+    assert len(msgs) == 1 and msgs[0].startswith("a:")
+    assert record_drift_warnings(prior, {"a": 149.0}) == []
+    assert record_drift_warnings({}, {"a": 1.0}) == []
