@@ -7,8 +7,9 @@ IDAT inflate, per-scanline un-filtering per the PNG spec §6), and the
 ``wave`` module for PCM WAV. That makes ``fake=False`` a REAL code
 path for images and audio: decode → derive features / resize /
 window on actual pixels and samples → re-encode. Video is decodable
-stdlib-side for UNCOMPRESSED 8-bit AVI (r14 — container parse, idx1
-seek, bottom-up padded DIB rows); compressed codecs (H.264 etc.) stay
+stdlib-side for UNCOMPRESSED 8-bit AVI (r14 — linear RIFF chunk walk,
+bottom-up padded DIB rows; the 'idx1' index is written for player
+compatibility but not read); compressed codecs (H.264 etc.) stay
 the explicit ``NotImplementedError`` ffmpeg seam, now at the per-frame
 decode instead of the whole modality.
 
@@ -253,8 +254,8 @@ def encode_avi(frames: np.ndarray, fps: int = 1) -> bytes:
 
     One '00db' (uncompressed DIB) chunk per frame: 8-bit palettized
     bottom-up rows padded to 4 bytes, grayscale palette in 'strf',
-    plus the 'idx1' seek index every player (and ``decode_avi``)
-    expects."""
+    plus the 'idx1' index real players expect (``decode_avi`` walks
+    the chunk tree linearly and ignores it)."""
     if frames.ndim != 3 or frames.dtype != np.uint8:
         raise ValueError("frames must be uint8 (n, h, w) grayscale")
     n, h, w = frames.shape
@@ -364,8 +365,11 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
 
 
 def avi_frame_at_ms(payload: bytes, t_ms: int) -> np.ndarray:
-    """The frame covering timestamp ``t_ms`` (uint8 (h, w)) — the
-    seek-and-decode call ``sample_frames(fake=False)`` drops into."""
+    """The frame covering timestamp ``t_ms`` (uint8 (h, w)). One-shot
+    convenience: it decodes the WHOLE clip each call, so anything
+    sampling many timestamps from one payload must instead call
+    ``decode_avi`` once and index the frame array (what
+    ``sample_frames(fake=False)`` does — ADVICE r15)."""
     frames, fps = decode_avi(payload)
     idx = min(len(frames) - 1, t_ms * fps // 1000)
     return frames[idx]

@@ -212,7 +212,9 @@ def _synthetic_payload(kind: str, text: str, n_chars: int) -> bytes:
     - audio: 8 kHz mono 16-bit WAV, n_chars*80 samples (duration =
       n_chars*10 ms exactly), sample[i] = digest[i % 32] — periodic so
       window means are closed forms of the digest bytes.
-    - video: UTF-8 text bytes — the honest ffmpeg seam stays opaque.
+    - video: UTF-8 text bytes — kept opaque so the registered-query
+      oracles stay closed-form; the real AVI codec path is exercised
+      by the fixture clips (tests/fixtures/mediagen.py), not here.
 
     Injective in text per kind (via sha256), so payload-level dedup is
     equivalent to text-level dedup — which is what the oracle SQL
@@ -396,22 +398,51 @@ def resize_images(
     return media.mapInPandas(run, RESIZED_SCHEMA)
 
 
+def _real_video_frames(payload: bytes, every_ms: int):
+    """Decode ONCE, then index: yields (i, t_ms, png_bytes) for each
+    sampled timestamp 0, every_ms, … ≤ duration_ms — the inclusive
+    boundary convention shared with the fake path. The r14 version
+    called ``codecs.avi_frame_at_ms`` (a whole-clip decode) once per
+    timestamp — O(n_frames × n_samples) re-decodes (ADVICE r15); this
+    indexes the one decoded frame array. Each timestamp maps to its
+    covering frame t·fps//1000, clamped to the last frame (so an
+    exact-multiple endpoint re-samples the final frame's pixels at
+    the clip's end timestamp, matching the documented contract)."""
+    from . import codecs
+
+    if codecs.sniff_kind(payload) != "video":
+        raise NotImplementedError(
+            "real frame extraction for non-AVI video containers "
+            "requires ffmpeg, not present in this environment "
+            "(uncompressed 8-bit AVI decodes stdlib-side)"
+        )
+    frames, fps = codecs.decode_avi(payload)
+    dur_ms = len(frames) * 1000 // max(1, fps)
+    for i in range(dur_ms // every_ms + 1):
+        t_ms = i * every_ms
+        idx = min(len(frames) - 1, t_ms * fps // 1000)
+        yield i, t_ms, codecs.encode_png(frames[idx][..., None])
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = True) -> DataFrame:
     """Video frame sampling: each video row FANS OUT to one row per
-    sampled timestamp (0, every_ms, 2·every_ms, … ≤ duration_ms) — the
-    mapInPandas shape where output rows ≠ input rows.
+    sampled timestamp (0, every_ms, 2·every_ms, … ≤ duration_ms,
+    INCLUSIVE of an exact-multiple endpoint — the same boundary
+    convention on both paths, ADVICE r15) — the mapInPandas shape
+    where output rows ≠ input rows.
 
     ``fake=True`` (the registered, oracle-checked path) emits stubbed
     derivative payloads keyed on the opaque video bytes — duration
     comes from the metadata column. ``fake=False`` (r14) REALLY
-    decodes: the payload must be an uncompressed 8-bit AVI
-    (``codecs.decode_avi``), duration comes from the container's own
-    frame count × fps, each sampled timestamp seeks its covering frame
-    (``codecs.avi_frame_at_ms``), and the emitted frame payload is
-    that frame re-encoded as PNG — the same decode→derive→re-encode
-    loop as the image/audio real paths. Compressed streams raise
-    NotImplementedError inside the codec: the ffmpeg drop-in seam,
-    now per-frame rather than per-modality."""
+    decodes: the payload must be an uncompressed 8-bit AVI, decoded
+    ONCE per payload (``_real_video_frames``; duration = the
+    container's frame count × fps), each sampled timestamp indexing
+    its covering frame in the decoded array — never a per-timestamp
+    re-decode — and the emitted frame payload is that frame re-encoded
+    as PNG: the same decode→derive→re-encode loop as the image/audio
+    real paths. Compressed streams raise NotImplementedError inside
+    the codec: the ffmpeg drop-in seam, per-frame rather than
+    per-modality."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from . import codecs
@@ -443,18 +474,9 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = True) -> 
                         if chunk is not None:
                             yield chunk
                     continue
-                if codecs.sniff_kind(bytes(payload)) != "video":
-                    raise NotImplementedError(
-                        "real frame extraction for non-AVI video containers "
-                        "requires ffmpeg, not present in this environment "
-                        "(uncompressed 8-bit AVI decodes stdlib-side)"
-                    )
-                real_dur = codecs.avi_duration_ms(bytes(payload))
-                for i in range(max(0, real_dur - 1) // every_ms + 1):
-                    px = codecs.avi_frame_at_ms(bytes(payload), i * every_ms)
-                    frame = codecs.encode_png(px[..., None])
+                for i, t_ms, frame in _real_video_frames(bytes(payload), every_ms):
                     sha = hashlib.sha256(frame).hexdigest()
-                    chunk = buf.add((mid, i, i * every_ms, frame, sha), len(frame))
+                    chunk = buf.add((mid, i, t_ms, frame, sha), len(frame))
                     if chunk is not None:
                         yield chunk
         tail = buf.tail()

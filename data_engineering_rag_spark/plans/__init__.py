@@ -83,13 +83,18 @@ def source_digest(spec: QuerySpec) -> str:
 
 def staleness_ledger_violations(
     manifest: dict, digests: dict[str, str], last_changed: dict[str, int]
-) -> tuple[list[str], list[str], list[str]]:
+) -> tuple[list[str], list[str], list[str], list[str]]:
     """The staleness-automation judgment (r14, VERDICT item 4), pure so
     tests can drive it with synthetic edits. Returns (missing, dead,
-    unbumped): queries absent from the manifest, manifest rows for
-    queries that no longer exist, and — the defect this exists for —
-    queries whose digest drifted from the manifest WITHOUT a
-    LAST_CHANGED bump past the manifest's recorded value."""
+    unbumped, pending): queries absent from the manifest, manifest rows
+    for queries that no longer exist, queries whose digest drifted from
+    the manifest WITHOUT a LAST_CHANGED bump past the manifest's
+    recorded value — the defect this exists for — and (ADVICE r15)
+    queries whose LAST_CHANGED exceeds the manifest's recorded round:
+    a bump committed without running scripts/update_source_digests.py.
+    Without the pending check a stale manifest row masks any LATER body
+    edit to the same query (digest still differs, bump still exceeds
+    the old record), so regeneration is enforced, not a convention."""
     missing = sorted(set(digests) - set(manifest))
     dead = sorted(set(manifest) - set(digests))
     unbumped = sorted(
@@ -99,7 +104,12 @@ def staleness_ledger_violations(
         and d != manifest[n]["digest"]
         and last_changed.get(n, 0) <= manifest[n]["last_changed"]
     )
-    return missing, dead, unbumped
+    pending = sorted(
+        n
+        for n in digests
+        if n in manifest and last_changed.get(n, 0) > manifest[n]["last_changed"]
+    )
+    return missing, dead, unbumped, pending
 
 
 # Import for side effects: each module registers its queries.
@@ -462,6 +472,35 @@ _DRIVER_VERIFIED_BY_ROUND[13] = frozenset(
     }
 )
 
+_DRIVER_VERIFIED_BY_ROUND[14] = frozenset(
+    {
+        "acctbal_gini_by_nation", "basket_pair_lift_top20",
+        "bloom_prefilter_audit", "contrastive_negatives_sample",
+        "customer_ltv_cohort", "doc_prefix_dedup",
+        "embedding_centroid_shift", "embedding_near_dup_pairs",
+        "embedding_near_dup_via_ivf", "events_attribution_last_touch",
+        "events_attribution_linear", "events_hourly_anomaly",
+        "ewma_user_value", "fellegi_sunter_linkage",
+        "funnel_time_to_convert", "good_turing_counts",
+        "ivm_join_delta_merge", "k_anonymity_audit", "kmv_overlap_matrix",
+        "l_diversity_audit", "lang_source_chisq", "length_decile_normalize",
+        "lsh_banding_design_curve", "markov_stationary_power",
+        "merge_upsert_orders", "orders_status_trend_ols",
+        "pandas_udaf_geomean", "part_abc_classification",
+        "partition_file_planner", "pq_codebook_train", "pyds_telemetry_agg",
+        "q11_important_parts", "referential_integrity_audit",
+        "repeat_purchase_intervals", "robust_outlier_audit",
+        "rolling_7d_active_users", "scalar_variant_events",
+        "session_gap_survival", "sessions_bounce_rate_daily",
+        "shingle_containment_pairs", "split_leakage_audit",
+        "stream_state_introspection", "supplier_scorecard",
+        "text_readability_scores", "tfidf_search_pruned",
+        "tfidf_sharded_merge_search", "time_weighted_user_value",
+        "weighted_median_price_by_flag", "window_value_functions",
+        "zorder_layout_audit",
+    }
+)
+
 #: Latest driver-green round per query (derived from the per-round sets).
 DRIVER_EVIDENCE_ROUND: dict[str, int] = {}
 for _rnd, _names in sorted(_DRIVER_VERIFIED_BY_ROUND.items()):
@@ -641,9 +680,10 @@ LAST_CHANGED: dict[str, int] = {
     # (Superseded by the r14 entry below — one key, latest round.)
     # round-14 (VERDICT item 1): the salt count S is now DERIVED per
     # bucket from the bucket-size aggregate via
-    # S = clamp(ceil(n/4096), 1, 64) broadcast back onto the vectors
-    # (plans/vectors.py::ivf_self_join_salt) instead of the fixed S=8
-    # constant. Exactly-once geometry unchanged (same S on both sides
+    # S = clamp(ceil(n/IVF_SALT_GROUP_TARGET), 1, 64) — divisor 2048 =
+    # SMJ_GROUP_ROWS/2, the A/B-measured target — broadcast back onto
+    # the vectors (plans/vectors.py::ivf_self_join_salt) instead of
+    # the fixed S=8 constant. Exactly-once geometry unchanged (same S on both sides
     # of each label), same rows at every testdata SF and the oracle
     # keeps the plain label self-join — but a material body change, so
     # conservative driver re-check.

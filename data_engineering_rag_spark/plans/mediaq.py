@@ -18,9 +18,13 @@ SQL-recomputable closed forms:
 - payload identity: injective in text per kind (via sha256), so
   DISTINCT/GROUP BY payload == DISTINCT/GROUP BY text.
 
-Video payloads stay UTF-8 text bytes — the honest ffmpeg seam
-(``media_frame_index`` keeps the deterministic-fake frame derivation;
-real frame extraction genuinely needs ffmpeg).
+Synthetic video payloads stay UTF-8 text bytes (the registered
+queries keep the deterministic-fake frame derivation so the oracles
+stay closed-form), but the real path no longer needs ffmpeg for
+everything: uncompressed 8-bit AVI decodes stdlib-side
+(``operators/codecs.py`` — r14), so ``fake=False`` feature extraction
+and frame sampling are real for AVI; only COMPRESSED codecs (H.264,
+JPEG…) remain the per-codec ffmpeg/PIL seam.
 """
 
 from __future__ import annotations

@@ -265,8 +265,9 @@ SMJ_GROUP_ROWS = 4096  # spark.sql.sortMergeJoinExec.buffer.in.memory.
 IVF_SELF_JOIN_SALT_CAP = 64  # upper bound on per-bucket sub-blocks: the
 # A/B-side row replication factor is ~(S+1)/2, so an uncapped S from a
 # degenerate giant bucket would trade the SMJ cliff for an explode
-# blow-up. 64 covers a 260k-row bucket at the 4096-row group target
-# (the sf100-equivalent harness bucket is ~200k).
+# blow-up. With the 2048-row group target the cap binds above ~131k
+# rows (64 x 2048); groups stay under the 4096-row SMJ cliff up to
+# ~262k rows (64 x 4096) — past that the IVF itself is mis-sized.
 
 
 IVF_SALT_GROUP_TARGET = SMJ_GROUP_ROWS // 2  # aim salted groups at HALF
@@ -400,7 +401,10 @@ def embedding_near_dup_via_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     harness and would re-hit the SMJ cliff at ~1000×): the one-row-per-
     bucket count aggregate broadcast-joins back onto the vectors, and
     ``ivf_self_join_salt`` maps it through the sizing rule
-    S = clamp(⌈|bucket|/{{SMJ_GROUP_ROWS}}⌉, 1, {{CAP}}). Both sides
+    S = clamp(⌈|bucket|/IVF_SALT_GROUP_TARGET⌉, 1, CAP) — the divisor
+    is SMJ_GROUP_ROWS/2 = 2048, the A/B-measured target (the ⌈n/4096⌉
+    rule lands groups AT the cliff edge and measured ~45% slower at
+    sf10; see PERFORMANCE.md r14). Both sides
     derive the SAME S for a given label, so the exactly-once block
     geometry is unchanged — S varying ACROSS labels just means each
     bucket gets its own triangle. Sub-{{SMJ_GROUP_ROWS}} buckets get

@@ -358,3 +358,33 @@ def test_extract_features_real_path_covers_video(spark):
         np.array(rows[0].features, dtype=np.float32),
         codecs.video_features(AVI, FEATURE_DIM),
     )
+
+
+def test_real_video_frames_decode_once_and_inclusive_endpoint(monkeypatch):
+    """_real_video_frames decodes the clip ONCE regardless of sample
+    count (ADVICE r15 — the r14 path re-ran the whole-clip decode per
+    timestamp) and samples the exact-multiple endpoint INCLUSIVELY,
+    matching the fake path's int(dur)//every_ms + 1 convention and the
+    documented '… <= duration_ms' contract."""
+    from data_engineering_rag_spark.operators import multimodal
+
+    fr = np.arange(4 * 2 * 2, dtype=np.uint8).reshape(4, 2, 2)
+    payload = codecs.encode_avi(fr, fps=2)  # 4 frames @ 2 fps = 2000 ms
+    calls = {"n": 0}
+    real_decode = codecs.decode_avi
+
+    def counting(p):
+        calls["n"] += 1
+        return real_decode(p)
+
+    monkeypatch.setattr(codecs, "decode_avi", counting)
+    out = list(multimodal._real_video_frames(payload, every_ms=500))
+    assert calls["n"] == 1
+    assert [(i, t) for i, t, _ in out] == [
+        (0, 0), (1, 500), (2, 1000), (3, 1500), (4, 2000)
+    ]
+    # covering frame t*fps//1000, clamped to the last at the endpoint
+    for (_, t, png), src in zip(out, (0, 1, 2, 3, 3)):
+        assert np.array_equal(codecs.decode_png(png)[..., 0], fr[src]), t
+    # fake-path parity at the same exact-multiple duration: same count
+    assert len(out) == 2000 // 500 + 1

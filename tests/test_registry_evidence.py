@@ -188,7 +188,7 @@ def test_source_digests_current_or_ledger_bumped():
 
     manifest = _load_digest_manifest()
     digests = {name: source_digest(spec) for name, spec in REGISTRY.items()}
-    missing, dead, unbumped = staleness_ledger_violations(
+    missing, dead, unbumped, pending = staleness_ledger_violations(
         manifest, digests, LAST_CHANGED
     )
     assert not missing, f"queries missing from source_digests.json: {missing}"
@@ -196,6 +196,11 @@ def test_source_digests_current_or_ledger_bumped():
     assert not unbumped, (
         f"body changed without a LAST_CHANGED bump: {unbumped} — bump the "
         f"ledger, then regenerate with scripts/update_source_digests.py"
+    )
+    assert not pending, (
+        f"regeneration pending (LAST_CHANGED bumped past the manifest's "
+        f"recorded round, so a LATER body edit would be invisible): "
+        f"{pending} — run scripts/update_source_digests.py and commit"
     )
 
 
@@ -214,11 +219,23 @@ def test_staleness_ledger_flags_synthetic_edit():
     manifest = {"q": {"digest": "aaaa", "last_changed": 5}}
     # drift, ledger still at the recorded round -> violation
     assert staleness_ledger_violations(manifest, {"q": "bbbb"}, {"q": 5}) == (
-        [], [], ["q"]
+        [], [], ["q"], []
     )
-    # drift with a bump past the recorded round -> clean
+    # drift with a bump past the recorded round -> regeneration pending
+    # (ADVICE r15: the bump alone must not pass — committing it without
+    # update_source_digests.py would mask any LATER body edit)
     assert staleness_ledger_violations(manifest, {"q": "bbbb"}, {"q": 6}) == (
-        [], [], []
+        [], [], [], ["q"]
+    )
+    # bump recorded into the manifest (post-regeneration) -> clean
+    manifest6 = {"q": {"digest": "bbbb", "last_changed": 6}}
+    assert staleness_ledger_violations(manifest6, {"q": "bbbb"}, {"q": 6}) == (
+        [], [], [], []
+    )
+    # pending even WITHOUT digest drift: a doc-only edit plus a bump
+    # still demands regeneration so the recorded round stays current
+    assert staleness_ledger_violations(manifest, {"q": "aaaa"}, {"q": 6}) == (
+        [], [], [], ["q"]
     )
     # new query not yet in the manifest / dead manifest row
     assert staleness_ledger_violations(manifest, {"q": "aaaa", "new": "x"}, {})[0] == ["new"]
