@@ -103,13 +103,42 @@ PROBE_FAMILIES = [
     "mmr_diversified_topk",         # corpus TF-IDF rebuild by definition
     "simhash_near_dup_pairs",       # 28M true pairs at sf10 (output geometry)
     "embedding_near_dup_via_ivf",   # IVF bucket join; pairs ~K^2 but wall linear in pairs
+    # r15 (VERDICT r14 item 4): the coarse-trigger single-drain escape
+    # hatch of the state-v2 operator — the production-backfill path
+    # (one availableNow batch → ONE update() per user instead of one
+    # per (file, user); 25.6 s vs 457.5 s per-file at sf10, identical
+    # totals). Gated so a trigger-config change silently re-enabling
+    # per-file batches can't hide behind the profiler's one-off number.
+    "stream_user_totals_state_v2_coarse",
 ]
+
+#: Gated variants that are NOT registry queries (the registry is frozen
+#: and these differ from a registered query only in run configuration).
+#: name -> python statements that bind ``n`` (row count) and ``t0``
+#: (start time); ``sf_dir`` is in scope. Kept as data so the gate tests
+#: can assert the variant really exercises the intended configuration.
+SPECIAL_FAMILIES: dict[str, str] = {
+    "stream_user_totals_state_v2_coarse": (
+        "from data_engineering_rag_spark.streaming.events import "
+        "user_totals_state_v2_stream\n"
+        "t0 = time.time()\n"
+        "n = user_totals_state_v2_stream(spark, sf_dir, "
+        "files_per_trigger=None).count()\n"
+    ),
+}
 
 ABS_SLACK_SEC = 5.0
 
 
 def run_child(name: str, sf_dir: str) -> dict:
     """One family in a fresh subprocess; returns {rows, sec} or {error}."""
+    if name in SPECIAL_FAMILIES:
+        body = f"sf_dir = {sf_dir!r}\n" + SPECIAL_FAMILIES[name]
+    else:
+        body = (
+            "from data_engineering_rag_spark.plans import REGISTRY\n"
+            f"t0 = time.time(); n = REGISTRY[{name!r}].spark(spark, {sf_dir!r}).count()\n"
+        )
     code = (
         "import sys, os, time, json\n"
         f"sys.path.insert(0, {REPO!r})\n"
@@ -126,8 +155,7 @@ def run_child(name: str, sf_dir: str) -> dict:
         "    .config('spark.sql.adaptive.enabled', 'true')\n"
         "    .config('spark.ui.enabled', 'false').getOrCreate())\n"
         "spark.sparkContext.setLogLevel('ERROR')\n"
-        "from data_engineering_rag_spark.plans import REGISTRY\n"
-        f"t0 = time.time(); n = REGISTRY[{name!r}].spark(spark, {sf_dir!r}).count()\n"
+        + body +
         "print('PROBE_RESULT ' + json.dumps({'rows': n, 'sec': round(time.time() - t0, 1)}))\n"
     )
     proc = subprocess.run(

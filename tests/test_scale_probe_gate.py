@@ -191,3 +191,24 @@ def test_record_drift_warning_on_inflated_rerecord():
     assert len(msgs) == 1 and msgs[0].startswith("a:")
     assert record_drift_warnings(prior, {"a": 149.0}) == []
     assert record_drift_warnings({}, {"a": 1.0}) == []
+
+
+def test_special_families_are_gated_nonregistry_variants():
+    """r15 (VERDICT r14 item 4): the coarse-trigger drain is gated as a
+    SPECIAL family — a run-configuration variant of a registered query,
+    not a new registry name (the registry is frozen). Pin that every
+    special is in the probe list, shadows no registry name, every
+    non-special probe family IS a registry name, and the coarse variant
+    really passes files_per_trigger=None (the whole point of the gate:
+    a trigger-config regression must change this string to hide)."""
+    from data_engineering_rag_spark.plans import REGISTRY
+
+    specials = scale_probe.SPECIAL_FAMILIES
+    assert set(specials) <= set(scale_probe.PROBE_FAMILIES)
+    assert not set(specials) & set(REGISTRY)
+    for name in scale_probe.PROBE_FAMILIES:
+        if name not in specials:
+            assert name in REGISTRY, f"probe family not registered: {name}"
+    coarse = specials["stream_user_totals_state_v2_coarse"]
+    assert "files_per_trigger=None" in coarse
+    assert "user_totals_state_v2_stream" in coarse
