@@ -70,6 +70,24 @@ def salted_join(
     even a split partition exceeds memory. Columns keep their names;
     the salt is internal.
 
+    This is ONE of the repo's two salting idioms (r15, VERDICT item 6)
+    — know which problem you have:
+
+    - THIS helper: a two-table equi-join where one key is HOT. The
+      salt is random, the fixed ``n_salts`` only spreads task load,
+      and the small side pays an n_salts× explode — sizing it from
+      group-row counts would buy nothing because the hot key's group
+      still streams (only one side is buffered per key).
+    - A SELF-join on a LOW-CARDINALITY key (every key is a "bucket"
+      and the SMJ buffers each right-side key group in memory):
+      use the salted TRIANGLE decomposition with a DERIVED per-bucket
+      salt instead — ``plans/vectors.py::ivf_self_join_salt`` sizes
+      S from the bucket's own row count so buffered groups stay at
+      half the ~4096-row sortMergeJoinExec in-memory threshold (the
+      measured cliff). A fixed ``n_salts`` there either under-salts
+      big buckets (cliff returns at scale) or over-explodes small
+      ones.
+
     Only left-preserving joins are valid: the right side is exploded
     n_salts×, so 'right'/'full'/'outer' would emit each unmatched
     right-side row n_salts times. ('left_anti'/'left_semi' are fine —

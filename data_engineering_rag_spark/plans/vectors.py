@@ -286,7 +286,14 @@ def ivf_self_join_salt(bucket_count: Column) -> Column:
     bucket-size aggregate is a tiny (one row per bucket) broadcast,
     not a build-time collect. At the CAP a 262k-row bucket still keeps
     groups under the {SMJ_GROUP_ROWS} cliff; buckets beyond that mean
-    the IVF itself is mis-sized (real IVF uses ~√n centroids)."""
+    the IVF itself is mis-sized (real IVF uses ~√n centroids).
+
+    This is the SELF-join salting idiom (r15, VERDICT item 6): use it
+    when a self-join key has low cardinality and the SMJ's buffered
+    key groups are the bottleneck. For a TWO-table join with a hot
+    key, the problem is task skew, not group buffering — reach for
+    ``operators/scale.py::salted_join`` (random salt, fixed fan-out)
+    instead; see its docstring for the distinction."""
     return F.least(
         F.greatest(F.ceil(bucket_count / F.lit(IVF_SALT_GROUP_TARGET)), F.lit(1)),
         F.lit(IVF_SELF_JOIN_SALT_CAP),
