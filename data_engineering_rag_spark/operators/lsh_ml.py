@@ -37,6 +37,94 @@ from .tfidf import TOKEN_PATTERN
 #: small enough that the broadcast is trivially cheap on any executor.
 MAX_PROBE_BATCH = 4096
 
+# --------------------------------------------------------------------------
+# Fitted-model memo (r15, VERDICT item 5 — the SPARK_GRAFT_TFIDF_REUSE
+# pattern from plans/rag.py extended to the ML LSH estimators): the
+# CountVectorizer + MinHashLSH fits dominate ml_minhash_similarity_join's
+# wall and are re-paid on every bench/soak invocation even though the
+# fitted models are deterministic in (corpus, params, seed). With
+# SPARK_GRAFT_TFIDF_REUSE=1 (the process-wide reuse switch the soak
+# already sets; default OFF → byte-identical plans to before) a caller
+# that supplies ``memo_key`` — an explicit identity for ``docs`` it
+# guarantees, e.g. ("documents", sf_dir) — gets the fitted (vecs, lsh)
+# pair back from the memo on repeat calls, with ``vecs`` persisted.
+# Correctness is untouched: the fits are seeded and the memo key pins
+# the exact (session, corpus, params) identity, unit-pinned equal in
+# tests/test_lsh_ml.py.
+# --------------------------------------------------------------------------
+
+_ML_LSH_MEMO: dict = {}
+
+
+def _reuse_enabled() -> bool:
+    import os
+
+    return os.environ.get("SPARK_GRAFT_TFIDF_REUSE", "") == "1"
+
+
+def clear_ml_lsh_memo() -> None:
+    """Unpersist every memoized vector table and empty the memo — the
+    sibling of ``plans/rag.py::clear_tfidf_memo`` for session/sf_dir
+    changes in long-lived processes."""
+    for vecs, _lsh in _ML_LSH_MEMO.values():
+        try:
+            vecs.unpersist()
+        except Exception:
+            pass  # a stopped SparkSession makes unpersist moot
+    _ML_LSH_MEMO.clear()
+
+
+def _fitted_vecs_and_lsh(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hash_tables: int,
+    seed: int,
+    vocab_size: int,
+    memo_key,
+):
+    """tokenize → fit CountVectorizer → transform → fit MinHashLSH,
+    memoized under the reuse flag when ``memo_key`` identifies the
+    corpus. Returns ``(vecs, lsh_model)``."""
+    key = None
+    if memo_key is not None and _reuse_enabled():
+        key = (
+            docs.sparkSession, memo_key, id_col, text_col,
+            num_hash_tables, seed, vocab_size,
+        )
+        if key in _ML_LSH_MEMO:
+            return _ML_LSH_MEMO[key]
+    tok = RegexTokenizer(
+        inputCol=text_col, outputCol="_tokens", pattern=TOKEN_PATTERN, gaps=False,
+        toLowercase=True, minTokenLength=2,
+    )
+    tokens = tok.transform(docs).where(F.size("_tokens") > 0)
+    cv = CountVectorizer(
+        inputCol="_tokens", outputCol="_vec", binary=True, minDF=1.0,
+        vocabSize=vocab_size,
+    )
+    model_cv = cv.fit(tokens)
+    vecs = model_cv.transform(tokens).select(id_col, "_vec")
+    if key is not None:
+        vecs = vecs.persist()
+    lsh = MinHashLSH(
+        inputCol="_vec", outputCol="_hashes",
+        numHashTables=num_hash_tables, seed=seed,
+    )
+    model = lsh.fit(vecs)
+    if key is not None:
+        # evict other (session, corpus) scopes — the memo holds at most
+        # the current scope's models (the rag.py _memo_put rule)
+        scope = key[:2]
+        for stale in [k for k in _ML_LSH_MEMO if k[:2] != scope]:
+            try:
+                _ML_LSH_MEMO[stale][0].unpersist()
+            except Exception:
+                pass
+            del _ML_LSH_MEMO[stale]
+        _ML_LSH_MEMO[key] = (vecs, model)
+    return vecs, model
+
 
 def ml_minhash_candidates(
     docs: DataFrame,
@@ -47,6 +135,7 @@ def ml_minhash_candidates(
     seed: int = 42,
     vocab_size: int = 1 << 20,
     probe_ids: list[int] | None = None,
+    memo_key=None,
 ) -> DataFrame:
     """Similar pairs with Jaccard distance below ``1 - jaccard_threshold``
     per the ML estimator.
@@ -71,21 +160,18 @@ def ml_minhash_candidates(
 
     ``vocab_size`` raises CountVectorizer's default 2¹⁸ cap: a silently
     truncated vocabulary would drop rare tokens from the binary
-    vectors and skew every Jaccard distance."""
-    tok = RegexTokenizer(
-        inputCol=text_col, outputCol="_tokens", pattern=TOKEN_PATTERN, gaps=False,
-        toLowercase=True, minTokenLength=2,
-    )
-    tokens = tok.transform(docs).where(F.size("_tokens") > 0)
-    cv = CountVectorizer(
-        inputCol="_tokens", outputCol="_vec", binary=True, minDF=1.0,
-        vocabSize=vocab_size,
-    )
-    model_cv = cv.fit(tokens)
-    vecs = model_cv.transform(tokens).select(id_col, "_vec")
+    vectors and skew every Jaccard distance.
 
-    lsh = MinHashLSH(inputCol="_vec", outputCol="_hashes", numHashTables=num_hash_tables, seed=seed)
-    model = lsh.fit(vecs)
+    ``memo_key`` (optional): an identity for ``docs`` the CALLER
+    guarantees (e.g. ``("documents", sf_dir)``). When set and the
+    process-wide reuse flag is on (``SPARK_GRAFT_TFIDF_REUSE=1``),
+    the fitted CountVectorizer+MinHashLSH pair and the persisted
+    vector table are reused across calls — the fits dominate this
+    function's wall in bench/soak loops. Default ``None`` → no
+    memoization, identical behavior to before."""
+    vecs, model = _fitted_vecs_and_lsh(
+        docs, id_col, text_col, num_hash_tables, seed, vocab_size, memo_key
+    )
     if probe_ids is None:
         joined = model.approxSimilarityJoin(
             vecs, vecs, 1.0 - jaccard_threshold, distCol="jaccard_dist"

@@ -688,6 +688,13 @@ LAST_CHANGED: dict[str, int] = {
     # keeps the plain label self-join — but a material body change, so
     # conservative driver re-check.
     "embedding_near_dup_via_ivf": 14,
+    # round-15 (VERDICT item 5): ml_minhash_candidates now takes a
+    # memo_key and the query passes ("documents", sf_dir) so the
+    # fitted CV+LSH pair is reusable under SPARK_GRAFT_TFIDF_REUSE=1.
+    # Flag-off results identical by construction and unit-pinned
+    # (tests/test_lsh_ml.py), but the body changed — conservative
+    # driver re-check.
+    "ml_minhash_similarity_join": 15,
 }
 
 

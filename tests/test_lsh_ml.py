@@ -58,3 +58,54 @@ def test_ml_lsh_recall(spark, sf_dir):
     assert recall >= 0.95, f"recall {recall:.3f}: missed {len(missed)}/{len(truth_05)}"
     strong_missed = truth_07 - cand
     assert not strong_missed, f"missed strongly-similar pairs: {sorted(strong_missed)[:5]}"
+
+
+def test_ml_lsh_memo_reuses_fits_and_pins_equal_results(spark, sf_dir, monkeypatch):
+    """r15 (VERDICT item 5): with SPARK_GRAFT_TFIDF_REUSE=1 and a
+    memo_key, repeat calls reuse the fitted CV+LSH pair (zero new fits)
+    and return EXACTLY the flag-off results; without memo_key the memo
+    is bypassed even with the flag on."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    from data_engineering_rag_spark.operators import lsh_ml
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    probes = [0, 3]
+
+    def run(**kw):
+        return sorted(
+            (r.probe_id, r.doc_id, r.jaccard_dist)
+            for r in ml_minhash_candidates(
+                docs, jaccard_threshold=0.5, num_hash_tables=8,
+                probe_ids=probes, **kw
+            ).collect()
+        )
+
+    monkeypatch.delenv("SPARK_GRAFT_TFIDF_REUSE", raising=False)
+    baseline = run()
+
+    fits = {"cv": 0, "lsh": 0}
+    real_cv_fit, real_lsh_fit = CountVectorizer.fit, MinHashLSH.fit
+    monkeypatch.setattr(
+        CountVectorizer, "fit",
+        lambda self, ds: (fits.__setitem__("cv", fits["cv"] + 1), real_cv_fit(self, ds))[1],
+    )
+    monkeypatch.setattr(
+        MinHashLSH, "fit",
+        lambda self, ds: (fits.__setitem__("lsh", fits["lsh"] + 1), real_lsh_fit(self, ds))[1],
+    )
+    monkeypatch.setenv("SPARK_GRAFT_TFIDF_REUSE", "1")
+    lsh_ml.clear_ml_lsh_memo()
+    try:
+        first = run(memo_key=("documents", "test-slice"))
+        assert fits == {"cv": 1, "lsh": 1}
+        second = run(memo_key=("documents", "test-slice"))
+        assert fits == {"cv": 1, "lsh": 1}, "memo hit must not re-fit"
+        assert first == second == baseline
+        # no memo_key -> bypass even with the flag on (corpus identity
+        # is the caller's guarantee; never guessed)
+        run()
+        assert fits == {"cv": 2, "lsh": 2}
+    finally:
+        lsh_ml.clear_ml_lsh_memo()
+    assert not lsh_ml._ML_LSH_MEMO
