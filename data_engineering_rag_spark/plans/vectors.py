@@ -268,6 +268,11 @@ IVF_SELF_JOIN_SALT_CAP = 64  # upper bound on per-bucket sub-blocks: the
 # blow-up. With the 2048-row group target the cap binds above ~131k
 # rows (64 x 2048); groups stay under the 4096-row SMJ cliff up to
 # ~262k rows (64 x 4096) — past that the IVF itself is mis-sized.
+# Measured (r15, scripts/probe_salt_cap.py): at the cap (131k-row
+# bucket, S=64) per-pair cost is FLAT vs small-S buckets (286 vs
+# 372 ns/pair), and past-cap group growth is a slope, not a second
+# cliff (+36%/pair at 5k-row groups, +103% at 10k) — see
+# PERFORMANCE.md r15.
 
 
 IVF_SALT_GROUP_TARGET = SMJ_GROUP_ROWS // 2  # aim salted groups at HALF
