@@ -55,11 +55,9 @@ MAX_PROBE_BATCH = 4096
 
 _ML_LSH_MEMO: dict = {}
 
-
-def _reuse_enabled() -> bool:
-    import os
-
-    return os.environ.get("SPARK_GRAFT_TFIDF_REUSE", "") == "1"
+# Flag check + eviction rule shared with the TF-IDF memo (r15 review:
+# one definition, no drift between the two memos).
+from .memo import reuse_enabled as _reuse_enabled  # noqa: E402
 
 
 def clear_ml_lsh_memo() -> None:
@@ -113,16 +111,17 @@ def _fitted_vecs_and_lsh(
     )
     model = lsh.fit(vecs)
     if key is not None:
-        # evict other (session, corpus) scopes — the memo holds at most
-        # the current scope's models (the rag.py _memo_put rule)
-        scope = key[:2]
-        for stale in [k for k in _ML_LSH_MEMO if k[:2] != scope]:
-            try:
-                _ML_LSH_MEMO[stale][0].unpersist()
-            except Exception:
-                pass
-            del _ML_LSH_MEMO[stale]
-        _ML_LSH_MEMO[key] = (vecs, model)
+        # exclusive_scope: each entry pins its own persisted vector
+        # table, so a same-corpus param sweep must SUPERSEDE (and
+        # unpersist) the prior entry, not accumulate one persisted
+        # copy per param combination (r15 review); other (session,
+        # corpus) scopes are evicted as in the rag.py memo.
+        from .memo import scoped_put
+
+        scoped_put(
+            _ML_LSH_MEMO, key, (vecs, model),
+            lambda v: v[0].unpersist(), exclusive_scope=True,
+        )
     return vecs, model
 
 

@@ -46,11 +46,9 @@ CHUNK_SIZE, CHUNK_STEP = 200, 100  # doc texts are 48-553 chars; defaults (2000/
 
 _TFIDF_MEMO: dict = {}
 
-
-def _reuse_enabled() -> bool:
-    import os
-
-    return os.environ.get("SPARK_GRAFT_TFIDF_REUSE", "") == "1"
+# Flag check + eviction rule shared with the ML LSH memo (r15 review:
+# one definition, no drift between the two memos).
+from ..operators.memo import reuse_enabled as _reuse_enabled  # noqa: E402
 
 
 def clear_tfidf_memo() -> None:
@@ -70,15 +68,12 @@ def _memo_put(key: tuple, model) -> None:
     """Insert, evicting (and unpersisting) entries for any OTHER
     (session, sf_dir): the memo holds at most the current scope's two
     models (docs + chunks), so switching sf_dirs or restarting sessions
-    in-process can't grow it without bound (r14, ADVICE)."""
-    scope = key[:2]
-    for stale in [k for k in _TFIDF_MEMO if k[:2] != scope]:
-        try:
-            _TFIDF_MEMO[stale].unpersist()
-        except Exception:
-            pass
-        del _TFIDF_MEMO[stale]
-    _TFIDF_MEMO[key] = model
+    in-process can't grow it without bound (r14, ADVICE). The rule
+    itself lives in ``operators/memo.py::scoped_put`` (non-exclusive:
+    the docs and chunks entries coexist within one scope)."""
+    from ..operators.memo import scoped_put
+
+    scoped_put(_TFIDF_MEMO, key, model, lambda m: m.unpersist())
 
 
 def _docs_model(spark: SparkSession, sf_dir: str):

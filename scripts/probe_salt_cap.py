@@ -58,11 +58,11 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import subprocess
 import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 SRC = os.path.join(REPO, ".scale", "sf10", "embeddings.parquet")
 OUT_DIR = os.path.join(REPO, ".scale", "saltcap")
 
@@ -88,11 +88,18 @@ N_FIXTURE_FILES = 32
 
 def ensure_bucket(n: int) -> str:
     """One-bucket fixture dir: embeddings.parquet/ (32 files, so the
-    scan — and the explode it feeds — parallelizes) with label := 0."""
+    scan — and the explode it feeds — parallelizes) with label := 0.
+    Written to a temp dir and renamed into place so an interrupted
+    write can never be mistaken for a complete fixture (a partial
+    fixture would silently shrink the bucket and fake the cap walls)."""
     d = os.path.join(OUT_DIR, f"n{n}")
     pq_dir = os.path.join(d, "embeddings.parquet")
     if not os.path.exists(pq_dir):
-        os.makedirs(pq_dir, exist_ok=True)
+        import shutil
+
+        tmp_dir = pq_dir + ".tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)  # prior aborted write
+        os.makedirs(tmp_dir)
         import duckdb
 
         for i in range(N_FIXTURE_FILES):
@@ -100,44 +107,34 @@ def ensure_bucket(n: int) -> str:
                 f"COPY (SELECT vec_id, embedding, 0::INTEGER AS label "
                 f"FROM read_parquet('{SRC}/*.parquet') "
                 f"WHERE vec_id < {n} AND vec_id % {N_FIXTURE_FILES} = {i}) "
-                f"TO '{pq_dir}/part-{i:03d}.parquet' (FORMAT PARQUET)"
+                f"TO '{tmp_dir}/part-{i:03d}.parquet' (FORMAT PARQUET)"
             )
+        os.rename(tmp_dir, pq_dir)
     return d
 
 
 def run_child(sf_dir: str, overrides: dict) -> dict:
+    """One variant in a fresh subprocess (shared scaffold:
+    scripts/probe_child.py, r15 review)."""
+    from scripts.probe_child import run_probe_child
+
     patches = "".join(
         f"V.{k} = {v}\n" for k, v in overrides.items()
     )
-    code = (
-        "import sys, os, time, json\n"
-        f"sys.path.insert(0, {REPO!r})\n"
-        "from pyspark.sql import SparkSession\n"
-        "spark = (SparkSession.builder.master('local[32]')\n"
-        "    .config('spark.sql.shuffle.partitions', '32')\n"
-        "    .config('spark.driver.memory', '48g')\n"
-        "    .config('spark.sql.adaptive.enabled', 'true')\n"
-        # see module docstring: keep join parallelism fixed at 32 so
-        # variant walls compare GROUP behavior, not AQE's coalescing
-        # of a compressed-small single-bucket shuffle
-        "    .config('spark.sql.adaptive.coalescePartitions.enabled', 'false')\n"
-        "    .config('spark.ui.enabled', 'false').getOrCreate())\n"
-        "spark.sparkContext.setLogLevel('ERROR')\n"
+    body = (
         "import data_engineering_rag_spark.plans.vectors as V\n"
         + patches +
         "from data_engineering_rag_spark.plans import REGISTRY\n"
         "t0 = time.time()\n"
         f"n = REGISTRY['embedding_near_dup_via_ivf'].spark(spark, {sf_dir!r}).count()\n"
-        "print('PROBE_RESULT ' + json.dumps({'rows': n, 'sec': round(time.time() - t0, 1)}))\n"
     )
-    proc = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, cwd=REPO
+    return run_probe_child(
+        REPO, body,
+        # see module docstring: keep join parallelism fixed at 32 so
+        # variant walls compare GROUP behavior, not AQE's coalescing
+        # of a compressed-small single-bucket shuffle
+        extra_confs=[("spark.sql.adaptive.coalescePartitions.enabled", "false")],
     )
-    for line in proc.stdout.splitlines():
-        if line.startswith("PROBE_RESULT "):
-            return json.loads(line[len("PROBE_RESULT "):])
-    tail = (proc.stderr or proc.stdout).strip().splitlines()[-15:]
-    return {"error": " | ".join(tail)[-500:] or f"exit {proc.returncode}"}
 
 
 def main() -> int:
@@ -153,9 +150,11 @@ def main() -> int:
     if os.path.exists(out):  # merge: --only reruns one variant, keeps rest
         with open(out) as f:
             results = json.load(f)
+    ran: list[str] = []  # exit status judges THIS run, not merged history
     for label, n, overrides, note in VARIANTS:
         if args.only and args.only not in label:
             continue
+        ran.append(label)
         sf_dir = ensure_bucket(n)
         t0 = time.time()
         res = run_child(sf_dir, overrides)
@@ -177,7 +176,7 @@ def main() -> int:
         json.dump(results, f, indent=1)
         f.write("\n")
     print(f"-> {out}")
-    return 1 if any("error" in r for r in results.values()) else 0
+    return 1 if any("error" in results[label] for label in ran) else 0
 
 
 if __name__ == "__main__":

@@ -131,7 +131,11 @@ ABS_SLACK_SEC = 5.0
 
 
 def run_child(name: str, sf_dir: str) -> dict:
-    """One family in a fresh subprocess; returns {rows, sec} or {error}."""
+    """One family in a fresh subprocess; returns {rows, sec} or {error}.
+    The subprocess scaffold is shared with the other probe scripts
+    (scripts/probe_child.py, r15 review)."""
+    from scripts.probe_child import run_probe_child
+
     if name in SPECIAL_FAMILIES:
         body = f"sf_dir = {sf_dir!r}\n" + SPECIAL_FAMILIES[name]
     else:
@@ -139,33 +143,7 @@ def run_child(name: str, sf_dir: str) -> dict:
             "from data_engineering_rag_spark.plans import REGISTRY\n"
             f"t0 = time.time(); n = REGISTRY[{name!r}].spark(spark, {sf_dir!r}).count()\n"
         )
-    code = (
-        "import sys, os, time, json\n"
-        f"sys.path.insert(0, {REPO!r})\n"
-        # protobuf fallback bootstrap (tests/conftest.py) BEFORE the JVM
-        # starts: registers the state-v2 streaming queries and exports
-        # PYTHONPATH so stateful workers can deserialize proto messages
-        f"sys.path.insert(0, os.path.join({REPO!r}, 'tests'))\n"
-        "import conftest\n"
-        "sys.path.pop(0)\n"
-        "from pyspark.sql import SparkSession\n"
-        "spark = (SparkSession.builder.master('local[32]')\n"
-        "    .config('spark.sql.shuffle.partitions', '32')\n"
-        "    .config('spark.driver.memory', '48g')\n"
-        "    .config('spark.sql.adaptive.enabled', 'true')\n"
-        "    .config('spark.ui.enabled', 'false').getOrCreate())\n"
-        "spark.sparkContext.setLogLevel('ERROR')\n"
-        + body +
-        "print('PROBE_RESULT ' + json.dumps({'rows': n, 'sec': round(time.time() - t0, 1)}))\n"
-    )
-    proc = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, cwd=REPO
-    )
-    for line in proc.stdout.splitlines():
-        if line.startswith("PROBE_RESULT "):
-            return json.loads(line[len("PROBE_RESULT "):])
-    tail = (proc.stderr or proc.stdout).strip().splitlines()[-15:]
-    return {"error": " | ".join(tail)[-500:] or f"exit {proc.returncode}"}
+    return run_probe_child(REPO, body, bootstrap_conftest=True)
 
 
 def ensure_data(sf_dir: str, k: int, src: str) -> None:
