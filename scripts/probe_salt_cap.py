@@ -36,17 +36,18 @@ Overrides patch module constants in the CHILD process only; the
 checked-in constants never change. Results go to
 .scale/salt_cap_probe.json and the PERFORMANCE.md r15 entry.
 
-Methodology notes (learned from the first s64geom run, 989.7 s):
-- The fixture is written as ~32 parquet files, NOT one: a single
-  small file gives the scan (and therefore the explode feeding the
-  shuffle) ONE task, serializing the 32.5x replication.
-- The child disables spark.sql.adaptive.coalescePartitions: on a
-  single-bucket fixture the salted shuffle compresses under the 64 MB
-  advisory size and AQE coalesces the join to 1-2 partitions —
-  the wall then measures granted parallelism, not group behavior.
-  (Production keeps coalescing ON; at real scale the shuffle is GBs
-  and coalescing never bites — the first run is kept in the JSON as
-  ``s64geom_n16k_singlefile_aqe`` evidence of exactly this effect.)
+Methodology notes (learned from the first s64geom run, 989.7 s, and
+the controlled follow-up that isolated the variable):
+- The fixture is written as ~32 parquet files, NOT one. The file
+  count was the ENTIRE 16.5x effect: single-file 989.7 s vs 32-file
+  55.9 s at identical default AQE config — one small file is one
+  scan partition, and the plan keeps that one-partition layout
+  through the join (one core for the whole wall). Kept in the JSON
+  as ``s64geom_n16k_singlefile_aqe``.
+- The child disables spark.sql.adaptive.coalescePartitions as a
+  DETERMINISM guard only — measured cost none (55.9 s coalescing-on
+  vs 54.5/59.9 s off on the 32-file fixture); production keeps
+  coalescing ON.
 
 Usage:
   python scripts/probe_salt_cap.py            # all variants (~90 min)
