@@ -501,6 +501,37 @@ _DRIVER_VERIFIED_BY_ROUND[14] = frozenset(
     }
 )
 
+_DRIVER_VERIFIED_BY_ROUND[15] = frozenset(
+    {
+        "anova_f_price_by_status", "arrow_byte_stats_by_lang",
+        "bh_fdr_nation_acctbal", "bigram_lm_perplexity_buckets",
+        "bitmap_rolling_actives", "bootstrap_mean_ci_poisson",
+        "collated_source_rollup", "conformal_interval_coverage",
+        "cuped_ab_test", "curriculum_order_assign",
+        "decision_stump_train", "dp_noised_counts_audit",
+        "dsir_importance_scores", "dup_span_stats",
+        "equidepth_histogram_totalprice",
+        "feature_hashing_collision_audit", "feature_mi_ranking",
+        "huber_mean_value_by_type", "join_cardinality_estimate",
+        "kfold_cv_mean_predictor", "km_user_churn",
+        "kruskal_wallis_value_by_type", "lateral_topn_customers",
+        "listagg_sources_by_lang", "logreg_calibration_bins",
+        "logreg_gradient_step", "mann_whitney_purchase_vs_rest",
+        "ml_minhash_similarity_join", "mode_median_lineitem_stats",
+        "nb_source_confusion", "neyman_budget_allocation",
+        "observe_pipeline_metrics", "ols_price_qty_discount",
+        "parameterized_sql_orders", "parquet_encoding_planner",
+        "pinball_quantile_grid", "pipe_syntax_returns_summary",
+        "pipeline_retention_funnel", "pit_feature_join_purchases",
+        "postings_compression_audit", "pyds_stream_telemetry_agg",
+        "quantile_normalize_value_by_type",
+        "ridge_path_price_qty_discount", "semantic_cluster_dedup",
+        "simhash_near_dup_pairs", "simhash_signatures",
+        "sql_sugar_group_by_all", "sql_udf_net_revenue",
+        "t_closeness_audit", "target_encoding_loo",
+    }
+)
+
 #: Latest driver-green round per query (derived from the per-round sets).
 DRIVER_EVIDENCE_ROUND: dict[str, int] = {}
 for _rnd, _names in sorted(_DRIVER_VERIFIED_BY_ROUND.items()):
