@@ -29,8 +29,11 @@ def run_probe_child(
     bootstrap_conftest: bool = False,
 ) -> dict:
     """Run ``body`` in a fresh subprocess; returns {rows, sec} or {error}."""
+    # !r interpolation (ADVICE r15): a quote/backslash in a conf value
+    # must not become a child SyntaxError that only surfaces as a
+    # truncated stderr tail
     confs = "".join(
-        f"    .config('{k}', '{v}')\n" for k, v in (extra_confs or [])
+        f"    .config({k!r}, {v!r})\n" for k, v in (extra_confs or [])
     )
     boot = ""
     if bootstrap_conftest:

@@ -67,7 +67,11 @@ sys.path.insert(0, REPO)
 SRC = os.path.join(REPO, ".scale", "sf10", "embeddings.parquet")
 OUT_DIR = os.path.join(REPO, ".scale", "saltcap")
 
-#: (label, n_rows, {vectors-module constant overrides}, note)
+#: (label, n_rows, {vectors-module constant overrides}, note[, opts])
+#: opts (optional 5th element): n_files — fixture file count (default
+#: 32); default_aqe — True keeps AQE partition coalescing at its
+#: default ON (the production config) instead of the probe's
+#: determinism-guard OFF.
 VARIANTS = [
     ("s64_n131k_cap", 131_072, {},
      "cap point: derived S=64, groups 2048 (8.6e9 pairs)"),
@@ -81,19 +85,32 @@ VARIANTS = [
      "past-cap emulation: S clamped to 4, groups 5000 (over the cliff)"),
     ("pastcap_g10k", 20_000, {"IVF_SELF_JOIN_SALT_CAP": 2},
      "deep past-cap: S clamped to 2, groups 10000"),
+    # r16 (VERDICT item 1 acceptance): the EXACT 989.7 s condition —
+    # ONE fixture file, default AQE — rerun with the engine's
+    # ensure_scan_parallelism guard in place. Done = the wall lands
+    # near the 32-file 55.9 s, not the unguarded 989.7 s.
+    ("s64geom_n16k_singlefile_guarded", 16_384,
+     {"IVF_SALT_GROUP_TARGET": 256},
+     "guard acceptance: single-file fixture + default AQE; r15 measured "
+     "989.7 s unguarded vs 55.9 s at 32 files",
+     {"n_files": 1, "default_aqe": True}),
 ]
 
 
 N_FIXTURE_FILES = 32
 
 
-def ensure_bucket(n: int) -> str:
-    """One-bucket fixture dir: embeddings.parquet/ (32 files, so the
-    scan — and the explode it feeds — parallelizes) with label := 0.
-    Written to a temp dir and renamed into place so an interrupted
-    write can never be mistaken for a complete fixture (a partial
-    fixture would silently shrink the bucket and fake the cap walls)."""
-    d = os.path.join(OUT_DIR, f"n{n}")
+def ensure_bucket(n: int, n_files: int = N_FIXTURE_FILES) -> str:
+    """One-bucket fixture dir: embeddings.parquet/ (n_files files — 32
+    by default so the scan, and the explode it feeds, parallelizes;
+    1 for the guard-acceptance variant) with label := 0. Written to a
+    temp dir and renamed into place so an interrupted write can never
+    be mistaken for a complete fixture, and row-count-ASSERTED before
+    the rename (ADVICE r15): the WHERE vec_id < n slice silently
+    shrinks if the source vec_ids are not dense 0..N-1, which would
+    skew every ns_per_pair denominator."""
+    suffix = f"n{n}" if n_files == N_FIXTURE_FILES else f"n{n}_f{n_files}"
+    d = os.path.join(OUT_DIR, suffix)
     pq_dir = os.path.join(d, "embeddings.parquet")
     if not os.path.exists(pq_dir):
         import shutil
@@ -103,18 +120,27 @@ def ensure_bucket(n: int) -> str:
         os.makedirs(tmp_dir)
         import duckdb
 
-        for i in range(N_FIXTURE_FILES):
+        for i in range(n_files):
             duckdb.sql(
                 f"COPY (SELECT vec_id, embedding, 0::INTEGER AS label "
                 f"FROM read_parquet('{SRC}/*.parquet') "
-                f"WHERE vec_id < {n} AND vec_id % {N_FIXTURE_FILES} = {i}) "
+                f"WHERE vec_id < {n} AND vec_id % {n_files} = {i}) "
                 f"TO '{tmp_dir}/part-{i:03d}.parquet' (FORMAT PARQUET)"
+            )
+        written = duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{tmp_dir}/*.parquet')"
+        ).fetchone()[0]
+        if written != n:
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            raise AssertionError(
+                f"fixture n{n}: wrote {written} rows, expected {n} — source "
+                f"vec_ids not dense 0..N-1? ({SRC})"
             )
         os.rename(tmp_dir, pq_dir)
     return d
 
 
-def run_child(sf_dir: str, overrides: dict) -> dict:
+def run_child(sf_dir: str, overrides: dict, default_aqe: bool = False) -> dict:
     """One variant in a fresh subprocess (shared scaffold:
     scripts/probe_child.py, r15 review)."""
     from scripts.probe_child import run_probe_child
@@ -129,13 +155,16 @@ def run_child(sf_dir: str, overrides: dict) -> dict:
         "t0 = time.time()\n"
         f"n = REGISTRY['embedding_near_dup_via_ivf'].spark(spark, {sf_dir!r}).count()\n"
     )
-    return run_probe_child(
-        REPO, body,
-        # see module docstring: keep join parallelism fixed at 32 so
-        # variant walls compare GROUP behavior, not AQE's coalescing
-        # of a compressed-small single-bucket shuffle
-        extra_confs=[("spark.sql.adaptive.coalescePartitions.enabled", "false")],
+    # see module docstring: measurement variants keep join parallelism
+    # fixed at 32 so walls compare GROUP behavior, not AQE's coalescing
+    # of a compressed-small single-bucket shuffle; the guard-acceptance
+    # variant keeps the production default (coalescing ON — the exact
+    # 989.7 s condition).
+    confs = (
+        [] if default_aqe
+        else [("spark.sql.adaptive.coalescePartitions.enabled", "false")]
     )
+    return run_probe_child(REPO, body, extra_confs=confs)
 
 
 def main() -> int:
@@ -152,13 +181,14 @@ def main() -> int:
         with open(out) as f:
             results = json.load(f)
     ran: list[str] = []  # exit status judges THIS run, not merged history
-    for label, n, overrides, note in VARIANTS:
+    for label, n, overrides, note, *rest in VARIANTS:
+        opts = rest[0] if rest else {}
         if args.only and args.only not in label:
             continue
         ran.append(label)
-        sf_dir = ensure_bucket(n)
+        sf_dir = ensure_bucket(n, n_files=opts.get("n_files", N_FIXTURE_FILES))
         t0 = time.time()
-        res = run_child(sf_dir, overrides)
+        res = run_child(sf_dir, overrides, default_aqe=opts.get("default_aqe", False))
         if "error" in res:
             results[label] = {"n": n, "overrides": overrides, **res}
             print(f"ERROR {label}: {res['error'][:300]}", flush=True)
