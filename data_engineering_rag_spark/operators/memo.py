@@ -16,6 +16,26 @@ current scope's artifacts. ``exclusive_scope=True`` additionally drops
 same-scope entries under different full keys (different fit params),
 for memos whose values each pin their own persisted table — otherwise
 a param sweep would accumulate one persisted copy per combination.
+
+Lifecycle contract for long-lived hosts (r16, VERDICT item 6 +
+ADVICE): eviction happens ON INSERT, so the LAST scope's entries — a
+strong SparkSession reference in the key, persisted DataFrames/fitted
+models in the value — live until the next ``scoped_put`` in a
+different scope or an explicit clear. A host that (a) stops or
+restarts its SparkSession, or (b) finishes a bench/soak leg and will
+not memo-fit again, must call BOTH clears first::
+
+    from data_engineering_rag_spark.plans.rag import clear_tfidf_memo
+    from data_engineering_rag_spark.operators.lsh_ml import clear_ml_lsh_memo
+    clear_tfidf_memo(); clear_ml_lsh_memo()
+
+Stopping a session WITHOUT clearing leaks the session object and its
+persisted handles for the process lifetime (mitigated by the
+default-OFF flag: memo-free runs hold nothing).
+``scripts/soak_registry.py`` calls both on exit — the reference
+teardown. Switching sf_dirs mid-process needs no manual clear (the
+scope eviction covers it) but keeps the final sf_dir's tables pinned
+until cleared.
 """
 
 from __future__ import annotations

@@ -69,6 +69,16 @@ for i, name in enumerate(names):
         results[name] = {"error": str(e)[:500], "sec": round(wall, 1)}
         print(f"[{i:03d}/{len(names)}] FAIL {name} ({wall:.1f}s): {type(e).__name__}: {str(e)[:300]}", flush=True)
 
+# Memo teardown (r16, VERDICT r15 item 6): the soak runs with
+# SPARK_GRAFT_TFIDF_REUSE=1, so both fitted-artifact memos hold
+# persisted tables keyed on THIS session — release them before the
+# session goes away (see operators/memo.py lifecycle contract).
+from data_engineering_rag_spark.operators.lsh_ml import clear_ml_lsh_memo
+from data_engineering_rag_spark.plans.rag import clear_tfidf_memo
+
+clear_tfidf_memo()
+clear_ml_lsh_memo()
+
 print(f"\nsoak {len(names)} queries, {len(fails)} failures, total {time.time()-t_all:.0f}s")
 for n, msg in fails:
     print(f"  FAIL {n}: {msg[:200]}")
