@@ -768,6 +768,104 @@ def _simhash_near_dup_pairs(spark: SparkSession, sf_dir: str, hash_mode: str) ->
     )
 
 
+SIMHASH_TOPK = 5  # per-doc neighbor budget for the bounded twin
+
+
+def _simhash_topk_oracle() -> str:
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, cast({b} as bigint) AS band,"
+        f" (simhash >> {b * SIMHASH_BAND_BITS}) & {mask} AS bv FROM sig"
+        for b in range(N_SIMHASH_BANDS)
+    )
+    return f"""
+    WITH sig AS ({_simhash_oracle()}),
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bv = b.bv AND a.doc_id <> b.doc_id
+    ),
+    scored AS (
+      SELECT doc_a, doc_b,
+             cast(bit_count(xor(sa.simhash, sb.simhash)) as bigint) AS hamming
+      FROM cand JOIN sig sa ON doc_a = sa.doc_id
+                JOIN sig sb ON doc_b = sb.doc_id
+      WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {SIMHASH_HAM_MAX}
+    )
+    SELECT doc_a, doc_b, hamming, rn FROM (
+      SELECT doc_a, doc_b, hamming,
+             cast(row_number() OVER (PARTITION BY doc_a
+                                     ORDER BY hamming, doc_b) as bigint) AS rn
+      FROM scored
+    ) WHERE rn <= {SIMHASH_TOPK}
+    """
+
+
+@query("simhash_near_dup_topk", _simhash_topk_oracle())
+def simhash_near_dup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded PRODUCTION twin of ``simhash_near_dup_pairs`` (r16,
+    VERDICT r15 item 3 — the one sanctioned registry addition in five
+    rounds): each doc's top-{SIMHASH_TOPK} nearest neighbors by
+    full-signature hamming distance (ties → lowest doc_id), same
+    four-band candidate generation, same ≤{SIMHASH_HAM_MAX}-bit radius.
+
+    Why it exists: the full pair set is OUTPUT-quadratic on dense
+    near-dup geometry — the r15 sf10 soak's heaviest wall (218.7 s,
+    28.0M true pairs) was pure answer size on a 10-label synthetic
+    corpus where every in-label pair is a near-dup. A dedup/linkage
+    consumer doesn't need the quadratic pair list; it needs each doc's
+    closest neighbors, and that output is ≤ {SIMHASH_TOPK}·|docs| rows
+    BY CONSTRUCTION at any corpus density.
+
+    Scale: candidate generation is the same (band, band_value)
+    equi-join as the pair query (never |docs|²); the per-doc top-k
+    window partitions on doc_a — |docs| cardinality, no funnel. The
+    radius filter runs BEFORE the window, so the window input is the
+    true-pair set, not the raw candidate multiset."""
+    return _simhash_near_dup_topk(spark, sf_dir, hash_mode="md5")
+
+
+def _simhash_near_dup_topk(spark: SparkSession, sf_dir: str, hash_mode: str) -> DataFrame:
+    from ..operators.scale import durable_checkpoint
+
+    sig = durable_checkpoint(_simhash_signatures(spark, sf_dir, hash_mode=hash_mode))
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    band_rows = ", ".join(
+        f"cast({b} as bigint), shiftright(simhash, {b * SIMHASH_BAND_BITS}) & {mask}L"
+        for b in range(N_SIMHASH_BANDS)
+    )
+    bands = sig.select(
+        "doc_id", F.expr(f"stack({N_SIMHASH_BANDS}, {band_rows}) AS (band, bv)")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    ham = F.expr("bit_count(sh_a ^ sh_b)").cast("long")
+    scored = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(ham <= SIMHASH_HAM_MAX)
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+    )
+    w = Window.partitionBy("doc_a").orderBy("hamming", "doc_b")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= SIMHASH_TOPK)
+        .select("doc_a", "doc_b", "hamming", "rn")
+    )
+
+
 # --- End-to-end MinHash dedup: LSH candidates → exact-Jaccard verify →
 # connected components → canonical doc per cluster. The complete
 # near-dup dedup pipeline a 100 TB corpus prep actually runs.

@@ -190,3 +190,63 @@ def test_minhash_decontaminate_flags_planted_contamination(spark, tmp_path):
 
     got_xxh = {r.doc_id for r in minhash_decontaminate_xxh(spark, str(tmp_path)).collect()}
     assert got_xxh == set(got)
+
+
+def test_simhash_topk_bounded_and_consistent_with_pairs(spark, dup_corpus_dir):
+    """r16: the bounded twin must (a) emit <= SIMHASH_TOPK rows per
+    doc_a BY CONSTRUCTION, (b) rank by (hamming, doc_b) with rn dense
+    from 1, and (c) agree with the full pair query: every top-k edge
+    appears in the pair set (as an unordered pair) and each doc's rank-1
+    neighbor attains the doc's minimum pair-set hamming."""
+    from collections import defaultdict
+
+    from data_engineering_rag_spark.plans.textops import (
+        SIMHASH_TOPK,
+        _simhash_near_dup_pairs,
+        _simhash_near_dup_topk,
+    )
+
+    topk = _simhash_near_dup_topk(spark, dup_corpus_dir, hash_mode="md5").collect()
+    pairs = _simhash_near_dup_pairs(spark, dup_corpus_dir, hash_mode="md5").collect()
+    assert topk and pairs  # planted dup groups must produce rows
+
+    by_doc = defaultdict(list)
+    for r in topk:
+        by_doc[r.doc_a].append(r)
+    pair_ham = {}
+    for p in pairs:
+        pair_ham[(p.doc_a, p.doc_b)] = p.hamming
+        pair_ham[(p.doc_b, p.doc_a)] = p.hamming
+
+    for doc, rows in by_doc.items():
+        assert len(rows) <= SIMHASH_TOPK
+        rows.sort(key=lambda r: r.rn)
+        assert [r.rn for r in rows] == list(range(1, len(rows) + 1))
+        ranked = [(r.hamming, r.doc_b) for r in rows]
+        assert ranked == sorted(ranked)  # (hamming, doc_b) tie-break order
+        for r in rows:
+            assert pair_ham[(doc, r.doc_b)] == r.hamming
+        doc_best = min(h for (a, _), h in pair_ham.items() if a == doc)
+        assert rows[0].hamming == doc_best
+
+    # symmetric coverage: every doc that appears in ANY pair has a
+    # top-k list (the twin serves both endpoints, unlike doc_a < doc_b)
+    docs_in_pairs = {p.doc_a for p in pairs} | {p.doc_b for p in pairs}
+    assert docs_in_pairs == set(by_doc)
+
+
+def test_simhash_topk_mode_parity(spark, dup_corpus_dir):
+    from data_engineering_rag_spark.plans.textops import _simhash_near_dup_topk
+
+    md5 = {
+        (r.doc_a, r.doc_b, r.rn)
+        for r in _simhash_near_dup_topk(spark, dup_corpus_dir, hash_mode="md5").collect()
+    }
+    xxh = {
+        (r.doc_a, r.doc_b, r.rn)
+        for r in _simhash_near_dup_topk(spark, dup_corpus_dir, hash_mode="xxhash64").collect()
+    }
+    # hamming VALUES differ across base hashes; on planted exact-prefix
+    # dups the neighbor sets must agree (same property the pair-mode
+    # parity test pins)
+    assert {(a, b) for a, b, _ in md5} == {(a, b) for a, b, _ in xxh}
