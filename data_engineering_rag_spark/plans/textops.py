@@ -827,36 +827,27 @@ def simhash_near_dup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_near_dup_topk(spark: SparkSession, sf_dir: str, hash_mode: str) -> DataFrame:
+    """Hamming is symmetric, so the candidate/verify work runs ONCE on
+    the doc_a < doc_b orientation — the identical join+distinct+verify
+    chain as the pair query — and the per-doc window reads the verified
+    pairs plus their cheap column-swapped mirror (a projection, not a
+    second join). The first sf10 recording of the naive != -join
+    variant measured 339.7 s vs the pair query's 195.0 s — the doubled
+    candidate multiset, not the window, was the cost. The verified
+    pair set is checkpointed before the union so the two branches read
+    ONE materialization (answer-sized by construction) instead of each
+    re-running the banded join."""
     from ..operators.scale import durable_checkpoint
 
-    sig = durable_checkpoint(_simhash_signatures(spark, sf_dir, hash_mode=hash_mode))
-    mask = (1 << SIMHASH_BAND_BITS) - 1
-    band_rows = ", ".join(
-        f"cast({b} as bigint), shiftright(simhash, {b * SIMHASH_BAND_BITS}) & {mask}L"
-        for b in range(N_SIMHASH_BANDS)
+    scored_lt = durable_checkpoint(
+        _simhash_near_dup_pairs(spark, sf_dir, hash_mode=hash_mode)
     )
-    bands = sig.select(
-        "doc_id", F.expr(f"stack({N_SIMHASH_BANDS}, {band_rows}) AS (band, bv)")
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
+    scored = scored_lt.unionByName(
+        scored_lt.select(
+            F.col("doc_b").alias("doc_a"),
+            F.col("doc_a").alias("doc_b"),
+            "hamming",
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
-    ham = F.expr("bit_count(sh_a ^ sh_b)").cast("long")
-    scored = (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .where(ham <= SIMHASH_HAM_MAX)
-        .select("doc_a", "doc_b", ham.alias("hamming"))
     )
     w = Window.partitionBy("doc_a").orderBy("hamming", "doc_b")
     return (

@@ -110,6 +110,12 @@ PROBE_FAMILIES = [
     # totals). Gated so a trigger-config change silently re-enabling
     # per-file batches can't hide behind the profiler's one-off number.
     "stream_user_totals_state_v2_coarse",
+    # r16 (VERDICT r15 item 3): the bounded production twin of
+    # simhash_near_dup_pairs — same banded candidate join, per-doc
+    # top-5 output (<= 5|docs| rows at any density). Gated alongside
+    # the pair query so the twin's window stage can't quietly regress
+    # into the funnel shape it exists to avoid.
+    "simhash_near_dup_topk",
 ]
 
 #: Gated variants that are NOT registry queries (the registry is frozen
