@@ -772,26 +772,17 @@ SIMHASH_TOPK = 5  # per-doc neighbor budget for the bounded twin
 
 
 def _simhash_topk_oracle() -> str:
-    mask = (1 << SIMHASH_BAND_BITS) - 1
-    band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, cast({b} as bigint) AS band,"
-        f" (simhash >> {b * SIMHASH_BAND_BITS}) & {mask} AS bv FROM sig"
-        for b in range(N_SIMHASH_BANDS)
-    )
+    # Composed from the PAIR oracle + a mirrored union — the same
+    # structure as the shipped Spark plan, so a future change to the
+    # band scheme or the verify filter flows through BOTH dialects via
+    # _simhash_pairs_oracle (r16 review: the first version duplicated
+    # the band/candidate scaffolding with a doubled <>-join).
     return f"""
-    WITH sig AS ({_simhash_oracle()}),
-    bands AS ({band_rows}),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.bv = b.bv AND a.doc_id <> b.doc_id
-    ),
+    WITH pairs AS ({_simhash_pairs_oracle()}),
     scored AS (
-      SELECT doc_a, doc_b,
-             cast(bit_count(xor(sa.simhash, sb.simhash)) as bigint) AS hamming
-      FROM cand JOIN sig sa ON doc_a = sa.doc_id
-                JOIN sig sb ON doc_b = sb.doc_id
-      WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {SIMHASH_HAM_MAX}
+      SELECT doc_a, doc_b, hamming FROM pairs
+      UNION ALL
+      SELECT doc_b AS doc_a, doc_a AS doc_b, hamming FROM pairs
     )
     SELECT doc_a, doc_b, hamming, rn FROM (
       SELECT doc_a, doc_b, hamming,
@@ -822,7 +813,11 @@ def simhash_near_dup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join as the pair query (never |docs|²); the per-doc top-k
     window partitions on doc_a — |docs| cardinality, no funnel. The
     radius filter runs BEFORE the window, so the window input is the
-    true-pair set, not the raw candidate multiset."""
+    true-pair set, not the raw candidate multiset. The bound is on
+    OUTPUT rows only: the intermediate verified pair set (and its
+    checkpoint, see the kernel docstring) is still density-quadratic —
+    on a corpus whose true-pair set outgrows executor storage, re-size
+    the banding, don't rely on this query for bounded resources."""
     return _simhash_near_dup_topk(spark, sf_dir, hash_mode="md5")
 
 
@@ -835,8 +830,10 @@ def _simhash_near_dup_topk(spark: SparkSession, sf_dir: str, hash_mode: str) -> 
     variant measured 339.7 s vs the pair query's 195.0 s — the doubled
     candidate multiset, not the window, was the cost. The verified
     pair set is checkpointed before the union so the two branches read
-    ONE materialization (answer-sized by construction) instead of each
-    re-running the banded join."""
+    ONE materialization instead of each re-running the banded join.
+    That checkpoint is sized by the PAIR query's answer — i.e. still
+    density-quadratic on dense geometry (28M rows at the sf10 soak);
+    only the query's OUTPUT carries the ≤ TOPK·|docs| bound."""
     from ..operators.scale import durable_checkpoint
 
     scored_lt = durable_checkpoint(
