@@ -741,6 +741,15 @@ LAST_CHANGED: dict[str, int] = {
     # the schema and both dialects changed — conservative driver
     # re-check.
     "ivf_bucket_stats": 16,
+    # round-16 OPTIMIZATION: the distinct (doc_id, h) trigram table is
+    # now built once behind ensure_scan_parallelism and materialized
+    # with durable_checkpoint before the five downstream consumers —
+    # the before-plan re-ran the tokenize→explode→md5→distinct pipeline
+    # 8x (8 `Scan parquet` nodes, plans/r16/). Results identical by
+    # construction (same rows, integer arithmetic end-to-end;
+    # oracle-verified at sf0.001/0.01/0.1 this round), but a material
+    # body change — conservative driver re-check.
+    "jaccard_prefix_filter_pairs": 16,
 }
 
 

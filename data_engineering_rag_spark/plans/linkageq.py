@@ -754,14 +754,36 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     small at runtime. Everything shuffles 8-byte md5
     hashes, never shingle text. Integer tau arithmetic end-to-end (see
     PPJ_TAU_* comment); the single float division rounds once."""
-    d = load(spark, sf_dir, "documents")
+    # r16 OPTIMIZATION: single-file corpora yield a 1-partition scan,
+    # serializing the tokenize+md5 pipeline below to one core (the r15
+    # probe's hazard; sf0.1's documents.parquet is one file / one row
+    # group). Guard BEFORE the fan-out so the checkpointed trigram
+    # build runs at full width; multi-file inputs pass through
+    # unchanged (identity when partitions >= cores/2).
+    from ..operators.scale import ensure_scan_parallelism
+
+    d = ensure_scan_parallelism(
+        load(spark, sf_dir, "documents"), label="jaccard_prefix_filter_pairs documents scan"
+    )
     toks = d.select(
         "doc_id",
         F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0)).alias("a"),
     ).where(F.size("a") >= 3)
     tri = F.expr("concat(element_at(a, i), ' ', element_at(a, i + 1), ' ', element_at(a, i + 2))")
     h = F.conv(F.substring(F.md5(tri), 1, 15), 16, 10).cast("long")
-    tris = (
+    # r16 OPTIMIZATION: materialize the distinct (doc_id, h) trigram
+    # table ONCE. It is consumed by FIVE downstream subtrees (df_tbl,
+    # the ordered window join, both sides of the verification join,
+    # sizes); un-materialized, each re-ran the whole tokenize → explode
+    # → md5 → distinct pipeline — the before-plan shows 8 `Scan
+    # parquet` nodes over `documents` (plans/r16/..._before.txt), i.e.
+    # 8 full corpus passes where 1 suffices (guide §2.4). The
+    # checkpointed table is answer-shaped (16-byte rows, |doc|×|tris|),
+    # never the text. Same durable_checkpoint idiom as
+    # minhash_lsh_candidate_pairs.
+    from ..operators.scale import durable_checkpoint
+
+    tris = durable_checkpoint(
         toks.select(
             "doc_id", F.explode(F.sequence(F.lit(1), F.size("a") - 2)).alias("i"), "a"
         )
