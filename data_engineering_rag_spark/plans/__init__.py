@@ -598,8 +598,8 @@ LAST_CHANGED: dict[str, int] = {
     # sums (one shuffle), shared hash_mode kernel. Identical exact
     # integer sums by construction, but a material body change —
     # evidence from r3 predates it; near_dup_pairs consumes the kernel.
-    "simhash_signatures": 8,
-    "simhash_near_dup_pairs": 8,
+    # (simhash_signatures / simhash_near_dup_pairs r8 kernel-rewrite
+    # entries superseded by the r16 block below — one key per name.)
     # round-10 rewrite (VERDICT r9 item 3): exact-kNN universe bounded
     # to the deterministic vec_id < LOF_SAMPLE calibration sample.
     # Results identical at sf <= 0.01 (sample = full table there) but
@@ -750,6 +750,25 @@ LAST_CHANGED: dict[str, int] = {
     # oracle-verified at sf0.001/0.01/0.1 this round), but a material
     # body change — conservative driver re-check.
     "jaccard_prefix_filter_pairs": 16,
+    # round-16 OPTIMIZATION: the shared MinHash/SimHash kernels
+    # (textops._minhash_wide / _simhash_signatures) now pass the
+    # documents scan through ensure_scan_parallelism — a single-file
+    # corpus serialized the shingle/tokenize+md5 map stage to one core
+    # (measured 2.94 s -> ~1.0 s on the md5 minhash kernel at sf0.1).
+    # Round-robin repartition only, results identical by construction
+    # and oracle-verified at sf0.001/sf0.01 this round, but the shared
+    # kernel under every consumer changed — conservative driver
+    # re-check for all oracle-bearing consumers (the r11 media-family
+    # convention).
+    "minhash_signatures": 16,
+    "minhash_lsh_candidate_pairs": 16,
+    "minhash_decontaminate": 16,
+    "minhash_jaccard_calibration": 16,
+    "lsh_banding_design_curve": 16,
+    "lsh_candidate_recall_audit": 16,
+    "simhash_signatures": 16,
+    "simhash_near_dup_pairs": 16,
+    "simhash_near_dup_topk": 16,
 }
 
 

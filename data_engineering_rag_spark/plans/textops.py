@@ -222,7 +222,20 @@ def _minhash_wide(spark: SparkSession, sf_dir: str, hash_mode: str = "md5"):
       same candidate-pair semantics: any uniform base hash feeds the
       universal-hash permutation family equally well.
     """
-    d = load(spark, sf_dir, "documents").where(F.length("text") >= SHINGLE_K)
+    # r16 OPTIMIZATION: parallelism starts at the SCAN. A single-file
+    # corpus (one row group = one scan partition) serialized this whole
+    # shingle→md5→partial-min pipeline — the heaviest map stage in the
+    # bench — onto ONE core before the first exchange; measured 2.94 s
+    # single-file vs 0.92-1.05 s guarded at sf0.1 (the r15 "neutral"
+    # A/B had tested only the light fan-out, not the md5 kernel).
+    # Multi-file inputs pass through unchanged; doc_id sample filters
+    # still push through the round-robin repartition to the scan.
+    from ..operators.scale import ensure_scan_parallelism
+
+    d = ensure_scan_parallelism(
+        load(spark, sf_dir, "documents").where(F.length("text") >= SHINGLE_K),
+        label="minhash documents scan",
+    )
     # Explode integer POSITIONS and substring afterwards: whole-stage
     # codegen fuses generate+project, so no per-doc array of shingle
     # strings is ever materialized (~11% faster, flat memory per row).
@@ -472,7 +485,15 @@ def _simhash_signatures(spark: SparkSession, sf_dir: str, hash_mode: str = "md5"
     the same bit width)."""
     if hash_mode not in ("md5", "xxhash64"):
         raise ValueError(f"hash_mode must be 'md5' or 'xxhash64', got {hash_mode!r}")
-    d = load(spark, sf_dir, "documents")
+    # r16 OPTIMIZATION: same single-file scan-serialization guard as
+    # _minhash_wide — the tokenize/explode map stage otherwise runs on
+    # one core for a one-file corpus (sf0.1's layout). Identity on
+    # multi-file inputs.
+    from ..operators.scale import ensure_scan_parallelism
+
+    d = ensure_scan_parallelism(
+        load(spark, sf_dir, "documents"), label="simhash documents scan"
+    )
     tok = (
         d.select(
             "doc_id",
