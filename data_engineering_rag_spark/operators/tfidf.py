@@ -159,20 +159,39 @@ def build_tfidf(
     if not (0.0 < max_df <= 1.0):
         raise ValueError("max_df must be in (0, 1] (proportion of docs)")
     pattern = token_pattern_for(token_mode)
-    n_docs = df.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
+    # r16 OPTIMIZATION: the tokenize pass is the model build's heavy
+    # map stage, and a single-file corpus gives it ONE scan partition
+    # (one row group = one split), serializing the regex+array_sort
+    # run-length kernel to one core. Identity on multi-file inputs.
+    from .scale import ensure_scan_parallelism
+
+    df = ensure_scan_parallelism(df, label="tfidf corpus scan")
+    # The 1-row corpus count is consumed by dfreq's max_df filter AND
+    # by idf, and idf is consumed by the weight AND query-vector paths
+    # — un-materialized, each consumer re-ran the whole corpus count
+    # (4-6 extra corpus passes in the search plans). One row; the
+    # checkpoint is effectively free.
+    from .scale import durable_checkpoint
+
+    n_docs = durable_checkpoint(df.groupBy().agg(F.count(F.lit(1)).alias("n_docs")))
 
     per_field = []
     idf_tables = []
     for field in text_fields:
         # Narrow per-row run-length counting — the raw token stream
-        # never shuffles. The explicit repartition on the doc key makes
-        # the tokenize pass materialize ONCE (both consumers below read
-        # the same exchange via ReuseExchange) and pre-satisfies the L2
-        # norm window's partitioning, so the only other exchange left is
-        # dfreq's |terms|-row agg. Wire bytes: |distinct (doc, term)|
-        # rows instead of every token occurrence.
-        tf = _term_frequencies(df, key_cols, field, pattern).repartition(
-            *[F.col(c) for c in key_cols]
+        # never shuffles. The repartition on the doc key pre-satisfies
+        # the L2 norm window's partitioning; the r16 durable_checkpoint
+        # then materializes the tokenize pass ONCE — ReuseExchange was
+        # NOT deduplicating the consumers in practice (column-pruning
+        # differences between dfreq/w/qvec made the exchange subtrees
+        # non-identical: the tfidf_search_topk before-plan carries 10
+        # `Scan parquet` nodes, i.e. the chunk+tokenize pipeline ran
+        # up to 10x per query — plans/r16/). Wire bytes: |distinct
+        # (doc, term)| rows instead of every token occurrence.
+        tf = durable_checkpoint(
+            _term_frequencies(df, key_cols, field, pattern).repartition(
+                *[F.col(c) for c in key_cols]
+            )
         )
         dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
         dfreq = dfreq.crossJoin(F.broadcast(n_docs)).where(

@@ -549,7 +549,9 @@ LAST_CHANGED: dict[str, int] = {
     # r3. Most of this cohort was superseded by the r13 shared-model
     # refactor block below (ONE key per name, latest round); the two
     # non-shared variants keep their r5 entries:
-    "tfidf_search_filtered": 5, "bm25_search_topk": 5,
+    "bm25_search_topk": 5,
+    # (tfidf_search_filtered's r5 entry superseded by the r16
+    # build_tfidf block below — one key per name.)
     # round-5 scale-kernel rewrites — evidence from r4
     "quality_decile_tiers": 5, "temporal_split_audit": 5,
     "vocab_oov_stats": 5, "sequence_pack_greedy": 5,
@@ -576,7 +578,8 @@ LAST_CHANGED: dict[str, int] = {
     # every SF). Retuned to emit real rows — the old evidence certifies
     # nothing, so they lead the window again.
     "q11_important_parts": 7,          # fixed fraction -> 1.5x-average gate
-    "tfidf_search_pruned": 7,          # query terms all pruned -> PRUNED_QUERY
+    # (tfidf_search_pruned's r7 entry superseded by the r16 block
+    # below — one key per name.)
     "embedding_near_dup_pairs": 7,     # cos 0.62 > max(0.513) -> 0.40
     # embedding_near_dup_via_ivf: r7 threshold fix superseded by the
     # r11 norm-hoist entry below — ONE key, latest round, no duplicate
@@ -688,16 +691,8 @@ LAST_CHANGED: dict[str, int] = {
     # default OFF = byte-identical plans to before). Result-identical
     # by construction and unit-pinned, but the bodies changed —
     # conservative driver re-check.
-    "tfidf_doc_weights": 13,
-    "tfidf_search_topk": 13,
-    "tfidf_multiquery_topk": 13,
-    "hybrid_rrf_related_docs": 13,
-    "tfidf_search_rocchio": 13,
-    "retrieval_eval_metrics": 13,
-    "ndcg_retrieval_eval": 13,
-    "rag_context_assembly": 13,
-    "rerank_stub_topk": 13,
-    "mmr_diversified_topk": 13,
+    # (The whole r13 cohort superseded by the r16 build_tfidf block
+    # below — one key per name, latest round.)
     # round-13 scale rewrite (caught by the NEW scaleprobe gate on its
     # first expanded run): the IVF near-dup self-join on the bare
     # 10-value label capped the join at 10 tasks and blew the SMJ
@@ -769,6 +764,29 @@ LAST_CHANGED: dict[str, int] = {
     "simhash_signatures": 16,
     "simhash_near_dup_pairs": 16,
     "simhash_near_dup_topk": 16,
+    # round-16 OPTIMIZATION: operators/tfidf.py::build_tfidf now (a)
+    # guards its corpus scan with ensure_scan_parallelism (single-file
+    # inputs serialized the tokenize/run-length map stage to one core)
+    # and (b) materializes the per-field tf table once with
+    # durable_checkpoint — the tfidf_search_topk before-plan carried 10
+    # `Scan parquet` nodes because ReuseExchange was not deduplicating
+    # the dfreq/w/qvec consumers (plans/r16/). Results identical by
+    # construction (same rows into the same arithmetic; all 12
+    # consumers oracle-verified at sf0.001 and the flagship four at
+    # sf0.01 this round), but the shared builder changed under every
+    # consumer — conservative driver re-check (r13 convention).
+    "tfidf_doc_weights": 16,
+    "tfidf_search_topk": 16,
+    "tfidf_multiquery_topk": 16,
+    "tfidf_search_filtered": 16,
+    "hybrid_rrf_related_docs": 16,
+    "tfidf_search_rocchio": 16,
+    "retrieval_eval_metrics": 16,
+    "ndcg_retrieval_eval": 16,
+    "rag_context_assembly": 16,
+    "rerank_stub_topk": 16,
+    "mmr_diversified_topk": 16,
+    "tfidf_search_pruned": 16,
 }
 
 
