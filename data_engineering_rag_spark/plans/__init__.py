@@ -723,13 +723,17 @@ LAST_CHANGED: dict[str, int] = {
     # (round-robin repartition only), but the body changed —
     # conservative driver re-check.
     "embedding_near_dup_via_ivf": 16,
-    # round-15 (VERDICT item 5): ml_minhash_candidates now takes a
-    # memo_key and the query passes ("documents", sf_dir) so the
-    # fitted CV+LSH pair is reusable under SPARK_GRAFT_TFIDF_REUSE=1.
-    # Flag-off results identical by construction and unit-pinned
-    # (tests/test_lsh_ml.py), but the body changed — conservative
-    # driver re-check.
-    "ml_minhash_similarity_join": 15,
+    # (r15 memo-key entry superseded by the r16 entry below.)
+    # round-16 OPTIMIZATION: operators/lsh_ml.py now guards the corpus
+    # scan with ensure_scan_parallelism and durable_checkpoints the
+    # vector table (it fed the CV fit, the LSH fit and BOTH
+    # approxSimilarityJoin sides; each re-ran tokenize+transform from a
+    # 1-partition scan). Output re-verified against the brute-force
+    # oracle at sf0.001/0.01/0.1 this round (exact-distance
+    # verification bounds any candidate-set perturbation at the
+    # recorded ≤2.4e-10/pair miss probability) — shared-operator
+    # change, conservative driver re-check.
+    "ml_minhash_similarity_join": 16,
     # round-16 (VERDICT item 5): past_salt_cap diagnostics column added
     # (true when a bucket exceeds CAP×TARGET = 131,072 rows — the
     # measured past-cap regime). Existing columns byte-identical, but
