@@ -262,6 +262,14 @@ def synthetic_media(spark, docs: DataFrame, real_payloads: bool = True) -> DataF
         F.col("text"),
         F.col("n_chars").cast("long").alias("n_chars"),
     )
+    # r16 OPTIMIZATION: the encode stage below is pure Python work per
+    # row; a single-file corpus scan (one partition) runs it in ONE
+    # Python worker while the other cores idle — the mapInPandas
+    # sibling of the r15 scan-serialization hazard. Guard on the narrow
+    # projection; multi-file inputs pass through unchanged.
+    from .scale import ensure_scan_parallelism
+
+    base = ensure_scan_parallelism(base, label="synthetic_media documents scan")
     if not real_payloads:
         return base.select(
             "media_id",

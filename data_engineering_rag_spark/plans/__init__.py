@@ -614,11 +614,20 @@ LAST_CHANGED: dict[str, int] = {
     # overlapping-recrawl union (non-vacuous at every SF). frame_index
     # is result-identical (video branch unchanged) but the shared
     # generator changed under it — conservative re-check.
-    "media_feature_stats": 11,
-    "media_resize_audit": 11,
-    "media_audio_windows": 11,
-    "media_dedup_payloads": 11,
-    "media_frame_index": 11,
+    # (r11 media cohort superseded by the r16 block below — one key
+    # per name.)
+    # round-16 OPTIMIZATION: synthetic_media now guards its input with
+    # ensure_scan_parallelism — a single-file corpus ran the whole
+    # Python encode mapInPandas stage in ONE worker (media_feature_stats
+    # 2.00 s -> 1.14 s at sf0.1). Round-robin repartition only; all five
+    # oracle queries re-verified at sf0.001 (+ feature_stats and
+    # dedup_payloads at sf0.01) this round — shared-generator change,
+    # conservative driver re-check (the r11 convention).
+    "media_feature_stats": 16,
+    "media_resize_audit": 16,
+    "media_audio_windows": 16,
+    "media_dedup_payloads": 16,
+    "media_frame_index": 16,
     # round-11 scale fix (LOF pattern): the exact kNN-graph kernel and
     # its seven consumers re-earned r11 evidence after the
     # vec_id < KNN_UNIVERSE bound; those entries are superseded by the
