@@ -800,6 +800,12 @@ LAST_CHANGED: dict[str, int] = {
     "rerank_stub_topk": 16,
     "mmr_diversified_topk": 16,
     "tfidf_search_pruned": 16,
+    # round-16 OPTIMIZATION: winnow_fingerprints now guards its scan
+    # (ensure_scan_parallelism) and the pair query materializes the
+    # fingerprint set once (durable_checkpoint) — the before-plan ran
+    # the tokenize→gram-md5→window→distinct pipeline 8x. Integer rows,
+    # results identical; oracle-verified at sf0.001/sf0.01 this round.
+    "winnowing_fingerprint_pairs": 16,
 }
 
 

@@ -177,6 +177,12 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
     any token run of length >= WIN_W + WIN_K - 1 shared by two docs
     yields at least one shared fingerprint (pinned in
     tests/test_round9_batch2.py)."""
+    # r16 OPTIMIZATION: single-file scan-serialization guard — the
+    # tokenize+gram-hash map stage below otherwise runs on one core for
+    # a one-file corpus. Identity on multi-file inputs.
+    from ..operators.scale import ensure_scan_parallelism
+
+    docs = ensure_scan_parallelism(docs, label="winnowing documents scan")
     toks = docs.select(
         "doc_id",
         F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0)).alias("a"),
@@ -271,7 +277,14 @@ def winnowing_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integers flow end-to-end until the final containment
     division."""
     docs = load(spark, sf_dir, "documents")
-    fp = winnow_fingerprints(docs)
+    # r16 OPTIMIZATION: materialize the fingerprint set once — it feeds
+    # dfreq, the kept join, sizes and BOTH sides of the pair join; the
+    # before-plan re-ran the tokenize→gram-md5→window→distinct pipeline
+    # 8x (8 `Scan parquet` nodes, plans/r16/). The checkpointed table is
+    # (doc_id, 60-bit hash) rows only.
+    from ..operators.scale import durable_checkpoint
+
+    fp = durable_checkpoint(winnow_fingerprints(docs))
     dfreq = fp.groupBy("mh").agg(F.count(F.lit(1)).alias("df"))
     kept = fp.join(dfreq.where(F.col("df") <= WIN_DF_CAP), "mh").select("doc_id", "mh")
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_fp"))
