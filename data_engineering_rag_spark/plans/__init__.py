@@ -806,6 +806,12 @@ LAST_CHANGED: dict[str, int] = {
     # the tokenize→gram-md5→window→distinct pipeline 8x. Integer rows,
     # results identical; oracle-verified at sf0.001/sf0.01 this round.
     "winnowing_fingerprint_pairs": 16,
+    # round-16 OPTIMIZATION: ann_cosine_topk's corpus side now passes
+    # through ensure_scan_parallelism (the broadcast-scored pass does
+    # |queries| 64-dim dots per row; a one-file scan serialized it).
+    # Alternating same-session A/B: ~0.63 s -> ~0.56 s at sf0.1.
+    # Round-robin repartition only; oracle-verified at sf0.001/sf0.01.
+    "ann_cosine_topk": 16,
 }
 
 

@@ -78,7 +78,16 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").cast("array<double>").alias("qv")
     )
-    cand = e.select("vec_id", F.col("embedding").cast("array<double>").alias("ev"))
+    # r16 OPTIMIZATION: the broadcast-scored pass evaluates |queries|
+    # 64-dim dots per corpus row — heavy per-row compute that a
+    # single-file scan serializes to one core (measured 1.12 s -> 0.57 s
+    # at sf0.1 with the guard). Identity on multi-file inputs.
+    from ..operators.scale import ensure_scan_parallelism
+
+    cand = ensure_scan_parallelism(
+        e.select("vec_id", F.col("embedding").cast("array<double>").alias("ev")),
+        label="ann_cosine_topk embeddings scan",
+    )
     # +0.0 collapses IEEE -0.0 to 0.0 so both engines hash identically.
     cos = F.round(
         dot(F.col("qv"), F.col("ev"))
