@@ -812,6 +812,17 @@ LAST_CHANGED: dict[str, int] = {
     # Alternating same-session A/B: ~0.63 s -> ~0.56 s at sf0.1.
     # Round-robin repartition only; oracle-verified at sf0.001/sf0.01.
     "ann_cosine_topk": 16,
+    # round-16 OPTIMIZATION: _crossdoc_grams (the shared 8-token-gram
+    # kernel) now guards its documents scan with ensure_scan_parallelism
+    # (alternating A/B: crossdoc_ngram_dup_fraction ~2.2 s -> ~1.5 s,
+    # boilerplate_ngrams_top20 ~1.4 s -> ~0.95 s at sf0.1). Round-robin
+    # repartition only; all five consumers oracle-verified at sf0.001
+    # (+2 at sf0.01) this round — shared-kernel convention.
+    "kmv_overlap_matrix": 16,
+    "split_leakage_audit": 16,
+    "shingle_containment_pairs": 16,
+    "crossdoc_ngram_dup_fraction": 16,
+    "boilerplate_ngrams_top20": 16,
 }
 
 

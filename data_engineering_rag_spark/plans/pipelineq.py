@@ -1061,7 +1061,15 @@ def _crossdoc_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram) rows hit the wire, and every downstream consumer aggregates
     them map-side first."""
     n = CROSSDOC_NGRAM
-    d = load(spark, sf_dir, "documents")
+    # r16 OPTIMIZATION: single-file scan-serialization guard — the
+    # tokenize+gram fan-out below otherwise runs on one core for a
+    # one-file corpus (the minhash-kernel hazard; identity on
+    # multi-file inputs). Shared by all five cross-doc gram consumers.
+    from ..operators.scale import ensure_scan_parallelism
+
+    d = ensure_scan_parallelism(
+        load(spark, sf_dir, "documents"), label="crossdoc grams documents scan"
+    )
     toks = d.select(
         "doc_id",
         F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0)).alias("t"),
