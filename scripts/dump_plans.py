@@ -1,7 +1,7 @@
 #!/usr/bin/env python
-"""Dump .explain("formatted") for bench queries to plans/r16/<name>_<tag>.txt.
+"""Dump .explain("formatted") for bench queries to plans/<round>/<name>_<tag>.txt.
 
-Usage: python scripts/dump_plans.py <tag> [name ...]
+Usage: python scripts/dump_plans.py [--out plans/rNN] <tag> [name ...]
 With no names, dumps every bench.py query. The session uses the same
 get_spark() config as bench.py so plan shapes match what the bench runs.
 """
@@ -13,12 +13,21 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r16")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
-    tag = sys.argv[1]
-    names = sys.argv[2:]
+    args = sys.argv[1:]
+    out_dir = None
+    if args and args[0] == "--out":
+        args.pop(0)
+        out_dir = os.path.join(_REPO, args.pop(0))
+    if not args:
+        print(__doc__.strip(), file=sys.stderr)
+        raise SystemExit(2)
+    tag = args.pop(0)
+    names = args
+    out = out_dir or os.path.join(_REPO, "plans", "r17")
     if not names:
         from bench import BENCH_QUERIES
 
@@ -29,7 +38,7 @@ def main() -> None:
 
     spark = get_spark(app_name="dump_plans")
     spark.sparkContext.setLogLevel("ERROR")
-    os.makedirs(OUT_DIR, exist_ok=True)
+    os.makedirs(out, exist_ok=True)
     for name in names:
         df = REGISTRY[name].spark(spark, SF_DIR)
         import contextlib
@@ -39,7 +48,7 @@ def main() -> None:
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
         plan = buf.getvalue()
-        path = os.path.join(OUT_DIR, f"{name}_{tag}.txt")
+        path = os.path.join(out, f"{name}_{tag}.txt")
         with open(path, "w") as fh:
             fh.write(plan)
         print(f"wrote {path} ({plan.count('Exchange')} Exchange mentions)")
