@@ -490,20 +490,23 @@ def _simhash_signatures(spark: SparkSession, sf_dir: str, hash_mode: str = "md5"
     # one core for a one-file corpus (sf0.1's layout). Identity on
     # multi-file inputs.
     from ..operators.scale import ensure_scan_parallelism
+    from ..operators.tfidf import _term_frequencies
 
     d = ensure_scan_parallelism(
         load(spark, sf_dir, "documents"), label="simhash documents scan"
     )
-    tok = (
-        d.select(
-            "doc_id",
-            F.explode(
-                F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0))
-            ).alias("term"),
-        )
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    # r17 OPTIMIZATION (guide §2.3/§2.4): per-(doc, term) counts via
+    # the narrow run-length kernel shared with the TF-IDF build
+    # (sorted token array → run starts → (term, run length)) instead
+    # of explode → groupBy(doc_id, term). The groupBy's exchange moved
+    # the ENTIRE distinct token-term stream (strings) over the wire —
+    # the widest shuffle in this plan (r17 before-dump, Exchange (5)
+    # hashpartitioning(doc_id, term)); the run-length form computes
+    # identical (doc_id, term, tf) rows inside the doc's own partition
+    # with zero shuffle (a doc's tokens live in its own text cell).
+    # Output equality is pinned by tests/test_tfidf.py for the kernel
+    # and by the unchanged simhash oracles here.
+    tok = _term_frequencies(d, ["doc_id"], "text", TOKEN_PATTERN)
     if hash_mode == "md5":
         h = F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("long")
     else:
