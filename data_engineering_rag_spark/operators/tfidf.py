@@ -165,15 +165,21 @@ def build_tfidf(
     # run-length kernel to one core. Identity on multi-file inputs.
     from .scale import ensure_scan_parallelism
 
+    # The corpus count is consumed by dfreq's max_df filter AND by idf,
+    # and idf is consumed by the weight AND query-vector paths —
+    # un-materialized, each consumer re-ran the whole corpus count (4-6
+    # extra corpus passes in the r16 before-plans). r16 materialized it
+    # as a 1-row checkpoint; r17 collects the scalar to the driver
+    # instead (guide §2.4): one count job either way, but the literal
+    # removes every crossJoin+BroadcastExchange the 1-row table needed
+    # (4 broadcast exchanges in the tfidf_search_topk plan). NOTE the
+    # build therefore EXECUTES Spark jobs at construction time (this
+    # count; plus the tf materialization below) — build_tfidf is a FIT,
+    # not a lazy plan; callers that only want a plan shape must not
+    # call it (ADVICE r16 documented contract).
+    n_docs_val = df.count()
     df = ensure_scan_parallelism(df, label="tfidf corpus scan")
-    # The 1-row corpus count is consumed by dfreq's max_df filter AND
-    # by idf, and idf is consumed by the weight AND query-vector paths
-    # — un-materialized, each consumer re-ran the whole corpus count
-    # (4-6 extra corpus passes in the search plans). One row; the
-    # checkpoint is effectively free.
     from .scale import durable_checkpoint
-
-    n_docs = durable_checkpoint(df.groupBy().agg(F.count(F.lit(1)).alias("n_docs")))
 
     per_field = []
     idf_tables = []
@@ -194,13 +200,16 @@ def build_tfidf(
             )
         )
         dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-        dfreq = dfreq.crossJoin(F.broadcast(n_docs)).where(
-            (F.col("df") >= min_df) & (F.col("df") <= max_df * F.col("n_docs"))
-        ).drop("n_docs")
-        idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        # n_docs enters as a LITERAL: same long arithmetic as the old
+        # 1-row-table crossJoin ((1 + N) and max_df·N over int64), so
+        # every idf double is bit-identical — just no broadcast joins.
+        dfreq = dfreq.where(
+            (F.col("df") >= min_df) & (F.col("df") <= max_df * F.lit(n_docs_val))
+        )
+        idf = dfreq.select(
             F.lit(field).alias("field"),
             "term",
-            (F.log((F.lit(1) + F.col("n_docs")) / (F.lit(1) + F.col("df"))) + F.lit(1)).alias(
+            (F.log((F.lit(1) + F.lit(n_docs_val)) / (F.lit(1) + F.col("df"))) + F.lit(1)).alias(
                 "idf"
             ),
         )

@@ -109,11 +109,52 @@ SUITES = {
         "r17_runlength_noguard": _simhash_r17_noguard,
     },
     "tfidf": {
-        "head_search": _registry_builder("tfidf_search_topk"),
-        "head_search_noguard": _noguard(_registry_builder("tfidf_search_topk")),
-        "head_multiquery": _registry_builder("tfidf_multiquery_topk"),
+        "search_ckpt": _registry_builder("tfidf_search_topk"),
+        "search_persist": None,  # filled below
+        "search_nomat": None,
+        "multi_ckpt": _registry_builder("tfidf_multiquery_topk"),
+        "multi_persist": None,
+        "multi_nomat": None,
     },
 }
+
+
+def _with_tf_materialization(builder, mode):
+    """Run a builder with operators.scale.durable_checkpoint swapped for
+    persist() or identity — isolates the tf-table materialization
+    strategy while keeping everything else at HEAD."""
+
+    def build(spark, sf_dir):
+        import data_engineering_rag_spark.operators.scale as scale
+        from pyspark import StorageLevel
+
+        orig = scale.durable_checkpoint
+        if mode == "persist":
+            scale.durable_checkpoint = lambda df, *a, **k: df.persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+        elif mode == "none":
+            scale.durable_checkpoint = lambda df, *a, **k: df
+        try:
+            return builder(spark, sf_dir)
+        finally:
+            scale.durable_checkpoint = orig
+
+    return build
+
+
+SUITES["tfidf"]["search_persist"] = _with_tf_materialization(
+    _registry_builder("tfidf_search_topk"), "persist"
+)
+SUITES["tfidf"]["search_nomat"] = _with_tf_materialization(
+    _registry_builder("tfidf_search_topk"), "none"
+)
+SUITES["tfidf"]["multi_persist"] = _with_tf_materialization(
+    _registry_builder("tfidf_multiquery_topk"), "persist"
+)
+SUITES["tfidf"]["multi_nomat"] = _with_tf_materialization(
+    _registry_builder("tfidf_multiquery_topk"), "none"
+)
 
 
 def main() -> None:
