@@ -769,8 +769,22 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0)).alias("a"),
     ).where(F.size("a") >= 3)
-    tri = F.expr("concat(element_at(a, i), ' ', element_at(a, i + 1), ' ', element_at(a, i + 2))")
-    h = F.conv(F.substring(F.md5(tri), 1, 15), 16, 10).cast("long")
+    # r17 OPTIMIZATION (guide §2.4): the distinct trigram-hash set is
+    # computed PER ROW with array_distinct instead of exploding every
+    # occurrence and running a global .distinct() — a doc's trigrams
+    # all come from its own token array, and doc_id is unique per row,
+    # so distinct-on-(doc_id, h) ≡ per-row array_distinct: identical
+    # rows into the checkpoint, but the full-trigram-stream exchange
+    # the Aggregate(distinct) needed (hashpartitioning(doc_id, h) over
+    # every occurrence) disappears; the checkpoint input is now
+    # scan → narrow map, no shuffle.
+    hs = F.array_distinct(
+        F.expr(
+            "transform(sequence(1, size(a) - 2), i -> cast(conv(substring("
+            "md5(concat(element_at(a, i), ' ', element_at(a, i + 1), ' ', "
+            "element_at(a, i + 2))), 1, 15), 16, 10) as bigint))"
+        )
+    )
     # r16 OPTIMIZATION: materialize the distinct (doc_id, h) trigram
     # table ONCE. It is consumed by FIVE downstream subtrees (df_tbl,
     # the ordered window join, both sides of the verification join,
@@ -783,13 +797,7 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # minhash_lsh_candidate_pairs.
     from ..operators.scale import durable_checkpoint
 
-    tris = durable_checkpoint(
-        toks.select(
-            "doc_id", F.explode(F.sequence(F.lit(1), F.size("a") - 2)).alias("i"), "a"
-        )
-        .select("doc_id", h.alias("h"))
-        .distinct()
-    )
+    tris = durable_checkpoint(toks.select("doc_id", F.explode(hs).alias("h")))
     df_tbl = tris.groupBy("h").agg(F.count(F.lit(1)).cast("long").alias("df"))
     wdoc = Window.partitionBy("doc_id")
     ordered = (
@@ -803,6 +811,16 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.expr(f"({PPJ_TAU_NUM} * sz + {PPJ_TAU_DEN} - 1) div {PPJ_TAU_DEN}")
         + 1
     ).select("doc_id", "h")
+    # r17: a pair-from-sorted-list candidate generator (groupBy(h) +
+    # collect_list + HOF pair explode, one prefix evaluation) was
+    # MEASURED AND REVERTED (guide §1.2): 2x2 interleaved A/B at sf0.1
+    # (plans/r17/ab_jaccard.json) put it ~0.5 s SLOWER than this
+    # self-join — at bench scale both join sides broadcast for free
+    # while collect_list adds a real exchange. The prefix subtree does
+    # execute twice here (one side under a BroadcastExchange, so
+    # ReuseExchange can't dedupe); checkpointing prefix was already
+    # measured worse in r16 (8.9 s vs 7.1). Known cost, kept
+    # deliberately.
     cand = (
         prefix.select(F.col("doc_id").alias("doc_a"), "h")
         .join(prefix.select(F.col("doc_id").alias("doc_b"), "h"), "h")

@@ -119,6 +119,123 @@ SUITES = {
 }
 
 
+def _jaccard_variant(tris_mode, cand_mode):
+    """2x2 jaccard shapes: tris build (r16 explode+distinct vs r17
+    array_distinct) x candidate generation (r16 self-join vs r17
+    pair-from-sorted-list)."""
+
+    def build(spark, sf_dir):
+        from pyspark.sql.window import Window
+
+        from data_engineering_rag_spark.plans import load
+        from data_engineering_rag_spark.plans.linkageq import PPJ_TAU_DEN, PPJ_TAU_NUM
+        from data_engineering_rag_spark.operators.tfidf import TOKEN_PATTERN
+        from data_engineering_rag_spark.operators.scale import (
+            durable_checkpoint,
+            ensure_scan_parallelism,
+        )
+
+        d = ensure_scan_parallelism(load(spark, sf_dir, "documents"), label="ab")
+        toks = d.select(
+            "doc_id",
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0)).alias(
+                "a"
+            ),
+        ).where(F.size("a") >= 3)
+        if tris_mode == "r16":
+            tri = F.expr(
+                "concat(element_at(a, i), ' ', element_at(a, i + 1), ' ', element_at(a, i + 2))"
+            )
+            h = F.conv(F.substring(F.md5(tri), 1, 15), 16, 10).cast("long")
+            tris = durable_checkpoint(
+                toks.select(
+                    "doc_id", F.explode(F.sequence(F.lit(1), F.size("a") - 2)).alias("i"), "a"
+                )
+                .select("doc_id", h.alias("h"))
+                .distinct()
+            )
+        else:
+            hs = F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(a) - 2), i -> cast(conv(substring("
+                    "md5(concat(element_at(a, i), ' ', element_at(a, i + 1), ' ', "
+                    "element_at(a, i + 2))), 1, 15), 16, 10) as bigint))"
+                )
+            )
+            tris = durable_checkpoint(toks.select("doc_id", F.explode(hs).alias("h")))
+        df_tbl = tris.groupBy("h").agg(F.count(F.lit(1)).cast("long").alias("df"))
+        wdoc = Window.partitionBy("doc_id")
+        ordered = (
+            tris.join(df_tbl, "h")
+            .withColumn("pos", F.row_number().over(wdoc.orderBy(F.col("df"), F.col("h"))))
+            .withColumn("sz", F.count(F.lit(1)).over(wdoc))
+        )
+        prefix = ordered.where(
+            F.col("pos")
+            <= F.col("sz")
+            - F.expr(f"({PPJ_TAU_NUM} * sz + {PPJ_TAU_DEN} - 1) div {PPJ_TAU_DEN}")
+            + 1
+        ).select("doc_id", "h")
+        if cand_mode == "r16":
+            cand = (
+                prefix.select(F.col("doc_id").alias("doc_a"), "h")
+                .join(prefix.select(F.col("doc_id").alias("doc_b"), "h"), "h")
+                .where(F.col("doc_a") < F.col("doc_b"))
+                .select("doc_a", "doc_b")
+                .distinct()
+            )
+        else:
+            cand = (
+                prefix.groupBy("h")
+                .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+                .where(F.size("ds") >= 2)
+                .select(
+                    F.explode(
+                        F.expr(
+                            "flatten(transform(ds, (x, i) -> transform("
+                            "slice(ds, i + 2, size(ds) - i - 1), "
+                            "y -> struct(x AS doc_a, y AS doc_b))))"
+                        )
+                    ).alias("p")
+                )
+                .select("p.doc_a", "p.doc_b")
+                .distinct()
+            )
+        sizes = tris.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+        inter = (
+            tris.select(F.col("doc_id").alias("doc_a"), "h")
+            .join(cand, "doc_a")
+            .join(tris.select(F.col("doc_id").alias("doc_b"), "h"), ["h", "doc_b"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+        )
+        return (
+            inter.join(
+                sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza")), "doc_a"
+            )
+            .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb")), "doc_b")
+            .withColumn("n_union", F.col("sza") + F.col("szb") - F.col("n_inter"))
+            .where(PPJ_TAU_DEN * F.col("n_inter") >= PPJ_TAU_NUM * F.col("n_union"))
+            .select(
+                "doc_a",
+                "doc_b",
+                "n_inter",
+                "n_union",
+                F.round(F.col("n_inter") / F.col("n_union").cast("double"), 6).alias("jaccard"),
+            )
+        )
+
+    return build
+
+
+SUITES["jaccard"] = {
+    "tris16_cand16": _jaccard_variant("r16", "r16"),
+    "tris17_cand16": _jaccard_variant("r17", "r16"),
+    "tris16_cand17": _jaccard_variant("r16", "r17"),
+    "tris17_cand17": _jaccard_variant("r17", "r17"),
+}
+
+
 def _with_tf_materialization(builder, mode):
     """Run a builder with operators.scale.durable_checkpoint swapped for
     persist() or identity — isolates the tf-table materialization
