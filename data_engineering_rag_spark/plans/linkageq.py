@@ -79,7 +79,22 @@ def item_cosine_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     DIMSUM observation that cosine needs only co-counts and two norms.
     Cosine = co/√(na·nb) is one identical double expression; ranking
     ties break on part key so both engines pick identical rows."""
-    basket = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    # r17 OPTIMIZATION (guide §2.4/§3.1): pre-partition on the basket
+    # key BEFORE the distinct. HashPartitioning(l_orderkey) satisfies
+    # the distinct's clustering requirement (subset rule: duplicates of
+    # a pair share the order key), so the dedup needs no second
+    # exchange, and BOTH sides of the co-count self-join on ok then
+    # reuse this one exchange (ReusedExchange) instead of re-shuffling
+    # — at bench scale the small side broadcasts either way (measured
+    # neutral, plans/r17/ab_item_cosine.json), but at 100 TB the basket
+    # table exceeds any broadcast threshold and this is the difference
+    # between one exchange and three.
+    basket = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .repartition(F.col("l_orderkey"))
+        .distinct()
+    )
     deg = basket.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("na"))
     a = basket.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
     b = basket.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
@@ -90,9 +105,21 @@ def item_cosine_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("co"))
         .where(F.col("co") >= ITEM_COS_MIN_CO)
     )
-    sym = co.unionByName(
-        co.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"), "co")
-    )
+    # r17 OPTIMIZATION (guide §2.4): mirror each pair with a narrow
+    # 2-way explode instead of union(co, swap(co)) — the union
+    # re-executed the whole distinct → self-join → groupBy co-count
+    # pipeline (the r17 before-plan carries it twice under Union (36)).
+    # Identical rows (each a<b pair emitted in both directions), one
+    # evaluation. Interleaved A/B at sf0.1: 1.73 s -> 1.49 s
+    # (plans/r17/ab_item_cosine.json).
+    sym = co.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("pa"), F.col("pb"), F.col("co")),
+                F.struct(F.col("pb").alias("pa"), F.col("pa").alias("pb"), F.col("co")),
+            )
+        ).alias("s")
+    ).select("s.pa", "s.pb", "s.co")
     da = deg.select(F.col("l_partkey").alias("pa"), F.col("na").alias("na"))
     db = deg.select(F.col("l_partkey").alias("pb"), F.col("na").alias("nb"))
     scored = (

@@ -236,6 +236,78 @@ SUITES["jaccard"] = {
 }
 
 
+def _item_cosine_variant(sym_mode, repart_ok):
+    def build(spark, sf_dir):
+        from pyspark.sql.window import Window
+
+        from data_engineering_rag_spark.plans import load
+        from data_engineering_rag_spark.plans.linkageq import ITEM_COS_MIN_CO, ITEM_COS_TOPK
+
+        basket = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        if repart_ok:
+            basket = basket.repartition(F.col("l_orderkey"))
+        basket = basket.distinct()
+        deg = basket.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("na"))
+        a = basket.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+        b = basket.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+        co = (
+            a.join(b, "ok")
+            .where(F.col("pa") < F.col("pb"))
+            .groupBy("pa", "pb")
+            .agg(F.count(F.lit(1)).cast("long").alias("co"))
+            .where(F.col("co") >= ITEM_COS_MIN_CO)
+        )
+        if sym_mode == "union":
+            sym = co.unionByName(
+                co.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"), "co")
+            )
+        else:
+            sym = co.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("pa"), F.col("pb"), F.col("co")),
+                        F.struct(
+                            F.col("pb").alias("pa"), F.col("pa").alias("pb"), F.col("co")
+                        ),
+                    )
+                ).alias("s")
+            ).select("s.pa", "s.pb", "s.co")
+        da = deg.select(F.col("l_partkey").alias("pa"), F.col("na").alias("na"))
+        db = deg.select(F.col("l_partkey").alias("pb"), F.col("na").alias("nb"))
+        scored = (
+            sym.join(F.broadcast(da), "pa")
+            .join(F.broadcast(db), "pb")
+            .select(
+                "pa",
+                "pb",
+                "co",
+                (F.col("co") / F.sqrt(F.col("na").cast("double") * F.col("nb"))).alias("cos_sim"),
+            )
+        )
+        wk = Window.partitionBy("pa").orderBy(F.col("cos_sim").desc(), F.col("pb"))
+        return (
+            scored.withColumn("rk", F.row_number().over(wk))
+            .where(F.col("rk") <= ITEM_COS_TOPK)
+            .select(
+                F.col("pa").alias("part_a"),
+                F.col("pb").alias("part_b"),
+                F.col("co").alias("n_cobaskets"),
+                F.round("cos_sim", 6).alias("cosine"),
+                F.col("rk").cast("long").alias("rank"),
+            )
+        )
+
+    return build
+
+
+SUITES["item_cosine"] = {
+    "union_plain": _item_cosine_variant("union", False),
+    "explode_plain": _item_cosine_variant("explode", False),
+    "explode_repart": _item_cosine_variant("explode", True),
+    "union_repart": _item_cosine_variant("union", True),
+}
+
+
 def _with_tf_materialization(builder, mode):
     """Run a builder with operators.scale.durable_checkpoint swapped for
     persist() or identity — isolates the tf-table materialization
