@@ -330,6 +330,17 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("freq"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
     )
+    # r17 OPTIMIZATION (guide §2.4/§5): the RFM aggregate feeds SEVEN
+    # subtree evaluations — each ntile branch reads it twice (the
+    # repartitionByRange SAMPLING job plus the real exchange) and the
+    # final scored join reads it again — so un-materialized it re-ran
+    # the orders scan+groupBy up to 8x. A lazy persist() shares one
+    # materialization without the eager-checkpoint barrier r16 measured
+    # as a net LOSS (interleaved A/B, plans/r17/ab_orders_rfm.json:
+    # plain 1.48 s / persist 1.44 s / durable_checkpoint 2.89 s).
+    from pyspark import StorageLevel
+
+    rfm = rfm.persist(StorageLevel.MEMORY_AND_DISK)
     r = with_global_ntile(
         rfm.select("o_custkey", "last_order"), 5, ["last_order", "o_custkey"], "r_score"
     ).select("o_custkey", "r_score")

@@ -308,6 +308,61 @@ SUITES["item_cosine"] = {
 }
 
 
+def _orders_rfm_variant(mode):
+    def build(spark, sf_dir):
+        from data_engineering_rag_spark.plans import load
+        from data_engineering_rag_spark.operators.scale import (
+            durable_checkpoint,
+            with_global_ntile,
+        )
+        from pyspark import StorageLevel
+
+        o = load(spark, sf_dir, "orders")
+        rfm = o.groupBy("o_custkey").agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+        )
+        if mode == "persist":
+            rfm = rfm.persist(StorageLevel.MEMORY_AND_DISK)
+        elif mode == "checkpoint":
+            rfm = durable_checkpoint(rfm)
+        r = with_global_ntile(
+            rfm.select("o_custkey", "last_order"), 5, ["last_order", "o_custkey"], "r_score"
+        ).select("o_custkey", "r_score")
+        f = with_global_ntile(
+            rfm.select("o_custkey", "freq"), 5, ["freq", "o_custkey"], "f_score"
+        ).select("o_custkey", "f_score")
+        m = with_global_ntile(
+            rfm.select("o_custkey", "monetary"), 5, ["monetary", "o_custkey"], "m_score"
+        ).select("o_custkey", "m_score")
+        scored = (
+            rfm.select("o_custkey", "monetary")
+            .join(r, "o_custkey")
+            .join(f, "o_custkey")
+            .join(m, "o_custkey")
+        )
+        return scored.groupBy(
+            F.concat(
+                F.col("r_score").cast("string"),
+                F.col("f_score").cast("string"),
+                F.col("m_score").cast("string"),
+            ).alias("segment")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(F.sum("monetary").cast("double"), 2).alias("total_monetary"),
+        )
+
+    return build
+
+
+SUITES["orders_rfm"] = {
+    "plain": _orders_rfm_variant("plain"),
+    "persist": _orders_rfm_variant("persist"),
+    "checkpoint": _orders_rfm_variant("checkpoint"),
+}
+
+
 def _with_tf_materialization(builder, mode):
     """Run a builder with operators.scale.durable_checkpoint swapped for
     persist() or identity — isolates the tf-table materialization
