@@ -287,29 +287,30 @@ def grouped_top_k(
     k: int,
     rank_col: str = "rn",
 ) -> DataFrame:
-    """Exact per-group top-k without concentrating each group into one
-    task. A window partitioned only by a LOW-CARDINALITY group key
-    (e.g. ~5 languages) funnels the whole input into ≤|groups| tasks —
-    the grouped cousin of the global-window scale killer. Two phases:
-    local top-k per (group, input partition) — high parallelism, no
-    pre-shuffle needed, since a group's global top-k rows are top-k in
-    whichever partition they sit — then the exact per-group rank over
-    the pooled ≤ k·P survivors.
+    """Exact per-group top-k without concentrating each group's FULL
+    row set into one task — safe even for a LOW-CARDINALITY group key
+    (e.g. ~5 languages), where a naive window would funnel the whole
+    input into ≤|groups| tasks.
+
+    r17 SIMPLIFICATION (guide §1.2/§2.4): one plain ``row_number``
+    window + ``rank <= k`` filter. Spark 3.5+ plans this with a
+    per-partition ``WindowGroupLimit`` BEFORE the exchange
+    (SPARK-37099; see the Sort→WindowGroupLimit→Exchange→Sort→
+    WindowGroupLimit→Window chain in plans/r17/kmv_overlap_matrix_*),
+    so at most k·P rows reach the ≤|groups| final tasks — exactly the
+    bound the previous manual two-phase implementation achieved, but
+    that version cost TWO exchanges, four sorts and two window passes
+    (its phase-1 window on (group, spark_partition_id()) forced its
+    own shuffle). Identical rows and ranks; measured 2.28 s vs 2.54 s
+    on kmv_overlap_matrix at sf0.1 (plans/r17/ab_kmv_full.json).
 
     ``order_cols`` must totally order rows within a group (unique
-    tiebreak), else ranks are not well-defined in either phase."""
+    tiebreak), else ranks are not well-defined."""
     from pyspark.sql.window import Window
 
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    wl = Window.partitionBy(*group_cols, "_gtk_pid").orderBy(*cols)
-    pooled = (
-        df.withColumn("_gtk_pid", F.spark_partition_id())
-        .withColumn("_gtk_lrn", F.row_number().over(wl))
-        .where(F.col("_gtk_lrn") <= k)
-        .drop("_gtk_pid", "_gtk_lrn")
-    )
     w = Window.partitionBy(*group_cols).orderBy(*cols)
-    return pooled.withColumn(rank_col, F.row_number().over(w)).where(F.col(rank_col) <= k)
+    return df.withColumn(rank_col, F.row_number().over(w)).where(F.col(rank_col) <= k)
 
 
 def grouped_prefix_sum(

@@ -395,7 +395,18 @@ def kmv_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     est_of = lambda nk, hk: F.when(  # noqa: E731
         nk < KMV_K, nk.cast("double")
     ).otherwise((KMV_K - 1) * F.lit(KMV_SPACE) / hk)
-    sk = grouped_top_k(hashed.select("source", "h"), ["source"], ["h"], KMV_K).drop("rn")
+    # r17 OPTIMIZATION (guide §2.4): sk ({KMV_K}·|sources| rows) feeds
+    # kth AND usk_in — un-persisted, the salt+md5+top-k pipeline over
+    # the full gram table ran twice. Interleaved A/B at sf0.1: head
+    # 2.54 s → persist(sk)+engine-native top-k 2.15 s
+    # (plans/r17/ab_kmv_full.json; the pair-from-sorted-list exact
+    # intersection was also measured there and REVERTED — 2.44 s,
+    # slower than this self-join at bench scale).
+    sk = (
+        grouped_top_k(hashed.select("source", "h"), ["source"], ["h"], KMV_K)
+        .drop("rn")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     kth = sk.groupBy("source").agg(
         est_of(F.count(F.lit(1)), F.max("h")).alias("est")
     )

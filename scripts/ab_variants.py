@@ -363,6 +363,203 @@ SUITES["orders_rfm"] = {
 }
 
 
+def _kmv_inter_probe(mode):
+    """Isolate kmv_overlap_matrix's exact-intersection branch: st built
+    exactly as the query does, then ni per source pair via self-join
+    (head) or per-tok source-list pair emission."""
+
+    def build(spark, sf_dir):
+        from pyspark import StorageLevel
+
+        from data_engineering_rag_spark.plans import load
+        from data_engineering_rag_spark.plans.pipelineq import _crossdoc_grams
+
+        d = load(spark, sf_dir, "documents")
+        st = (
+            _crossdoc_grams(spark, sf_dir)
+            .join(d.select("doc_id", "source"), "doc_id")
+            .select("source", F.col("gram").alias("tok"))
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        if mode == "join":
+            inter = (
+                st.select(F.col("source").alias("source_a"), "tok")
+                .join(st.select(F.col("source").alias("source_b"), "tok"), "tok")
+                .where(F.col("source_a") < F.col("source_b"))
+                .groupBy("source_a", "source_b")
+                .agg(F.count(F.lit(1)).alias("ni"))
+            )
+        else:
+            inter = (
+                st.groupBy("tok")
+                .agg(F.array_sort(F.collect_list("source")).alias("ss"))
+                .where(F.size("ss") >= 2)
+                .select(
+                    F.explode(
+                        F.expr(
+                            "flatten(transform(ss, (x, i) -> transform("
+                            "slice(ss, i + 2, size(ss) - i - 1), "
+                            "y -> struct(x AS source_a, y AS source_b))))"
+                        )
+                    ).alias("p")
+                )
+                .groupBy("p.source_a", "p.source_b")
+                .agg(F.count(F.lit(1)).alias("ni"))
+            )
+        return inter
+
+    return build
+
+
+SUITES["kmv"] = {
+    "full_head": _registry_builder("kmv_overlap_matrix"),
+    "inter_join": _kmv_inter_probe("join"),
+    "inter_list": _kmv_inter_probe("list"),
+}
+
+
+def _kmv_full_variant(persist_sk, single_window, inter_mode="join"):
+    """Full kmv_overlap_matrix with knobs: persist the tiny sk sketch
+    (consumed by kth AND usk_in — un-persisted, the md5+top-k pipeline
+    over the full gram table runs twice), and/or use one plain
+    row_number window per top-k (Spark 4's WindowGroupLimit already
+    local-limits before the exchange; grouped_top_k's manual two-phase
+    doubles the sorts)."""
+
+    def topk(df, group_cols, order_cols, k):
+        from pyspark.sql.window import Window
+
+        if single_window:
+            w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+            return df.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+        from data_engineering_rag_spark.operators.scale import grouped_top_k
+
+        return grouped_top_k(df, group_cols, order_cols, k)
+
+    def build(spark, sf_dir):
+        from pyspark import StorageLevel
+
+        from data_engineering_rag_spark.plans import load
+        from data_engineering_rag_spark.plans.auditq import KMV_K, KMV_SALT, KMV_SPACE
+        from data_engineering_rag_spark.plans.pipelineq import _crossdoc_grams
+
+        d = load(spark, sf_dir, "documents")
+        st = (
+            _crossdoc_grams(spark, sf_dir)
+            .join(d.select("doc_id", "source"), "doc_id")
+            .select("source", F.col("gram").alias("tok"))
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        hashed = st.select(
+            "source",
+            "tok",
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(KMV_SALT), F.col("tok"))), 1, 15), 16, 10
+            )
+            .cast("long")
+            .alias("h"),
+        )
+        est_of = lambda nk, hk: F.when(nk < KMV_K, nk.cast("double")).otherwise(  # noqa: E731
+            (KMV_K - 1) * F.lit(KMV_SPACE) / hk
+        )
+        sk = topk(hashed.select("source", "h"), ["source"], ["h"], KMV_K).drop("rn")
+        if persist_sk:
+            sk = sk.persist(StorageLevel.MEMORY_AND_DISK)
+        kth = sk.groupBy("source").agg(est_of(F.count(F.lit(1)), F.max("h")).alias("est"))
+        srcs = st.select("source").distinct()
+        pairs = (
+            srcs.select(F.col("source").alias("source_a"))
+            .crossJoin(srcs.select(F.col("source").alias("source_b")))
+            .where(F.col("source_a") < F.col("source_b"))
+        )
+        usk_in = (
+            sk.select(F.col("source").alias("_s"), "h")
+            .join(
+                F.broadcast(pairs),
+                (F.col("_s") == F.col("source_a")) | (F.col("_s") == F.col("source_b")),
+            )
+            .select("source_a", "source_b", "h")
+            .distinct()
+        )
+        usk = topk(usk_in, ["source_a", "source_b"], ["h"], KMV_K).drop("rn")
+        ukth = usk.groupBy("source_a", "source_b").agg(
+            est_of(F.count(F.lit(1)), F.max("h")).alias("uest")
+        )
+        per_src = st.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+        if inter_mode == "join":
+            inter = (
+                st.select(F.col("source").alias("source_a"), "tok")
+                .join(st.select(F.col("source").alias("source_b"), "tok"), "tok")
+                .where(F.col("source_a") < F.col("source_b"))
+                .groupBy("source_a", "source_b")
+                .agg(F.count(F.lit(1)).alias("ni"))
+            )
+        else:
+            inter = (
+                st.groupBy("tok")
+                .agg(F.array_sort(F.collect_list("source")).alias("ss"))
+                .where(F.size("ss") >= 2)
+                .select(
+                    F.explode(
+                        F.expr(
+                            "flatten(transform(ss, (x, i) -> transform("
+                            "slice(ss, i + 2, size(ss) - i - 1), "
+                            "y -> struct(x AS source_a, y AS source_b))))"
+                        )
+                    ).alias("p")
+                )
+                .groupBy("p.source_a", "p.source_b")
+                .agg(F.count(F.lit(1)).alias("ni"))
+            )
+        out = (
+            pairs.join(inter, ["source_a", "source_b"], "left")
+            .join(
+                per_src.select(F.col("source").alias("source_a"), F.col("n").alias("na")),
+                "source_a",
+            )
+            .join(
+                per_src.select(F.col("source").alias("source_b"), F.col("n").alias("nb")),
+                "source_b",
+            )
+            .join(ukth, ["source_a", "source_b"])
+            .join(
+                kth.select(F.col("source").alias("source_a"), F.col("est").alias("esta")),
+                "source_a",
+            )
+            .join(
+                kth.select(F.col("source").alias("source_b"), F.col("est").alias("estb")),
+                "source_b",
+            )
+            .withColumn("ni", F.coalesce(F.col("ni"), F.lit(0)))
+        )
+        return out.select(
+            "source_a",
+            "source_b",
+            (F.col("na") + F.col("nb") - F.col("ni")).cast("long").alias("n_exact_union"),
+            F.col("ni").cast("long").alias("n_exact_inter"),
+            F.round(
+                F.col("ni").cast("double") / (F.col("na") + F.col("nb") - F.col("ni")), 6
+            ).alias("exact_jaccard"),
+            F.round(F.col("uest"), 4).alias("est_union"),
+            F.round((F.col("esta") + F.col("estb") - F.col("uest")) / F.col("uest"), 6).alias(
+                "est_jaccard"
+            ),
+        )
+
+    return build
+
+
+SUITES["kmv_full"] = {
+    "head": _kmv_full_variant(False, False),
+    "persist_sk": _kmv_full_variant(True, False),
+    "single_window": _kmv_full_variant(False, True),
+    "both": _kmv_full_variant(True, True),
+    "both_interlist": _kmv_full_variant(True, True, inter_mode="list"),
+}
+
+
 def _with_tf_materialization(builder, mode):
     """Run a builder with operators.scale.durable_checkpoint swapped for
     persist() or identity — isolates the tf-table materialization

@@ -301,19 +301,25 @@ def test_no_unbounded_single_partition_windows(spark, sf_dir):
 
 
 def test_grouped_window_rewrites_keep_parallel_shape(spark, sf_dir):
-    """The low-cardinality-group rewrites must keep their two-phase
-    kernels: the per-(group, partition) column of grouped_top_k /
-    grouped_prefix_sum appears in the Window spec (a revert to a plain
-    partitionBy(lang/event_type) window would drop it)."""
+    """The low-cardinality-group rewrites must keep their parallel
+    shape. grouped_prefix_sum still carries its two-phase kernel (the
+    per-(group, partition) column appears in the Window spec).
+    grouped_top_k was simplified in r17 to a single row_number window
+    because Spark 3.5+ plans the rank<=k filter as a per-partition
+    WindowGroupLimit BEFORE the exchange (SPARK-37099) — the invariant
+    to pin is therefore that WindowGroupLimit is present, i.e. at most
+    k rows per input partition per group reach the ≤|groups| final
+    tasks (a Spark regression or a filter spelling that defeats the
+    pushdown would drop the node)."""
     for name, marker in [
-        ("sample_n_per_lang", "_gtk_pid"),
-        ("top_terms_per_lang", "_gtk_pid"),
+        ("sample_n_per_lang", "WindowGroupLimit"),
+        ("top_terms_per_lang", "WindowGroupLimit"),
         ("sequence_pack_greedy", "_gps_pid"),
         ("events_winsorized_values", "_gps_pid"),
         # round-6 auditq: per-source/per-pair/per-anchor top-k and the
         # within-nation Gini rank all ride the grouped kernels
-        ("kmv_overlap_matrix", "_gtk_pid"),
-        ("contrastive_negatives_sample", "_gtk_pid"),
+        ("kmv_overlap_matrix", "WindowGroupLimit"),
+        ("contrastive_negatives_sample", "WindowGroupLimit"),
         ("acctbal_gini_by_nation", "_gps_pid"),
         ("weighted_median_price_by_flag", "_gps_pid"),
         ("length_decile_normalize", "_gps_pid"),
