@@ -242,3 +242,33 @@ def test_robust_outlier_approx_twin_close_to_exact(spark, sf_dir):
         assert abs(a.median_value - e.median_value) / scale < 0.02, (et, e, a)
         assert abs(a.mad_value - e.mad_value) / scale < 0.02, (et, e, a)
         assert abs(a.outlier_rate - e.outlier_rate) < 0.005, (et, e, a)
+
+
+def test_scan_guard_memoizes_partition_probe(spark, monkeypatch):
+    """r17 (VERDICT r16 item 8): ensure_scan_parallelism probes the
+    partition count via df.rdd, which builds the full physical
+    translation per call; semantically-equal frames within one session
+    must hit the memo instead of re-planning. The memo holds layout
+    integers only — the guard's plan output is unchanged (identity
+    either way here)."""
+    import pyspark.sql.classic.dataframe as dfmod
+
+    from data_engineering_rag_spark.operators import scale
+
+    scale._SCAN_PARTITIONS_MEMO.clear()
+    calls = {"n": 0}
+    orig = dfmod.DataFrame.rdd
+
+    def counting_rdd(self):
+        calls["n"] += 1
+        return orig.fget(self)
+
+    monkeypatch.setattr(dfmod.DataFrame, "rdd", property(counting_rdd))
+    df1 = spark.range(1000).selectExpr("id", "id * 2 AS v")
+    df2 = spark.range(1000).selectExpr("id", "id * 2 AS v")
+    out1 = scale.ensure_scan_parallelism(df1, label="memo-test")
+    assert calls["n"] == 1
+    out2 = scale.ensure_scan_parallelism(df2, label="memo-test")
+    assert calls["n"] == 1  # second semantically-equal probe: memo hit
+    # zero plan change on already-parallel input
+    assert out1 is df1 and out2 is df2
