@@ -261,7 +261,7 @@ def test_scan_guard_memoizes_partition_probe(spark, monkeypatch):
 
     def counting_rdd(self):
         calls["n"] += 1
-        return orig.fget(self)
+        return orig.func(self)  # classic DataFrame.rdd is a cached_property
 
     monkeypatch.setattr(dfmod.DataFrame, "rdd", property(counting_rdd))
     df1 = spark.range(1000).selectExpr("id", "id * 2 AS v")
