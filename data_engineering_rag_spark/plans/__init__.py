@@ -749,15 +749,8 @@ LAST_CHANGED: dict[str, int] = {
     # the schema and both dialects changed — conservative driver
     # re-check.
     "ivf_bucket_stats": 16,
-    # round-16 OPTIMIZATION: the distinct (doc_id, h) trigram table is
-    # now built once behind ensure_scan_parallelism and materialized
-    # with durable_checkpoint before the five downstream consumers —
-    # the before-plan re-ran the tokenize→explode→md5→distinct pipeline
-    # 8x (8 `Scan parquet` nodes, plans/r16/). Results identical by
-    # construction (same rows, integer arithmetic end-to-end;
-    # oracle-verified at sf0.001/0.01/0.1 this round), but a material
-    # body change — conservative driver re-check.
-    "jaccard_prefix_filter_pairs": 16,
+    # (jaccard_prefix_filter_pairs r16 checkpoint entry superseded by
+    # the r17 block below — one key per name.)
     # round-16 OPTIMIZATION: the shared MinHash/SimHash kernels
     # (textops._minhash_wide / _simhash_signatures) now pass the
     # documents scan through ensure_scan_parallelism — a single-file
@@ -774,9 +767,16 @@ LAST_CHANGED: dict[str, int] = {
     "minhash_jaccard_calibration": 16,
     "lsh_banding_design_curve": 16,
     "lsh_candidate_recall_audit": 16,
-    "simhash_signatures": 16,
-    "simhash_near_dup_pairs": 16,
-    "simhash_near_dup_topk": 16,
+    # round-16 ADVICE (r17 fix): lsh_candidate_quality and
+    # minhash_dedup_canonical also route through _lsh_candidate_pairs →
+    # _minhash_wide but were missed by the r16 shared-kernel bump —
+    # since source_digest hashes only the query function's own AST, the
+    # staleness gate could not flag them; bumped so their pre-r16
+    # evidence cannot silently certify the changed kernel.
+    "lsh_candidate_quality": 16,
+    "minhash_dedup_canonical": 16,
+    # (simhash_* r16 kernel-guard entries superseded by the r17 block
+    # below — one key per name.)
     # round-16 OPTIMIZATION: operators/tfidf.py::build_tfidf now (a)
     # guards its corpus scan with ensure_scan_parallelism (single-file
     # inputs serialized the tokenize/run-length map stage to one core)
@@ -788,18 +788,8 @@ LAST_CHANGED: dict[str, int] = {
     # consumers oracle-verified at sf0.001 and the flagship four at
     # sf0.01 this round), but the shared builder changed under every
     # consumer — conservative driver re-check (r13 convention).
-    "tfidf_doc_weights": 16,
-    "tfidf_search_topk": 16,
-    "tfidf_multiquery_topk": 16,
-    "tfidf_search_filtered": 16,
-    "hybrid_rrf_related_docs": 16,
-    "tfidf_search_rocchio": 16,
-    "retrieval_eval_metrics": 16,
-    "ndcg_retrieval_eval": 16,
-    "rag_context_assembly": 16,
-    "rerank_stub_topk": 16,
-    "mmr_diversified_topk": 16,
-    "tfidf_search_pruned": 16,
+    # (tfidf-family r16 entries superseded by the r17 block below —
+    # one key per name.)
     # round-16 OPTIMIZATION: winnow_fingerprints now guards its scan
     # (ensure_scan_parallelism) and the pair query materializes the
     # fingerprint set once (durable_checkpoint) — the before-plan ran
@@ -818,11 +808,77 @@ LAST_CHANGED: dict[str, int] = {
     # boilerplate_ngrams_top20 ~1.4 s -> ~0.95 s at sf0.1). Round-robin
     # repartition only; all five consumers oracle-verified at sf0.001
     # (+2 at sf0.01) this round — shared-kernel convention.
-    "kmv_overlap_matrix": 16,
     "split_leakage_audit": 16,
     "shingle_containment_pairs": 16,
     "crossdoc_ngram_dup_fraction": 16,
     "boilerplate_ngrams_top20": 16,
+    # (kmv_overlap_matrix r16 gram-kernel entry superseded by the r17
+    # block below — one key per name.)
+    #
+    # ------------------------------------------------------------------
+    # round-17 OPTIMIZATION (round 2 of 2). Every entry below changed a
+    # query body or a shared kernel under it; results verified
+    # identical against the DuckDB oracles at sf0.001 AND sf0.01 this
+    # round (scripts/check_queries.py), and the full parity suite on
+    # the final tree — conservative driver re-check per the
+    # shared-kernel convention.
+    #
+    # SimHash kernel (textops._simhash_signatures): per-(doc, term)
+    # counts now come from the narrow run-length kernel shared with the
+    # TF-IDF build instead of explode → groupBy(doc_id, term) — the
+    # widest exchange in the plan (the full token-term string stream)
+    # disappears; identical (doc_id, term, tf) rows into identical
+    # integer vote arithmetic.
+    "simhash_signatures": 17,
+    "simhash_near_dup_pairs": 17,
+    "simhash_near_dup_topk": 17,
+    # TF-IDF build (operators/tfidf.py::build_tfidf): the corpus count
+    # is collected once at build time and inlined as a literal — same
+    # long arithmetic, no more 1-row crossJoin/BroadcastExchange per
+    # consumer (6 n_docs broadcast exchanges dropped from
+    # tfidf_search_topk's plan, 10 -> 4 BroadcastExchange nodes; the 4
+    # survivors are the legit term-keyed idf/query-weight joins).
+    # The tf-table durable_checkpoint KEPT per the interleaved
+    # A/B (plans/r17/ab_tfidf.json: checkpoint 2.50 s vs persist 2.87 /
+    # none 2.80 on search; flat on multiquery) — VERDICT r16 item 1
+    # settled in favor of the r16 shape.
+    "tfidf_doc_weights": 17,
+    "tfidf_search_topk": 17,
+    "tfidf_multiquery_topk": 17,
+    "tfidf_search_filtered": 17,
+    "hybrid_rrf_related_docs": 17,
+    "tfidf_search_rocchio": 17,
+    "retrieval_eval_metrics": 17,
+    "ndcg_retrieval_eval": 17,
+    "rag_context_assembly": 17,
+    "rerank_stub_topk": 17,
+    "mmr_diversified_topk": 17,
+    "tfidf_search_pruned": 17,
+    # Jaccard prefix-filter: the distinct (doc_id, h) trigram table is
+    # now computed per row with array_distinct (doc_id is unique per
+    # input row, so per-row dedup ≡ the global distinct) — the
+    # Aggregate(distinct) exchange ahead of the checkpoint disappears.
+    "jaccard_prefix_filter_pairs": 17,
+    # Item-item cosine: sym pairs via a narrow 2-way explode instead of
+    # union(co, swap(co)) (the union re-executed the whole co-count
+    # pipeline), and the basket table pre-partitions on l_orderkey so
+    # the distinct and both self-join sides share one exchange.
+    "item_cosine_similarity_topk": 17,
+    # RFM segments: the per-customer aggregate is persisted across the
+    # three ntile branches (each branch's repartitionByRange sampling
+    # pass re-ran the orders groupBy — up to 8 evaluations).
+    "orders_rfm_segments": 17,
+    # grouped_top_k simplification (operators/scale.py): one row_number
+    # window + rank<=k filter — Spark plans the per-partition
+    # WindowGroupLimit before the exchange (SPARK-37099), making the
+    # manual two-phase kernel strictly more expensive (2 exchanges / 4
+    # sorts vs 1 / 2). Identical rows and ranks; all four consumers
+    # re-verified. kmv additionally persists its tiny sk sketch (fed
+    # kth AND usk_in — the salt+md5+top-k pipeline ran twice).
+    "kmv_overlap_matrix": 17,
+    "top_terms_per_lang": 17,
+    "sample_n_per_lang": 17,
+    "contrastive_negatives_sample": 17,
 }
 
 
