@@ -743,6 +743,12 @@ def user_totals_state_snapshot(
         .start()
     )
     q.awaitTermination()
+    # r17 sink hygiene (same defect class as _run_to_memory): the
+    # memory-sink rows are never read here — the OUTPUT comes from the
+    # statestore below — so the mem_<uuid> view was a pure per-call
+    # leak of the full update-mode aggregate in driver memory.
+    spark.catalog.dropTempView(name)
+    spark.streams.resetTerminated()
     state = spark.read.format("statestore").load(checkpoint_dir)
     value_field = state.schema["value"].dataType.fieldNames()[0]
     return state.select(

@@ -584,6 +584,27 @@ def _with_tf_materialization(builder, mode):
     return build
 
 
+# sf10 re-check suites (VERDICT r16 item 6): the checkpoint-vs-none
+# question at a scale where the corpus pass dominates. Kept to the two
+# shapes per query that answer it, so an interleaved ≥3-pair run fits a
+# quiet host window.
+SUITES["tfidf_sf10"] = {
+    "search_ckpt": _registry_builder("tfidf_search_topk"),
+    "search_nomat": _with_tf_materialization(
+        _registry_builder("tfidf_search_topk"), "none"
+    ),
+    "multi_ckpt": _registry_builder("tfidf_multiquery_topk"),
+    "multi_nomat": _with_tf_materialization(
+        _registry_builder("tfidf_multiquery_topk"), "none"
+    ),
+}
+SUITES["jaccard_sf10"] = {
+    "head_ckpt": _registry_builder("jaccard_prefix_filter_pairs"),
+    "head_nomat": _with_tf_materialization(
+        _registry_builder("jaccard_prefix_filter_pairs"), "none"
+    ),
+}
+
 SUITES["tfidf"]["search_persist"] = _with_tf_materialization(
     _registry_builder("tfidf_search_topk"), "persist"
 )
