@@ -179,26 +179,35 @@ def build_tfidf(
     # call it (ADVICE r16 documented contract).
     n_docs_val = df.count()
     df = ensure_scan_parallelism(df, label="tfidf corpus scan")
-    from .scale import durable_checkpoint
+    from pyspark import StorageLevel
 
     per_field = []
     idf_tables = []
     for field in text_fields:
         # Narrow per-row run-length counting — the raw token stream
         # never shuffles. The repartition on the doc key pre-satisfies
-        # the L2 norm window's partitioning; the r16 durable_checkpoint
-        # then materializes the tokenize pass ONCE — ReuseExchange was
-        # NOT deduplicating the consumers in practice (column-pruning
+        # the L2 norm window's partitioning, and the tf table is
+        # materialized ONCE across its 4-10 consumers — ReuseExchange
+        # was NOT deduplicating them in practice (column-pruning
         # differences between dfreq/w/qvec made the exchange subtrees
-        # non-identical: the tfidf_search_topk before-plan carries 10
-        # `Scan parquet` nodes, i.e. the chunk+tokenize pipeline ran
-        # up to 10x per query — plans/r16/). Wire bytes: |distinct
-        # (doc, term)| rows instead of every token occurrence.
-        tf = durable_checkpoint(
-            _term_frequencies(df, key_cols, field, pattern).repartition(
-                *[F.col(c) for c in key_cols]
-            )
-        )
+        # non-identical: the tfidf_search_topk r16 before-plan carries
+        # 10 `Scan parquet` nodes, i.e. the chunk+tokenize pipeline ran
+        # up to 10x per query). Wire bytes: |distinct (doc, term)| rows
+        # instead of every token occurrence.
+        #
+        # r17: lazy persist(), NOT the r16 eager durable_checkpoint —
+        # the sf10 interleaved A/B (plans/r17/ab_tfidf_sf10.json)
+        # measured the checkpoint's write+read barrier at 2.2-2.5x the
+        # persist/no-mat wall once the tf table is big (search 28.9 s
+        # ckpt vs 11.6 s persist; multiquery 9.1 vs 7.5), while at
+        # sf0.1 the three shapes sit within ~0.4 s. One tokenize pass,
+        # spillable blocks, no construction-time barrier — the shape
+        # that survives 100 TB, where re-tokenizing the corpus per
+        # consumer (no-mat) stops being cheap the moment the input
+        # outgrows the page cache.
+        tf = _term_frequencies(df, key_cols, field, pattern).repartition(
+            *[F.col(c) for c in key_cols]
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
         # n_docs enters as a LITERAL: same long arithmetic as the old
         # 1-row-table crossJoin ((1 + N) and max_df·N over int64), so

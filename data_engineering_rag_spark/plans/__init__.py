@@ -838,10 +838,14 @@ LAST_CHANGED: dict[str, int] = {
     # consumer (6 n_docs broadcast exchanges dropped from
     # tfidf_search_topk's plan, 10 -> 4 BroadcastExchange nodes; the 4
     # survivors are the legit term-keyed idf/query-weight joins).
-    # The tf-table durable_checkpoint KEPT per the interleaved
-    # A/B (plans/r17/ab_tfidf.json: checkpoint 2.50 s vs persist 2.87 /
-    # none 2.80 on search; flat on multiquery) — VERDICT r16 item 1
-    # settled in favor of the r16 shape.
+    # The tf-table materialization is now a LAZY persist() instead of
+    # the r16 eager durable_checkpoint: at sf0.1 the shapes are within
+    # ~0.4 s (plans/r17/ab_tfidf.json: ckpt 2.50 / persist 2.87 / none
+    # 2.80 on search; flat on multiquery) but the sf10 interleaved A/B
+    # (plans/r17/ab_tfidf_sf10.json, VERDICT r16 item 6) measured the
+    # checkpoint barrier at 2.2-2.5x the wall once the tf table is big
+    # (search 28.9 s ckpt vs 11.6 persist; multi 9.1 vs 7.5) — the
+    # one-tokenize-pass structure is kept, the barrier is not.
     "tfidf_doc_weights": 17,
     "tfidf_search_topk": 17,
     "tfidf_multiquery_topk": 17,

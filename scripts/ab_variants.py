@@ -590,16 +590,25 @@ def _with_tf_materialization(builder, mode):
 # quiet host window.
 SUITES["tfidf_sf10"] = {
     "search_ckpt": _registry_builder("tfidf_search_topk"),
+    "search_persist": _with_tf_materialization(
+        _registry_builder("tfidf_search_topk"), "persist"
+    ),
     "search_nomat": _with_tf_materialization(
         _registry_builder("tfidf_search_topk"), "none"
     ),
     "multi_ckpt": _registry_builder("tfidf_multiquery_topk"),
+    "multi_persist": _with_tf_materialization(
+        _registry_builder("tfidf_multiquery_topk"), "persist"
+    ),
     "multi_nomat": _with_tf_materialization(
         _registry_builder("tfidf_multiquery_topk"), "none"
     ),
 }
 SUITES["jaccard_sf10"] = {
     "head_ckpt": _registry_builder("jaccard_prefix_filter_pairs"),
+    "head_persist": _with_tf_materialization(
+        _registry_builder("jaccard_prefix_filter_pairs"), "persist"
+    ),
     "head_nomat": _with_tf_materialization(
         _registry_builder("jaccard_prefix_filter_pairs"), "none"
     ),
