@@ -119,10 +119,11 @@ SUITES = {
 }
 
 
-def _jaccard_variant(tris_mode, cand_mode):
-    """2x2 jaccard shapes: tris build (r16 explode+distinct vs r17
+def _jaccard_variant(tris_mode, cand_mode, tris_mat="ckpt", prefix_mat="none"):
+    """Jaccard shapes: tris build (r16 explode+distinct vs r17
     array_distinct) x candidate generation (r16 self-join vs r17
-    pair-from-sorted-list)."""
+    pair-from-sorted-list) x materialization of tris (ckpt/persist)
+    and of the twice-evaluated prefix table (none/persist)."""
 
     def build(spark, sf_dir):
         from pyspark.sql.window import Window
@@ -130,9 +131,17 @@ def _jaccard_variant(tris_mode, cand_mode):
         from data_engineering_rag_spark.plans import load
         from data_engineering_rag_spark.plans.linkageq import PPJ_TAU_DEN, PPJ_TAU_NUM
         from data_engineering_rag_spark.operators.tfidf import TOKEN_PATTERN
+        from pyspark import StorageLevel
+
         from data_engineering_rag_spark.operators.scale import (
-            durable_checkpoint,
+            durable_checkpoint as _ckpt,
             ensure_scan_parallelism,
+        )
+
+        durable_checkpoint = (
+            _ckpt
+            if tris_mat == "ckpt"
+            else (lambda df, *a, **k: df.persist(StorageLevel.MEMORY_AND_DISK))
         )
 
         d = ensure_scan_parallelism(load(spark, sf_dir, "documents"), label="ab")
@@ -176,6 +185,8 @@ def _jaccard_variant(tris_mode, cand_mode):
             - F.expr(f"({PPJ_TAU_NUM} * sz + {PPJ_TAU_DEN} - 1) div {PPJ_TAU_DEN}")
             + 1
         ).select("doc_id", "h")
+        if prefix_mat == "persist":
+            prefix = prefix.persist(StorageLevel.MEMORY_AND_DISK)
         if cand_mode == "r16":
             cand = (
                 prefix.select(F.col("doc_id").alias("doc_a"), "h")
@@ -233,6 +244,19 @@ SUITES["jaccard"] = {
     "tris17_cand16": _jaccard_variant("r17", "r16"),
     "tris16_cand17": _jaccard_variant("r16", "r17"),
     "tris17_cand17": _jaccard_variant("r17", "r17"),
+}
+
+# The prefix table is evaluated twice (once under a BroadcastExchange,
+# so ReuseExchange can't dedupe) and the r16 eager checkpoint of it
+# measured WORSE — this suite asks whether a LAZY persist (of prefix,
+# of tris, or both) does better, mirroring the tf-table finding.
+SUITES["jaccard_mat"] = {
+    "head": _jaccard_variant("r17", "r16"),
+    "prefix_persist": _jaccard_variant("r17", "r16", prefix_mat="persist"),
+    "tris_persist": _jaccard_variant("r17", "r16", tris_mat="persist"),
+    "both_persist": _jaccard_variant(
+        "r17", "r16", tris_mat="persist", prefix_mat="persist"
+    ),
 }
 
 
