@@ -628,6 +628,17 @@ SUITES["tfidf_sf10"] = {
         _registry_builder("tfidf_multiquery_topk"), "none"
     ),
 }
+# Same scale-hazard class as the tf table: lsh_ml's checkpointed
+# vector table scales with the corpus. ckpt vs lazy persist vs none.
+SUITES["lshml_mat"] = {
+    "head_ckpt": _registry_builder("ml_minhash_similarity_join"),
+    "persist": _with_tf_materialization(
+        _registry_builder("ml_minhash_similarity_join"), "persist"
+    ),
+    "nomat": _with_tf_materialization(
+        _registry_builder("ml_minhash_similarity_join"), "none"
+    ),
+}
 SUITES["jaccard_sf10"] = {
     "head_ckpt": _registry_builder("jaccard_prefix_filter_pairs"),
     "head_persist": _with_tf_materialization(
