@@ -837,7 +837,7 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         <= F.col("sz")
         - F.expr(f"({PPJ_TAU_NUM} * sz + {PPJ_TAU_DEN} - 1) div {PPJ_TAU_DEN}")
         + 1
-    ).select("doc_id", "h")
+    ).select("doc_id", "h", "sz")
     # r17: a pair-from-sorted-list candidate generator (groupBy(h) +
     # collect_list + HOF pair explode, one prefix evaluation) was
     # MEASURED AND REVERTED (guide §1.2): 2x2 interleaved A/B at sf0.1
@@ -846,12 +846,31 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # while collect_list adds a real exchange. The prefix subtree does
     # execute twice here (one side under a BroadcastExchange, so
     # ReuseExchange can't dedupe); checkpointing prefix was already
-    # measured worse in r16 (8.9 s vs 7.1). Known cost, kept
+    # measured worse in r16 (8.9 s vs 7.1), a lazy persist worse again
+    # (ab_jaccard_mat.json), and a shuffle-hash candidate join (whose
+    # identical h-exchanges ReusedExchange CAN dedupe) flat
+    # (ab_jaccard_r17b.json: 4.62 vs 4.65 head). Known cost, kept
     # deliberately.
+    #
+    # r17 (second session): the PPJoin LENGTH filter (Xiao et al.
+    # WWW'08 §3) — J(A,B) >= tau implies tau*max(|A|,|B|) <= min(|A|,|B|)
+    # (since inter <= min and union >= max), so a candidate pair whose
+    # set sizes are incompatible can be dropped BEFORE the distinct and
+    # the verification joins. sz rides the prefix rows for free (it is
+    # already computed by the window), the predicate is implied by the
+    # final tau filter (zero false negatives — oracle-verified), and
+    # the interleaved A/B (plans/r17/ab_jaccard_r17b.json, 6 rounds)
+    # measured 3.71 s vs 4.65 s head medians, winning 5/6 rounds.
     cand = (
-        prefix.select(F.col("doc_id").alias("doc_a"), "h")
-        .join(prefix.select(F.col("doc_id").alias("doc_b"), "h"), "h")
-        .where(F.col("doc_a") < F.col("doc_b"))
+        prefix.select(F.col("doc_id").alias("doc_a"), "h", F.col("sz").alias("sza"))
+        .join(prefix.select(F.col("doc_id").alias("doc_b"), "h", F.col("sz").alias("szb")), "h")
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (
+                PPJ_TAU_DEN * F.least("sza", "szb")
+                >= PPJ_TAU_NUM * F.greatest("sza", "szb")
+            )
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )

@@ -250,6 +250,110 @@ SUITES["jaccard"] = {
 # so ReuseExchange can't dedupe) and the r16 eager checkpoint of it
 # measured WORSE — this suite asks whether a LAZY persist (of prefix,
 # of tris, or both) does better, mirroring the tf-table finding.
+def _jaccard_r17b(lenfilter, cand_join):
+    """Second-session jaccard probes, both LOSSLESS: (a) the PPJoin
+    LENGTH filter — carry sz through the prefix table and require
+    DEN*min(sza,szb) >= NUM*max(sza,szb) before the candidate distinct
+    (implied by the final tau filter, so results are identical; prunes
+    pairs two docs of incompatible sizes would generate); (b) candidate
+    join strategy — 'broadcast' (HEAD: prefix subtree evaluates twice,
+    one side under a BroadcastExchange ReuseExchange can't dedupe) vs
+    'shuffle_hash'/'merge' (both sides are Exchange hashpartitioning(h)
+    over IDENTICAL subtrees, so ReusedExchange computes the prefix
+    once and pays one narrow 16-24B/row shuffle instead)."""
+
+    def build(spark, sf_dir):
+        from pyspark.sql.window import Window
+
+        from data_engineering_rag_spark.plans import load
+        from data_engineering_rag_spark.plans.linkageq import PPJ_TAU_DEN, PPJ_TAU_NUM
+        from data_engineering_rag_spark.operators.tfidf import TOKEN_PATTERN
+        from data_engineering_rag_spark.operators.scale import (
+            durable_checkpoint,
+            ensure_scan_parallelism,
+        )
+
+        d = ensure_scan_parallelism(load(spark, sf_dir, "documents"), label="ab")
+        toks = d.select(
+            "doc_id",
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0)).alias(
+                "a"
+            ),
+        ).where(F.size("a") >= 3)
+        hs = F.array_distinct(
+            F.expr(
+                "transform(sequence(1, size(a) - 2), i -> cast(conv(substring("
+                "md5(concat(element_at(a, i), ' ', element_at(a, i + 1), ' ', "
+                "element_at(a, i + 2))), 1, 15), 16, 10) as bigint))"
+            )
+        )
+        tris = durable_checkpoint(toks.select("doc_id", F.explode(hs).alias("h")))
+        df_tbl = tris.groupBy("h").agg(F.count(F.lit(1)).cast("long").alias("df"))
+        wdoc = Window.partitionBy("doc_id")
+        ordered = (
+            tris.join(df_tbl, "h")
+            .withColumn("pos", F.row_number().over(wdoc.orderBy(F.col("df"), F.col("h"))))
+            .withColumn("sz", F.count(F.lit(1)).over(wdoc))
+        )
+        pref_cols = ["doc_id", "h", "sz"] if lenfilter else ["doc_id", "h"]
+        prefix = ordered.where(
+            F.col("pos")
+            <= F.col("sz")
+            - F.expr(f"({PPJ_TAU_NUM} * sz + {PPJ_TAU_DEN} - 1) div {PPJ_TAU_DEN}")
+            + 1
+        ).select(*pref_cols)
+        pa = prefix.select(
+            F.col("doc_id").alias("doc_a"),
+            "h",
+            *([F.col("sz").alias("sza")] if lenfilter else []),
+        )
+        pb = prefix.select(
+            F.col("doc_id").alias("doc_b"),
+            "h",
+            *([F.col("sz").alias("szb")] if lenfilter else []),
+        )
+        if cand_join != "broadcast":
+            pb = pb.hint(cand_join)
+        cand = pa.join(pb, "h").where(F.col("doc_a") < F.col("doc_b"))
+        if lenfilter:
+            cand = cand.where(
+                PPJ_TAU_DEN * F.least("sza", "szb") >= PPJ_TAU_NUM * F.greatest("sza", "szb")
+            )
+        cand = cand.select("doc_a", "doc_b").distinct()
+        sizes = tris.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+        inter = (
+            tris.select(F.col("doc_id").alias("doc_a"), "h")
+            .join(cand, "doc_a")
+            .join(tris.select(F.col("doc_id").alias("doc_b"), "h"), ["h", "doc_b"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+        )
+        return (
+            inter.join(
+                sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza")), "doc_a"
+            )
+            .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb")), "doc_b")
+            .withColumn("n_union", F.col("sza") + F.col("szb") - F.col("n_inter"))
+            .where(PPJ_TAU_DEN * F.col("n_inter") >= PPJ_TAU_NUM * F.col("n_union"))
+            .select(
+                "doc_a",
+                "doc_b",
+                "n_inter",
+                "n_union",
+                F.round(F.col("n_inter") / F.col("n_union").cast("double"), 6).alias("jaccard"),
+            )
+        )
+
+    return build
+
+
+SUITES["jaccard_r17b"] = {
+    "head": _registry_builder("jaccard_prefix_filter_pairs"),
+    "lenf": _jaccard_r17b(True, "broadcast"),
+    "shj": _jaccard_r17b(False, "shuffle_hash"),
+    "shj_lenf": _jaccard_r17b(True, "shuffle_hash"),
+}
+
 SUITES["jaccard_mat"] = {
     "head": _jaccard_variant("r17", "r16"),
     "prefix_persist": _jaccard_variant("r17", "r16", prefix_mat="persist"),

@@ -50,6 +50,33 @@ def test_boundary_pair_at_exact_tau_is_kept(spark, tmp_path):
     assert (len(a & b), len(a | b)) == (3, 5)
 
 
+def test_length_filter_boundary_pair_is_kept(spark, tmp_path):
+    """r17: the PPJoin LENGTH filter prunes candidate pairs with
+    tau-incompatible set sizes (DEN*min(sz) >= NUM*max(sz)) before
+    verification. The sharpest case is a SUBSET pair sitting exactly on
+    both boundaries at once: |A| = 3 trigrams, |B| = 5, A ⊂ B gives
+    J = 3/5 = tau AND min/max = 3/5 = tau — a strict inequality (or a
+    float ceil) in either filter silently drops it."""
+    rows = [
+        # 5 tokens -> 3 trigrams; B extends A by 2 tokens -> 5 trigrams
+        # containing all of A's -> inter 3, union 5, J = 3/5 exactly,
+        # and sizes (3, 5) sit exactly on the length-filter boundary.
+        (1, "alpha bravo charlie delta echo"),
+        (2, "alpha bravo charlie delta echo foxtrot golfer"),
+    ]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in REGISTRY["jaccard_prefix_filter_pairs"].spark(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {(1, 2)}
+    assert (got[(1, 2)]["n_inter"], got[(1, 2)]["n_union"]) == (3, 5)
+    a, b = _trigrams(rows[0][1]), _trigrams(rows[1][1])
+    assert (len(a), len(b), len(a & b)) == (3, 5, 3)
+
+
 def test_lossless_vs_bruteforce_and_prefix_prunes(spark):
     """On the real corpus the emitted pair set equals a brute-force
     all-shared-shingle Python recompute (zero false negatives AND zero
