@@ -354,6 +354,14 @@ SUITES["jaccard_r17b"] = {
     "shj_lenf": _jaccard_r17b(True, "shuffle_hash"),
 }
 
+# Scale leg for the adopted length filter: HEAD (now carries the
+# filter) vs the pre-filter shape, at sf1 where the candidate/answer
+# pair space dominates.
+SUITES["jaccard_lenf_scale"] = {
+    "head_lenf": _registry_builder("jaccard_prefix_filter_pairs"),
+    "nolenf": _jaccard_r17b(False, "broadcast"),
+}
+
 SUITES["jaccard_mat"] = {
     "head": _jaccard_variant("r17", "r16"),
     "prefix_persist": _jaccard_variant("r17", "r16", prefix_mat="persist"),
