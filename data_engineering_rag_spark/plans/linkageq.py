@@ -837,7 +837,7 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         <= F.col("sz")
         - F.expr(f"({PPJ_TAU_NUM} * sz + {PPJ_TAU_DEN} - 1) div {PPJ_TAU_DEN}")
         + 1
-    ).select("doc_id", "h", "sz")
+    ).select("doc_id", "h", "sz", "pos")
     # r17: a pair-from-sorted-list candidate generator (groupBy(h) +
     # collect_list + HOF pair explode, one prefix evaluation) was
     # MEASURED AND REVERTED (guide §1.2): 2x2 interleaved A/B at sf0.1
@@ -861,14 +861,49 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # final tau filter (zero false negatives — oracle-verified), and
     # the interleaved A/B (plans/r17/ab_jaccard_r17b.json, 6 rounds)
     # measured 3.71 s vs 4.65 s head medians, winning 5/6 rounds.
+    #
+    # Plus the PPJoin POSITIONAL filter on each collision row: overlap
+    # o <= 1 + min(sza - pa, szb - pb) holds at the FIRST common prefix
+    # token (every common token sorts after it in BOTH docs' shared
+    # (df, h) order), and J >= tau requires (DEN+NUM)*o >= NUM*(sza+szb);
+    # rows whose bound can't reach the requirement are dropped before
+    # the distinct. LOSSLESS with the distinct because (a) the length
+    # filter guarantees szb >= tau*sza, which puts the first common
+    # token inside BOTH prefixes for any true pair, and (b) that first
+    # collision row always passes its (valid) bound — later collision
+    # rows carry tighter-than-true bounds and may drop, but one
+    # surviving row per true pair is all the distinct needs. Verified
+    # two ways: DuckDB census at sf0.1 (256 true pairs, 0 missed;
+    # candidates 202.7k -> 72.7k, 2.8x fewer verification rows) and the
+    # brute-force oracle at sf0.001/sf0.01. Interleaved A/B
+    # (plans/r17/ab_jaccard_posf.json, 6 rounds): 2.44 s vs 3.41 s
+    # length-filter-only medians, winning 6/6 rounds.
     cand = (
-        prefix.select(F.col("doc_id").alias("doc_a"), "h", F.col("sz").alias("sza"))
-        .join(prefix.select(F.col("doc_id").alias("doc_b"), "h", F.col("sz").alias("szb")), "h")
+        prefix.select(
+            F.col("doc_id").alias("doc_a"),
+            "h",
+            F.col("sz").alias("sza"),
+            F.col("pos").alias("pa"),
+        )
+        .join(
+            prefix.select(
+                F.col("doc_id").alias("doc_b"),
+                "h",
+                F.col("sz").alias("szb"),
+                F.col("pos").alias("pb"),
+            ),
+            "h",
+        )
         .where(
             (F.col("doc_a") < F.col("doc_b"))
             & (
                 PPJ_TAU_DEN * F.least("sza", "szb")
                 >= PPJ_TAU_NUM * F.greatest("sza", "szb")
+            )
+            & (
+                (PPJ_TAU_DEN + PPJ_TAU_NUM)
+                * (F.lit(1) + F.least(F.col("sza") - F.col("pa"), F.col("szb") - F.col("pb")))
+                >= PPJ_TAU_NUM * (F.col("sza") + F.col("szb"))
             )
         )
         .select("doc_a", "doc_b")

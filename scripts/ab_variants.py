@@ -250,7 +250,7 @@ SUITES["jaccard"] = {
 # so ReuseExchange can't dedupe) and the r16 eager checkpoint of it
 # measured WORSE — this suite asks whether a LAZY persist (of prefix,
 # of tris, or both) does better, mirroring the tf-table finding.
-def _jaccard_r17b(lenfilter, cand_join):
+def _jaccard_r17b(lenfilter, cand_join, posfilter=False):
     """Second-session jaccard probes, both LOSSLESS: (a) the PPJoin
     LENGTH filter — carry sz through the prefix table and require
     DEN*min(sza,szb) >= NUM*max(sza,szb) before the candidate distinct
@@ -295,7 +295,9 @@ def _jaccard_r17b(lenfilter, cand_join):
             .withColumn("pos", F.row_number().over(wdoc.orderBy(F.col("df"), F.col("h"))))
             .withColumn("sz", F.count(F.lit(1)).over(wdoc))
         )
-        pref_cols = ["doc_id", "h", "sz"] if lenfilter else ["doc_id", "h"]
+        pref_cols = ["doc_id", "h"] + (["sz"] if lenfilter else []) + (
+            ["pos"] if posfilter else []
+        )
         prefix = ordered.where(
             F.col("pos")
             <= F.col("sz")
@@ -306,11 +308,13 @@ def _jaccard_r17b(lenfilter, cand_join):
             F.col("doc_id").alias("doc_a"),
             "h",
             *([F.col("sz").alias("sza")] if lenfilter else []),
+            *([F.col("pos").alias("pa")] if posfilter else []),
         )
         pb = prefix.select(
             F.col("doc_id").alias("doc_b"),
             "h",
             *([F.col("sz").alias("szb")] if lenfilter else []),
+            *([F.col("pos").alias("pb")] if posfilter else []),
         )
         if cand_join != "broadcast":
             pb = pb.hint(cand_join)
@@ -318,6 +322,15 @@ def _jaccard_r17b(lenfilter, cand_join):
         if lenfilter:
             cand = cand.where(
                 PPJ_TAU_DEN * F.least("sza", "szb") >= PPJ_TAU_NUM * F.greatest("sza", "szb")
+            )
+        if posfilter:
+            # PPJoin positional filter: overlap <= 1 + min(sza-pa, szb-pb)
+            # at the FIRST common prefix token; required overlap o
+            # satisfies (DEN+NUM)*o >= NUM*(sza+szb).
+            cand = cand.where(
+                (PPJ_TAU_DEN + PPJ_TAU_NUM)
+                * (F.lit(1) + F.least(F.col("sza") - F.col("pa"), F.col("szb") - F.col("pb")))
+                >= PPJ_TAU_NUM * (F.col("sza") + F.col("szb"))
             )
         cand = cand.select("doc_a", "doc_b").distinct()
         sizes = tris.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
@@ -360,6 +373,23 @@ SUITES["jaccard_r17b"] = {
 SUITES["jaccard_lenf_scale"] = {
     "head_lenf": _registry_builder("jaccard_prefix_filter_pairs"),
     "nolenf": _jaccard_r17b(False, "broadcast"),
+}
+
+# PPJoin POSITIONAL filter on top of the adopted length filter: at the
+# first common prefix token (guaranteed in both prefixes once sizes are
+# tau-compatible), overlap <= 1 + min(sza-pa, szb-pb); DuckDB census at
+# sf0.1: 202.7k lenf candidates -> 72.7k lenf+posf (2.8x fewer rows
+# into the verification joins), zero false negatives by construction.
+SUITES["jaccard_posf"] = {
+    "head_lenf": _registry_builder("jaccard_prefix_filter_pairs"),
+    "posf": _jaccard_r17b(True, "broadcast", posfilter=True),
+}
+
+# Scale leg after adopting lenf+posf into HEAD: all three shapes at sf1.
+SUITES["jaccard_posf_scale"] = {
+    "head_posf": _registry_builder("jaccard_prefix_filter_pairs"),
+    "lenf_only": _jaccard_r17b(True, "broadcast"),
+    "nofilters": _jaccard_r17b(False, "broadcast"),
 }
 
 SUITES["jaccard_mat"] = {

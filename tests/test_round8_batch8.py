@@ -53,10 +53,16 @@ def test_boundary_pair_at_exact_tau_is_kept(spark, tmp_path):
 def test_length_filter_boundary_pair_is_kept(spark, tmp_path):
     """r17: the PPJoin LENGTH filter prunes candidate pairs with
     tau-incompatible set sizes (DEN*min(sz) >= NUM*max(sz)) before
-    verification. The sharpest case is a SUBSET pair sitting exactly on
-    both boundaries at once: |A| = 3 trigrams, |B| = 5, A ⊂ B gives
-    J = 3/5 = tau AND min/max = 3/5 = tau — a strict inequality (or a
-    float ceil) in either filter silently drops it."""
+    verification, and the POSITIONAL filter prunes collision rows whose
+    overlap bound 1 + min(sza-pa, szb-pb) cannot reach the required
+    (DEN+NUM)*o >= NUM*(sza+szb). The sharpest case is a SUBSET pair
+    sitting exactly on ALL THREE boundaries at once: |A| = 3 trigrams,
+    |B| = 5, A ⊂ B gives J = 3/5 = tau, min/max = 3/5 = tau, AND the
+    pair's single prefix collision (B's two unique trigrams are df=1 so
+    they fill B's prefix first; the smallest common trigram lands at
+    pa=1, pb=3) has bound 8*(1+min(2,2)) = 24 = 3*(3+5) exactly — a
+    strict inequality or an off-by-one in ANY of the three filters
+    silently drops it."""
     rows = [
         # 5 tokens -> 3 trigrams; B extends A by 2 tokens -> 5 trigrams
         # containing all of A's -> inter 3, union 5, J = 3/5 exactly,
